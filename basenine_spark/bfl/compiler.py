@@ -1,0 +1,858 @@
+"""BFL → ``pyspark.sql.Column`` compiler (the vectorized fast path).
+
+This is the Spark-first replacement for the reference's per-record
+tree-walking interpreter (``/root/reference/server/lib/eval.go:601-812``):
+one Column tree per query, evaluated by Catalyst with whole-stage codegen,
+predicate pushdown and column pruning — instead of a JSON parse + AST walk
+per record.
+
+Semantics parity (SURVEY.md §1.3), reproduced at the expression level:
+
+* equality is STRING-coerced with Go's ``%g`` 6-significant-digit float
+  formatting (``eval.go:47-62``);
+* ordering is NUMERIC-coerced — non-numeric strings → 0, bool → 1/0,
+  null → 0 (``eval.go:65-88``);
+* truthiness: non-empty string / number>0 / non-empty array / true
+  (``eval.go:27-44``);
+* arrays: ``==`` scalar is existential, ordering vs scalar existential,
+  ordering vs array universal-over-cross-product (``eval.go:104-326``) —
+  compiled to ``exists`` / ``forall`` higher-order functions (JVM-side);
+* missing path ⇒ whole expression false ("collapse", ``eval.go:615-624``),
+  caught at sub-expression boundaries (``eval.go:649-651,786-790``);
+* helper calls on a missing path do NOT collapse — the operand is Go
+  ``false`` (``eval.go:624-626``);
+* ``now()``/``seconds()``…``years()``/``datetime()`` fold to epoch-millis
+  constants at compile time (``precompute.go:146-186``);
+* ``limit(N)`` is extracted into ``Compiled.limit`` for plan-level
+  enforcement (``precompute.go:153-155``) and evaluates to true inline.
+
+Schema mapping convention (documented divergence from the schema-free
+reference): a **NULL value is treated as JSON ``null``** (key present,
+value null) — so ``model == nil`` is true for a NULL column — while a
+**field absent from the schema** is a compile-time collapse.  Map-key
+lookups and array indexing collapse at *runtime* when the key/index is
+absent, matching the reference.  Queries needing exact JSON-document
+behavior (``redact``, dynamic shapes) use the row backend
+(:mod:`.pyeval` via ``mapInPandas``) instead.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, List, Optional, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .ast import (
+    HELPERS,
+    TIME_HELPERS,
+    BinaryOp,
+    BoolLit,
+    Expr,
+    Field,
+    Index,
+    Key,
+    NilLit,
+    NumberLit,
+    Path,
+    Query,
+    RecursiveDescent,
+    RegexLit,
+    StringLit,
+    SubExpression,
+    Unary,
+    Wildcard,
+)
+from .parser import parse
+from .pyeval import go_g6, parse_datetime_millis
+
+__all__ = ["compile_filter", "Compiled", "UnsupportedBFL"]
+
+
+class UnsupportedBFL(ValueError):
+    """Raised when a query needs the row backend (e.g. ``redact``)."""
+
+
+@dataclass
+class Compiled:
+    """Result of compiling a BFL query against a schema."""
+
+    predicate: Optional[Column]  # None ⇔ empty query ⇔ match-all
+    limit: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Value model
+# ---------------------------------------------------------------------------
+#
+# Every sub-expression compiles to a Val: a Column plus the BFL "kind"
+# driving coercion, mirroring the Go interface{} dynamic dispatch — but
+# resolved statically from the schema.
+
+K_BOOL = "bool"
+K_INT = "int"  # integral column — exact decimal string form
+K_FLOAT = "float"  # floating column — %g 6-digit string form
+K_STR = "str"
+K_NULL = "null"  # literal nil / NullType column
+K_ARRAY = "array"
+K_REGEX = "regex"
+K_OPAQUE = "opaque"  # struct/map terminal — Go: falls through coercions
+K_JSONVAL = "jsonval"  # string result of json()/xml() extraction
+
+
+def _false() -> Column:
+    return F.lit(False)
+
+
+@dataclass
+class Val:
+    kind: str
+    col: Optional[Column] = None
+    # static literal value when known at compile time (numbers/strings/bools
+    # /nil/regex pattern) — enables exact %g formatting python-side
+    lit: Any = None
+    is_lit: bool = False
+    elem: Optional["Val"] = None  # prototype Val for array elements
+    # when this (runtime) condition holds, the value is Go `false`
+    # (helper on missing path, json() miss, …)
+    false_if: Optional[Column] = None
+    # collapse condition: True/False (static) or a Column (runtime)
+    collapse: Union[bool, Column] = False
+
+
+def _or_cond(a: Union[bool, Column], b: Union[bool, Column]) -> Union[bool, Column]:
+    if a is True or b is True:
+        return True
+    if a is False:
+        return b
+    if b is False:
+        return a
+    return a | b
+
+
+def _and_cond(a: Union[bool, Column], b: Union[bool, Column]):
+    if a is False or b is False:
+        return False
+    if a is True:
+        return b
+    if b is True:
+        return a
+    return a & b
+
+
+def _apply_false_if(v: Val, base: Column, false_value: Column) -> Column:
+    if v.false_if is None:
+        return base
+    return F.when(v.false_if, false_value).otherwise(base)
+
+
+# ---------------------------------------------------------------------------
+# Coercions (eval.go:27-88) as Column builders
+# ---------------------------------------------------------------------------
+
+
+def go_g6_col(col: Column) -> Column:
+    """Go ``strconv.FormatFloat(x,'g',6,64)`` for a double column: Java's
+    ``%.6g`` keeps trailing zeros, so strip them (and a dangling '.')."""
+    s = F.format_string("%.6g", col)
+    s = F.regexp_replace(s, r"(\.\d*?)0+(?=e|$)", r"$1")
+    return F.regexp_replace(s, r"\.(?=e|$)", "")
+
+
+def str_col(v: Val) -> Column:
+    """stringOperand (eval.go:47-62). NULL column values stringify to
+    'null' (JSON null convention)."""
+    if v.is_lit:
+        return F.lit(_lit_str(v))
+    if v.kind == K_STR:
+        base = F.coalesce(v.col, F.lit("null"))
+    elif v.kind == K_INT:
+        base = F.coalesce(v.col.cast("string"), F.lit("null"))
+    elif v.kind == K_FLOAT:
+        base = F.when(v.col.isNull(), "null").otherwise(go_g6_col(v.col.cast("double")))
+    elif v.kind == K_BOOL:
+        base = F.when(v.col.isNull(), "null").when(v.col, "true").otherwise("false")
+    elif v.kind == K_NULL:
+        base = F.lit("null")
+    elif v.kind == K_JSONVAL:
+        # json()/xml() miss → operand is Go false → "false"
+        base = F.coalesce(v.col, F.lit("false"))
+    else:  # opaque / array used as scalar: Go switch falls through → ""
+        base = F.lit("")
+    return _apply_false_if(v, base, F.lit("false"))
+
+
+def num_col(v: Val) -> Column:
+    """float64Operand (eval.go:65-88)."""
+    if v.is_lit:
+        return F.lit(_lit_num(v))
+    if v.kind in (K_INT, K_FLOAT):
+        base = F.coalesce(v.col.cast("double"), F.lit(0.0))
+    elif v.kind == K_STR or v.kind == K_JSONVAL:
+        base = F.coalesce(F.try_cast(v.col, "double"), F.lit(0.0))
+    elif v.kind == K_BOOL:
+        base = F.when(v.col.isNull(), 0.0).when(v.col, 1.0).otherwise(0.0)
+    else:
+        base = F.lit(0.0)
+    return _apply_false_if(v, base, F.lit(0.0))
+
+
+def truthy_col(v: Val) -> Column:
+    """boolOperand (eval.go:27-44); always returns a non-null boolean."""
+    if v.is_lit:
+        return F.lit(_lit_truthy(v))
+    if v.kind == K_BOOL:
+        base = F.coalesce(v.col, _false())
+    elif v.kind in (K_INT, K_FLOAT):
+        base = F.coalesce(v.col > 0, _false())
+    elif v.kind == K_STR:
+        base = F.coalesce(v.col != "", _false())
+    elif v.kind == K_JSONVAL:
+        base = v.col.isNotNull() & (v.col != "")
+    elif v.kind == K_ARRAY:
+        base = F.coalesce(F.size(v.col) > 0, _false())
+    else:  # null / opaque
+        base = _false()
+    return _apply_false_if(v, base, _false())
+
+
+def _lit_str(v: Val) -> str:
+    x = v.lit
+    if v.kind == K_BOOL:
+        return "true" if x else "false"
+    if v.kind == K_NULL:
+        return "null"
+    if isinstance(x, float):
+        return go_g6(x)
+    return str(x)
+
+
+def _lit_num(v: Val) -> float:
+    x = v.lit
+    if v.kind == K_BOOL:
+        return 1.0 if x else 0.0
+    if v.kind == K_NULL:
+        return 0.0
+    if isinstance(x, str):
+        try:
+            return float(x)
+        except ValueError:
+            return 0.0
+    return float(x)
+
+
+def _lit_truthy(v: Val) -> bool:
+    x = v.lit
+    if v.kind == K_BOOL:
+        return bool(x)
+    if v.kind == K_NULL:
+        return False
+    if isinstance(x, str):
+        return x != ""
+    return x > 0
+
+
+def _elem_str(proto: Val) -> Callable[[Column], Column]:
+    def f(c: Column) -> Column:
+        return str_col(Val(kind=proto.kind, col=c, elem=proto.elem))
+
+    return f
+
+
+def _elem_num(proto: Val) -> Callable[[Column], Column]:
+    def f(c: Column) -> Column:
+        return num_col(Val(kind=proto.kind, col=c, elem=proto.elem))
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Binary operations
+# ---------------------------------------------------------------------------
+
+
+def _compile_eql(a: Val, b: Val, negate: bool) -> Column:
+    """==/!= (eval.go:104-174): regex operand ⇒ unanchored match; array
+    vs scalar existential; array vs array deep-equal; else string-coerced."""
+    if a.kind == K_REGEX or b.kind == K_REGEX:
+        import re as _re
+
+        rx, other = (a, b) if a.kind == K_REGEX else (b, a)
+        if other.kind in (K_REGEX, K_ARRAY, K_OPAQUE):
+            # Go: stringOperand of a regex/array/map falls through the type
+            # switch to "" (eval.go:47-62) → match the pattern against "".
+            res = F.lit(_re.search(rx.lit, "") is not None)
+        else:
+            res = str_col(other).rlike(rx.lit)
+        return ~F.coalesce(res, _false()) if negate else F.coalesce(res, _false())
+
+    if a.kind == K_ARRAY and b.kind == K_ARRAY:
+        res = F.coalesce(a.col == b.col, _false())  # reflect.DeepEqual
+        return ~res if negate else res
+    if a.kind == K_ARRAY or b.kind == K_ARRAY:
+        arr, scalar = (a, b) if a.kind == K_ARRAY else (b, a)
+        s = str_col(scalar)
+        es = _elem_str(arr.elem)
+        res = F.coalesce(F.exists(arr.col, lambda e: es(e) == s), _false())
+        return ~res if negate else res
+
+    res = str_col(a) == str_col(b)
+    res = F.coalesce(res, _false())
+    return ~res if negate else res
+
+
+_CMP = {
+    ">": lambda x, y: x > y,
+    "<": lambda x, y: x < y,
+    ">=": lambda x, y: x >= y,
+    "<=": lambda x, y: x <= y,
+}
+
+
+def _compile_cmp(op: str, a: Val, b: Val) -> Column:
+    """>,<,>=,<= (eval.go:176-326) with array existential / cross-product
+    universal semantics via exists/forall (JVM higher-order functions)."""
+    cmp = _CMP[op]
+    if a.kind == K_ARRAY and b.kind == K_ARRAY:
+        ea, eb = _elem_num(a.elem), _elem_num(b.elem)
+        res = F.forall(
+            a.col, lambda x: F.forall(b.col, lambda y: cmp(ea(x), eb(y)))
+        )
+        return F.coalesce(res, _false())
+    if a.kind == K_ARRAY:
+        ea = _elem_num(a.elem)
+        nb = num_col(b)
+        return F.coalesce(F.exists(a.col, lambda x: cmp(ea(x), nb)), _false())
+    if b.kind == K_ARRAY:
+        eb = _elem_num(b.elem)
+        na = num_col(a)
+        return F.coalesce(F.exists(b.col, lambda y: cmp(na, eb(y))), _false())
+    return F.coalesce(cmp(num_col(a), num_col(b)), _false())
+
+
+# ---------------------------------------------------------------------------
+# Schema-aware path resolution
+# ---------------------------------------------------------------------------
+
+
+def _kind_of(dt: T.DataType) -> Tuple[str, Optional[Val]]:
+    if isinstance(dt, T.StringType):
+        return K_STR, None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return K_INT, None
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return K_FLOAT, None
+    if isinstance(dt, T.DecimalType):
+        return K_FLOAT, None
+    if isinstance(dt, T.BooleanType):
+        return K_BOOL, None
+    if isinstance(dt, T.NullType):
+        return K_NULL, None
+    if isinstance(dt, T.ArrayType):
+        ek, ee = _kind_of(dt.elementType)
+        return K_ARRAY, Val(kind=ek, elem=ee)
+    if isinstance(dt, T.TimestampType):
+        # Extension convention: timestamps surface as epoch millis (the
+        # only time representation BFL has, SURVEY §1.2).
+        return K_INT, None
+    return K_OPAQUE, None
+
+
+class _StaticCollapse(Exception):
+    """Path not representable in this schema ⇒ compile-time collapse."""
+
+
+class _PathResolver:
+    """Walks AST segments against the DataFrame schema, producing a Val.
+
+    Handles the wildcard fan-out by switching to array mode and compiling
+    subsequent Field segments into ``transform`` lambdas.
+    """
+
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+
+    def resolve(self, segments: List[Any]) -> Val:
+        if not segments:
+            raise _StaticCollapse()
+        col: Optional[Column] = None
+        dt: T.DataType = self.schema
+        collapse: Union[bool, Column] = False
+        multi = False  # after a wildcard: col is an array of elements of dt
+        for seg in segments:
+            if multi:
+                col, dt, collapse = self._step_multi(col, dt, seg, collapse)
+                continue
+            if isinstance(seg, (Field, Key)):
+                name = seg.name if isinstance(seg, Field) else seg.key
+                if isinstance(dt, T.StructType):
+                    if name not in dt.fieldNames():
+                        raise _StaticCollapse()
+                    col = F.col(_quote(name)) if col is None else col.getField(name)
+                    dt = dt[name].dataType
+                elif isinstance(dt, T.MapType):
+                    # runtime collapse when the key is absent (ojg: missing
+                    # key → no result → collapse, eval.go:615-624)
+                    present = F.map_contains_key(col, F.lit(name))
+                    collapse = _or_cond(collapse, ~F.coalesce(present, _false()))
+                    col = col.getItem(name)
+                    dt = dt.valueType
+                else:
+                    raise _StaticCollapse()
+            elif isinstance(seg, Index):
+                if not isinstance(dt, T.ArrayType):
+                    raise _StaticCollapse()
+                present = F.size(col) > seg.index
+                collapse = _or_cond(collapse, ~F.coalesce(present, _false()))
+                col = col.getItem(seg.index)
+                dt = dt.elementType
+            elif isinstance(seg, Wildcard):
+                if isinstance(dt, T.ArrayType):
+                    dt = dt.elementType
+                    multi = True
+                elif isinstance(dt, T.MapType):
+                    col = F.map_values(col)
+                    dt = dt.valueType
+                    multi = True
+                else:
+                    raise _StaticCollapse()
+            else:  # RecursiveDescent on typed columns
+                raise UnsupportedBFL(
+                    "recursive descent on typed columns needs the row backend"
+                )
+        if multi:
+            ek, ee = _kind_of(dt)
+            # empty result set ⇒ collapse (eval.go:615-624): ojg returns []
+            # for wildcard over an empty array
+            collapse = _or_cond(
+                collapse, ~F.coalesce(F.size(col) > 0, _false())
+            )
+            return Val(kind=K_ARRAY, col=col, elem=Val(kind=ek, elem=ee), collapse=collapse)
+        kind, elem = _kind_of(dt)
+        v = Val(kind=kind, col=col, elem=elem, collapse=collapse)
+        if isinstance(dt, T.TimestampType):
+            v.col = F.unix_millis(col)
+        return v
+
+    def _step_multi(self, col, dt, seg, collapse):
+        if isinstance(seg, (Field, Key)):
+            name = seg.name if isinstance(seg, Field) else seg.key
+            if isinstance(dt, T.StructType):
+                if name not in dt.fieldNames():
+                    raise _StaticCollapse()
+                inner_dt = dt[name].dataType
+                return F.transform(col, lambda e: e.getField(name)), inner_dt, collapse
+            raise _StaticCollapse()
+        raise UnsupportedBFL(f"segment {seg!r} after wildcard needs the row backend")
+
+
+def _quote(name: str) -> str:
+    return f"`{name}`"
+
+
+# ---------------------------------------------------------------------------
+# json() / xml() document helpers
+# ---------------------------------------------------------------------------
+
+
+def b64_probe(col: Column) -> Column:
+    """Go base64.StdEncoding probe (eval.go:362-365): strict alphabet +
+    padding, decoded text replaces the original on success."""
+    looks_b64 = col.rlike("^[A-Za-z0-9+/]*={0,2}$") & (F.length(col) % 4 == 0)
+    return F.when(looks_b64, F.unbase64(col).cast("string")).otherwise(col)
+
+
+def _gjo_path(segments: List[Any]) -> Optional[str]:
+    """Inner path → get_json_object path, when expressible."""
+    parts = ["$"]
+    for seg in segments:
+        if isinstance(seg, Field):
+            parts.append(f".{seg.name}")
+        elif isinstance(seg, Key):
+            if not seg.key.replace("_", "").replace("-", "").isalnum():
+                return None
+            parts.append(f".{seg.key}" if seg.key.isidentifier() else f"['{seg.key}']")
+        elif isinstance(seg, Index):
+            parts.append(f"[{seg.index}]")
+        else:
+            return None
+    return "".join(parts)
+
+
+def _xpath(segments: List[Any]) -> Optional[str]:
+    """ojg-style path → XPath 1.0 (ojg indexes are 0-based, XPath 1-based;
+    eval_test.go:190: book[1] == 'Harry Potter' i.e. the SECOND book)."""
+    parts = []
+    for seg in segments:
+        if isinstance(seg, Field):
+            parts.append(f"/{seg.name}")
+        elif isinstance(seg, Key):
+            parts.append(f"/{seg.key}")
+        elif isinstance(seg, Index):
+            if not parts:
+                return None
+            parts[-1] += f"[{seg.index + 1}]"
+        else:
+            return None
+    return "".join(parts) + "/text()" if parts else None
+
+
+def _rd_json_udf(inner: List[Any]):
+    """Arrow-batched fallback for `json()..name` — the one inner-path shape
+    get_json_object can't express (SURVEY §2 P13)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from . import pyeval
+
+    segs = list(inner)
+
+    def rd(vals):  # pd.Series -> pd.Series (hints omitted: PEP 563 active)
+        import json as _json
+
+        import pandas as pd
+
+        out = []
+        for s in vals:
+            if s is None:
+                out.append(None)
+                continue
+            text, _ = pyeval.try_base64(s)
+            try:
+                obj = _json.loads(text)
+            except ValueError:
+                out.append(None)
+                continue
+            result = pyeval.path_get(obj, segs)
+            out.append(pyeval.string_operand(result[0]) if result else None)
+        return pd.Series(out)
+
+    return pandas_udf(rd, "string")
+
+
+def _compile_docfunc(path: Path, resolver: _PathResolver) -> Val:
+    outer = resolver.resolve(path.outer)
+    if outer.kind == K_ARRAY:
+        raise UnsupportedBFL("json()/xml() over wildcard needs the row backend")
+    src = b64_probe(str_col(outer))
+    if path.docfunc == "json":
+        gjo = _gjo_path(path.inner)
+        if gjo is not None:
+            col = F.get_json_object(src, gjo)
+            # get_json_object returns JSON text for objects/arrays and the
+            # raw value for scalars — strip surrounding quotes it never adds
+        else:
+            col = _rd_json_udf(path.inner)(src)
+        return Val(kind=K_JSONVAL, col=col, collapse=outer.collapse)
+    xp = _xpath(path.inner)
+    if xp is None:
+        raise UnsupportedBFL("xml() path needs the row backend")
+    xr = F.xpath_string(src, F.lit(xp))
+    # xpath_string returns '' for no-match; the reference returns Go false
+    # — both stringify differently ('' vs 'false') but '' only arises on a
+    # miss, so map '' → NULL → jsonval-miss semantics.
+    col = F.when(xr == "", F.lit(None).cast("string")).otherwise(xr)
+    return Val(kind=K_JSONVAL, col=col, collapse=outer.collapse)
+
+
+# ---------------------------------------------------------------------------
+# Expression compilation
+# ---------------------------------------------------------------------------
+
+
+class _Compiler:
+    def __init__(self, schema: T.StructType, now_ms: Optional[int] = None):
+        self.resolver = _PathResolver(schema)
+        # Compile-time time base (precompute.go:146-186): one fixed `now`
+        # per compiled query, like the reference.
+        self.now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
+
+    # entry ------------------------------------------------------------------
+
+    def compile(self, expr: Expr) -> Val:
+        try:
+            return self._expr(expr)
+        except _StaticCollapse:
+            return Val(kind=K_BOOL, col=_false(), collapse=True)
+
+    def _guarded(self, expr: Expr) -> Val:
+        """Compile a node; a static collapse inside becomes collapse=True."""
+        try:
+            return self._expr(expr)
+        except _StaticCollapse:
+            return Val(kind=K_BOOL, col=_false(), collapse=True)
+
+    # nodes ------------------------------------------------------------------
+
+    def _expr(self, expr: Expr) -> Val:
+        if isinstance(expr, NumberLit):
+            return Val(kind=K_FLOAT, lit=expr.value, is_lit=True)
+        if isinstance(expr, StringLit):
+            return Val(kind=K_STR, lit=expr.value, is_lit=True)
+        if isinstance(expr, BoolLit):
+            return Val(kind=K_BOOL, lit=expr.value, is_lit=True)
+        if isinstance(expr, NilLit):
+            return Val(kind=K_NULL, lit=None, is_lit=True)
+        if isinstance(expr, RegexLit):
+            return Val(kind=K_REGEX, lit=expr.pattern, is_lit=True)
+        if isinstance(expr, SubExpression):
+            inner = self._guarded(expr.expr)
+            # evalExpression swallows collapse at this boundary
+            # (eval.go:786-790) → value becomes Go false.
+            if inner.collapse is True:
+                return Val(kind=K_BOOL, lit=False, is_lit=True)
+            if inner.collapse is False:
+                return inner
+            out = Val(
+                kind=inner.kind,
+                col=inner.col,
+                elem=inner.elem,
+                lit=inner.lit,
+                is_lit=inner.is_lit,
+                false_if=_combine_false_if(inner.false_if, inner.collapse),
+            )
+            return out
+        if isinstance(expr, Unary):
+            return self._unary(expr)
+        if isinstance(expr, BinaryOp):
+            return self._binary(expr)
+        if isinstance(expr, Path):
+            return self._path(expr)
+        raise UnsupportedBFL(f"unsupported node {type(expr).__name__}")
+
+    def _unary(self, expr: Unary) -> Val:
+        v = self._expr(expr.operand)
+        if expr.op == "!":
+            # Go negates only typed bools (eval.go:676-680); literals and
+            # predicate results are bools, everything else passes through.
+            if v.kind == K_BOOL:
+                if v.is_lit:
+                    return Val(kind=K_BOOL, lit=not v.lit, is_lit=True)
+                return Val(
+                    kind=K_BOOL,
+                    col=~truthy_col(v),
+                    collapse=v.collapse,
+                )
+            return v
+        # '-': negate float64 only
+        if v.is_lit and v.kind == K_FLOAT:
+            return Val(kind=K_FLOAT, lit=-v.lit, is_lit=True)
+        if v.kind == K_FLOAT:
+            return Val(kind=K_FLOAT, col=-v.col, collapse=v.collapse, false_if=v.false_if)
+        return v
+
+    def _binary(self, expr: BinaryOp) -> Val:
+        op = expr.op
+        if op in ("and", "or"):
+            left = self._guarded(expr.left)
+            right = self._guarded(expr.right)
+            lt = truthy_col(left) if not _static(left) else None
+            rt = truthy_col(right) if not _static(right) else None
+            lv = _static_truthy(left)
+            rv = _static_truthy(right)
+
+            # static short-circuit (Catalyst would fold anyway, but this
+            # also implements collapse-skipping of the right side)
+            if op == "and":
+                if lv is False or left.collapse is True:
+                    return Val(kind=K_BOOL, lit=False, is_lit=True)
+                if lv is True and left.collapse is False:
+                    return self._truth_val(right, rt, rv)
+            else:
+                if left.collapse is True:
+                    return Val(kind=K_BOOL, lit=False, is_lit=True)
+                if lv is True and left.collapse is False:
+                    return Val(kind=K_BOOL, lit=True, is_lit=True)
+                if lv is False and left.collapse is False:
+                    return self._truth_val(right, rt, rv)
+
+            lcol = F.lit(lv) if lt is None else lt
+            rcol = F.lit(rv) if rt is None else rt
+            if op == "and":
+                value = lcol & rcol
+                collapse = _or_cond(
+                    left.collapse, _and_cond(_col_or_lit(lcol), right.collapse)
+                )
+            else:
+                value = lcol | rcol
+                collapse = _or_cond(
+                    left.collapse, _and_cond(_not_cond(_col_or_lit(lcol)), right.collapse)
+                )
+            return Val(kind=K_BOOL, col=value, collapse=collapse)
+
+        left = self._expr(expr.left)
+        right = self._expr(expr.right)
+        collapse = _or_cond(left.collapse, right.collapse)
+        if op in ("==", "!="):
+            if left.is_lit and right.is_lit:
+                from . import pyeval
+
+                lv = _pyval(left)
+                rv = _pyval(right)
+                res = pyeval._eql(lv, rv)
+                return Val(kind=K_BOOL, lit=res if op == "==" else not res, is_lit=True)
+            col = _compile_eql(left, right, negate=(op == "!="))
+            return Val(kind=K_BOOL, col=col, collapse=collapse)
+        if left.is_lit and right.is_lit:
+            from . import pyeval
+
+            res = pyeval._cmp(op, _pyval(left), _pyval(right))
+            return Val(kind=K_BOOL, lit=res, is_lit=True)
+        col = _compile_cmp(op, left, right)
+        return Val(kind=K_BOOL, col=col, collapse=collapse)
+
+    def _truth_val(self, v: Val, tcol, tlit) -> Val:
+        if _static(v) and v.collapse is False:
+            return Val(kind=K_BOOL, lit=bool(tlit), is_lit=True)
+        return Val(kind=K_BOOL, col=tcol if tcol is not None else F.lit(tlit), collapse=v.collapse)
+
+    # paths & helpers ---------------------------------------------------------
+
+    def _path(self, path: Path) -> Val:
+        if path.docfunc is not None:
+            return _compile_docfunc(path, self.resolver)
+        if path.helper is None:
+            return self.resolver.resolve(path.outer)
+        return self._helper(path)
+
+    def _helper(self, path: Path) -> Val:
+        h = path.helper
+        if h not in HELPERS:
+            raise _StaticCollapse()  # unknown helper collapses (eval.go:641)
+
+        # compile-time folded helpers (precompute.go:146-186)
+        if h == "now":
+            return Val(kind=K_FLOAT, lit=float(self.now_ms), is_lit=True)
+        if h in TIME_HELPERS:
+            n = self._arg_num(path.args)
+            return Val(
+                kind=K_FLOAT,
+                lit=float(self.now_ms + int(n) * TIME_HELPERS[h]),
+                is_lit=True,
+            )
+        if h == "datetime":
+            if not path.args:
+                return Val(kind=K_BOOL, lit=False, is_lit=True)
+            s = self._arg_str(path.args)
+            ms = parse_datetime_millis(s)
+            if ms is None:
+                return Val(kind=K_BOOL, lit=False, is_lit=True)
+            return Val(kind=K_FLOAT, lit=float(ms), is_lit=True)
+        if h == "limit":
+            return Val(kind=K_BOOL, lit=True, is_lit=True)
+        if h == "redact":
+            raise UnsupportedBFL("redact() mutates documents — row backend only")
+
+        # string predicates on a (possibly missing) path
+        if h in ("startsWith", "endsWith", "contains"):
+            if not path.args:
+                return Val(kind=K_BOOL, lit=False, is_lit=True)
+            arg = F.lit(self._arg_str(path.args))
+            try:
+                target = self.resolver.resolve(path.outer)
+            except _StaticCollapse:
+                # helper on missing path: operand = false → "false"
+                # (eval.go:624-626 — Helper != nil means no collapse)
+                target = Val(kind=K_BOOL, lit=False, is_lit=True)
+            if not target.is_lit and target.collapse is not False:
+                # runtime-missing (map key / index) → operand false, again
+                # without collapsing the expression
+                target = Val(
+                    kind=target.kind,
+                    col=target.col,
+                    elem=target.elem,
+                    false_if=_combine_false_if(target.false_if, target.collapse),
+                )
+            s = str_col(target)
+            if h == "startsWith":
+                col = F.startswith(s, arg)
+            elif h == "endsWith":
+                col = F.endswith(s, arg)
+            else:
+                col = F.contains(s, arg)
+            return Val(kind=K_BOOL, col=F.coalesce(col, _false()))
+        raise UnsupportedBFL(f"helper {h}()")
+
+    def _arg_num(self, args: List[Expr]) -> float:
+        from . import pyeval
+
+        if not args:
+            return 0.0
+        return pyeval.float_operand(_const_arg(args[0]))
+
+    def _arg_str(self, args: List[Expr]) -> str:
+        from . import pyeval
+
+        return pyeval.string_operand(_const_arg(args[0]))
+
+
+def _const_arg(expr: Expr) -> Any:
+    """Helper args are compile-time constants in practice; Path args
+    evaluate to Go false like the reference (eval.go:565-578)."""
+    from . import pyeval
+
+    return pyeval._eval_param(expr, None)
+
+
+def _static(v: Val) -> bool:
+    return v.is_lit
+
+
+def _static_truthy(v: Val) -> Optional[bool]:
+    return _lit_truthy(v) if v.is_lit else None
+
+
+def _pyval(v: Val) -> Any:
+    import re as _re
+
+    if v.kind == K_REGEX:
+        return _re.compile(v.lit)
+    return v.lit
+
+
+def _col_or_lit(c) -> Column:
+    return c
+
+
+def _not_cond(c: Union[bool, Column]):
+    if isinstance(c, bool):
+        return not c
+    return ~c
+
+
+def _combine_false_if(existing: Optional[Column], collapse: Union[bool, Column]):
+    if collapse is False:
+        return existing
+    cc = F.lit(True) if collapse is True else collapse
+    if existing is None:
+        return cc
+    return existing | cc
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def compile_filter(
+    query: Union[str, Query],
+    df_or_schema: Union[DataFrame, T.StructType],
+    now_ms: Optional[int] = None,
+) -> Compiled:
+    """Compile a BFL query into a boolean Column predicate over the given
+    DataFrame/schema. Raises :class:`UnsupportedBFL` when the query needs
+    the row backend (``redact``, recursive descent on typed columns)."""
+    q = parse(query) if isinstance(query, str) else query
+    if q.expr is None:
+        return Compiled(predicate=None, limit=q.limit)
+    schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    comp = _Compiler(schema, now_ms=now_ms)
+    v = comp.compile(q.expr)
+    if v.collapse is True:
+        return Compiled(predicate=_false(), limit=q.limit)
+    pred = truthy_col(v)
+    if v.collapse is not False:
+        pred = F.when(v.collapse, _false()).otherwise(pred)
+    return Compiled(predicate=pred, limit=q.limit)

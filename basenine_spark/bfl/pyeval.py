@@ -493,7 +493,14 @@ def _eval(expr: Expr, ctx: _Ctx) -> Any:
     if isinstance(expr, Path):
         return _eval_path(expr, ctx)
     if isinstance(expr, SubExpression):
-        return _eval(expr.expr, ctx)
+        # A parenthesized group is evaluated through evalExpression in the
+        # reference (eval.go:649-651), which converts collapse to false at
+        # that boundary (eval.go:786-790): `(missing == 1) or x` == `x`,
+        # while un-parenthesized `missing == 1 or x` collapses entirely.
+        try:
+            return _eval(expr.expr, ctx)
+        except _Collapse:
+            return False
     if isinstance(expr, Unary):
         v = _eval(expr.operand, ctx)
         if expr.op == "!" and isinstance(v, bool):
