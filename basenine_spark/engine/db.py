@@ -1,0 +1,307 @@
+"""Basenine-capability facade over Spark DataFrames.
+
+Re-expresses the reference's retrieval modes and operational commands
+(``/root/reference/server/server.go:150-209`` dispatch,
+``server/lib/storages/native.go`` implementations) as a thin service layer
+over declarative DataFrame plans:
+
+=====================  =====================================================
+reference mode          here
+=====================  =====================================================
+INSERT (S1/S3)          ``insert`` — append + contiguous 24-digit id
+                        assignment (``native.go:294-311``)
+/query (M1)             ``query`` — filtered scan from a resume offset,
+                        plan-level LIMIT from ``limit(N)``
+                        (``native.go:374-523``)
+/single (M2)            ``single`` — point lookup by id
+                        (``native.go:526-601``)
+/fetch (M3)             ``fetch`` — bidirectional bounded page
+                        (``native.go:625-827``)
+/validate (M4)          ``validate`` — parse-only check (``native.go:605``)
+/macro (M5)             ``add_macro`` (``macro.go``)
+/insert-filter (M6)     ``set_insertion_filter`` (``native.go:867-885``)
+/limit (M7)             ``set_retention_bytes`` (``native.go:852-864``)
+/flush /reset (M8)      ``flush`` / ``reset`` (``native.go:888-928``)
+=====================  =====================================================
+
+Scale notes (100 TB design):
+
+* The document log is Parquet partitions; the ``id`` is derived from a
+  monotone ingest sequence so point lookups and leftOff paging prune by
+  the id column (min/max file stats) instead of scanning.
+* ``query`` compiles BFL to a Column predicate → full predicate pushdown
+  and whole-stage codegen; the row backend (redact / dynamic shapes) is
+  an Arrow-batched ``mapInPandas`` — still embarrassingly parallel,
+  no shuffle anywhere on the filter path.
+* ``fetch(direction=-1)`` is top-K by id (``orderBy(desc).limit``) which
+  Spark executes as TakeOrderedAndProject — no global sort.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..bfl import expand_macros, parse, validate as bfl_validate
+from ..bfl.ast import Query
+from ..bfl.compiler import UnsupportedBFL, compile_filter
+from ..bfl.macros import add_macro as _add_macro
+
+ID_COL = "id"
+ID_WIDTH = 24  # IndexToID: %024d (helpers.go:15-17)
+
+
+def index_to_id(index: int) -> str:
+    """Reference ``IndexToID`` (helpers.go:15-17)."""
+    return "%024d" % index
+
+
+@dataclass
+class Metadata:
+    """Progress metadata frame (structs.go:75-82)."""
+
+    current: int = 0
+    total: int = 0
+    number_of_written: int = 0
+    left_off: str = index_to_id(0)
+    truncated_timestamp: int = 0
+    no_more_data: bool = False
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "current": self.current,
+                "total": self.total,
+                "numberOfWritten": self.number_of_written,
+                "leftOff": self.left_off,
+                "truncatedTimestamp": self.truncated_timestamp,
+                "noMoreData": self.no_more_data,
+            }
+        )
+
+
+class BasenineDB:
+    """One logical append-only document collection (the reference has
+    exactly one implicit table, SURVEY.md §1.1)."""
+
+    def __init__(self, spark: SparkSession, id_col: str = ID_COL):
+        self.spark = spark
+        self.id_col = id_col
+        self._df: Optional[DataFrame] = None
+        self.macros: dict[str, str] = {}
+        self.insertion_filter: str = ""
+        self.retention_bytes: int = 0
+        self._insert_counter = 0
+
+    # -- ingest ---------------------------------------------------------
+
+    @classmethod
+    def from_dataframe(
+        cls, spark: SparkSession, df: DataFrame, id_col: str
+    ) -> "BasenineDB":
+        """Mount an existing (parquet-backed) table as the document log;
+        ``id_col`` plays the role of the injected monotone id."""
+        db = cls(spark, id_col=id_col)
+        db._df = df
+        return db
+
+    def insert_json(self, lines: list[str]) -> list[str]:
+        """INSERT mode: each line one JSON doc; applies the insertion
+        filter (with redact) and assigns contiguous ids
+        (``native.go:266-334``).  Returns assigned ids.  Driver-side id
+        accounting mirrors the reference's single counter; the per-batch
+        work is distributed."""
+        from ..bfl.pyeval import eval_query
+
+        flt = (
+            parse(expand_macros(self.macros, self.insertion_filter))
+            if self.insertion_filter
+            else None
+        )
+        kept: list[str] = []
+        ids: list[str] = []
+        for line in lines:
+            json.loads(line)  # non-JSON insert is rejected (server_test.go:30)
+            doc = line
+            if flt is not None:
+                truth, doc = eval_query(flt, line)
+                if not truth:
+                    continue
+            obj = json.loads(doc)
+            rid = index_to_id(self._insert_counter)
+            obj[ID_COL] = rid
+            self._insert_counter += 1
+            kept.append(json.dumps(obj, separators=(",", ":")))
+            ids.append(rid)
+        if kept:
+            new = self.spark.read.json(
+                self.spark.sparkContext.parallelize(kept, 1)
+            )
+            self._df = new if self._df is None else self._df.unionByName(
+                new, allowMissingColumns=True
+            )
+        return ids
+
+    # -- query plumbing ---------------------------------------------------
+
+    def _prepare(self, query: str) -> Query:
+        return parse(expand_macros(self.macros, query))
+
+    def _apply_bfl(self, df: DataFrame, q: Query) -> DataFrame:
+        """Typed Column fast path, falling back to the row backend for
+        redact / dynamic-shape queries."""
+        try:
+            compiled = compile_filter(q, df)
+        except UnsupportedBFL:
+            return self._row_backend(df, q)
+        if compiled.predicate is not None:
+            df = df.filter(compiled.predicate)
+        return df
+
+    def _row_backend(self, df: DataFrame, q: Query) -> DataFrame:
+        """Arrow-batched exact evaluator: serialize each row to its JSON
+        document, run :func:`pyeval.eval_query` (collapse/redact exact),
+        return surviving documents.  Output schema: ``value STRING``
+        (the possibly-redacted document), plus the id column for order."""
+        schema = f"`{self.id_col}` string, value string"
+        query_text = q.text
+        id_col = self.id_col
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            from ..bfl import parse as _parse
+            from ..bfl.pyeval import eval_query as _eval
+
+            parsed = _parse(query_text)
+            for pdf in batches:
+                ids, docs = [], []
+                for rec in pdf.to_dict(orient="records"):
+                    doc = json.dumps(rec, separators=(",", ":"), default=str)
+                    truth, new_doc = _eval(parsed, doc)
+                    if truth:
+                        ids.append(str(rec.get(id_col)))
+                        docs.append(new_doc)
+                yield pd.DataFrame({id_col: ids, "value": docs})
+
+        return df.mapInPandas(run, schema=schema)
+
+    # -- retrieval modes ---------------------------------------------------
+
+    def dataframe(self) -> DataFrame:
+        if self._df is None:
+            raise ValueError("no data ingested")
+        return self._df
+
+    def query(self, query: str = "", left_off: int | str = 0) -> DataFrame:
+        """/query (M1) as a bounded scan: records after ``left_off``
+        matching the filter, in id order, honoring ``limit(N)``.  The
+        unbounded tail-follow variant lives in
+        :mod:`basenine_spark.streaming.tail`."""
+        df = self.dataframe()
+        q = self._prepare(query)
+        if left_off not in (0, "0", None, ""):
+            if left_off == "latest":  # T2 (native.go:1158-1176)
+                last = df.agg(F.max(self.id_col)).collect()[0][0]
+                df = df.filter(F.col(self.id_col) >= F.lit(last))
+            else:
+                df = df.filter(F.col(self.id_col) > F.lit(left_off))
+        df = self._apply_bfl(df, q)
+        df = df.orderBy(F.col(self.id_col).asc())
+        if q.limit > 0:
+            df = df.limit(q.limit)
+        return df
+
+    def single(self, record_id, query: str = "") -> Optional[dict]:
+        """/single (M2): one record by id; the query only matters for
+        record-altering helpers (redact) — native.go:526-601."""
+        df = self.dataframe().filter(F.col(self.id_col) == F.lit(record_id))
+        rows = df.limit(1).collect()
+        if not rows:
+            return None  # "Record does not exist!"
+        doc = rows[0].asDict(recursive=True)
+        q = self._prepare(query)
+        if q.expr is not None:
+            from ..bfl.pyeval import eval_query
+
+            _, new_doc = eval_query(q, json.dumps(doc, default=str))
+            return json.loads(new_doc)
+        return doc
+
+    def fetch(
+        self,
+        left_off: int | str,
+        direction: int,
+        query: str = "",
+        limit: int = 100,
+    ) -> DataFrame:
+        """/fetch (M3): bounded page before/after ``left_off``; scan order
+        is ascending (dir=1) or descending (dir=-1) by id, stopping after
+        ``limit`` *matching* records (``native.go:727-823``).  ``limit()``
+        and leftOff helpers are inert here (``native.go:665-667``)."""
+        df = self.dataframe()
+        if direction < 0:
+            df = df.filter(F.col(self.id_col) < F.lit(left_off))
+            order = F.col(self.id_col).desc()
+        else:
+            df = df.filter(F.col(self.id_col) >= F.lit(left_off))
+            order = F.col(self.id_col).asc()
+        q = self._prepare(query)
+        q.limit = 0  # limit() helper ineffective in FETCH mode
+        df = self._apply_bfl(df, q)
+        return df.orderBy(order).limit(limit)
+
+    def validate(self, query: str) -> tuple[bool, str]:
+        """/validate (M4)."""
+        return bfl_validate(expand_macros(self.macros, query))
+
+    # -- operational commands ----------------------------------------------
+
+    def add_macro(self, name: str, expansion: str) -> None:
+        """/macro (M5)."""
+        _add_macro(self.macros, name, expansion)
+
+    def set_insertion_filter(self, query: str) -> None:
+        """/insert-filter (M6) — validated like the reference
+        (``native.go:867-885``)."""
+        ok, msg = self.validate(query)
+        if not ok:
+            raise ValueError(msg)
+        self.insertion_filter = query
+
+    def set_retention_bytes(self, n: int) -> None:
+        """/limit (M7): size-bound retention. Parquet/Delta mapping: the
+        effective limit is n/2 like the reference's two-partition scheme
+        (``native.go:1207-1211``); enforcement happens at the sink
+        (rolling files / Delta VACUUM), recorded here for metadata."""
+        self.retention_bytes = n
+
+    def flush(self) -> None:
+        """/flush (M8): drop all records (``native.go:888-904``)."""
+        self._df = None
+        self._insert_counter = 0
+
+    def reset(self) -> None:
+        """/reset (M8): flush + clear macros/filter/limit
+        (``native.go:908-928``)."""
+        self.flush()
+        self.macros = {}
+        self.insertion_filter = ""
+        self.retention_bytes = 0
+
+    # -- metadata -----------------------------------------------------------
+
+    def metadata(self, written: int = 0, queried: int = 0) -> Metadata:
+        """T3 progress frame — batch flavor (per-batch rather than
+        per-record; granularity difference documented in SURVEY §7.4)."""
+        total = 0 if self._df is None else self._df.count()
+        return Metadata(
+            current=queried,
+            total=total,
+            number_of_written=written,
+            left_off=index_to_id(max(self._insert_counter - 1, 0)),
+        )
