@@ -192,7 +192,7 @@ def num_col(v: Val) -> Column:
     if v.kind in (K_INT, K_FLOAT):
         base = F.coalesce(v.col.cast("double"), F.lit(0.0))
     elif v.kind == K_STR or v.kind == K_JSONVAL:
-        base = F.coalesce(F.try_cast(v.col, "double"), F.lit(0.0))
+        base = F.coalesce(v.col.try_cast("double"), F.lit(0.0))
     elif v.kind == K_BOOL:
         base = F.when(v.col.isNull(), 0.0).when(v.col, 1.0).otherwise(0.0)
     else:

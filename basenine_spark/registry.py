@@ -1,0 +1,444 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the extension surface) as a named (Spark query,
+DuckDB oracle SQL) pair.
+
+Conventions (driver compare: row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+
+* every computed column is aliased identically on both sides;
+* doubles that pass through an aggregation are ``round(…, 2..6)``-ed on
+  both sides so accumulation order can't flip the value;
+* counts/sizes are cast to bigint on both sides (Spark ``size`` is int,
+  DuckDB ``len`` is bigint; DuckDB ``SUM(BIGINT)`` is HUGEINT — cast);
+* timestamps never appear raw in an output — only as epoch-millis
+  bigints (``ts div 1e6`` in Spark == ``epoch_ms(ts)`` in DuckDB, both
+  integer floor).
+
+Entries without an oracle (``ORACLES[name] is None``) are the genuinely
+approximate operators (LSH candidate generation) — the driver records a
+rows-only check for those, which is the honest contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bfl.compiler import UnsupportedBFL, compile_filter
+from .engine.db import BasenineDB
+from .ops import dedup, multimodal, relational, similarity, text
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# BFL queries over the events table (SURVEY §2.2/§2.6/§2.8/§2.10)
+# ---------------------------------------------------------------------------
+
+
+def _bfl_events(bfl: str) -> QueryFn:
+    """Run a BFL filter over events on the typed fast path (BFL →
+    Column, P1-P15/F1-F10) and project the id column."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        comp = compile_filter(bfl, events)
+        df = events
+        if comp.predicate is not None:
+            df = df.filter(comp.predicate)
+        if comp.limit > 0:
+            df = df.orderBy(F.col("event_id").asc()).limit(comp.limit)
+        return df.select("event_id")
+
+    return fn
+
+
+def _bfl_events_db(bfl: str, left_off: int | str = 0) -> QueryFn:
+    """Run a BFL query through the full BasenineDB /query mode (M1) —
+    macro expansion, limit extraction, row-backend fallback included."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        db = BasenineDB.from_dataframe(spark, events, id_col="event_id")
+        out = db.query(bfl, left_off=left_off)
+        if "value" in out.columns:  # row backend: (id string, value string)
+            return out.select(F.col("event_id").cast("bigint").alias("event_id"))
+        return out.select("event_id")
+
+    return fn
+
+
+def _fetch_backward(left_off: int, query: str, limit: int) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_table(spark, sf_dir, "events")
+        db = BasenineDB.from_dataframe(spark, events, id_col="event_id")
+        out = db.fetch(left_off, -1, query, limit)
+        if "value" in out.columns:
+            return out.select(F.col("event_id").cast("bigint").alias("event_id"))
+        return out.select("event_id")
+
+    return fn
+
+
+def _single_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/single (M2) as a point-lookup plan — id predicate prunes by
+    parquet min/max stats, no scan."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") == 1234).select(
+        "event_id", "event_type", "value"
+    )
+
+
+_EVENTS_BFL: dict[str, tuple[str, str]] = {
+    # name: (BFL query, DuckDB oracle WHERE clause over `events`)
+    "bfl_eq_string": ('event_type == "click"', "event_type = 'click'"),
+    "bfl_neq_string": ('event_type != "error"', "event_type <> 'error'"),
+    "bfl_cmp_gt": ("value > 10", "value > 10"),
+    "bfl_cmp_le": ("value <= 2.5", "value <= 2.5"),
+    "bfl_and_or": (
+        '(event_type == "click" and value > 10) or event_type == "error"',
+        "(event_type = 'click' AND value > 10) OR event_type = 'error'",
+    ),
+    "bfl_not": ('!(event_type == "click")', "event_type <> 'click'"),
+    "bfl_bare_path_truthy": (
+        "value > 0 and event_type",
+        "value > 0 AND event_type IS NOT NULL AND event_type <> ''",
+    ),
+    "bfl_regex_match": ('event_type == r"ck$"', "regexp_matches(event_type, 'ck$')"),
+    "bfl_startswith": ('event_type.startsWith("cl")', "starts_with(event_type, 'cl')"),
+    "bfl_endswith": ('event_type.endsWith("or")', "event_type LIKE '%or'"),
+    "bfl_contains": ('event_type.contains("ie")', "position('ie' IN event_type) > 0"),
+    "bfl_json_num_cmp": (
+        "props.json().k > 50",
+        "CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
+    ),
+    "bfl_json_key_eq": (
+        'props.json()["k"] == 29',
+        "json_extract_string(props, '$.k') = '29'",
+    ),
+    "bfl_time_window": (
+        'ts_ms >= datetime("1/3/2024, 12:00:00.000 AM") and ts_ms < datetime("1/5/2024, 12:00:00.000 AM")',
+        "epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-03 00:00:00') "
+        "AND epoch_ms(ts) < epoch_ms(TIMESTAMP '2024-01-05 00:00:00')",
+    ),
+    "bfl_collapse_missing": (
+        'event_type == "click" and nonexistent.field == 1',
+        "1 = 0",
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str | None] = {}
+
+
+def _register(name: str, fn: QueryFn, sql: str | None) -> None:
+    SPARK_QUERIES[name] = fn
+    ORACLES[name] = sql
+
+
+for _name, (_bfl, _where) in _EVENTS_BFL.items():
+    _register(_name, _bfl_events(_bfl), f"SELECT event_id FROM events WHERE {_where}")
+
+_register(
+    "query_limit_extract",
+    _bfl_events_db("value > 10 and limit(50)"),
+    "SELECT event_id FROM events WHERE value > 10 ORDER BY event_id LIMIT 50",
+)
+_register(
+    "query_left_off",
+    _bfl_events_db('event_type == "view"', left_off=8000),
+    "SELECT event_id FROM events WHERE event_id > 8000 AND event_type = 'view'",
+)
+_register(
+    "fetch_backward",
+    _fetch_backward(5000, "value > 5", 100),
+    "SELECT event_id FROM events WHERE event_id < 5000 AND value > 5 "
+    "ORDER BY event_id DESC LIMIT 100",
+)
+_register(
+    "single_lookup",
+    _single_lookup,
+    "SELECT event_id, event_type, value FROM events WHERE event_id = 1234",
+)
+_register(
+    "redact_row_backend",
+    _bfl_events_db('redact("props") and event_type == "error"'),
+    "SELECT event_id FROM events WHERE event_type = 'error'",
+)
+_register(
+    "recursive_descent",
+    _bfl_events_db('props.json()..k == 29'),
+    "SELECT event_id FROM events WHERE json_extract_string(props, '$.k') = '29'",
+)
+
+# -- relational extensions (SURVEY §2.3-2.7: absent in reference) -----------
+
+_register(
+    "agg_pricing_summary",
+    relational.pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 2) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem WHERE l_quantity < 48
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+_register(
+    "agg_revenue_q6",
+    relational.revenue_q6,
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+    "WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+)
+_register(
+    "join_mktsegment",
+    relational.mktsegment_orders,
+    """
+    SELECT c_mktsegment, count(*) AS order_cnt,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+_register(
+    "join_top_revenue",
+    relational.top_revenue_orders,
+    """
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+_register(
+    "window_top_orders",
+    relational.top_orders_per_customer,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+_register(
+    "join_supplier_rollup",
+    relational.supplier_nation_rollup,
+    """
+    SELECT r_name, n_name, count(*) AS supplier_cnt,
+           round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+_register(
+    "anti_join_customers",
+    relational.customers_without_big_order,
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+)
+_register(
+    "semi_join_customers",
+    relational.customers_with_urgent_order,
+    """
+    SELECT c_custkey FROM customer WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+_register(
+    "union_users",
+    relational.event_type_union,
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "UNION SELECT user_id FROM events WHERE event_type = 'purchase'",
+)
+_register(
+    "distinct_event_types",
+    relational.distinct_event_types,
+    "SELECT DISTINCT event_type FROM events",
+)
+_register(
+    "agg_daily_events",
+    relational.daily_event_rollup,
+    """
+    SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+# -- text analysis ----------------------------------------------------------
+
+_register(
+    "text_token_stats",
+    text.token_stats,
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+    FROM documents
+    """,
+)
+_register(
+    "text_quality",
+    text.quality_score,
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS BIGINT) AS stop_cnt,
+           round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+           n_chars
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents)
+    """,
+)
+_register(
+    "text_fingerprint",
+    text.fingerprint,
+    r"SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents",
+)
+_register(
+    "text_lang_profile",
+    text.lang_profile,
+    "SELECT lang, count(*) AS doc_cnt, round(avg(n_chars), 2) AS avg_chars "
+    "FROM documents GROUP BY lang",
+)
+_register(
+    "text_langid",
+    text.langid_heuristic,
+    """
+    SELECT doc_id,
+           CASE WHEN en_cnt >= data_cnt AND en_cnt > 0 THEN 'en'
+                WHEN data_cnt > 0 THEN 'data'
+                ELSE 'unk' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) AS en_cnt,
+             len(list_filter(string_split(text, ' '), x -> x IN ('table', 'row', 'column'))) AS data_cnt
+      FROM documents
+    )
+    """,
+)
+_register(
+    "text_tokens_by_source",
+    text.token_count_by_source,
+    """
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           count(*) AS doc_cnt
+    FROM documents GROUP BY source
+    """,
+)
+
+# -- dedup ------------------------------------------------------------------
+
+_register(
+    "dedup_exact",
+    dedup.exact_dedup,
+    "SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt "
+    "FROM documents GROUP BY md5(text)",
+)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(spark, sf_dir, n=3, threshold=0.4)
+
+
+_register(
+    "dedup_ngram_jaccard",
+    _jaccard_pairs,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+      FROM t a, t b WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(inter / uni, 6) AS jaccard
+    FROM pairs WHERE round(inter / uni, 6) >= 0.4
+    """,
+)
+_register("dedup_minhash_lsh", lambda s, d: dedup.minhash_lsh_pairs(s, d, n=3, threshold=0.4), None)
+_register("dedup_simhash", dedup.simhash64, None)
+_register("dedup_simhash_pairs", lambda s, d: dedup.simhash_near_pairs(s, d, max_hamming=6), None)
+
+# -- similarity search ------------------------------------------------------
+
+_register(
+    "ann_topk",
+    similarity.ann_topk,
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 10
+    ), s AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                   4) AS sim
+      FROM q, c
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+_register("ann_topk_lsh", similarity.ann_topk_lsh, None)
+_register("embedding_near_dup", lambda s, d: similarity.embedding_near_dup(s, d, threshold=0.35), None)
+
+# -- multimodal -------------------------------------------------------------
+
+_register(
+    "multimodal_meta",
+    multimodal.multimodal_meta,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: a BFL filter mixing typed comparison, JSON extraction
+    and boolean structure — parse → compile → Catalyst → codegen →
+    pushed-down Parquet scan."""
+    return _bfl_events(
+        '(event_type == "click" and value > 10) or props.json().k > 75'
+    )(spark, sf_dir)

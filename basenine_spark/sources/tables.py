@@ -38,10 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos → millis; keep the raw column out of the way
-        df = df.withColumn("ts_ms", (F.col("ts") / F.lit(1_000_000)).cast("long")).drop(
-            "ts"
-        )
+        # nanos → millis via *integer* division: nanos (~1.7e18) exceed
+        # double's 53-bit mantissa, so float division can be ±1 ms off.
+        df = df.withColumn("ts_ms", F.expr("ts div 1000000")).drop("ts")
     return df
 
 

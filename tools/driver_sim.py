@@ -1,0 +1,126 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 in Spark and the matching
+``oracle_sql()`` in DuckDB (tables pre-registered as views, as the
+driver does), comparing row count, column names, and an
+order-insensitive value hash with columns sorted by name.
+
+Usage: python tools/driver_sim.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        json.dumps([repr(row[i]) for i in order]) for row in rows
+    )
+    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        rec: dict = {}
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
+        except Exception as e:
+            rec["error"] = f"spark: {type(e).__name__}: {e}"
+            results[name] = rec
+            print(f"FAIL {name}: {rec['error'][:300]}")
+            continue
+        if name not in oracles:
+            rec["check"] = "rows_only"
+            results[name] = rec
+            print(f"ok   {name}: rows-only, {len(srows)} rows")
+            continue
+        try:
+            odf = con.execute(oracles[name])
+            ocols = [d[0] for d in odf.description]
+            orows = odf.fetchall()
+        except Exception as e:
+            rec["error"] = f"duckdb: {type(e).__name__}: {e}"
+            results[name] = rec
+            print(f"FAIL {name}: {rec['error'][:300]}")
+            continue
+        rec["oracle_rows"] = len(orows)
+        rec["rows_match"] = len(srows) == len(orows)
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        sh = value_hash(srows, scols)
+        oh = value_hash(orows, ocols)
+        rec["hash_match"] = sh == oh
+        results[name] = rec
+        status = "ok  " if all(
+            rec.get(k) for k in ("rows_match", "schema_match", "hash_match")
+        ) else "FAIL"
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(orows)} "
+            f"schema={rec['schema_match']} hash={rec['hash_match']}"
+        )
+        if status == "FAIL" and rec["rows_match"] and not rec["hash_match"]:
+            # show a sample diff to debug
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ss = sorted(json.dumps([repr(r[i]) for i in order_s]) for r in srows)
+            oo = sorted(json.dumps([repr(r[i]) for i in order_o]) for r in orows)
+            for a, b in zip(ss, oo):
+                if a != b:
+                    print(f"   spark : {a[:200]}\n   oracle: {b[:200]}")
+                    break
+
+    n_ok = sum(
+        1
+        for r in results.values()
+        if r.get("check") == "rows_only"
+        or all(r.get(k) for k in ("rows_match", "schema_match", "hash_match"))
+    )
+    print(f"\n{n_ok}/{len(results)} green")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
