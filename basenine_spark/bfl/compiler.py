@@ -178,8 +178,20 @@ def str_col(v: Val) -> Column:
     elif v.kind == K_NULL:
         base = F.lit("null")
     elif v.kind == K_JSONVAL:
-        # json()/xml() miss → operand is Go false → "false"
-        base = F.coalesce(v.col, F.lit("false"))
+        # json()/xml() miss → operand is Go false → "false".  A numeric
+        # extraction is re-canonicalized the way ojg+%g would print it
+        # ("1.50" → "1.5", "1e3" → "1000"); pure integers keep their
+        # decimal form (ojg parses them as int64 → strconv decimal,
+        # pyeval.string_operand int branch).
+        base = (
+            F.when(v.col.isNull(), F.lit("false"))
+            .when(v.col.rlike(r"^-?\d+$"), v.col)
+            .when(
+                v.col.rlike(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"),
+                go_g6_col(v.col.cast("double")),
+            )
+            .otherwise(v.col)
+        )
     else:  # opaque / array used as scalar: Go switch falls through → ""
         base = F.lit("")
     return _apply_false_if(v, base, F.lit("false"))
@@ -191,8 +203,16 @@ def num_col(v: Val) -> Column:
         return F.lit(_lit_num(v))
     if v.kind in (K_INT, K_FLOAT):
         base = F.coalesce(v.col.cast("double"), F.lit(0.0))
-    elif v.kind == K_STR or v.kind == K_JSONVAL:
+    elif v.kind == K_STR:
         base = F.coalesce(v.col.try_cast("double"), F.lit(0.0))
+    elif v.kind == K_JSONVAL:
+        # extracted JSON bools are typed in the reference: float64Operand
+        # maps true→1, false→0 (eval.go:65-88); other non-numeric text → 0
+        base = (
+            F.when(v.col == "true", F.lit(1.0))
+            .when(v.col == "false", F.lit(0.0))
+            .otherwise(F.coalesce(v.col.try_cast("double"), F.lit(0.0)))
+        )
     elif v.kind == K_BOOL:
         base = F.when(v.col.isNull(), 0.0).when(v.col, 1.0).otherwise(0.0)
     else:
@@ -211,7 +231,17 @@ def truthy_col(v: Val) -> Column:
     elif v.kind == K_STR:
         base = F.coalesce(v.col != "", _false())
     elif v.kind == K_JSONVAL:
-        base = v.col.isNotNull() & (v.col != "")
+        # typed truthiness of the extracted JSON value (eval.go:27-44):
+        # bool text is a bool, numeric text is a number (>0), JSON miss
+        # (NULL) is false, anything else is a non-empty-string check
+        num = v.col.try_cast("double")
+        base = (
+            F.when(v.col.isNull(), _false())
+            .when(v.col == "false", _false())
+            .when(v.col == "true", F.lit(True))
+            .when(num.isNotNull(), num > 0)
+            .otherwise(v.col != "")
+        )
     elif v.kind == K_ARRAY:
         base = F.coalesce(F.size(v.col) > 0, _false())
     else:  # null / opaque
@@ -277,6 +307,14 @@ def _elem_num(proto: Val) -> Callable[[Column], Column]:
 def _compile_eql(a: Val, b: Val, negate: bool) -> Column:
     """==/!= (eval.go:104-174): regex operand ⇒ unanchored match; array
     vs scalar existential; array vs array deep-equal; else string-coerced."""
+    if (a.kind == K_JSONVAL and b.kind == K_NULL) or (
+        b.kind == K_JSONVAL and a.kind == K_NULL
+    ):
+        # get_json_object can't distinguish a present JSON null (reference
+        # stringifies to "null" → `== nil` is true) from a missing key
+        # (operand false → "null" ≠ "false").  Exact semantics need the
+        # document — row backend (pyeval) handles it.
+        raise UnsupportedBFL("json()/xml() value compared to nil needs the row backend")
     if a.kind == K_REGEX or b.kind == K_REGEX:
         import re as _re
 
@@ -533,9 +571,24 @@ def _rd_json_udf(inner: List[Any]):
 
 
 def _compile_docfunc(path: Path, resolver: _PathResolver) -> Val:
-    outer = resolver.resolve(path.outer)
+    # json()/xml() are helpers: a missing outer path never collapses the
+    # expression (eval.go:617-626, Helper != nil) — the operand becomes Go
+    # false.  Static miss → literal false; runtime miss → false_if, which
+    # str_col renders as "false" (json-parsing "false" then extracting
+    # yields a miss, exactly the reference's behavior).
+    try:
+        outer = resolver.resolve(path.outer)
+    except _StaticCollapse:
+        return Val(kind=K_BOOL, lit=False, is_lit=True)
     if outer.kind == K_ARRAY:
         raise UnsupportedBFL("json()/xml() over wildcard needs the row backend")
+    if not outer.is_lit and outer.collapse is not False:
+        outer = Val(
+            kind=outer.kind,
+            col=outer.col,
+            elem=outer.elem,
+            false_if=_combine_false_if(outer.false_if, outer.collapse),
+        )
     src = b64_probe(str_col(outer))
     if path.docfunc == "json":
         gjo = _gjo_path(path.inner)
@@ -545,7 +598,7 @@ def _compile_docfunc(path: Path, resolver: _PathResolver) -> Val:
             # raw value for scalars — strip surrounding quotes it never adds
         else:
             col = _rd_json_udf(path.inner)(src)
-        return Val(kind=K_JSONVAL, col=col, collapse=outer.collapse)
+        return Val(kind=K_JSONVAL, col=col)
     xp = _xpath(path.inner)
     if xp is None:
         raise UnsupportedBFL("xml() path needs the row backend")
@@ -554,7 +607,7 @@ def _compile_docfunc(path: Path, resolver: _PathResolver) -> Val:
     # — both stringify differently ('' vs 'false') but '' only arises on a
     # miss, so map '' → NULL → jsonval-miss semantics.
     col = F.when(xr == "", F.lit(None).cast("string")).otherwise(xr)
-    return Val(kind=K_JSONVAL, col=col, collapse=outer.collapse)
+    return Val(kind=K_JSONVAL, col=col)
 
 
 # ---------------------------------------------------------------------------
@@ -630,11 +683,19 @@ class _Compiler:
             if v.kind == K_BOOL:
                 if v.is_lit:
                     return Val(kind=K_BOOL, lit=not v.lit, is_lit=True)
-                return Val(
-                    kind=K_BOOL,
-                    col=~truthy_col(v),
-                    collapse=v.collapse,
+                # A NULL bool column is a JSON null, not a bool — Go's `!`
+                # passes it through unchanged and boolOperand(nil) is
+                # false (eval.go:676-685), so !NULL must stay false.  A
+                # false_if operand IS a Go false → !false = true.
+                base = F.when(v.col.isNull(), _false()).otherwise(
+                    ~F.coalesce(v.col, _false())
                 )
+                col = (
+                    F.when(v.false_if, F.lit(True)).otherwise(base)
+                    if v.false_if is not None
+                    else base
+                )
+                return Val(kind=K_BOOL, col=col, collapse=v.collapse)
             return v
         # '-': negate float64 only
         if v.is_lit and v.kind == K_FLOAT:

@@ -55,6 +55,28 @@ ID_COL = "id"
 ID_WIDTH = 24  # IndexToID: %024d (helpers.go:15-17)
 
 
+def _jsonable(v):
+    """Convert Arrow/pandas row values to JSON-native types so the row
+    backend evaluates the *real* document: numpy arrays → lists (not the
+    "[1 2 3]" repr ``default=str`` would produce), numpy scalars →
+    Python scalars, NaN/NaT → JSON null."""
+    import numpy as np
+
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, np.ndarray):
+        return [_jsonable(x) for x in v.tolist()]
+    if isinstance(v, np.generic):
+        return _jsonable(v.item())
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    if v is not None and type(v).__name__ == "NaTType":  # pandas NaT
+        return None
+    return v
+
+
 def index_to_id(index: int) -> str:
     """Reference ``IndexToID`` (helpers.go:15-17)."""
     return "%024d" % index
@@ -122,10 +144,15 @@ class BasenineDB:
             if self.insertion_filter
             else None
         )
+        # Validate the whole batch BEFORE assigning any ids: a bad line
+        # must not orphan ids already consumed by earlier lines (the
+        # reference validates and persists each record independently,
+        # native.go:266-334; batched here, so validation is all-or-none).
+        for line in lines:
+            json.loads(line)  # non-JSON insert is rejected (server_test.go:30)
         kept: list[str] = []
         ids: list[str] = []
         for line in lines:
-            json.loads(line)  # non-JSON insert is rejected (server_test.go:30)
             doc = line
             if flt is not None:
                 truth, doc = eval_query(flt, line)
@@ -181,7 +208,9 @@ class BasenineDB:
             for pdf in batches:
                 ids, docs = [], []
                 for rec in pdf.to_dict(orient="records"):
-                    doc = json.dumps(rec, separators=(",", ":"), default=str)
+                    doc = json.dumps(
+                        _jsonable(rec), separators=(",", ":"), default=str
+                    )
                     truth, new_doc = _eval(parsed, doc)
                     if truth:
                         ids.append(str(rec.get(id_col)))

@@ -1,0 +1,174 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+Each test pins the exact divergence named in ADVICE.md against the
+pure-Python oracle (:mod:`basenine_spark.bfl.pyeval`) and/or the
+reference semantics (eval.go cites inline).
+"""
+
+import json
+
+import pytest
+
+from basenine_spark.bfl import parse
+from basenine_spark.bfl.compiler import Compiled, UnsupportedBFL, compile_filter
+from basenine_spark.bfl.pyeval import eval_query
+
+
+def _run(spark, query: str, doc: str) -> bool:
+    df = spark.read.json(spark.sparkContext.parallelize([doc]))
+    compiled = compile_filter(query, df)
+    if compiled.predicate is None:
+        return True
+    return df.filter(compiled.predicate).count() == 1
+
+
+def _both(spark, query: str, doc: str) -> bool:
+    """Run compiler and pyeval; assert they agree; return the verdict."""
+    spark_truth = _run(spark, query, doc)
+    py_truth, _ = eval_query(parse(query), doc)
+    assert spark_truth == py_truth, (
+        f"compiler={spark_truth} pyeval={py_truth} for {query!r} over {doc}"
+    )
+    return spark_truth
+
+
+# -- ADVICE 1: `!` on a NULL boolean column ---------------------------------
+
+
+def test_not_on_null_bool_is_false(spark):
+    # flag is JSON null → not a bool → `!` passes it through,
+    # boolOperand(nil) = false (eval.go:676-685)
+    assert _both(spark, "!flag", '{"flag": null, "x": 1}') is False
+
+
+def test_not_on_false_bool_is_true(spark):
+    assert _both(spark, "!flag", '{"flag": false}') is True
+
+
+def test_not_on_true_bool_is_false(spark):
+    assert _both(spark, "!flag", '{"flag": true}') is False
+
+
+# -- ADVICE 2: json()/xml() over a missing outer path never collapses -------
+
+
+def test_json_missing_outer_no_collapse(spark):
+    # reference: Helper != nil ⇒ no collapse (eval.go:617-626).  NOTE the
+    # parens: an unparenthesized `or …` tail would be SUBSUMED into the
+    # json() path (SelectExpression.Expression re-rooting,
+    # precompute.go:102-111) — that quirk is reproduced and separately
+    # pinned by the parser corpus.
+    doc = '{"other": 2, "data": "{}"}'
+    assert _both(spark, "(missing.json().x == 1) or other == 2", doc) is True
+
+
+def test_json_missing_outer_operand_false(spark):
+    doc = '{"other": 2}'
+    assert _both(spark, "missing.json().x == 1", doc) is False
+
+
+def test_not_json_missing_outer(spark):
+    # the sharpest observable consequence of no-collapse: operand is Go
+    # false, `!false` is true — a collapsing compiler would return false
+    assert _both(spark, "!missing.json().x", '{"other": 2}') is True
+
+
+def test_xml_missing_outer_no_collapse(spark):
+    doc = '{"other": 5}'
+    assert _both(spark, "(missing.xml().a.b == 1) or other > 4", doc) is True
+
+
+def test_bare_json_on_missing_outer_is_false(spark):
+    # json() over missing → operand Go false → truthiness false
+    assert _both(spark, "missing.json()", '{"x": 1}') is False
+
+
+# -- ADVICE 3: jsonval typed coercions --------------------------------------
+
+
+def test_json_float_noncanonical_text(spark):
+    # ojg parses 1.50 → float64 → %g → "1.5" (eval.go:55); raw-text
+    # comparison would see "1.50" ≠ "1.5"
+    doc = json.dumps({"body": json.dumps({"price": 1.50})})
+    assert _both(spark, "body.json().price == 1.5", doc) is True
+
+
+def test_json_float_exponent_text(spark):
+    doc = json.dumps({"body": json.dumps({"n": 1e3})})
+    assert _both(spark, "body.json().n == 1000", doc) is True
+
+
+def test_json_int_stays_decimal(spark):
+    doc = json.dumps({"body": json.dumps({"k": 29})})
+    assert _both(spark, 'body.json().k == "29"', doc) is True
+
+
+def test_json_bool_truthiness(spark):
+    # extracted `false` is a typed bool → falsy (eval.go:27-44)
+    doc = json.dumps({"body": json.dumps({"ok": False, "x": 1})})
+    assert _both(spark, "body.json().ok", doc) is False
+    doc2 = json.dumps({"body": json.dumps({"ok": True})})
+    assert _both(spark, "body.json().ok", doc2) is True
+
+
+def test_json_zero_truthiness(spark):
+    doc = json.dumps({"body": json.dumps({"n": 0, "m": -1})})
+    assert _both(spark, "body.json().n", doc) is False
+    assert _both(spark, "body.json().m", doc) is False
+
+
+def test_json_bool_numeric_coercion(spark):
+    # float64Operand(true) = 1 (eval.go:65-88)
+    doc = json.dumps({"body": json.dumps({"ok": True})})
+    assert _both(spark, "body.json().ok >= 1", doc) is True
+
+
+def test_json_nil_comparison_routes_to_row_backend(spark):
+    doc = json.dumps({"body": json.dumps({"x": None})})
+    df = spark.read.json(spark.sparkContext.parallelize([doc]))
+    with pytest.raises(UnsupportedBFL):
+        compile_filter("body.json().x == nil", df)
+    # the row-backend oracle gets it right: present null == nil → true
+    truth, _ = eval_query(parse("body.json().x == nil"), doc)
+    assert truth is True
+    # …and a genuinely missing key is NOT nil (operand false → "false")
+    truth2, _ = eval_query(parse("body.json().missing == nil"), doc)
+    assert truth2 is False
+
+
+# -- ADVICE 4: row backend serializes Arrow values as real JSON -------------
+
+
+def test_row_backend_array_columns(spark):
+    from basenine_spark.engine.db import BasenineDB
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], "a"), (2, [4, 5, 6], "b")],
+        "event_id long, arr array<long>, name string",
+    )
+    db = BasenineDB.from_dataframe(spark, df, id_col="event_id")
+    # redact forces the row backend; the array must survive as a JSON
+    # array (numpy repr "[1 2 3]" would make arr.* comparisons collapse)
+    out = db.query('redact("name") and arr.* > 2')
+    rows = out.collect()
+    assert [r["event_id"] for r in rows] == ["1", "2"]
+    for r in rows:
+        doc = json.loads(r["value"])
+        assert isinstance(doc["arr"], list)
+        assert doc["name"] == "[REDACTED]"
+
+
+# -- ADVICE 5: insert_json validates the batch before assigning ids ---------
+
+
+def test_insert_json_bad_line_keeps_counter_and_data(spark):
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark)
+    with pytest.raises(ValueError):
+        db.insert_json(['{"a": 1}', "not json", '{"a": 2}'])
+    # nothing inserted, no ids consumed
+    assert db._insert_counter == 0
+    ids = db.insert_json(['{"a": 3}'])
+    assert ids == ["%024d" % 0]
+    assert db.dataframe().count() == 1
