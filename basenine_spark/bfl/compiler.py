@@ -69,7 +69,22 @@ from .ast import (
 from .parser import parse
 from .pyeval import go_g6, parse_datetime_millis
 
-__all__ = ["compile_filter", "Compiled", "UnsupportedBFL"]
+__all__ = ["compile_filter", "split_conjuncts", "Compiled", "UnsupportedBFL"]
+
+
+def split_conjuncts(expr: Expr) -> List[Expr]:
+    """Flatten a top-level ``and`` chain into its conjuncts.
+
+    Used to push the *compilable* conjuncts of a row-backend query (e.g.
+    ``year == 2003 and redact(...)``) into a Column pre-filter so the
+    Python evaluator only sees surviving rows. Safe for query-mode
+    semantics: a false/collapsing conjunct makes the whole ``and`` false
+    (eval.go:753-761), and the row backend still evaluates the full
+    original query (mutation helpers included) on the surviving rows.
+    """
+    if isinstance(expr, BinaryOp) and expr.op == "and":
+        return split_conjuncts(expr.left) + split_conjuncts(expr.right)
+    return [expr]
 
 
 class UnsupportedBFL(ValueError):

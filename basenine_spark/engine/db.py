@@ -48,8 +48,9 @@ from pyspark.sql import functions as F
 
 from ..bfl import expand_macros, parse, validate as bfl_validate
 from ..bfl.ast import Query
-from ..bfl.compiler import UnsupportedBFL, compile_filter
+from ..bfl.compiler import UnsupportedBFL, compile_filter, split_conjuncts
 from ..bfl.macros import add_macro as _add_macro
+from .log import DocumentLog
 
 ID_COL = "id"
 ID_WIDTH = 24  # IndexToID: %024d (helpers.go:15-17)
@@ -110,7 +111,17 @@ class BasenineDB:
     """One logical append-only document collection (the reference has
     exactly one implicit table, SURVEY.md §1.1)."""
 
-    def __init__(self, spark: SparkSession, id_col: str = ID_COL):
+    def __init__(
+        self,
+        spark: SparkSession,
+        id_col: str = ID_COL,
+        path: Optional[str] = None,
+    ):
+        """``path`` switches on the durable mode: records live in a
+        partitioned-Parquet :class:`DocumentLog` (surviving restart,
+        S4/S8) instead of an in-memory DataFrame chain; the schema-free
+        document is the record of truth and a typed view is derived per
+        schema generation."""
         self.spark = spark
         self.id_col = id_col
         self._df: Optional[DataFrame] = None
@@ -118,6 +129,53 @@ class BasenineDB:
         self.insertion_filter: str = ""
         self.retention_bytes: int = 0
         self._insert_counter = 0
+        self._log: Optional[DocumentLog] = DocumentLog(spark, path) if path else None
+        self._typed_schema = None  # cached inferred schema (log mode)
+        self._mounted_total: Optional[int] = None  # cached count, mounted mode
+        if self._log is not None:
+            self._load_state()
+
+    # -- durable session state (core-dump analog, native.go:155-258) ----
+
+    @property
+    def _state_path(self) -> str:
+        assert self._log is not None
+        # underscore prefix → invisible to Spark's parquet reader
+        return f"{self._log.path}/_state.json"
+
+    def _load_state(self) -> None:
+        """Restore macros / insertion filter / retention across restarts —
+        the reference gob-dumps exactly this trio alongside the offsets
+        (``native.go:185,251-253``)."""
+        import os
+
+        if not os.path.isfile(self._state_path):
+            return
+        with open(self._state_path) as fh:
+            state = json.load(fh)
+        self.macros = state.get("macros", {})
+        self.insertion_filter = state.get("insertion_filter", "")
+        self.retention_bytes = state.get("retention_bytes", 0)
+        if self._log is not None and self.retention_bytes:
+            self._log.retention_bytes = self.retention_bytes
+
+    def _save_state(self) -> None:
+        import os
+
+        if self._log is None:
+            return
+        os.makedirs(self._log.path, exist_ok=True)
+        with open(self._state_path, "w") as fh:
+            json.dump(
+                {
+                    "macros": self.macros,
+                    "insertion_filter": self.insertion_filter,
+                    "retention_bytes": self.retention_bytes,
+                },
+                fh,
+            )
+        if self._log is not None:
+            self._insert_counter = self._log.total_written
 
     # -- ingest ---------------------------------------------------------
 
@@ -138,6 +196,19 @@ class BasenineDB:
         accounting mirrors the reference's single counter; the per-batch
         work is distributed."""
         from ..bfl.pyeval import eval_query
+
+        if self._log is not None:
+            # Durable mode: fully distributed (executor-side filter/redact,
+            # zipWithIndex ids, Parquet append) — no driver loop.
+            flt_text = (
+                expand_macros(self.macros, self.insertion_filter)
+                if self.insertion_filter
+                else ""
+            )
+            ids = self._log.append(lines, insertion_filter_text=flt_text)
+            self._insert_counter = self._log.total_written
+            self._typed_schema = None  # new docs may widen the schema
+            return ids
 
         flt = (
             parse(expand_macros(self.macros, self.insertion_filter))
@@ -180,10 +251,32 @@ class BasenineDB:
 
     def _apply_bfl(self, df: DataFrame, q: Query) -> DataFrame:
         """Typed Column fast path, falling back to the row backend for
-        redact / dynamic-shape queries."""
+        redact / dynamic-shape queries.
+
+        On fallback, every *compilable* top-level conjunct is pushed into
+        a Column pre-filter (reaching the Parquet scan) so the Python
+        evaluator only sees surviving rows — e.g. ``year == 2003 and
+        redact(...)`` scans Python-side only the year-2003 slice."""
         try:
             compiled = compile_filter(q, df)
         except UnsupportedBFL:
+            pre = None
+            if q.expr is not None:
+                for conj in split_conjuncts(q.expr):
+                    try:
+                        comp = compile_filter(
+                            Query(expr=conj, text=q.text), df
+                        )
+                    except UnsupportedBFL:
+                        continue
+                    if comp.predicate is not None:
+                        pre = (
+                            comp.predicate
+                            if pre is None
+                            else pre & comp.predicate
+                        )
+            if pre is not None:
+                df = df.filter(pre)
             return self._row_backend(df, q)
         if compiled.predicate is not None:
             df = df.filter(compiled.predicate)
@@ -222,23 +315,64 @@ class BasenineDB:
     # -- retrieval modes ---------------------------------------------------
 
     def dataframe(self) -> DataFrame:
+        if self._log is not None:
+            return self._typed_view()
         if self._df is None:
             raise ValueError("no data ingested")
         return self._df
 
+    def _typed_view(
+        self, min_seq: Optional[int] = None, max_seq: Optional[int] = None
+    ) -> DataFrame:
+        """Schema-free docs → typed DataFrame (SURVEY §1.4): infer the
+        union schema once per insert generation, then ``from_json`` over
+        the log scan. id-range predicates are applied to the *physical*
+        ``seq`` column BEFORE parsing, so they prune Parquet files via
+        min/max stats instead of scanning."""
+        assert self._log is not None
+        if self._log.live_count == 0:
+            raise ValueError("no data ingested")
+        scan = self._log.scan()
+        if min_seq is not None:
+            scan = scan.filter(F.col("seq") >= min_seq)
+        if max_seq is not None:
+            scan = scan.filter(F.col("seq") <= max_seq)
+        if self._typed_schema is None:
+            sample = self.spark.read.json(
+                self._log.scan().select("value").rdd.map(lambda r: r.value)
+            )
+            self._typed_schema = sample.schema
+        return scan.select(
+            F.from_json(F.col("value"), self._typed_schema).alias("doc")
+        ).select("doc.*")
+
     def query(self, query: str = "", left_off: int | str = 0) -> DataFrame:
         """/query (M1) as a bounded scan: records after ``left_off``
         matching the filter, in id order, honoring ``limit(N)``.  The
-        unbounded tail-follow variant lives in
-        :mod:`basenine_spark.streaming.tail`."""
-        df = self.dataframe()
+        unbounded tail-follow variant is
+        :func:`basenine_spark.streaming.tail.tail`."""
         q = self._prepare(query)
-        if left_off not in (0, "0", None, ""):
+        if self._log is not None:
+            # resume offset as a physical seq predicate → file pruning
+            min_seq = None
             if left_off == "latest":  # T2 (native.go:1158-1176)
-                last = df.agg(F.max(self.id_col)).collect()[0][0]
-                df = df.filter(F.col(self.id_col) >= F.lit(last))
-            else:
-                df = df.filter(F.col(self.id_col) > F.lit(left_off))
+                min_seq = max(self._log.total_written - 1, 0)
+            elif left_off not in (0, "0", None, ""):
+                min_seq = int(left_off) + 1
+            df = self._typed_view(min_seq=min_seq)
+        else:
+            df = self.dataframe()
+            if left_off not in (0, "0", None, ""):
+                if left_off == "latest":
+                    if self._insert_counter > 0:
+                        # O(1): derived from the running counter, not a
+                        # max() scan (perf fix, VERDICT r1)
+                        last = index_to_id(self._insert_counter - 1)
+                    else:
+                        last = df.agg(F.max(self.id_col)).collect()[0][0]
+                    df = df.filter(F.col(self.id_col) >= F.lit(last))
+                else:
+                    df = df.filter(F.col(self.id_col) > F.lit(left_off))
         df = self._apply_bfl(df, q)
         df = df.orderBy(F.col(self.id_col).asc())
         if q.limit > 0:
@@ -272,12 +406,18 @@ class BasenineDB:
         is ascending (dir=1) or descending (dir=-1) by id, stopping after
         ``limit`` *matching* records (``native.go:727-823``).  ``limit()``
         and leftOff helpers are inert here (``native.go:665-667``)."""
-        df = self.dataframe()
-        if direction < 0:
-            df = df.filter(F.col(self.id_col) < F.lit(left_off))
+        if self._log is not None:
+            if direction < 0:
+                df = self._typed_view(max_seq=int(left_off) - 1)
+                order = F.col(self.id_col).desc()
+            else:
+                df = self._typed_view(min_seq=int(left_off))
+                order = F.col(self.id_col).asc()
+        elif direction < 0:
+            df = self.dataframe().filter(F.col(self.id_col) < F.lit(left_off))
             order = F.col(self.id_col).desc()
         else:
-            df = df.filter(F.col(self.id_col) >= F.lit(left_off))
+            df = self.dataframe().filter(F.col(self.id_col) >= F.lit(left_off))
             order = F.col(self.id_col).asc()
         q = self._prepare(query)
         q.limit = 0  # limit() helper ineffective in FETCH mode
@@ -291,8 +431,10 @@ class BasenineDB:
     # -- operational commands ----------------------------------------------
 
     def add_macro(self, name: str, expansion: str) -> None:
-        """/macro (M5)."""
+        """/macro (M5) — persisted in durable mode (native.go:185)."""
         _add_macro(self.macros, name, expansion)
+        if self._log is not None:
+            self._save_state()
 
     def set_insertion_filter(self, query: str) -> None:
         """/insert-filter (M6) — validated like the reference
@@ -301,18 +443,28 @@ class BasenineDB:
         if not ok:
             raise ValueError(msg)
         self.insertion_filter = query
+        if self._log is not None:
+            self._save_state()
 
     def set_retention_bytes(self, n: int) -> None:
-        """/limit (M7): size-bound retention. Parquet/Delta mapping: the
-        effective limit is n/2 like the reference's two-partition scheme
-        (``native.go:1207-1211``); enforcement happens at the sink
-        (rolling files / Delta VACUUM), recorded here for metadata."""
+        """/limit (M7): size-bound retention — enforced on the durable
+        log's rolling partitions (effective limit n/2, ≤2 live
+        partitions, ``native.go:1207-1211``)."""
         self.retention_bytes = n
+        if self._log is not None:
+            self._log.set_retention_bytes(n)
+            self._save_state()
 
     def flush(self) -> None:
         """/flush (M8): drop all records (``native.go:888-904``)."""
         self._df = None
         self._insert_counter = 0
+        self._typed_schema = None
+        if self._log is not None:
+            self._log.flush()
+            # /flush keeps macros/filter/limit (only /reset clears them,
+            # native.go:888-928) — re-persist them after the wipe
+            self._save_state()
 
     def reset(self) -> None:
         """/reset (M8): flush + clear macros/filter/limit
@@ -321,16 +473,34 @@ class BasenineDB:
         self.macros = {}
         self.insertion_filter = ""
         self.retention_bytes = 0
+        if self._log is not None:
+            self._save_state()
 
     # -- metadata -----------------------------------------------------------
 
     def metadata(self, written: int = 0, queried: int = 0) -> Metadata:
         """T3 progress frame — batch flavor (per-batch rather than
-        per-record; granularity difference documented in SURVEY §7.4)."""
-        total = 0 if self._df is None else self._df.count()
+        per-record; granularity difference documented in SURVEY §7.4).
+
+        ``total`` is the O(1) running counter (reference keeps plain
+        ints, ``native.go:397-401``) — a metadata ping must never cost a
+        table scan (perf fix, VERDICT r1)."""
+        if self._log is not None:
+            total = self._log.live_count
+            trunc = self._log.truncated_timestamp
+        elif self._insert_counter > 0 or self._df is None:
+            total = self._insert_counter
+            trunc = 0
+        else:
+            # mounted external table: count once, then serve from cache
+            if self._mounted_total is None:
+                self._mounted_total = self._df.count()
+            total = self._mounted_total
+            trunc = 0
         return Metadata(
             current=queried,
             total=total,
             number_of_written=written,
             left_off=index_to_id(max(self._insert_counter - 1, 0)),
+            truncated_timestamp=trunc,
         )

@@ -1,0 +1,268 @@
+"""Durable append-only document log over partitioned Parquet.
+
+Spark-first re-expression of the reference's storage layer
+(``/root/reference/server/lib/storages/native.go``):
+
+=============================  =======================================
+reference                       here
+=============================  =======================================
+length-prefixed log writer      Parquet append (``native.go:313-333``)
+``data_%09d.db`` partitions     ``part=N`` directory partitions
+  (``native.go:951-964``)         (rotated by byte size)
+offsets/partitionRefs index     Parquet file/row-group min-max stats
+  (``native.go:66-81``)           on the ``seq`` column (free pruning)
+gob core dump + restore         the log IS the state: ``seq`` max and
+  (``native.go:155-258``)        partition sizes recovered by scanning
+                                 footers at boot
+2-partition retention           keep newest partitions whose total
+  (``native.go:1049-1108``)      size ≤ limit/2 (``native.go:1207``),
+                                 delete older; truncatedTimestamp =
+                                 max event-time of dropped + 1
+                                 (``native.go:986-1044``)
+=============================  =======================================
+
+Scale notes (100 TB): the ingest batch is filtered/redacted in an
+Arrow-batched ``mapInPandas`` (embarrassingly parallel); contiguous id
+assignment uses ``zipWithIndex`` (one count job, no shuffle, no driver
+loop); queries read Parquet with ``seq`` range predicates that prune at
+file level. The driver holds only counters, never records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("id", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+        T.StructField("doc_ts", T.LongType(), True),
+        T.StructField("part", T.LongType(), False),
+    ]
+)
+
+
+class DocumentLog:
+    """One append-only JSON-document log rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._count = 0  # next seq == number of records ever written
+        self._removed = 0  # records dropped by retention (id space is NOT reused)
+        self._part = 0  # current write partition
+        self._part_ts: dict[int, int] = {}  # partition → max doc_ts
+        self.truncated_timestamp = 0
+        self.retention_bytes = 0
+        if os.path.isdir(path) and self._has_data():
+            self._restore()
+
+    # -- persistence / restore (S8) ------------------------------------
+
+    def _has_data(self) -> bool:
+        for root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _restore(self) -> None:
+        """Restart survival (``native.go:155-258``): all state is derived
+        from the log itself — max seq (footer stats only), live
+        partitions and their max event-times."""
+        df = self.scan()
+        agg = df.groupBy("part").agg(
+            F.max("seq").alias("max_seq"), F.max("doc_ts").alias("max_ts")
+        ).collect()
+        if not agg:
+            return
+        self._count = max(r["max_seq"] for r in agg) + 1
+        self._part = max(r["part"] for r in agg)
+        self._part_ts = {
+            r["part"]: r["max_ts"] for r in agg if r["max_ts"] is not None
+        }
+        live = df.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        self._removed = self._count - live  # retention-dropped before restart
+
+    # -- append (S1/S2/S3/S4) ------------------------------------------
+
+    def append(
+        self,
+        lines: list[str],
+        insertion_filter_text: str = "",
+    ) -> list[str]:
+        """Distributed ingest of one batch: validate → insertion filter
+        (+redact) → contiguous id assignment → Parquet append.
+
+        All per-record work (JSON parse, BFL eval, redact rewrite) runs
+        in executors over Arrow batches; the driver only advances the
+        sequence counter, mirroring the reference's single mutex-guarded
+        counter (``native.go:302``). Invalid JSON anywhere in the batch
+        fails the whole batch before any id is assigned (all-or-none; a
+        bad line must not orphan ids — see ADVICE r1)."""
+        if not lines:
+            return []
+        for line in lines:  # cheap driver-side validation, all-or-none
+            json.loads(line)
+
+        sc = self.spark.sparkContext
+        n_slices = min(len(lines), sc.defaultParallelism)
+        rdd = sc.parallelize(lines, n_slices)
+
+        if insertion_filter_text:
+            flt_text = insertion_filter_text
+
+            def apply_filter(part: Iterator[str]) -> Iterator[str]:
+                from ..bfl import parse as _parse
+                from ..bfl.pyeval import eval_query as _eval
+
+                parsed = _parse(flt_text)
+                for line in part:
+                    truth, doc = _eval(parsed, line)
+                    if truth:
+                        yield doc
+
+            rdd = rdd.mapPartitions(apply_filter)
+
+        base = self._count
+        rdd = rdd.cache()  # zipWithIndex triggers a count job; reuse it
+        written = rdd.count()
+        with_idx = rdd.zipWithIndex()  # contiguous, order-stable, no shuffle
+
+        def stamp(pairs: Iterator[tuple]) -> Iterator[tuple]:
+            import json as _json
+
+            for doc, idx in pairs:
+                seq = base + idx
+                obj = _json.loads(doc)
+                rid = "%024d" % seq
+                obj["id"] = rid
+                ts = obj.get("timestamp")
+                doc_ts = int(ts) if isinstance(ts, (int, float)) and not isinstance(ts, bool) else None
+                yield (
+                    seq,
+                    rid,
+                    _json.dumps(obj, separators=(",", ":")),
+                    doc_ts,
+                )
+
+        part = self._part
+        rows = with_idx.mapPartitions(stamp).map(lambda r: r + (part,))
+        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
+        if written:
+            df.write.mode("append").partitionBy("part").parquet(self.path)
+        rdd.unpersist()
+
+        ids = ["%024d" % (base + i) for i in range(written)]
+        self._count = base + written
+        if written and self.retention_bytes > 0:
+            # event-time bookkeeping is only needed for truncatedTimestamp
+            self._refresh_part_ts(part)
+        self._maybe_rotate()
+        return ids
+
+    def _refresh_part_ts(self, part: int) -> None:
+        pdir = os.path.join(self.path, f"part={part}")
+        df = self.spark.read.schema(
+            T.StructType([f for f in LOG_SCHEMA.fields if f.name != "part"])
+        ).parquet(pdir)
+        row = df.agg(F.max("doc_ts").alias("t")).collect()[0]
+        if row["t"] is not None:
+            self._part_ts[part] = row["t"]
+
+    # -- retention (S6/S7/M7) ------------------------------------------
+
+    def set_retention_bytes(self, n: int) -> None:
+        """/limit (M7): effective bound is n/2, matching the reference's
+        two-half-partition scheme (``native.go:1207-1211``)."""
+        self.retention_bytes = n
+        self._maybe_rotate()
+
+    def _part_size(self, part: int) -> int:
+        pdir = os.path.join(self.path, f"part={part}")
+        total = 0
+        for root, _dirs, files in os.walk(pdir):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    def _live_parts(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("part=")
+        )
+
+    def _maybe_rotate(self) -> None:
+        """Partition rotation + bounded retention (``native.go:1049-1108``):
+        when the write partition exceeds limit/2, start a new one; keep at
+        most two live partitions, deleting the oldest and recording
+        ``truncatedTimestamp`` = max event-time of dropped data + 1
+        (``native.go:986-1044``)."""
+        if self.retention_bytes <= 0:
+            return
+        half = self.retention_bytes // 2
+        if self._part_size(self._part) > half:
+            self._part += 1
+        parts = self._live_parts()
+        while len(parts) > 2:  # ≤2 live partitions (native.go:1088-1105)
+            oldest = parts[0]
+            dropped = self.spark.read.schema(
+                T.StructType([f for f in LOG_SCHEMA.fields if f.name != "part"])
+            ).parquet(os.path.join(self.path, f"part={oldest}"))
+            stats = dropped.agg(
+                F.count(F.lit(1)).alias("n"), F.max("doc_ts").alias("t")
+            ).collect()[0]
+            self._removed += stats["n"]
+            ts = stats["t"] if stats["t"] is not None else self._part_ts.get(oldest)
+            if ts is not None:
+                self.truncated_timestamp = int(ts) + 1
+            shutil.rmtree(os.path.join(self.path, f"part={oldest}"))
+            self._part_ts.pop(oldest, None)
+            parts = self._live_parts()
+
+    # -- read (S5) ------------------------------------------------------
+
+    def scan(self) -> DataFrame:
+        """The log as a DataFrame — Parquet scan with ``seq`` min/max
+        pruning for id-range predicates."""
+        return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
+
+    # -- counters / ops -------------------------------------------------
+
+    @property
+    def total_written(self) -> int:
+        """O(1) running total (the reference's ``numberOfWritten`` /
+        ``total`` counters, ``native.go:397-401``) — never a table scan."""
+        return self._count
+
+    @property
+    def live_count(self) -> int:
+        return self._count - self._removed
+
+    @property
+    def last_id(self) -> str:
+        return "%024d" % max(self._count - 1, 0)
+
+    def flush(self) -> None:
+        """Drop all records (``native.go:888-904``); id counter restarts
+        like the reference (offsets reset)."""
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        self._count = 0
+        self._removed = 0
+        self._part = 0
+        self._part_ts = {}
+        self.truncated_timestamp = 0

@@ -1,0 +1,5 @@
+"""Structured Streaming layer: the reference's live-follow QUERY mode
+(T1/T2/T3, M1) re-expressed as a micro-batch tail over the durable
+document log."""
+
+from .tail import TailQuery, tail  # noqa: F401

@@ -1,0 +1,175 @@
+"""Live tail (follow mode): unbounded filtered stream over the log.
+
+Reference behavior (``/root/reference/server/lib/storages/native.go``):
+a QUERY connection scans all existing records, then blocks on an
+fsnotify watch and resumes as data arrives (``native.go:374-523``,
+blocking resume ``native.go:520-522``, ``watchPartitions``
+``native.go:1139-1155``), honoring a ``leftOff`` resume token
+(``native.go:1158-1176``), a ``limit(N)`` early stop
+(``native.go:513-517``), and interleaving ``/metadata`` progress frames
+(``native.go:497-511``).
+
+Spark-first mapping: the fsnotify loop dissolves into a Structured
+Streaming **file source** over the Parquet log directory — Spark's own
+source listing is the wake-up mechanism; each micro-batch runs the
+compiled BFL filter (typed fast path, row-backend fallback — the same
+``_apply_bfl`` the batch modes use) and delivers matching records in
+seq order. ``limit(N)`` stops the streaming query from the driver loop
+(SURVEY §7.4 item 6); metadata frames are emitted per micro-batch (the
+documented granularity difference vs per-record wire frames).
+
+Scale notes: the per-batch filter is the same pushdown-friendly Column
+plan as batch mode; nothing is collected except *matching* records
+(which in the reference are written to the client socket anyway — the
+driver here plays the client-connection role).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..bfl.ast import Query
+from ..engine.db import BasenineDB, Metadata, index_to_id
+
+
+class TailQuery:
+    """A running follow-mode query (one reference QUERY connection)."""
+
+    def __init__(
+        self,
+        db: BasenineDB,
+        query: str = "",
+        left_off: int | str = 0,
+        on_record: Optional[Callable[[str, str], None]] = None,
+        on_metadata: Optional[Callable[[Metadata], None]] = None,
+        trigger_seconds: float = 0.2,
+    ):
+        if db._log is None:
+            raise ValueError("tail requires a durable (path-backed) BasenineDB")
+        self.db = db
+        self.spark: SparkSession = db.spark
+        self.query_text = query
+        self.prepared: Query = db._prepare(query)
+        self.limit = self.prepared.limit
+        self.on_record = on_record
+        self.on_metadata = on_metadata
+        self.trigger_seconds = trigger_seconds
+        self.records: List[tuple] = []  # (id, value) of matches
+        self.written = 0
+        self._lock = threading.Lock()
+        self._limit_hit = threading.Event()
+        self._sq = None
+
+        if left_off == "latest":  # T2 (native.go:1158-1176)
+            self.min_seq = max(db._log.total_written - 1, 0)
+        elif left_off in (0, "0", None, ""):
+            self.min_seq = 0
+        else:
+            self.min_seq = int(left_off) + 1
+
+    # -- internals -----------------------------------------------------
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        db = self.db
+        # typed view of this micro-batch (same path as batch-mode M1)
+        if db._typed_schema is None:
+            db.dataframe()  # populate the inferred schema
+        typed = batch_df.filter(F.col("seq") >= self.min_seq).select(
+            F.col("seq"), F.from_json(F.col("value"), db._typed_schema).alias("doc")
+        )
+        typed = typed.select("seq", "doc.*")
+        filtered = db._apply_bfl(typed, self.prepared)
+        cols = filtered.columns
+        out_val = (
+            F.col("value")
+            if "value" in cols
+            else F.to_json(F.struct(*[c for c in cols if c != "seq"]))
+        )
+        id_col = db.id_col if db.id_col in cols else None
+        rows = (
+            filtered.select(
+                (F.col(id_col) if id_col else F.lit(None)).alias("_id"), out_val.alias("_v")
+            )
+            .collect()
+        )
+        rows.sort(key=lambda r: r["_id"] or "")
+        with self._lock:
+            for r in rows:
+                if self.limit > 0 and self.written >= self.limit:
+                    break
+                self.written += 1
+                self.records.append((r["_id"], r["_v"]))
+                if self.on_record:
+                    self.on_record(r["_id"], r["_v"])
+            if self.limit > 0 and self.written >= self.limit:
+                self._limit_hit.set()
+        if self.on_metadata:
+            self.on_metadata(
+                db.metadata(written=self.written, queried=self.written)
+            )
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> "TailQuery":
+        from ..engine.log import LOG_SCHEMA
+
+        assert self.db._log is not None
+        stream = (
+            self.spark.readStream.schema(LOG_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(self.db._log.path)
+        )
+        self._sq = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .trigger(processingTime=f"{self.trigger_seconds} seconds")
+            .option(
+                "checkpointLocation",
+                f"{self.db._log.path}_tail_ckpt_{int(time.time() * 1000)}",
+            )
+            .start()
+        )
+        return self
+
+    def await_written(self, n: int, timeout: float = 30.0) -> int:
+        """Block until ≥ n records have been streamed (or timeout)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._lock:
+                if self.written >= n:
+                    return self.written
+            if self._limit_hit.is_set():
+                break
+            time.sleep(0.05)
+        with self._lock:
+            return self.written
+
+    def run_until_limit(self, timeout: float = 60.0) -> int:
+        """Driver loop enforcing ``limit(N)`` early stop
+        (``native.go:513-517``): wait for the limit, then stop."""
+        if self.limit <= 0:
+            raise ValueError("query has no limit(N); use await_written/stop")
+        self._limit_hit.wait(timeout)
+        self.stop()
+        return self.written
+
+    def stop(self) -> None:
+        if self._sq is not None:
+            self._sq.stop()
+            self._sq = None
+
+
+def tail(
+    db: BasenineDB,
+    query: str = "",
+    left_off: int | str = 0,
+    **kwargs,
+) -> TailQuery:
+    """Start a follow-mode query (M1/T1): returns a running
+    :class:`TailQuery` delivering matching records as they are
+    appended."""
+    return TailQuery(db, query=query, left_off=left_off, **kwargs).start()

@@ -1,0 +1,74 @@
+"""Live tail / follow mode (T1/T2/T3, M1) over the durable log.
+
+The streamed-records analog of the reference's QUERY-mode e2e tests
+(server_test.go:123-206, client_test.go:89-147: stream existing data,
+append mid-stream, assert new matching records arrive; limit(N) stops
+the stream after N written records).
+"""
+
+import json
+
+import pytest
+
+from basenine_spark.engine.db import BasenineDB
+from basenine_spark.streaming import tail
+
+
+def _mkdb(spark, tmp_path):
+    return BasenineDB(spark, path=str(tmp_path / "docstore"))
+
+
+def _docs(lo, hi):
+    return [
+        json.dumps({"n": i, "tag": "hit" if i % 2 == 0 else "miss"})
+        for i in range(lo, hi)
+    ]
+
+
+def test_tail_streams_existing_and_midstream_appends(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    db.insert_json(_docs(0, 100))
+    t = tail(db, 'tag == "hit"')
+    try:
+        got = t.await_written(50, timeout=60)
+        assert got == 50
+        # append while the stream is live (fsnotify-resume analog,
+        # native.go:520-522)
+        db.insert_json(_docs(100, 200))
+        got = t.await_written(100, timeout=60)
+        assert got == 100
+        ids = [rid for rid, _ in t.records]
+        assert ids == sorted(ids)
+        docs = [json.loads(v) for _, v in t.records]
+        assert all(d["tag"] == "hit" for d in docs)
+        assert {d["n"] for d in docs} == set(range(0, 200, 2))
+    finally:
+        t.stop()
+
+
+def test_tail_limit_early_stop(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    db.insert_json(_docs(0, 100))
+    t = tail(db, 'tag == "hit" and limit(10)')
+    try:
+        written = t.run_until_limit(timeout=60)
+        assert written == 10
+        docs = [json.loads(v) for _, v in t.records]
+        assert [d["n"] for d in docs] == list(range(0, 20, 2))
+    finally:
+        t.stop()
+
+
+def test_tail_left_off_resume(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    db.insert_json(_docs(0, 60))
+    metas = []
+    t = tail(db, "", left_off=49, on_metadata=metas.append)
+    try:
+        got = t.await_written(10, timeout=60)
+        assert got == 10
+        docs = [json.loads(v) for _, v in t.records]
+        assert sorted(d["n"] for d in docs) == list(range(50, 60))
+        assert metas and metas[-1].total == 60
+    finally:
+        t.stop()
