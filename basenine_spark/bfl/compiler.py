@@ -136,6 +136,11 @@ class Val:
     false_if: Optional[Column] = None
     # collapse condition: True/False (static) or a Column (runtime)
     collapse: Union[bool, Column] = False
+    # runtime-non-null boolean (predicate results are coalesced/guarded by
+    # construction; only raw schema bool columns can be NULL).  Lets
+    # truthy_col skip the coalesce wrapper that would block parquet
+    # filter pushdown.
+    nonnull: bool = False
 
 
 def _or_cond(a: Union[bool, Column], b: Union[bool, Column]) -> Union[bool, Column]:
@@ -240,7 +245,7 @@ def truthy_col(v: Val) -> Column:
     if v.is_lit:
         return F.lit(_lit_truthy(v))
     if v.kind == K_BOOL:
-        base = F.coalesce(v.col, _false())
+        base = v.col if v.nonnull else F.coalesce(v.col, _false())
     elif v.kind in (K_INT, K_FLOAT):
         base = F.coalesce(v.col > 0, _false())
     elif v.kind == K_STR:
@@ -352,9 +357,49 @@ def _compile_eql(a: Val, b: Val, negate: bool) -> Column:
         res = F.coalesce(F.exists(arr.col, lambda e: es(e) == s), _false())
         return ~res if negate else res
 
+    if not negate:
+        pushable = _pushable_eq(a, b)
+        if pushable is None:
+            pushable = _pushable_eq(b, a)
+        if pushable is not None:
+            return pushable
     res = str_col(a) == str_col(b)
     res = F.coalesce(res, _false())
     return ~res if negate else res
+
+
+def _pushable_eq(col_v: Val, lit_v: Val) -> Optional[Column]:
+    """Parquet-pushdown-friendly equality when provably equivalent to the
+    string-coerced form: a raw ``col == lit`` predicate reaches the file
+    reader (row-group skipping), while ``coalesce(col,'null') == lit``
+    does not. Equivalent because a NULL column stringifies to 'null'
+    (≠ lit below) and a direct NULL comparison yields NULL → false under
+    the top-level coalesce. Only for ``==`` (for ``!=`` the NULL row must
+    match, which the raw form would drop)."""
+    if col_v.is_lit or not lit_v.is_lit or col_v.false_if is not None:
+        return None
+
+    def _nn(cmp_col: Column) -> Column:
+        # isNotNull + the comparison are each translatable to parquet
+        # filters (IsNotNull / EqualTo), and the conjunction is never
+        # NULL — identical to the coalesce(…, false) coercion semantics
+        return col_v.col.isNotNull() & cmp_col
+
+    if col_v.kind == K_STR and lit_v.kind in (K_STR, K_FLOAT, K_INT, K_BOOL):
+        ls = _lit_str(lit_v)
+        if ls != "null":
+            return _nn(col_v.col == F.lit(ls))
+    if col_v.kind == K_INT:
+        # integral column: decimal string form ⇔ numeric equality on ints
+        if lit_v.kind == K_FLOAT and float(lit_v.lit).is_integer():
+            return _nn(col_v.col == F.lit(int(lit_v.lit)))
+        if lit_v.kind == K_STR:
+            import re as _re
+
+            if _re.fullmatch(r"-?\d+", lit_v.lit):
+                return _nn(col_v.col == F.lit(int(lit_v.lit)))
+            return _false()  # no int prints as this string
+    return None
 
 
 _CMP = {
@@ -383,7 +428,39 @@ def _compile_cmp(op: str, a: Val, b: Val) -> Column:
         eb = _elem_num(b.elem)
         na = num_col(a)
         return F.coalesce(F.exists(b.col, lambda y: cmp(na, eb(y))), _false())
+    push = _pushable_cmp(op, a, b)
+    if push is not None:
+        return push
     return F.coalesce(cmp(num_col(a), num_col(b)), _false())
+
+
+def _pushable_cmp(op: str, a: Val, b: Val) -> Optional[Column]:
+    """Parquet-pushdown-friendly ordering when provably equivalent: a
+    numeric column compared to a literal can skip the
+    ``coalesce(cast(col), 0)`` NULL-coercion whenever coercing NULL to 0
+    would fail the comparison anyway — then ``isNotNull(col) & col ⋈ lit``
+    (both translatable to parquet filters, cast unwrapped by Catalyst)
+    has identical semantics."""
+    cmp = _CMP[op]
+    if (
+        not a.is_lit
+        and a.false_if is None
+        and a.kind in (K_INT, K_FLOAT)
+        and b.is_lit
+    ):
+        lit = _lit_num(b)
+        if cmp(0.0, lit) is False:
+            return a.col.isNotNull() & cmp(a.col.cast("double"), F.lit(lit))
+    if (
+        not b.is_lit
+        and b.false_if is None
+        and b.kind in (K_INT, K_FLOAT)
+        and a.is_lit
+    ):
+        lit = _lit_num(a)
+        if cmp(lit, 0.0) is False:
+            return b.col.isNotNull() & cmp(F.lit(lit), b.col.cast("double"))
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -643,14 +720,14 @@ class _Compiler:
         try:
             return self._expr(expr)
         except _StaticCollapse:
-            return Val(kind=K_BOOL, col=_false(), collapse=True)
+            return Val(kind=K_BOOL, col=_false(), collapse=True, nonnull=True)
 
     def _guarded(self, expr: Expr) -> Val:
         """Compile a node; a static collapse inside becomes collapse=True."""
         try:
             return self._expr(expr)
         except _StaticCollapse:
-            return Val(kind=K_BOOL, col=_false(), collapse=True)
+            return Val(kind=K_BOOL, col=_false(), collapse=True, nonnull=True)
 
     # nodes ------------------------------------------------------------------
 
@@ -710,7 +787,7 @@ class _Compiler:
                     if v.false_if is not None
                     else base
                 )
-                return Val(kind=K_BOOL, col=col, collapse=v.collapse)
+                return Val(kind=K_BOOL, col=col, collapse=v.collapse, nonnull=v.nonnull)
             return v
         # '-': negate float64 only
         if v.is_lit and v.kind == K_FLOAT:
@@ -756,7 +833,7 @@ class _Compiler:
                 collapse = _or_cond(
                     left.collapse, _and_cond(_not_cond(_col_or_lit(lcol)), right.collapse)
                 )
-            return Val(kind=K_BOOL, col=value, collapse=collapse)
+            return Val(kind=K_BOOL, col=value, collapse=collapse, nonnull=True)
 
         left = self._expr(expr.left)
         right = self._expr(expr.right)
@@ -770,19 +847,19 @@ class _Compiler:
                 res = pyeval._eql(lv, rv)
                 return Val(kind=K_BOOL, lit=res if op == "==" else not res, is_lit=True)
             col = _compile_eql(left, right, negate=(op == "!="))
-            return Val(kind=K_BOOL, col=col, collapse=collapse)
+            return Val(kind=K_BOOL, col=col, collapse=collapse, nonnull=True)
         if left.is_lit and right.is_lit:
             from . import pyeval
 
             res = pyeval._cmp(op, _pyval(left), _pyval(right))
             return Val(kind=K_BOOL, lit=res, is_lit=True)
         col = _compile_cmp(op, left, right)
-        return Val(kind=K_BOOL, col=col, collapse=collapse)
+        return Val(kind=K_BOOL, col=col, collapse=collapse, nonnull=True)
 
     def _truth_val(self, v: Val, tcol, tlit) -> Val:
         if _static(v) and v.collapse is False:
             return Val(kind=K_BOOL, lit=bool(tlit), is_lit=True)
-        return Val(kind=K_BOOL, col=tcol if tcol is not None else F.lit(tlit), collapse=v.collapse)
+        return Val(kind=K_BOOL, col=tcol if tcol is not None else F.lit(tlit), collapse=v.collapse, nonnull=True)
 
     # paths & helpers ---------------------------------------------------------
 
@@ -841,6 +918,28 @@ class _Compiler:
                     elem=target.elem,
                     false_if=_combine_false_if(target.false_if, target.collapse),
                 )
+            lit = self._arg_str(path.args)
+            # pushdown-friendly form (StringStartsWith/EndsWith/Contains
+            # reach the parquet reader): a plain string column can skip
+            # the 'null'-stringification wrapper unless the argument
+            # would match the literal string "null" (NULL col stringifies
+            # to "null" per the JSON-null convention).
+            null_matches = (
+                "null".startswith(lit)
+                if h == "startsWith"
+                else "null".endswith(lit) if h == "endsWith" else lit in "null"
+            )
+            if (
+                not target.is_lit
+                and target.kind == K_STR
+                and target.false_if is None
+                and not null_matches
+            ):
+                fn = {"startsWith": F.startswith, "endsWith": F.endswith}.get(
+                    h, F.contains
+                )
+                col = target.col.isNotNull() & fn(target.col, arg)
+                return Val(kind=K_BOOL, col=col, nonnull=True)
             s = str_col(target)
             if h == "startsWith":
                 col = F.startswith(s, arg)
@@ -848,7 +947,7 @@ class _Compiler:
                 col = F.endswith(s, arg)
             else:
                 col = F.contains(s, arg)
-            return Val(kind=K_BOOL, col=F.coalesce(col, _false()))
+            return Val(kind=K_BOOL, col=F.coalesce(col, _false()), nonnull=True)
         raise UnsupportedBFL(f"helper {h}()")
 
     def _arg_num(self, args: List[Expr]) -> float:
