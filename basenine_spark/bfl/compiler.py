@@ -568,6 +568,11 @@ class _PathResolver:
         return v
 
     def _step_multi(self, col, dt, seg, collapse):
+        """Continue a path AFTER a wildcard fan-out: ``col`` is an array
+        of ``dt`` elements; every step maps to ``transform``/``filter``
+        higher-order functions (JVM-side). Elements where the selection
+        misses are *dropped* (ojg collects matches only); the trailing
+        empty-result collapse in :meth:`resolve` then applies."""
         if isinstance(seg, (Field, Key)):
             name = seg.name if isinstance(seg, Field) else seg.key
             if isinstance(dt, T.StructType):
@@ -575,6 +580,36 @@ class _PathResolver:
                     raise _StaticCollapse()
                 inner_dt = dt[name].dataType
                 return F.transform(col, lambda e: e.getField(name)), inner_dt, collapse
+            if isinstance(dt, T.MapType):
+                # a.*["k"] — keep elements that HAVE the key (absent key
+                # contributes no result, eval.go:615-624), then extract
+                kept = F.filter(col, lambda e: F.map_contains_key(e, F.lit(name)))
+                return (
+                    F.transform(kept, lambda e: F.element_at(e, F.lit(name))),
+                    dt.valueType,
+                    collapse,
+                )
+            raise _StaticCollapse()
+        if isinstance(seg, Index):
+            if isinstance(dt, T.ArrayType):
+                # a.*[i] — out-of-bounds elements contribute nothing
+                kept = F.filter(col, lambda e: F.size(e) > seg.index)
+                return (
+                    F.transform(kept, lambda e: e.getItem(seg.index)),
+                    dt.elementType,
+                    collapse,
+                )
+            raise _StaticCollapse()
+        if isinstance(seg, Wildcard):
+            if isinstance(dt, T.ArrayType):
+                # a.*.* over nested arrays — flatten one level
+                return F.flatten(col), dt.elementType, collapse
+            if isinstance(dt, T.MapType):
+                return (
+                    F.flatten(F.transform(col, F.map_values)),
+                    dt.valueType,
+                    collapse,
+                )
             raise _StaticCollapse()
         raise UnsupportedBFL(f"segment {seg!r} after wildcard needs the row backend")
 

@@ -146,6 +146,30 @@ def _register(name: str, fn: QueryFn, sql: str | None) -> None:
 for _name, (_bfl, _where) in _EVENTS_BFL.items():
     _register(_name, _bfl_events(_bfl), f"SELECT event_id FROM events WHERE {_where}")
 
+def _bfl_embeddings(bfl: str) -> QueryFn:
+    """BFL array semantics (P9/P11) over the embeddings table."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        comp = compile_filter(bfl, emb)
+        return emb.filter(comp.predicate).select("vec_id")
+
+    return fn
+
+
+_register(
+    "bfl_wildcard_existential",
+    _bfl_embeddings("embedding.* > 0.3"),
+    # array <op> scalar is EXISTENTIAL (eval.go:189-196)
+    "SELECT vec_id FROM embeddings "
+    "WHERE len(list_filter(embedding, x -> x > 0.3)) > 0",
+)
+_register(
+    "bfl_index_select",
+    _bfl_embeddings("embedding[5] > 0.1"),
+    # ojg index is 0-based, SQL list index 1-based
+    "SELECT vec_id FROM embeddings WHERE embedding[6] > 0.1",
+)
 _register(
     "query_limit_extract",
     _bfl_events_db("value > 10 and limit(50)"),
