@@ -186,6 +186,83 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_type").distinct()
 
 
+def hourly_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate via ``F.window`` — the batch
+    twin of the Structured Streaming windowed aggregation (T4 extension;
+    the reference has no event-time semantics at all, SURVEY §2.9).
+    Window start surfaces as epoch millis (UTC buckets)."""
+    # hour buckets must align to epoch regardless of the host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, sf_dir, "events")
+    w = F.window(F.timestamp_millis(F.col("ts_ms")), "1 hour")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization — the canonical stateful streaming
+    operator (``applyInPandasWithState`` territory), expressed here in
+    its exact batch form: a session breaks when a user is idle longer
+    than the gap. Pure window functions (lag + running sum), one shuffle
+    on user_id, fully deterministic integer arithmetic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap_ms = gap_minutes * 60_000
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    new_session = F.when(
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap_ms, 1
+    ).otherwise(0)
+    with_sid = events.withColumn(
+        "session_no",
+        F.sum(new_session).over(
+            Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_no").agg(
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per event type (``percentile`` is
+    JVM-side exact; the approximate t-digest variant is
+    ``approx_percentile`` for the 100 TB path)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (rollup) — subtotals per (status, priority), per
+    status, and grand total, with grouping ids to disambiguate NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
 def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time daily rollup over the events stream table (batch view
     of the streaming aggregation in :mod:`basenine_spark.streaming`).

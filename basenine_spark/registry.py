@@ -313,6 +313,114 @@ _register(
     """,
 )
 
+def _bfl_json_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 base64 probe end-to-end: a base64-encoded JSON column is
+    transparently decoded before extraction (eval.go:362-365)."""
+    events = load_table(spark, sf_dir, "events")
+    df = events.withColumn("b64", F.base64(F.col("props").cast("binary")))
+    comp = compile_filter('b64.json()["k"] == 29', df)
+    return df.filter(comp.predicate).select("event_id")
+
+
+_register(
+    "bfl_json_base64_probe",
+    _bfl_json_base64,
+    # the probe must land on the same records as plain extraction
+    "SELECT event_id FROM events WHERE json_extract_string(props, '$.k') = '29'",
+)
+
+
+def _bfl_xml_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 xml() extraction via xpath on a constructed XML column."""
+    events = load_table(spark, sf_dir, "events")
+    df = events.withColumn(
+        "x", F.concat(F.lit("<r><t>"), F.col("event_type"), F.lit("</t></r>"))
+    )
+    comp = compile_filter('x.xml().r.t == "click"', df)
+    return df.filter(comp.predicate).select("event_id")
+
+
+_register(
+    "bfl_xml_path",
+    _bfl_xml_path,
+    "SELECT event_id FROM events WHERE event_type = 'click'",
+)
+
+_PINNED_NOW_MS = 1_704_931_200_000  # 2024-01-11 00:00:00 UTC
+
+
+def _bfl_time_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 time helpers folded at compile time with a pinned now():
+    months(-1) = now − 30 days exactly (fixed approximations,
+    precompute.go:167-176 — not calendar months)."""
+    events = load_table(spark, sf_dir, "events")
+    comp = compile_filter(
+        "ts_ms >= months(-1) and ts_ms < days(-3)", events, now_ms=_PINNED_NOW_MS
+    )
+    return events.filter(comp.predicate).select("event_id")
+
+
+_register(
+    "bfl_time_arith_fold",
+    _bfl_time_arith,
+    f"""
+    SELECT event_id FROM events
+    WHERE epoch_ms(ts) >= {_PINNED_NOW_MS - 30 * 86_400_000}
+      AND epoch_ms(ts) <  {_PINNED_NOW_MS - 3 * 86_400_000}
+    """,
+)
+
+_register(
+    "agg_hourly_window",
+    relational.hourly_window_rollup,
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+_register(
+    "sessionize_gap",
+    relational.sessionize,
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+    ), flagged AS (
+      SELECT user_id, ts_ms, event_id,
+             CASE WHEN ts_ms - lag(ts_ms) OVER
+                    (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS f
+      FROM e
+    ), sid AS (
+      SELECT user_id, ts_ms,
+             CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM sid GROUP BY 1, 2
+    """,
+)
+_register(
+    "agg_value_median",
+    relational.value_median_by_type,
+    "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value, "
+    "count(*) AS cnt FROM events GROUP BY 1",
+)
+_register(
+    "agg_rollup_orders",
+    relational.order_priority_rollup,
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+
 # -- text analysis ----------------------------------------------------------
 
 _register(

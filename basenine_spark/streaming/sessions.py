@@ -1,0 +1,130 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The reference has no event-time or stateful semantics at all
+(SURVEY §2.9 T4 — NOT IMPLEMENTED); this is the extension-surface
+example of a custom stateful operator done Spark-natively with
+``applyInPandasWithState``: per-user session state (start, last event,
+count) maintained across micro-batches; a session closes when a newer
+event arrives more than ``gap`` after the last one, or when the
+processing-time timeout fires with no new data.
+
+The exact batch twin (same session boundaries) is
+:func:`basenine_spark.ops.relational.sessionize`, which the driver
+verifies against a DuckDB oracle — this module adds the *streaming*
+execution of the same semantics.
+
+Scale notes: state is partitioned by user_id (the shuffle key); each
+micro-batch touches only users with new events; Arrow batches carry the
+per-user groups. State size is O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..engine.db import BasenineDB
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _session_fn(gap_ms: int, idle_timeout_ms: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((key[0], start, last, n))
+                state.remove()
+        else:
+            ts = sorted(
+                int(t)
+                for pdf in pdfs
+                for t in pdf["ts_ms"].tolist()
+                if t is not None
+            )
+            if ts:
+                if state.exists:
+                    start, last, n = state.get
+                else:
+                    start, last, n = ts[0], ts[0], 0
+                    ts = ts[1:]
+                    n = 1
+                for t in ts:
+                    if t - last > gap_ms:
+                        closed.append((key[0], start, last, n))
+                        start, n = t, 0
+                    last = t
+                    n += 1
+                state.update((start, last, n))
+                state.setTimeoutDuration(idle_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+            )
+
+    return fn
+
+
+def session_stream(
+    db: BasenineDB,
+    gap_minutes: int = 30,
+    idle_timeout_seconds: int = 5,
+    query_name: str = "sessions",
+):
+    """Start the stateful sessionization stream over a durable
+    BasenineDB's log; closed sessions land in the in-memory table
+    ``query_name``. Returns the StreamingQuery."""
+    if db._log is None:
+        raise ValueError("session_stream requires a durable (path-backed) db")
+    from ..engine.log import LOG_SCHEMA
+
+    stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+    events = stream.select(
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.ts_ms").cast("long").alias("ts_ms"),
+    ).filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60_000, idle_timeout_seconds * 1000),
+        SESSION_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            f"{db._log.path}_sessions_ckpt_{int(time.time() * 1000)}",
+        )
+        .start()
+    )
