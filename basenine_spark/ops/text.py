@@ -94,6 +94,24 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", pred.alias("pred_lang"))
 
 
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs, digit runs, and single
+    punctuation marks each count as one token (the cheap stand-in for a
+    real BPE vocab; plug a tokenizer UDF in for exact counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # pattern passed as a Column literal — F.expr would run the SQL
+    # string-escape pass and corrupt the \s class
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPEISH_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpeish"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_bpeish_unique"),
+    )
+
+
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token accounting per source — the "how many tokens
     does this source contribute" question every training pipeline asks."""

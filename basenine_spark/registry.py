@@ -474,6 +474,16 @@ _register(
     """,
 )
 _register(
+    "text_regex_tokens",
+    text.regex_token_count,
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+           CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpeish_unique
+    FROM documents
+    """,
+)
+_register(
     "text_tokens_by_source",
     text.token_count_by_source,
     """
@@ -554,6 +564,29 @@ _register("ann_topk_lsh", similarity.ann_topk_lsh, None)
 _register("embedding_near_dup", lambda s, d: similarity.embedding_near_dup(s, d, threshold=0.35), None)
 
 # -- multimodal -------------------------------------------------------------
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(docs).select("doc_id", "frame_idx")
+
+
+_register(
+    "multimodal_frames",
+    _mm_frames,
+    """
+    SELECT doc_id, CAST(unnest(range(0,
+        CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT))) AS INT) AS frame_idx
+    FROM documents
+    """,
+)
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_features(docs)  # stub decode; rows-only check
+
+
+_register("multimodal_decode_stub", _mm_decode, None)
 
 _register(
     "multimodal_meta",
