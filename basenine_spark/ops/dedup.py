@@ -16,6 +16,10 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
+                     # (PEP 563 is active in this file) via module globals
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,10 +183,46 @@ ROWS_PER_BAND = NUM_PERM // BANDS
 def minhash_signature(shingles: Column, num_perm: int = NUM_PERM) -> Column:
     """num_perm-wide MinHash signature: perm *i* = min over the shingle
     set of ``xxhash64(shingle, i)``. Deterministic (xxhash64 is a fixed
-    public hash), vectorized, no UDF. Empty set → nulls (no bands)."""
+    public hash), vectorized, no UDF. Empty set → nulls (no bands).
+
+    NOTE: generates a ``num_perm``-wide expression tree — fine for small
+    ``num_perm``; the production path is :func:`minhash_signature_udf`
+    whose plan size is O(1) regardless of permutations."""
     return F.array(
         *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_perm)]
     )
+
+
+def minhash_signature_udf(num_perm: int = NUM_PERM):
+    """Arrow-vectorized MinHash over hashed shingle sets.
+
+    Hash family: multiply-shift over 64-bit lanes —
+    ``h_i(x) = uint64((x ^ seed_i) * 0x9E3779B97F4A7C15)`` with fixed
+    seeds from ``RandomState(7)``. Deterministic across runs/executors;
+    one numpy broadcast per Arrow batch instead of a ``num_perm``-wide
+    Catalyst expression tree (which stresses whole-stage codegen limits
+    at 64 permutations)."""
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = np.random.RandomState(7).randint(
+        1, 2**63 - 1, size=num_perm, dtype=np.int64
+    ).astype(np.uint64)
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    @pandas_udf("array<long>")
+    def sig(shingle_sets: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for sh in shingle_sets:
+                x = np.asarray(sh, dtype=np.int64).astype(np.uint64)
+                if x.size == 0:
+                    out.append(None)
+                    continue
+                h = (x[None, :] ^ seeds[:, None]) * MULT  # (perm, k) wrap-mod-2^64
+                out.append(h.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -209,7 +249,11 @@ def minhash_lsh_pairs(
         ),
         n,
     ).filter(F.size("shingles") > 0).cache()
-    sig = sets.select("doc_id", "shingles", minhash_signature(F.col("shingles"), num_perm).alias("sig"))
+    sig = sets.select(
+        "doc_id",
+        "shingles",
+        minhash_signature_udf(num_perm)(F.col("shingles")).alias("sig"),
+    )
     banded = sig.select(
         "doc_id",
         F.explode(

@@ -67,6 +67,34 @@ def main() -> int:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # BASELINE envelope analogs (client_test.go:52-60, 89-147): 15k
+    # inserts on one connection; 14k matching records streamed < 20 s
+    # (with a redact insertion filter active).
+    import json as _json
+    import tempfile
+
+    from basenine_spark.engine.db import BasenineDB
+    from basenine_spark.streaming import tail
+
+    with tempfile.TemporaryDirectory() as tmp:
+        db = BasenineDB(spark, path=f"{tmp}/bench_store")
+        db.set_insertion_filter('redact("secret")')
+        lines = [
+            _json.dumps({"n": i, "hit": i % 15 != 0, "secret": "x"})
+            for i in range(15_000)
+        ]
+        t0 = time.perf_counter()
+        db.insert_json(lines)
+        timings["insert_15k"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        t = tail(db, "hit == true")
+        got = t.await_written(14_000, timeout=60)
+        t.stop()
+        timings["stream_14k_tail"] = round(time.perf_counter() - t0, 3)
+        if got < 14_000:
+            timings["stream_14k_tail"] = -1.0  # did not complete
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
