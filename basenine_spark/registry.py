@@ -303,6 +303,55 @@ _register(
     relational.distinct_event_types,
     "SELECT DISTINCT event_type FROM events",
 )
+def _log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end durable path (S1-S5): the first 500 events inserted as
+    schema-free JSON docs into a DocumentLog (distributed id assignment,
+    Parquet append), then BFL-queried back through the typed view."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .engine.db import BasenineDB
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.filter(F.col("event_id") < 500).orderBy("event_id").collect()
+    lines = [
+        _json.dumps(
+            {
+                "event_id": r["event_id"],
+                "event_type": r["event_type"],
+                "value": r["value"],
+            }
+        )
+        for r in rows
+    ]
+    tmp = tempfile.mkdtemp(prefix="bn_roundtrip_")
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        db.insert_json(lines)
+        out = db.query('event_type == "click"')
+        # materialize before the tempdir disappears
+        data = [(r["event_id"],) for r in out.select("event_id").collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(data, "event_id long")
+
+
+_register(
+    "log_roundtrip_query",
+    _log_roundtrip,
+    "SELECT event_id FROM events WHERE event_id < 500 AND event_type = 'click'",
+)
+
+_register(
+    "agg_count_distinct",
+    lambda s, d: load_table(s, d, "events")
+    .groupBy("event_type")
+    .agg(F.count_distinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")),
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
+    "FROM events GROUP BY event_type",
+)
+
 _register(
     "agg_daily_events",
     relational.daily_event_rollup,
