@@ -204,6 +204,90 @@ _register(
 
 # -- relational extensions (SURVEY §2.3-2.7: absent in reference) -----------
 
+def _macro_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/M5 through the query path: macro expansion is string-literal
+    aware and auto-parenthesized (macro.go:24-49)."""
+    events = load_table(spark, sf_dir, "events")
+    db = BasenineDB.from_dataframe(spark, events, id_col="event_id")
+    db.add_macro("bigclick", 'event_type == "click" and value > 10')
+    return db.query("bigclick").select("event_id")
+
+
+_register(
+    "macro_expansion_query",
+    _macro_query,
+    "SELECT event_id FROM events WHERE event_type = 'click' AND value > 10",
+)
+
+
+def _fetch_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    db = BasenineDB.from_dataframe(spark, events, id_col="event_id")
+    return db.fetch(9000, 1, 'event_type == "view"', 50).select("event_id")
+
+
+_register(
+    "fetch_forward",
+    _fetch_forward,
+    "SELECT event_id FROM events WHERE event_id >= 9000 AND event_type = 'view' "
+    "ORDER BY event_id LIMIT 50",
+)
+
+
+def _insertion_filter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/M6 end-to-end: ingest-time BFL filter drops non-matching docs
+    before they consume ids (native.go:277-292)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .engine.db import BasenineDB
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.filter(F.col("event_id") < 500).orderBy("event_id").collect()
+    lines = [
+        _json.dumps({"event_id": r["event_id"], "event_type": r["event_type"]})
+        for r in rows
+    ]
+    tmp = tempfile.mkdtemp(prefix="bn_insfilter_")
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        db.set_insertion_filter('event_type != "error"')
+        db.insert_json(lines)
+        data = [(r["event_id"],) for r in db.query("").select("event_id").collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(data, "event_id long")
+
+
+_register(
+    "insertion_filter_roundtrip",
+    _insertion_filter_roundtrip,
+    "SELECT event_id FROM events WHERE event_id < 500 AND event_type <> 'error'",
+)
+
+
+def _validate_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 golden error strings (participle-parity positions,
+    server_test.go:267-274) surfaced as a comparable table."""
+    from .engine.db import BasenineDB
+
+    db = BasenineDB(spark)
+    cases = ["", "brand.name == \"Chevrolet\"", "=", "timestamp > bar and ", "limit(10"]
+    out = []
+    for q in cases:
+        ok, msg = db.validate(q)
+        out.append((q, ok, msg if not ok else "OK"))
+    return spark.createDataFrame(out, "query string, ok boolean, msg string")
+
+
+_register(
+    "validate_golden_errors",
+    _validate_golden,
+    None,  # rows-only: the golden strings are pinned by pytest; the
+    # driver checks the mode runs and yields one row per case
+)
+
 _register(
     "agg_pricing_summary",
     relational.pricing_summary,
