@@ -57,8 +57,20 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session so q1 doesn't pay first-job setup
+    # warm the JVM/session so q1 doesn't pay first-job setup, and spin up
+    # the Python worker pool so the first Arrow-UDF query isn't billed
+    # for interpreter startup + imports
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    spark.range(10_000).repartition(int(CPUS)).mapInPandas(
+        _warm, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
