@@ -1,0 +1,71 @@
+"""Watermarked event-time windowed aggregation over the document log.
+
+The reference has no event-time semantics (SURVEY §2.9 T4 — NOT
+IMPLEMENTED; its ``timestamp`` field is only read for retention). This
+is the Structured Streaming extension: tumbling event-time windows with
+a watermark bounding state for late data, computed over the schema-free
+document log (the ``timestamp``/``ts_ms`` field of each JSON doc is the
+event time).
+
+The batch twin is :func:`basenine_spark.ops.relational.
+hourly_window_rollup`, which the driver verifies against a DuckDB
+oracle; this module executes the same bucketing incrementally.
+
+Scale notes: state per (window × key), bounded by the watermark delay —
+late rows beyond the delay are dropped, closed windows are evicted.
+``update`` output mode emits refreshed rows per micro-batch; sinks that
+need append-only finality use ``append`` (rows emitted only once the
+watermark passes the window end).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ..engine.db import BasenineDB
+
+
+def windowed_counts_stream(
+    db: BasenineDB,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    key_field: str = "event_type",
+    query_name: str = "windowed_counts",
+    output_mode: str = "update",
+):
+    """Start a streaming tumbling-window count per ``key_field`` with a
+    late-data watermark; results land in the in-memory table
+    ``query_name``. Returns the StreamingQuery."""
+    if db._log is None:
+        raise ValueError("windowed_counts_stream requires a durable db")
+    from ..engine.log import LOG_SCHEMA
+
+    stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+    events = stream.select(
+        F.get_json_object("value", f"$.{key_field}").alias("key"),
+        F.timestamp_millis(
+            F.get_json_object("value", "$.ts_ms").cast("long")
+        ).alias("event_time"),
+    ).filter(F.col("event_time").isNotNull())
+    agg = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "key",
+            "cnt",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            f"{db._log.path}_win_ckpt_{int(time.time() * 1000)}",
+        )
+        .start()
+    )
