@@ -113,19 +113,27 @@ def ann_topk_lsh(
     sf_dir: str,
     k: int = 5,
     n_queries: int = 10,
-    tables: int = LSH_TABLES,
-    bits: int = LSH_BITS,
+    tables: int = 24,
+    bits: int = 5,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: SRP-LSH candidate generation then exact cosine
     ranking over candidates only.
 
     Candidates = corpus vectors sharing ≥1 (table, bucket) with the
-    query. The join is keyed on (table, bucket) — at 100 TB each bucket
-    holds ~corpus/2^bits vectors per table, so the pair count is
-    ~tables × corpus × queries / 2^bits instead of corpus × queries.
-    Recall is tunable via (tables, bits). Approximate ⇒ rows-only
-    correctness check (no exact SQL oracle).
+    query; the join is keyed on (table, bucket), so the candidate count
+    is ~tables × corpus × queries / 2^bits instead of corpus × queries.
+
+    Calibration is regime-dependent: P(two vectors share a bucket per
+    table) = (1 − θ/π)^bits. The defaults (24 tables × 5 bits) target
+    *moderate*-similarity neighbors (cosine 0.2-0.5, as in the test
+    corpus) at >90% recall — which buys only a modest pruning factor;
+    for true near-duplicate regimes (cosine ≥ 0.9) use bits ≈ 12, where
+    pruning is ~2^12/tables per table. That coupling of pruning power to
+    the similarity gap is inherent to LSH — the IVF variant
+    (:func:`ann_topk_ivf`) prunes geometrically instead and degrades
+    more gracefully for mid-similarity search. Approximate ⇒ rows-only
+    correctness check.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     bucketer = _srp_buckets(dim, tables, bits)
@@ -148,6 +156,122 @@ def ann_topk_lsh(
         q.join(c, ["tbl", "bucket"])
         .select("query_id", "neighbor_id", "q_emb", "c_emb")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+# -- IVF (inverted-file) ANN ------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 3
+IVF_ITERS = 5
+
+
+def _kmeans_centroids(df, vec_col: str, k: int, iters: int):
+    """Deterministic Lloyd's k-means coarse quantizer.
+
+    Init = the k lowest-id vectors (deterministic, no RNG). Each
+    iteration: distributed assignment (one Arrow-batched argmin matmul
+    per batch against the broadcast centroid matrix — centroids are tiny,
+    the corpus never moves) → groupBy mean. Driver holds only the k×dim
+    centroid matrix. Returns a numpy array (k, dim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    first = df.orderBy("vec_id").limit(k).select(vec_col).collect()
+    centroids = np.array([list(r[0]) for r in first], dtype=np.float64)
+
+    for _ in range(iters):
+        C = centroids  # rebroadcast each iteration
+
+        @pandas_udf("int")
+        def assign(embs: pd.Series) -> pd.Series:
+            mat = np.stack(embs.to_numpy()).astype(np.float64)
+            d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        assigned = df.select(vec_col, assign(F.col(vec_col)).alias("cell"))
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(*[
+                    F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                    for i in range(centroids.shape[1])
+                ]).alias("mean")
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["cell"]] = np.array(r["mean"], dtype=np.float64)
+    return centroids
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """IVF-style approximate top-k: a k-means coarse quantizer partitions
+    the corpus into cells; each query probes only its ``nprobe`` nearest
+    cells, then ranks candidates by exact cosine.
+
+    Scale shape: the centroid table is tiny (cells × dim) and broadcast;
+    the corpus is scanned once per k-means iteration at build time and
+    once at query time; the query join is keyed on cell id, touching
+    ~``nprobe / cells`` of the corpus per query instead of all of it.
+    Approximate recall ⇒ rows-only correctness check.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    centroids = _kmeans_centroids(corpus, "embedding", cells, iters)
+    C = centroids
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_cells(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    corpus_cells = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        cell_of(F.col("embedding")).alias("cell"),
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+    )
+    cands = queries.join(corpus_cells, "cell").select(
+        "query_id", "neighbor_id", "q_emb", "c_emb"
     )
     sim = cands.select(
         "query_id",

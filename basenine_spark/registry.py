@@ -694,7 +694,16 @@ _register(
     """,
 )
 _register("ann_topk_lsh", similarity.ann_topk_lsh, None)
-_register("embedding_near_dup", lambda s, d: similarity.embedding_near_dup(s, d, threshold=0.35), None)
+_register("ann_topk_ivf", similarity.ann_topk_ivf, None)
+# threshold 0.35 targets the top of this corpus's similarity range (max
+# pairwise cosine ≈ 0.51, no planted near-identical vectors) — bucket
+# width is recalibrated accordingly (see ann_topk_lsh docstring; a real
+# ≥0.9 dedup pass would use the bits=12 default)
+_register(
+    "embedding_near_dup",
+    lambda s, d: similarity.embedding_near_dup(s, d, threshold=0.35, tables=16, bits=4),
+    None,
+)
 
 # -- multimodal -------------------------------------------------------------
 

@@ -1,0 +1,45 @@
+"""Similarity-search operators: exact top-k vs approximate variants."""
+
+import pytest
+
+from basenine_spark.ops import similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark):
+    out = similarity.ann_topk(spark, SF, k=5, n_queries=10)
+    return {
+        (r["query_id"], r["neighbor_id"]) for r in out.collect()
+    }
+
+
+def _recall(approx_rows, exact_pairs):
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    return len(approx & exact_pairs) / len(exact_pairs)
+
+
+def test_ivf_recall_floor(spark, exact_topk):
+    rows = similarity.ann_topk_ivf(spark, SF, k=5, n_queries=10).collect()
+    assert len(rows) == 50  # k per query
+    r = _recall(rows, exact_topk)
+    assert r >= 0.3, f"IVF recall collapsed: {r}"
+
+
+def test_lsh_recall_floor(spark, exact_topk):
+    rows = similarity.ann_topk_lsh(spark, SF, k=5, n_queries=10).collect()
+    assert rows, "LSH returned nothing"
+    r = _recall(rows, exact_topk)
+    assert r >= 0.3, f"LSH recall collapsed: {r}"
+
+
+def test_exact_topk_is_ranked(spark):
+    out = similarity.ann_topk(spark, SF, k=5, n_queries=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True), (q, sims)
