@@ -68,6 +68,40 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
 
 
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the rolling-hash fingerprint scheme): hash every word
+    ``k``-gram, slide a window of ``w`` consecutive gram hashes, keep
+    the minimum of each window, emit the distinct minima as the
+    document's fingerprint set. Two documents sharing any sufficiently
+    long run share fingerprints — the join key for plagiarism-style
+    overlap detection at corpus scale.
+
+    Hashes are md5 hex strings (lexicographic min), identical across
+    engines. All JVM-side: transform/slice/array_min higher-order
+    functions, one generated column, no shuffle until the consumer joins
+    on ``fp``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gram = ", ".join(f"element_at(toks, win + o + {j})" for j in range(k))
+    expr = f"""
+    array_distinct(CASE WHEN size(toks) >= {k + w - 1} THEN
+      transform(
+        sequence(1, size(toks) - {k + w - 2}),
+        win -> array_min(transform(sequence(0, {w - 1}),
+                 o -> md5(concat_ws(' ', {gram}))))
+      )
+    ELSE array() END)
+    """
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.expr(expr).alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+
+
 def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language distribution with average length."""
     docs = load_table(spark, sf_dir, "documents")

@@ -585,6 +585,24 @@ _register(
     r"SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents",
 )
 _register(
+    "text_winnow_fingerprints",
+    text.winnow_fingerprints,
+    # k=3 word-grams, winnow window w=4: fingerprint = distinct minima
+    # of each window of 4 consecutive gram md5s (lexicographic min)
+    """
+    WITH g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 6 THEN
+               list_transform(range(1, len(toks) - 4),
+                 win -> list_min(list_transform(range(0, 4),
+                   o -> md5(concat_ws(' ', toks[win + o], toks[win + o + 1], toks[win + o + 2])))))
+             ELSE [] END AS fps
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM g
+    """,
+)
+_register(
     "text_lang_profile",
     text.lang_profile,
     "SELECT lang, count(*) AS doc_cnt, round(avg(n_chars), 2) AS avg_chars "
