@@ -1,0 +1,50 @@
+"""QUERY-mode golden table ported from server_test.go:123-206: 100
+identical inserts, then (query, limit, leftOff) combinations with
+expected streamed ids and rewritten documents."""
+
+import json
+
+import pytest
+
+from basenine_spark.engine.db import BasenineDB, index_to_id
+
+PAYLOAD = '{"brand":{"name":"Chevrolet"},"model":"Camaro","year":2021}'
+
+# (query, expected_count, left_off) — server_test.go:123-132.  With
+# leftOff=60 the reference streams records 61..99 (39 records).
+CASES = [
+    ('brand.name == "Chevrolet"', 100, 0),
+    ('brand.name == "Chevrolet" and limit(10)', 10, 0),
+    ('limit(10) and brand.name == "Chevrolet"', 10, 0),  # position-independent
+    ('brand.name == "Chevrolet"', 39, 60),
+]
+
+
+@pytest.fixture(scope="module")
+def db100(spark, tmp_path_factory):
+    db = BasenineDB(spark, path=str(tmp_path_factory.mktemp("qm") / "store"))
+    db.insert_json([PAYLOAD] * 100)
+    return db
+
+
+@pytest.mark.parametrize("query,expected,left_off", CASES)
+def test_query_mode_golden(db100, query, expected, left_off):
+    rows = db100.query(query, left_off=left_off).collect()
+    assert len(rows) == expected
+    start = left_off + 1 if left_off else 0
+    for i, r in enumerate(rows):
+        doc = r.asDict(recursive=True)
+        # id injected into the document (native.go:302-311), order is
+        # insertion order (native.go:432)
+        assert doc["id"] == index_to_id(start + i)
+        assert doc["brand"]["name"] == "Chevrolet"
+        assert doc["model"] == "Camaro"
+        assert doc["year"] == 2021
+
+
+def test_single_mode_golden(db100):
+    # server_test.go:208-265: /single by index
+    rec = db100.single(index_to_id(42))
+    assert rec["id"] == index_to_id(42)
+    assert rec["model"] == "Camaro"
+    assert db100.single(index_to_id(4242)) is None  # "Record does not exist!"
