@@ -48,3 +48,29 @@ def test_single_mode_golden(db100):
     assert rec["id"] == index_to_id(42)
     assert rec["model"] == "Camaro"
     assert db100.single(index_to_id(4242)) is None  # "Record does not exist!"
+
+
+# (leftOff, direction, limit, expected_count) — server_test.go:403-418.
+# Forward pages include leftOff; backward pages start just before it.
+FETCH_CASES = [
+    (0, 1, 5, 5),
+    (13, 1, 5, 5),
+    (13, 1, 200, 87),
+    (93, 1, 20, 7),
+    (99, -1, 5, 5),
+    (13, -1, 5, 5),
+    (13, -1, 200, 13),
+    (93, -1, 20, 20),
+]
+
+
+@pytest.mark.parametrize("left_off,direction,limit,expected", FETCH_CASES)
+def test_fetch_mode_golden(db100, left_off, direction, limit, expected):
+    rows = db100.fetch(
+        index_to_id(left_off), direction, 'brand.name == "Chevrolet"', limit
+    ).collect()
+    assert len(rows) == expected
+    start = left_off if direction > 0 else left_off - 1
+    for i, r in enumerate(rows):
+        doc = r.asDict(recursive=True)
+        assert doc["id"] == index_to_id(start + i * direction)
