@@ -75,9 +75,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _attempt in range(2):  # best-of-2: JIT/GC noise suppression
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # BASELINE envelope analogs (client_test.go:52-60, 89-147): 15k
     # inserts on one connection; 14k matching records streamed < 20 s

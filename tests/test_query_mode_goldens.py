@@ -74,3 +74,20 @@ def test_fetch_mode_golden(db100, left_off, direction, limit, expected):
     for i, r in enumerate(rows):
         doc = r.asDict(recursive=True)
         assert doc["id"] == index_to_id(start + i * direction)
+
+
+def test_metadata_frame_golden(db100):
+    """Metadata frame wire-shape parity (structs.go:75-82,
+    client_test.go:150-168): exact key set and casing."""
+    md = db100.metadata(written=5, queried=7)
+    frame = json.loads(md.to_json())
+    assert set(frame) == {
+        "current", "total", "numberOfWritten", "leftOff",
+        "truncatedTimestamp", "noMoreData",
+    }
+    assert frame["total"] == 100
+    assert frame["numberOfWritten"] == 5
+    assert frame["current"] == 7
+    assert frame["leftOff"] == index_to_id(99)
+    assert frame["truncatedTimestamp"] == 0
+    assert frame["noMoreData"] is False
