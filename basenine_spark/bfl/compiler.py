@@ -29,7 +29,17 @@ Semantics parity (SURVEY.md §1.3), reproduced at the expression level:
 Schema mapping convention (documented divergence from the schema-free
 reference): a **NULL value is treated as JSON ``null``** (key present,
 value null) — so ``model == nil`` is true for a NULL column — while a
-**field absent from the schema** is a compile-time collapse.  Map-key
+**field absent from the schema** is a compile-time collapse.
+
+Known jsonval type-erasure limitation: ``get_json_object`` returns the
+scalar *text*, so a JSON **string** value that happens to look numeric
+or boolean (``{"price": "1.50"}``, ``{"flag": "true"}``) is
+indistinguishable from a real number/bool and gets the typed coercions
+(canonicalization, truthiness) a real number would — the reference
+would keep the string verbatim. ``== nil`` comparisons, where the same
+ambiguity flips presence semantics, are routed to the exact row backend
+instead. TODO(round 3): type-faithful extraction via Spark 4
+``parse_json``/``variant_get`` removes the ambiguity entirely.  Map-key
 lookups and array indexing collapse at *runtime* when the key/index is
 absent, matching the reference.  Queries needing exact JSON-document
 behavior (``redact``, dynamic shapes) use the row backend
@@ -391,14 +401,25 @@ def _pushable_eq(col_v: Val, lit_v: Val) -> Optional[Column]:
             return _nn(col_v.col == F.lit(ls))
     if col_v.kind == K_INT:
         # integral column: decimal string form ⇔ numeric equality on ints
+        # — but ONLY for literals in canonical decimal form within long
+        # range; "007"/"-0" (string-coerced: never equal to any int's
+        # decimal print), "null" (must match NULL rows), and
+        # beyond-64-bit literals fall back to the coerced comparison.
         if lit_v.kind == K_FLOAT and float(lit_v.lit).is_integer():
-            return _nn(col_v.col == F.lit(int(lit_v.lit)))
+            iv = int(lit_v.lit)
+            if -(2**63) <= iv < 2**63:
+                return _nn(col_v.col == F.lit(iv))
         if lit_v.kind == K_STR:
             import re as _re
 
-            if _re.fullmatch(r"-?\d+", lit_v.lit):
-                return _nn(col_v.col == F.lit(int(lit_v.lit)))
-            return _false()  # no int prints as this string
+            ls = lit_v.lit
+            if (
+                _re.fullmatch(r"-?\d+", ls)
+                and str(int(ls)) == ls
+                and -(2**63) <= int(ls) < 2**63
+            ):
+                return _nn(col_v.col == F.lit(int(ls)))
+            return None  # non-canonical / 'null' / huge → coerced path
     return None
 
 

@@ -131,9 +131,13 @@ class BasenineDB:
         self._insert_counter = 0
         self._log: Optional[DocumentLog] = DocumentLog(spark, path) if path else None
         self._typed_schema = None  # cached inferred schema (log mode)
+        self._known_keys: set[str] = set()  # top-level doc keys seen
         self._mounted_total: Optional[int] = None  # cached count, mounted mode
         if self._log is not None:
             self._load_state()
+            # resume the id counter from the restored log so leftOff /
+            # "latest" tokens are correct immediately after restart
+            self._insert_counter = self._log.total_written
 
     # -- durable session state (core-dump analog, native.go:155-258) ----
 
@@ -174,8 +178,6 @@ class BasenineDB:
                 },
                 fh,
             )
-        if self._log is not None:
-            self._insert_counter = self._log.total_written
 
     # -- ingest ---------------------------------------------------------
 
@@ -205,9 +207,19 @@ class BasenineDB:
                 if self.insertion_filter
                 else ""
             )
+            # Invalidate the cached typed schema ONLY when the batch
+            # introduces unseen top-level keys — otherwise a live tail
+            # would re-run full-log schema inference every micro-batch
+            # under continuous ingest. (Nested-shape widening within a
+            # known key is not tracked; the row backend remains exact.)
+            new_keys = set()
+            for line in lines:
+                new_keys.update(json.loads(line).keys())
             ids = self._log.append(lines, insertion_filter_text=flt_text)
             self._insert_counter = self._log.total_written
-            self._typed_schema = None  # new docs may widen the schema
+            if not new_keys <= self._known_keys:
+                self._typed_schema = None
+                self._known_keys |= new_keys
             return ids
 
         flt = (
@@ -342,6 +354,7 @@ class BasenineDB:
                 self._log.scan().select("value").rdd.map(lambda r: r.value)
             )
             self._typed_schema = sample.schema
+            self._known_keys |= set(sample.schema.fieldNames())
         return scan.select(
             F.from_json(F.col("value"), self._typed_schema).alias("doc")
         ).select("doc.*")
@@ -460,6 +473,8 @@ class BasenineDB:
         self._df = None
         self._insert_counter = 0
         self._typed_schema = None
+        self._known_keys = set()
+        self._mounted_total = None
         if self._log is not None:
             self._log.flush()
             # /flush keeps macros/filter/limit (only /reset clears them,
@@ -488,14 +503,16 @@ class BasenineDB:
         if self._log is not None:
             total = self._log.live_count
             trunc = self._log.truncated_timestamp
-        elif self._insert_counter > 0 or self._df is None:
+        elif self._df is None:
             total = self._insert_counter
             trunc = 0
         else:
-            # mounted external table: count once, then serve from cache
+            # mounted external table (possibly with inserts on top):
+            # count the mounted base once, then serve from the cache +
+            # running insert counter
             if self._mounted_total is None:
-                self._mounted_total = self._df.count()
-            total = self._mounted_total
+                self._mounted_total = self._df.count() - self._insert_counter
+            total = self._mounted_total + self._insert_counter
             trunc = 0
         return Metadata(
             current=queried,

@@ -161,12 +161,24 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = hsets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = hsets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return _verify_jaccard(cands, hsets, threshold, jaccard_col)
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    jaccard_col: str = "jaccard",
+) -> DataFrame:
+    """Exact Jaccard over candidate (doc_a, doc_b) pairs: join both
+    shingle sets back and compute |∩| / |∪| via array_intersect."""
+    sh_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        cands.join(sh_a, "doc_a")
+        cands.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias(jaccard_col))
         .filter(F.col(jaccard_col) >= threshold)
@@ -279,16 +291,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cands, sets, threshold)
 
 
 # -- SimHash ----------------------------------------------------------------

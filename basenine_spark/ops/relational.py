@@ -187,22 +187,25 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hourly_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling-window aggregate via ``F.window`` — the batch
-    twin of the Structured Streaming windowed aggregation (T4 extension;
-    the reference has no event-time semantics at all, SURVEY §2.9).
-    Window start surfaces as epoch millis (UTC buckets)."""
-    # hour buckets must align to epoch regardless of the host timezone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Event-time tumbling-window aggregate — the batch twin of the
+    Structured Streaming windowed aggregation (T4 extension; the
+    reference has no event-time semantics at all, SURVEY §2.9).
+
+    Buckets are computed with integer epoch arithmetic (``ts_ms div
+    3_600_000``) rather than ``F.window`` so the result is independent
+    of ``spark.sql.session.timeZone`` — mutating shared session config
+    inside a query builder is not acceptable, and epoch-hour buckets are
+    identical to UTC ``F.window`` buckets anyway. The streaming variant
+    (:mod:`basenine_spark.streaming.windows`) uses real ``F.window`` +
+    watermarks where the caller owns the session config."""
     events = load_table(spark, sf_dir, "events")
-    w = F.window(F.timestamp_millis(F.col("ts_ms")), "1 hour")
+    window_start = (F.expr("ts_ms div 3600000") * F.lit(3_600_000)).alias(
+        "window_start_ms"
+    )
     return (
-        events.groupBy(w.alias("w"), "event_type")
+        events.groupBy(window_start, "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-            "event_type",
-            "cnt",
-        )
+        .select("window_start_ms", "event_type", "cnt")
     )
 
 

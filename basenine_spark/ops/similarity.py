@@ -41,6 +41,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _scored(cands: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, q_emb, c_emb) → rounded cosine scores.
+    Rounding to 4 decimals BEFORE ranking makes the ranking independent
+    of float accumulation order."""
+    return cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+    )
+
+
+def _rank_topk(sim: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: rank by (sim desc, neighbor asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ann_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -61,19 +84,7 @@ def ann_topk(
     corpus = emb.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
-    sim = corpus.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(_scored(corpus.crossJoin(F.broadcast(queries))), k)
 
 
 # -- sign-random-projection LSH (the scale path) ----------------------------
@@ -157,19 +168,7 @@ def ann_topk_lsh(
         .select("query_id", "neighbor_id", "q_emb", "c_emb")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(_scored(cands), k)
 
 
 # -- IVF (inverted-file) ANN ------------------------------------------------
@@ -273,19 +272,7 @@ def ann_topk_ivf(
     cands = queries.join(corpus_cells, "cell").select(
         "query_id", "neighbor_id", "q_emb", "c_emb"
     )
-    sim = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _rank_topk(_scored(cands), k)
 
 
 def embedding_near_dup(

@@ -127,8 +127,6 @@ class BasenineSocketStreamReader(SimpleDataSourceStreamReader):
         if self._collector is None:
             self._collector = _collector_for(self._host, self._port)
         return self._collector
-        # replay buffer: seq → stamped tuple, trimmed on commit
-        self.replay: dict[int, Tuple] = {}
 
     def initialOffset(self) -> dict:
         return {"seq": 0}

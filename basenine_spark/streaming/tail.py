@@ -79,16 +79,20 @@ class TailQuery:
         # typed view of this micro-batch (same path as batch-mode M1)
         if db._typed_schema is None:
             db.dataframe()  # populate the inferred schema
-        typed = batch_df.filter(F.col("seq") >= self.min_seq).select(
-            F.col("seq"), F.from_json(F.col("value"), db._typed_schema).alias("doc")
+        # physical seq is only a filter key — drop it BEFORE the BFL
+        # stage so row-backend (redact) document rewrites never see a
+        # spurious "seq" field
+        typed = (
+            batch_df.filter(F.col("seq") >= self.min_seq)
+            .select(F.from_json(F.col("value"), db._typed_schema).alias("doc"))
+            .select("doc.*")
         )
-        typed = typed.select("seq", "doc.*")
         filtered = db._apply_bfl(typed, self.prepared)
         cols = filtered.columns
         out_val = (
             F.col("value")
             if "value" in cols
-            else F.to_json(F.struct(*[c for c in cols if c != "seq"]))
+            else F.to_json(F.struct(*cols))
         )
         id_col = db.id_col if db.id_col in cols else None
         rows = (

@@ -172,3 +172,72 @@ def test_insert_json_bad_line_keeps_counter_and_data(spark):
     ids = db.insert_json(['{"a": 3}'])
     assert ids == ["%024d" % 0]
     assert db.dataframe().count() == 1
+
+
+# -- round-2 self-review regressions ----------------------------------------
+
+
+def test_restart_resumes_left_off_counter(spark, tmp_path):
+    """A restarted durable db must report the correct resume token
+    without any intervening writes (counter synced from the log)."""
+    from basenine_spark.engine.db import BasenineDB, index_to_id
+
+    p = str(tmp_path / "store")
+    db = BasenineDB(spark, path=p)
+    db.insert_json([json.dumps({"n": i}) for i in range(7)])
+    db2 = BasenineDB(spark, path=p)
+    assert db2.metadata().left_off == index_to_id(6)
+    assert db2.query("", left_off="latest").count() == 1
+
+
+def test_pushable_eq_noncanonical_int_strings(spark):
+    # "007" never equals any int's decimal print; "null" matches NULL
+    doc = '{"x": 7, "y": null}'
+    assert _both(spark, 'x == "007"', doc) is False
+    assert _both(spark, 'x == "7"', doc) is True
+    assert _both(spark, 'x == "-0"', doc) is False
+    assert _both(spark, 'y == "null"', doc) is True
+    # beyond-int64 literal must not blow up at compile time
+    assert _both(spark, 'x == "99999999999999999999999"', doc) is False
+
+
+def test_tail_does_not_leak_seq_into_documents(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+    from basenine_spark.streaming import tail
+
+    db = BasenineDB(spark, path=str(tmp_path / "store"))
+    db.insert_json([json.dumps({"n": i, "secret": "s"}) for i in range(4)])
+    t = tail(db, 'redact("secret") and n >= 0')
+    try:
+        assert t.await_written(4, timeout=60) == 4
+        for _, v in t.records:
+            doc = json.loads(v)
+            assert "seq" not in doc, doc
+            assert doc["secret"] == "[REDACTED]"
+    finally:
+        t.stop()
+
+
+def test_metadata_mounted_plus_inserts(spark):
+    from basenine_spark.engine.db import BasenineDB
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    db = BasenineDB.from_dataframe(spark, df, id_col="id")
+    assert db.metadata().total == 10
+    db.insert_json(['{"id": "x"}'])
+    assert db.metadata().total == 11
+
+
+def test_schema_cache_survives_same_shape_inserts(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark, path=str(tmp_path / "store"))
+    db.insert_json([json.dumps({"a": 1})])
+    db.dataframe()  # populate schema cache
+    cached = db._typed_schema
+    assert cached is not None
+    db.insert_json([json.dumps({"a": 2})])  # same keys → cache kept
+    assert db._typed_schema is cached
+    db.insert_json([json.dumps({"a": 3, "b": "new"})])  # new key → refresh
+    assert db._typed_schema is None
+    assert "b" in db.dataframe().columns
