@@ -31,15 +31,16 @@ reference): a **NULL value is treated as JSON ``null``** (key present,
 value null) — so ``model == nil`` is true for a NULL column — while a
 **field absent from the schema** is a compile-time collapse.
 
-Known jsonval type-erasure limitation: ``get_json_object`` returns the
-scalar *text*, so a JSON **string** value that happens to look numeric
-or boolean (``{"price": "1.50"}``, ``{"flag": "true"}``) is
-indistinguishable from a real number/bool and gets the typed coercions
-(canonicalization, truthiness) a real number would — the reference
-would keep the string verbatim. ``== nil`` comparisons, where the same
-ambiguity flips presence semantics, are routed to the exact row backend
-instead. TODO(round 3): type-faithful extraction via Spark 4
-``parse_json``/``variant_get`` removes the ambiguity entirely.  Map-key
+``json()`` extraction is **type-faithful** via Spark 4 Variant
+(``try_parse_json`` / ``try_variant_get`` / ``schema_of_variant``): a
+JSON string "1.50" stays verbatim while the number 1.50 canonicalizes
+to "1.5", JSON null is distinguishable from a missing key (``== nil``
+semantics exact), booleans/numbers/arrays dispatch like ojg's
+``interface{}`` type switch, and extracted arrays get existential
+comparison semantics. ``xml()`` values stay plain strings (mxj text
+nodes are strings in the reference). Only variant-vs-variant
+comparisons and recursive-descent-fed mutations use the exact row
+backend.  Map-key
 lookups and array indexing collapse at *runtime* when the key/index is
 absent, matching the reference.  Queries needing exact JSON-document
 behavior (``redact``, dynamic shapes) use the row backend
@@ -125,7 +126,8 @@ K_NULL = "null"  # literal nil / NullType column
 K_ARRAY = "array"
 K_REGEX = "regex"
 K_OPAQUE = "opaque"  # struct/map terminal — Go: falls through coercions
-K_JSONVAL = "jsonval"  # string result of json()/xml() extraction
+K_JSONVAL = "jsonval"  # string result of xml() extraction (text nodes)
+K_VARIANT = "variant"  # typed result of json() extraction (VariantType)
 
 
 def _false() -> Column:
@@ -208,23 +210,79 @@ def str_col(v: Val) -> Column:
     elif v.kind == K_NULL:
         base = F.lit("null")
     elif v.kind == K_JSONVAL:
-        # json()/xml() miss → operand is Go false → "false".  A numeric
-        # extraction is re-canonicalized the way ojg+%g would print it
-        # ("1.50" → "1.5", "1e3" → "1000"); pure integers keep their
-        # decimal form (ojg parses them as int64 → strconv decimal,
-        # pyeval.string_operand int branch).
-        base = (
-            F.when(v.col.isNull(), F.lit("false"))
-            .when(v.col.rlike(r"^-?\d+$"), v.col)
-            .when(
-                v.col.rlike(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"),
-                go_g6_col(v.col.cast("double")),
-            )
-            .otherwise(v.col)
-        )
+        # xml() extraction: mxj text nodes are Go *strings* — verbatim
+        # (a numeric-looking "1.50" stays "1.50"); miss → operand Go
+        # false → "false"
+        base = F.coalesce(v.col, F.lit("false"))
+    elif v.kind == K_VARIANT:
+        base = variant_str(v.col)
     else:  # opaque / array used as scalar: Go switch falls through → ""
         base = F.lit("")
     return _apply_false_if(v, base, F.lit("false"))
+
+
+# -- typed json() values (VariantType, Spark 4) -----------------------------
+#
+# ojg parses JSON into interface{} with real types; Variant preserves
+# exactly that per-value type information (schema_of_variant), so each
+# coercion dispatches on the runtime type like the Go type switch:
+# ints → decimal print, floats → %g, strings verbatim, bools
+# true/false, JSON null → "null", miss (SQL NULL) → Go false.
+
+_VT_NUMERIC = r"^(BIGINT|INT|SMALLINT|TINYINT|DECIMAL|DOUBLE|FLOAT)"
+
+
+def _v_scalar(col: Column, t: str) -> Column:
+    return F.try_variant_get(col, "$", t)
+
+
+def variant_str(col: Column) -> Column:
+    """stringOperand over a variant (eval.go:47-62)."""
+    t = F.schema_of_variant(col)
+    return (
+        F.when(col.isNull(), F.lit("false"))  # json path miss → Go false
+        .when(F.is_variant_null(col), F.lit("null"))
+        .when(t == "BOOLEAN", _v_scalar(col, "string"))
+        .when(t.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)$"), _v_scalar(col, "string"))
+        .when(t.rlike(r"^DECIMAL\(\d+,0\)$"), _v_scalar(col, "string"))
+        .when(t.rlike(_VT_NUMERIC), go_g6_col(_v_scalar(col, "double")))
+        .when(t == "STRING", _v_scalar(col, "string"))
+        .otherwise(F.lit(""))  # object/array: Go switch falls through
+    )
+
+
+def variant_num(col: Column) -> Column:
+    """float64Operand over a variant (eval.go:65-88)."""
+    t = F.schema_of_variant(col)
+    return (
+        F.when(col.isNull() | F.is_variant_null(col), F.lit(0.0))
+        .when(
+            t == "BOOLEAN",
+            F.when(_v_scalar(col, "boolean"), 1.0).otherwise(0.0),
+        )
+        .when(t.rlike(_VT_NUMERIC), F.coalesce(_v_scalar(col, "double"), F.lit(0.0)))
+        .when(
+            t == "STRING",
+            F.coalesce(_v_scalar(col, "string").try_cast("double"), F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
+def variant_truthy(col: Column) -> Column:
+    """boolOperand over a variant (eval.go:27-44)."""
+    t = F.schema_of_variant(col)
+    return (
+        F.when(col.isNull() | F.is_variant_null(col), _false())
+        .when(t == "BOOLEAN", F.coalesce(_v_scalar(col, "boolean"), _false()))
+        .when(t == "STRING", F.coalesce(_v_scalar(col, "string") != "", _false()))
+        .when(t.rlike(_VT_NUMERIC), F.coalesce(_v_scalar(col, "double") > 0, _false()))
+        .when(
+            t.rlike(r"^ARRAY"),
+            F.coalesce(F.size(_v_scalar(col, "array<variant>")) > 0, _false()),
+        )
+        .otherwise(_false())
+    )
 
 
 def num_col(v: Val) -> Column:
@@ -236,13 +294,10 @@ def num_col(v: Val) -> Column:
     elif v.kind == K_STR:
         base = F.coalesce(v.col.try_cast("double"), F.lit(0.0))
     elif v.kind == K_JSONVAL:
-        # extracted JSON bools are typed in the reference: float64Operand
-        # maps true→1, false→0 (eval.go:65-88); other non-numeric text → 0
-        base = (
-            F.when(v.col == "true", F.lit(1.0))
-            .when(v.col == "false", F.lit(0.0))
-            .otherwise(F.coalesce(v.col.try_cast("double"), F.lit(0.0)))
-        )
+        # xml text nodes are strings: strconv parse, non-numeric → 0
+        base = F.coalesce(v.col.try_cast("double"), F.lit(0.0))
+    elif v.kind == K_VARIANT:
+        base = variant_num(v.col)
     elif v.kind == K_BOOL:
         base = F.when(v.col.isNull(), 0.0).when(v.col, 1.0).otherwise(0.0)
     else:
@@ -261,17 +316,10 @@ def truthy_col(v: Val) -> Column:
     elif v.kind == K_STR:
         base = F.coalesce(v.col != "", _false())
     elif v.kind == K_JSONVAL:
-        # typed truthiness of the extracted JSON value (eval.go:27-44):
-        # bool text is a bool, numeric text is a number (>0), JSON miss
-        # (NULL) is false, anything else is a non-empty-string check
-        num = v.col.try_cast("double")
-        base = (
-            F.when(v.col.isNull(), _false())
-            .when(v.col == "false", _false())
-            .when(v.col == "true", F.lit(True))
-            .when(num.isNotNull(), num > 0)
-            .otherwise(v.col != "")
-        )
+        # xml text nodes are strings: non-empty → true; miss → false
+        base = v.col.isNotNull() & (v.col != "")
+    elif v.kind == K_VARIANT:
+        base = variant_truthy(v.col)
     elif v.kind == K_ARRAY:
         base = F.coalesce(F.size(v.col) > 0, _false())
     else:  # null / opaque
@@ -337,14 +385,14 @@ def _elem_num(proto: Val) -> Callable[[Column], Column]:
 def _compile_eql(a: Val, b: Val, negate: bool) -> Column:
     """==/!= (eval.go:104-174): regex operand ⇒ unanchored match; array
     vs scalar existential; array vs array deep-equal; else string-coerced."""
-    if (a.kind == K_JSONVAL and b.kind == K_NULL) or (
-        b.kind == K_JSONVAL and a.kind == K_NULL
-    ):
-        # get_json_object can't distinguish a present JSON null (reference
-        # stringifies to "null" → `== nil` is true) from a missing key
-        # (operand false → "null" ≠ "false").  Exact semantics need the
-        # document — row backend (pyeval) handles it.
-        raise UnsupportedBFL("json()/xml() value compared to nil needs the row backend")
+    if a.kind == K_VARIANT or b.kind == K_VARIANT:
+        if a.kind == K_VARIANT and b.kind == K_VARIANT:
+            # variant-vs-variant needs full dynamic cross-type dispatch
+            # (incl. array deep-equal) — exact in the row backend
+            raise UnsupportedBFL("json() value compared to json() value")
+        var, other = (a, b) if a.kind == K_VARIANT else (b, a)
+        res = _variant_eq(var, other)
+        return ~res if negate else res
     if a.kind == K_REGEX or b.kind == K_REGEX:
         import re as _re
 
@@ -423,6 +471,36 @@ def _pushable_eq(col_v: Val, lit_v: Val) -> Optional[Column]:
     return None
 
 
+def _variant_eq(var: Val, other: Val) -> Column:
+    """``variant == scalar`` with the reference's dynamic dispatch:
+    regex operand → unanchored match on the stringified value
+    (eval.go:106-107); extracted JSON *array* → existential over
+    elements (eval.go:108-119); JSON null matches the nil literal
+    (stringOperand(nil) == "null"); else string-coerced equality."""
+    vcol = _apply_false_if_variant(var)
+    if other.kind == K_REGEX:
+        return F.coalesce(variant_str(vcol).rlike(other.lit), _false())
+    s_other = str_col(other)
+    t = F.schema_of_variant(vcol)
+    arr = F.try_variant_get(vcol, "$", "array<variant>")
+    arr_match = F.coalesce(
+        F.exists(arr, lambda e: variant_str(e) == s_other), _false()
+    )
+    scalar_match = F.coalesce(variant_str(vcol) == s_other, _false())
+    return F.when(vcol.isNull(), F.lit("false") == s_other).otherwise(
+        F.when(t.rlike(r"^ARRAY"), arr_match).otherwise(scalar_match)
+    )
+
+
+def _apply_false_if_variant(var: Val) -> Column:
+    # a false_if variant operand is Go false — representable as a
+    # variant-missing value would be wrong ("false" vs miss), so fold it
+    # into the string layer instead: parse_json('false') is a BOOLEAN
+    if var.false_if is None:
+        return var.col
+    return F.when(var.false_if, F.parse_json(F.lit("false"))).otherwise(var.col)
+
+
 _CMP = {
     ">": lambda x, y: x > y,
     "<": lambda x, y: x < y,
@@ -435,6 +513,29 @@ def _compile_cmp(op: str, a: Val, b: Val) -> Column:
     """>,<,>=,<= (eval.go:176-326) with array existential / cross-product
     universal semantics via exists/forall (JVM higher-order functions)."""
     cmp = _CMP[op]
+    if a.kind == K_VARIANT or b.kind == K_VARIANT:
+        if a.kind == K_VARIANT and b.kind == K_VARIANT:
+            raise UnsupportedBFL("json() value ordered against json() value")
+        if a.kind == K_VARIANT:
+            vcol = _apply_false_if_variant(a)
+            nother = num_col(b)
+            flip = False
+        else:
+            vcol = _apply_false_if_variant(b)
+            nother = num_col(a)
+            flip = True
+        t = F.schema_of_variant(vcol)
+        arr = F.try_variant_get(vcol, "$", "array<variant>")
+        # extracted array ⇒ existential (eval.go:189-196); scalar ⇒
+        # numeric-coerced comparison
+        def _c(x, y):
+            return cmp(y, x) if flip else cmp(x, y)
+
+        arr_match = F.coalesce(
+            F.exists(arr, lambda e: _c(variant_num(e), nother)), _false()
+        )
+        scalar_match = F.coalesce(_c(variant_num(vcol), nother), _false())
+        return F.when(t.rlike(r"^ARRAY"), arr_match).otherwise(scalar_match)
     if a.kind == K_ARRAY and b.kind == K_ARRAY:
         ea, eb = _elem_num(a.elem), _elem_num(b.elem)
         res = F.forall(
@@ -741,11 +842,14 @@ def _compile_docfunc(path: Path, resolver: _PathResolver) -> Val:
     if path.docfunc == "json":
         gjo = _gjo_path(path.inner)
         if gjo is not None:
-            col = F.get_json_object(src, gjo)
-            # get_json_object returns JSON text for objects/arrays and the
-            # raw value for scalars — strip surrounding quotes it never adds
-        else:
-            col = _rd_json_udf(path.inner)(src)
+            # type-faithful extraction (Spark 4 Variant): per-value JSON
+            # types survive, so coercions dispatch like ojg's
+            # interface{} type switch; parse failure → SQL NULL → the
+            # reference's operand-false semantics
+            col = F.try_variant_get(F.try_parse_json(src), gjo, "variant")
+            return Val(kind=K_VARIANT, col=col)
+        # recursive descent `..name`: exact pyeval over the document
+        col = _rd_json_udf(path.inner)(src)
         return Val(kind=K_JSONVAL, col=col)
     xp = _xpath(path.inner)
     if xp is None:

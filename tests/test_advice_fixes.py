@@ -123,17 +123,39 @@ def test_json_bool_numeric_coercion(spark):
     assert _both(spark, "body.json().ok >= 1", doc) is True
 
 
-def test_json_nil_comparison_routes_to_row_backend(spark):
+def test_json_nil_comparison_typed(spark):
+    """Variant extraction distinguishes a present JSON null (== nil is
+    TRUE, reference stringifies nil to "null") from a missing key
+    (operand false → "false" ≠ "null") — no row-backend detour needed."""
     doc = json.dumps({"body": json.dumps({"x": None})})
-    df = spark.read.json(spark.sparkContext.parallelize([doc]))
-    with pytest.raises(UnsupportedBFL):
-        compile_filter("body.json().x == nil", df)
-    # the row-backend oracle gets it right: present null == nil → true
-    truth, _ = eval_query(parse("body.json().x == nil"), doc)
-    assert truth is True
-    # …and a genuinely missing key is NOT nil (operand false → "false")
-    truth2, _ = eval_query(parse("body.json().missing == nil"), doc)
-    assert truth2 is False
+    assert _both(spark, "body.json().x == nil", doc) is True
+    assert _both(spark, "body.json().missing == nil", doc) is False
+    assert _both(spark, "body.json().x != nil", doc) is False
+    assert _both(spark, "body.json().missing != nil", doc) is True
+
+
+def test_json_string_that_looks_numeric_stays_verbatim(spark):
+    """The type-erasure class the Variant backend eliminates: a JSON
+    *string* "1.50" is not canonicalized, while the number 1.50 is."""
+    doc = json.dumps({"body": json.dumps({"s": "1.50", "n": 1.50})})
+    assert _both(spark, 'body.json().s == "1.50"', doc) is True
+    assert _both(spark, 'body.json().s == "1.5"', doc) is False
+    assert _both(spark, "body.json().n == 1.5", doc) is True
+    assert _both(spark, 'body.json().n == "1.50"', doc) is False
+    # a JSON string "true" is truthy as a non-empty string (not a bool)
+    doc2 = json.dumps({"body": json.dumps({"f": "false"})})
+    assert _both(spark, "body.json().f", doc2) is True
+    # …and numeric-coerces via strconv parse → 0
+    assert _both(spark, "body.json().f >= 1", doc2) is False
+
+
+def test_json_array_extraction_existential(spark):
+    doc = json.dumps({"body": json.dumps({"a": [1, 2, 3]})})
+    assert _both(spark, "body.json().a == 2", doc) is True
+    assert _both(spark, "body.json().a == 9", doc) is False
+    assert _both(spark, "body.json().a > 2", doc) is True
+    assert _both(spark, "body.json().a > 3", doc) is False
+    assert _both(spark, "body.json().a", doc) is True  # non-empty array
 
 
 # -- ADVICE 4: row backend serializes Arrow values as real JSON -------------
