@@ -1,0 +1,137 @@
+"""Differential fuzzing: the BFL→Column compiler against the exact
+Python evaluator over randomized queries × documents.
+
+The reference has no property-based tests (SURVEY §5); this adds the
+missing layer: deterministic pseudo-random documents (scalars including
+nulls, numeric-looking strings, arrays, nested objects, json()-encoded
+bodies) × pseudo-random queries from the BFL grammar, asserting the
+vectorized fast path agrees with pyeval row by row. Vectorized: one
+Spark job per query evaluates all documents at once.
+"""
+
+import json
+import random
+
+import pytest
+
+from basenine_spark.bfl import parse
+from basenine_spark.bfl.compiler import UnsupportedBFL, compile_filter
+from basenine_spark.bfl.pyeval import eval_query
+
+SEED = 20260813
+N_DOCS = 60
+
+FIELDS = ["num", "fnum", "s", "snum", "flag", "nil", "arr", "obj", "body"]
+
+
+def _gen_doc(rnd: random.Random, present: set) -> dict:
+    """One document. Field *presence* is decided per test case (a typed
+    table either has a column or it doesn't — a field missing from one
+    row of a typed view is a NULL, which is the compiler's documented
+    JSON-null convention and exactly what the row backend's serialized
+    rows contain). Per-document NULLs exercise the null coercions;
+    static collapse is exercised by absent-in-all fields. True per-doc
+    key absence survives only inside the json() body, where the Variant
+    path distinguishes it exactly."""
+    doc = {
+        "num": rnd.choice([0, 1, -3, 7, 29, 1000, 114905, None]),
+        "fnum": rnd.choice([0.0, 1.5, -2.25, 3.14159265, 42.0, 1e3, None]),
+        "s": rnd.choice(["", "x", "Chevrolet", "null", "false", "29", None]),
+        "snum": rnd.choice(["1.50", "0", "-1", "2e2", "abc"]),
+        "flag": rnd.choice([True, False, None]),
+        "nil": None,
+        "arr": rnd.choice([[], [1, 2, 3], [5], [-1, 10]]),
+        "obj": {"k": rnd.choice([1, "v", None])},
+    }
+    # nested JSON body exercising the variant path (keys may be absent)
+    inner = {
+        "price": rnd.choice([1.5, 1.50, 30, "1.50", None]),
+        "name": rnd.choice(["Chevrolet", "Ford", ""]),
+        "tags": rnd.choice([[], ["a", "b"], [1, 2]]),
+        "ok": rnd.choice([True, False, "true"]),
+    }
+    for f in list(inner):
+        if rnd.random() < 0.2:
+            del inner[f]
+    doc["body"] = json.dumps(inner)
+    return {k: v for k, v in doc.items() if k in present}
+
+
+_LITS = ['"Chevrolet"', '"x"', '"null"', '"29"', '"1.5"', "0", "1", "29", "1.5", "-1", "1000", "nil", "true", "false", 'r"ev"', 'r"^C"']
+_PATHS = ["num", "fnum", "s", "snum", "flag", "nil", "arr", "arr[0]", "obj.k", 'obj["k"]', "missing", "missing.deep"]
+_JSON_PATHS = ["body.json().price", "body.json().name", "body.json().tags", "body.json().ok", "body.json().absent"]
+_OPS = ["==", "!=", ">", "<", ">=", "<="]
+
+
+def _gen_term(rnd: random.Random) -> str:
+    kind = rnd.random()
+    if kind < 0.45:
+        lhs = rnd.choice(_PATHS + _JSON_PATHS)
+        return f"{lhs} {rnd.choice(_OPS)} {rnd.choice(_LITS)}"
+    if kind < 0.6:
+        return rnd.choice(_PATHS + _JSON_PATHS)  # bare truthiness
+    if kind < 0.7:
+        return f"!{rnd.choice(['flag', 'missing', 's'])}"
+    if kind < 0.8:
+        h = rnd.choice(["startsWith", "endsWith", "contains"])
+        target = rnd.choice(["s", "snum", "missing"])
+        arg = rnd.choice(['"C"', '"x"', '"1"'])
+        return f"{target}.{h}({arg})"
+    lhs = rnd.choice(["num", "fnum", "arr"])
+    return f"{lhs} {rnd.choice(_OPS)} {rnd.choice(['num', 'fnum', 's'])}"
+
+
+def _gen_query(rnd: random.Random) -> str:
+    terms = [_gen_term(rnd) for _ in range(rnd.randint(1, 3))]
+    out = f"({terms[0]})"
+    for t in terms[1:]:
+        out = f"{out} {rnd.choice(['and', 'or'])} ({t})"
+    return out
+
+
+@pytest.mark.parametrize("qi", range(30))
+def test_differential_compiler_vs_pyeval(spark, qi):
+    rnd = random.Random(SEED + qi)
+    query = _gen_query(rnd)
+    # per-case column set: most fields present; occasionally drop one
+    # entirely (static-collapse fuzzing); body always present
+    present = {f for f in FIELDS if f == "body" or rnd.random() > 0.1}
+    docs = [
+        json.dumps(_gen_doc(random.Random(SEED * 1000 + qi * N_DOCS + i), present))
+        for i in range(N_DOCS)
+    ]
+
+    expected = []
+    for d in docs:
+        truth, _ = eval_query(parse(query), d)
+        expected.append(bool(truth))
+
+    df = spark.read.json(spark.sparkContext.parallelize(docs)).withColumn(
+        "_doc_idx", __import__("pyspark").sql.functions.monotonically_increasing_id()
+    )
+    # read.json may reorder / merge schemas; re-derive doc order via zip
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "idx long, raw string"
+    )
+    from pyspark.sql import functions as F
+
+    sample = spark.read.json(spark.sparkContext.parallelize(docs))
+    typed = df.select("idx", F.from_json("raw", sample.schema).alias("doc")).select(
+        "idx", "doc.*"
+    )
+    try:
+        compiled = compile_filter(query, typed)
+    except UnsupportedBFL:
+        pytest.skip(f"row-backend query shape: {query}")
+    if compiled.predicate is None:
+        got_idx = set(range(N_DOCS))
+    else:
+        got_idx = {r["idx"] for r in typed.filter(compiled.predicate).select("idx").collect()}
+    mismatches = [
+        (i, docs[i]) for i in range(N_DOCS) if (i in got_idx) != expected[i]
+    ]
+    assert not mismatches, (
+        f"query {query!r}: {len(mismatches)} disagreements; first: "
+        f"doc={mismatches[0][1]} compiler={mismatches[0][0] in got_idx} "
+        f"pyeval={expected[mismatches[0][0]]}"
+    )
