@@ -110,12 +110,16 @@ class TailQuery:
                 self.records.append((r["_id"], r["_v"]))
                 if self.on_record:
                     self.on_record(r["_id"], r["_v"])
+                if self.on_metadata:
+                    # per-record frame interleaving, like the reference
+                    # (native.go:497-511): leftOff advances to the record
+                    # just delivered
+                    md = db.metadata(written=self.written, queried=self.written)
+                    if r["_id"]:
+                        md.left_off = r["_id"]
+                    self.on_metadata(md)
             if self.limit > 0 and self.written >= self.limit:
                 self._limit_hit.set()
-        if self.on_metadata:
-            self.on_metadata(
-                db.metadata(written=self.written, queried=self.written)
-            )
 
     # -- lifecycle -----------------------------------------------------
 
