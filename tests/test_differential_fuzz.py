@@ -58,8 +58,15 @@ def _gen_doc(rnd: random.Random, present: set) -> dict:
 
 
 _LITS = ['"Chevrolet"', '"x"', '"null"', '"29"', '"1.5"', "0", "1", "29", "1.5", "-1", "1000", "nil", "true", "false", 'r"ev"', 'r"^C"']
-_PATHS = ["num", "fnum", "s", "snum", "flag", "nil", "arr", "arr[0]", "obj.k", 'obj["k"]', "missing", "missing.deep"]
-_JSON_PATHS = ["body.json().price", "body.json().name", "body.json().tags", "body.json().ok", "body.json().absent"]
+_PATHS = [
+    "num", "fnum", "s", "snum", "flag", "nil", "arr", "arr[0]", "arr[5]",
+    "arr.*", "obj.k", 'obj["k"]', 'obj["absent"]', "missing", "missing.deep",
+]
+_JSON_PATHS = [
+    "body.json().price", "body.json().name", "body.json().tags",
+    "body.json().ok", "body.json().absent", 'body.json()["name"]',
+    "body.json().tags[0]", "missing.json().x",
+]
 _OPS = ["==", "!=", ">", "<", ">=", "<="]
 
 
