@@ -237,36 +237,31 @@ def _v_scalar(col: Column, t: str) -> Column:
 
 
 def variant_str(col: Column) -> Column:
-    """stringOperand over a variant (eval.go:47-62)."""
+    """stringOperand over a variant (eval.go:47-62).
+
+    The variant→string cast is verbatim for strings, decimal-exact for
+    integers and 'true'/'false' for bools — only non-integer numerics
+    need the explicit %g re-format (ojg float64 printing), and
+    containers fall through the Go type switch to ""."""
     t = F.schema_of_variant(col)
     return (
         F.when(col.isNull(), F.lit("false"))  # json path miss → Go false
         .when(F.is_variant_null(col), F.lit("null"))
-        .when(t == "BOOLEAN", _v_scalar(col, "string"))
-        .when(t.rlike(r"^(BIGINT|INT|SMALLINT|TINYINT)$"), _v_scalar(col, "string"))
-        .when(t.rlike(r"^DECIMAL\(\d+,0\)$"), _v_scalar(col, "string"))
-        .when(t.rlike(_VT_NUMERIC), go_g6_col(_v_scalar(col, "double")))
-        .when(t == "STRING", _v_scalar(col, "string"))
-        .otherwise(F.lit(""))  # object/array: Go switch falls through
+        .when(t.rlike(r"^(ARRAY|OBJECT)"), F.lit(""))
+        .when(
+            t.rlike(r"^(DECIMAL\(\d+,[1-9]|DOUBLE|FLOAT)"),
+            go_g6_col(_v_scalar(col, "double")),
+        )
+        .otherwise(F.coalesce(_v_scalar(col, "string"), F.lit("")))
     )
 
 
 def variant_num(col: Column) -> Column:
-    """float64Operand over a variant (eval.go:65-88)."""
-    t = F.schema_of_variant(col)
-    return (
-        F.when(col.isNull() | F.is_variant_null(col), F.lit(0.0))
-        .when(
-            t == "BOOLEAN",
-            F.when(_v_scalar(col, "boolean"), 1.0).otherwise(0.0),
-        )
-        .when(t.rlike(_VT_NUMERIC), F.coalesce(_v_scalar(col, "double"), F.lit(0.0)))
-        .when(
-            t == "STRING",
-            F.coalesce(_v_scalar(col, "string").try_cast("double"), F.lit(0.0)),
-        )
-        .otherwise(F.lit(0.0))
-    )
+    """float64Operand over a variant (eval.go:65-88) in ONE cast: the
+    variant→double cast already matches the Go coercion table — numbers
+    numerically, bool → 1/0, numeric strings parsed, everything else
+    (non-numeric strings, null, miss, containers) → NULL → 0."""
+    return F.coalesce(_v_scalar(col, "double"), F.lit(0.0))
 
 
 def variant_truthy(col: Column) -> Column:
@@ -276,12 +271,12 @@ def variant_truthy(col: Column) -> Column:
         F.when(col.isNull() | F.is_variant_null(col), _false())
         .when(t == "BOOLEAN", F.coalesce(_v_scalar(col, "boolean"), _false()))
         .when(t == "STRING", F.coalesce(_v_scalar(col, "string") != "", _false()))
-        .when(t.rlike(_VT_NUMERIC), F.coalesce(_v_scalar(col, "double") > 0, _false()))
         .when(
             t.rlike(r"^ARRAY"),
             F.coalesce(F.size(_v_scalar(col, "array<variant>")) > 0, _false()),
         )
-        .otherwise(_false())
+        .when(t.rlike(r"^OBJECT"), _false())
+        .otherwise(F.coalesce(_v_scalar(col, "double") > 0, _false()))
     )
 
 
