@@ -386,6 +386,11 @@ def _compile_eql(a: Val, b: Val, negate: bool) -> Column:
             # (incl. array deep-equal) — exact in the row backend
             raise UnsupportedBFL("json() value compared to json() value")
         var, other = (a, b) if a.kind == K_VARIANT else (b, a)
+        if other.kind == K_ARRAY:
+            # typed array vs json() value needs the reference's array
+            # existential / deep-equal dispatch (eval.go:108-119,130-134)
+            # on a dynamically-typed operand — exact in the row backend
+            raise UnsupportedBFL("typed array compared to json() value")
         res = _variant_eq(var, other)
         return ~res if negate else res
     if a.kind == K_REGEX or b.kind == K_REGEX:
@@ -511,6 +516,13 @@ def _compile_cmp(op: str, a: Val, b: Val) -> Column:
     if a.kind == K_VARIANT or b.kind == K_VARIANT:
         if a.kind == K_VARIANT and b.kind == K_VARIANT:
             raise UnsupportedBFL("json() value ordered against json() value")
+        if (a.kind == K_VARIANT and b.kind == K_ARRAY) or (
+            b.kind == K_VARIANT and a.kind == K_ARRAY
+        ):
+            # typed array vs json() value: cross-product existential /
+            # universal semantics (eval.go:189-238) over a dynamic
+            # operand — exact in the row backend
+            raise UnsupportedBFL("typed array ordered against json() value")
         if a.kind == K_VARIANT:
             vcol = _apply_false_if_variant(a)
             nother = num_col(b)

@@ -263,3 +263,52 @@ def test_schema_cache_survives_same_shape_inserts(spark, tmp_path):
     db.insert_json([json.dumps({"a": 3, "b": "new"})])  # new key → refresh
     assert db._typed_schema is None
     assert "b" in db.dataframe().columns
+
+
+# -- ADVICE r3-1: typed array vs json() Variant operand ---------------------
+# The variant branches of _compile_eql/_compile_cmp coerce the non-variant
+# side via str_col/num_col — an ARRAY operand would silently collapse to
+# ''/0.0 instead of the reference's existential / deep-equal dispatch
+# (eval.go:108-119,176-326).  They must refuse so the query runs on the
+# exact row backend.
+
+
+def _arr_variant_df(spark):
+    return spark.read.json(
+        spark.sparkContext.parallelize(
+            [
+                '{"id": 0, "arr": [1, 2, 3], "body": "{\\"price\\": 2, \\"tags\\": [1, 2, 3]}"}',
+                '{"id": 1, "arr": [1], "body": "{\\"price\\": 2, \\"tags\\": [9]}"}',
+            ]
+        )
+    )
+
+
+def test_typed_array_cmp_variant_unsupported(spark):
+    df = _arr_variant_df(spark)
+    with pytest.raises(UnsupportedBFL):
+        compile_filter("arr > body.json().price", df)
+    with pytest.raises(UnsupportedBFL):
+        compile_filter("body.json().price < arr", df)
+
+
+def test_typed_array_eq_variant_unsupported(spark):
+    df = _arr_variant_df(spark)
+    with pytest.raises(UnsupportedBFL):
+        compile_filter("arr == body.json().tags", df)
+    with pytest.raises(UnsupportedBFL):
+        compile_filter("body.json().tags != arr", df)
+
+
+def test_typed_array_vs_variant_row_backend_exact(spark):
+    # Full /query path: falls back to the exact evaluator and matches
+    # the reference's array-existential semantics (3 > 2 ⇒ record 0
+    # passes; [1] has no element > 2 ⇒ record 1 drops).
+    from basenine_spark.engine.db import BasenineDB
+
+    df = _arr_variant_df(spark)
+    db = BasenineDB.from_dataframe(spark, df, id_col="id")
+    out = db.query("arr > body.json().price")
+    assert "value" in out.columns  # row backend engaged
+    ids = sorted(int(r["id"]) for r in out.collect())
+    assert ids == [0]
