@@ -51,9 +51,20 @@ from ..bfl.ast import Query
 from ..bfl.compiler import UnsupportedBFL, compile_filter, split_conjuncts
 from ..bfl.macros import add_macro as _add_macro
 from .log import DocumentLog
+from .schema import (
+    finalize_type,
+    infer_batch_schema,
+    merge_types,
+    schema_from_json,
+    schema_to_json,
+)
 
 ID_COL = "id"
 ID_WIDTH = 24  # IndexToID: %024d (helpers.go:15-17)
+
+# Legacy-log schema recovery: docs sampled before falling back to a
+# full-corpus parse (only logs created before schema versioning get here)
+SCHEMA_SAMPLE_DOCS = 20_000
 
 
 def _jsonable(v):
@@ -130,7 +141,8 @@ class BasenineDB:
         self.retention_bytes: int = 0
         self._insert_counter = 0
         self._log: Optional[DocumentLog] = DocumentLog(spark, path) if path else None
-        self._typed_schema = None  # cached inferred schema (log mode)
+        self._typed_schema = None  # parse-ready typed-view schema (log mode)
+        self._schema_acc = None  # raw merged shape (NullType placeholders kept)
         self._known_keys: set[str] = set()  # top-level doc keys seen
         self._mounted_total: Optional[int] = None  # cached count, mounted mode
         if self._log is not None:
@@ -162,6 +174,14 @@ class BasenineDB:
         self.retention_bytes = state.get("retention_bytes", 0)
         if self._log is not None and self.retention_bytes:
             self._log.retention_bytes = self.retention_bytes
+        # Schema-as-metadata (Delta-style): the typed-view schema is
+        # maintained at write time and restored here, so the first query
+        # after a restart never pays a corpus-wide inference scan.
+        acc = state.get("typed_schema")
+        if acc:
+            self._schema_acc = schema_from_json(acc)
+            self._typed_schema = finalize_type(self._schema_acc)
+        self._known_keys = set(state.get("known_keys", []))
 
     def _save_state(self) -> None:
         import os
@@ -175,6 +195,12 @@ class BasenineDB:
                     "macros": self.macros,
                     "insertion_filter": self.insertion_filter,
                     "retention_bytes": self.retention_bytes,
+                    "typed_schema": (
+                        schema_to_json(self._schema_acc)
+                        if self._schema_acc is not None
+                        else None
+                    ),
+                    "known_keys": sorted(self._known_keys),
                 },
                 fh,
             )
@@ -207,19 +233,54 @@ class BasenineDB:
                 if self.insertion_filter
                 else ""
             )
-            # Invalidate the cached typed schema ONLY when the batch
-            # introduces unseen top-level keys — otherwise a live tail
-            # would re-run full-log schema inference every micro-batch
-            # under continuous ingest. (Nested-shape widening within a
-            # known key is not tracked; the row backend remains exact.)
+            # Write-time schema maintenance: merge this batch's shape
+            # into the running union schema (Spark-inference-compatible
+            # promotion rules, engine/schema.py) instead of invalidating
+            # the cache — the typed view never re-learns its schema from
+            # the data, at any scale.
+            parsed_docs = [json.loads(line) for line in lines]
             new_keys = set()
-            for line in lines:
-                new_keys.update(json.loads(line).keys())
+            for doc in parsed_docs:
+                if isinstance(doc, dict):
+                    new_keys.update(doc.keys())
+            first_new_seq = self._log.total_written
             ids = self._log.append(lines, insertion_filter_text=flt_text)
             self._insert_counter = self._log.total_written
-            if not new_keys <= self._known_keys:
-                self._typed_schema = None
-                self._known_keys |= new_keys
+            if flt_text and self._log.total_written > first_new_seq:
+                # the stored docs may be filtered/redacted (value types
+                # can change, e.g. number → '[REDACTED]') — infer from
+                # the just-appended slice, a batch-bounded job pruned by
+                # the seq predicate
+                appended = (
+                    self._log.scan()
+                    .filter(F.col("seq") >= first_new_seq)
+                    .select("value")
+                )
+                batch = self.spark.read.json(
+                    appended.rdd.map(lambda r: r.value)
+                ).schema
+            elif not flt_text:
+                # stored docs carry the injected id key on top of the
+                # wire shape (native.go:294-311)
+                from pyspark.sql import types as T
+
+                batch = merge_types(
+                    infer_batch_schema(parsed_docs),
+                    T.StructType([T.StructField(ID_COL, T.StringType(), True)]),
+                )
+            else:  # filter dropped the whole batch — nothing to learn
+                batch = None
+            if batch is not None:
+                merged = (
+                    batch
+                    if self._schema_acc is None
+                    else merge_types(self._schema_acc, batch)
+                )
+                if merged != self._schema_acc:
+                    self._schema_acc = merged
+                    self._typed_schema = finalize_type(merged)
+            self._known_keys |= new_keys
+            self._save_state()
             return ids
 
         flt = (
@@ -350,14 +411,40 @@ class BasenineDB:
         if max_seq is not None:
             scan = scan.filter(F.col("seq") <= max_seq)
         if self._typed_schema is None:
-            sample = self.spark.read.json(
-                self._log.scan().select("value").rdd.map(lambda r: r.value)
-            )
-            self._typed_schema = sample.schema
-            self._known_keys |= set(sample.schema.fieldNames())
+            self._infer_schema_from_log()
         return scan.select(
             F.from_json(F.col("value"), self._typed_schema).alias("doc")
         ).select("doc.*")
+
+    def _infer_schema_from_log(self) -> None:
+        """Schema recovery for logs with no persisted schema (created
+        before schema versioning, or a hand-deleted ``_state.json``):
+        infer from a bounded document sample, then verify top-level key
+        completeness with one JVM-side columnar pass
+        (``json_object_keys`` — no Python round-trip).  Only a key the
+        sample never saw forces the full-corpus parse that the old
+        design paid on every restart.  Runs once, then persists."""
+        assert self._log is not None
+        values = self._log.scan().select("value")
+        sample = self.spark.read.json(
+            values.limit(SCHEMA_SAMPLE_DOCS).rdd.map(lambda r: r.value)
+        ).schema
+        all_keys = {
+            r["k"]
+            for r in values.select(
+                F.explode(F.json_object_keys(F.col("value"))).alias("k")
+            )
+            .distinct()
+            .collect()
+        }
+        if not all_keys <= set(sample.fieldNames()):
+            sample = self.spark.read.json(
+                values.rdd.map(lambda r: r.value)
+            ).schema
+        self._schema_acc = sample
+        self._typed_schema = finalize_type(sample)
+        self._known_keys |= set(sample.fieldNames())
+        self._save_state()
 
     def query(self, query: str = "", left_off: int | str = 0) -> DataFrame:
         """/query (M1) as a bounded scan: records after ``left_off``
@@ -473,6 +560,7 @@ class BasenineDB:
         self._df = None
         self._insert_counter = 0
         self._typed_schema = None
+        self._schema_acc = None
         self._known_keys = set()
         self._mounted_total = None
         if self._log is not None:

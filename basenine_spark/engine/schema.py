@@ -1,0 +1,165 @@
+"""Write-time JSON schema maintenance for the durable document log.
+
+The round-2 design learned the typed-view schema by running
+``spark.read.json`` over an RDD projection of the **entire** log — a
+full corpus scan plus a per-row Python round-trip, re-paid on first
+query after every restart and whenever a batch introduced a new
+top-level key.  At 100 TB that is a corpus-wide JSON parse to learn
+metadata that every ingest batch already knows.
+
+This module maintains the schema **at write time** instead, the way a
+table format (Delta/Iceberg) maintains schema-evolution metadata: each
+ingest batch's shape is inferred driver-side from the already-parsed
+documents (the batch is in hand — no job), merged into the running
+union schema with the same promotion rules Spark's own JSON inference
+uses (``JsonInferSchema.compatibleType``), and persisted in
+``_state.json`` so a restart restores it without touching the data.
+
+Rules mirrored from Spark's JSON inference (verified against
+``spark.read.json`` in ``tests/test_schema_inference.py``):
+
+* int fitting int64 → ``long``; wider (≤38 digits) → ``decimal(38,0)``;
+  wider still → ``double``; any fractional/exponent literal → ``double``
+* ``null`` → ``NullType`` placeholder (a later batch may type it)
+* object → struct with **alphabetically sorted**, nullable fields
+* ``[]`` → ``array<null>`` placeholder
+* merge: equal → same; numeric pair → wider numeric; ``NullType`` + t →
+  t; struct ∪ struct → field-union (recursive); array + array → merged
+  element; anything else → ``string`` (JSON text preserved verbatim —
+  ``from_json`` reads any value into a string field)
+* finalize (parse time): remaining ``NullType`` → ``string``
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable, Optional
+
+from pyspark.sql import types as T
+
+_LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
+
+
+def infer_value_type(value: Any) -> T.DataType:
+    """Spark-compatible type of one parsed JSON value."""
+    if value is None:
+        return T.NullType()
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return T.BooleanType()
+    if isinstance(value, int):
+        if _LONG_MIN <= value <= _LONG_MAX:
+            return T.LongType()
+        digits = len(str(abs(value)))
+        if digits <= 38:
+            return T.DecimalType(digits, 0)
+        return T.DoubleType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, str):
+        return T.StringType()
+    if isinstance(value, list):
+        elem: T.DataType = T.NullType()
+        for v in value:
+            elem = merge_types(elem, infer_value_type(v))
+        return T.ArrayType(elem, True)
+    if isinstance(value, dict):
+        return T.StructType(
+            [
+                T.StructField(k, infer_value_type(value[k]), True)
+                for k in sorted(value)
+            ]
+        )
+    raise TypeError(f"not a JSON value: {type(value).__name__}")
+
+
+_NUM_RANK = {"long": 0, "decimal(38,0)": 1, "double": 2}
+
+
+def _num_rank(dt: T.DataType) -> Optional[int]:
+    if isinstance(dt, T.LongType):
+        return 0
+    if isinstance(dt, T.DecimalType):
+        return 1
+    if isinstance(dt, T.DoubleType):
+        return 2
+    return None
+
+
+def merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    """``JsonInferSchema.compatibleType``: widen within numerics, union
+    structs, merge array elements, fall back to string."""
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    ra, rb = _num_rank(a), _num_rank(b)
+    if ra is not None and rb is not None:
+        if 2 in (ra, rb):
+            return T.DoubleType()
+        # integral pair: widen precision (a long is decimal(20,0))
+        pa = a.precision if isinstance(a, T.DecimalType) else 20
+        pb = b.precision if isinstance(b, T.DecimalType) else 20
+        return T.DecimalType(min(max(pa, pb), 38), 0)
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fa = {f.name: f.dataType for f in a.fields}
+        fb = {f.name: f.dataType for f in b.fields}
+        names = sorted(set(fa) | set(fb))
+        return T.StructType(
+            [
+                T.StructField(
+                    n,
+                    merge_types(fa[n], fb[n])
+                    if n in fa and n in fb
+                    else (fa.get(n) or fb[n]),
+                    True,
+                )
+                for n in names
+            ]
+        )
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(merge_types(a.elementType, b.elementType), True)
+    return T.StringType()
+
+
+def finalize_type(dt: T.StructType) -> T.StructType:
+    """Parse-ready form, mirroring Spark's ``canonicalizeType``:
+    ``NullType`` placeholders become ``string`` and (recursively) empty
+    structs are dropped — ``{"a": {}}`` contributes no field."""
+    out = _canon(dt)
+    return out if isinstance(out, T.StructType) else T.StructType([])
+
+
+def _canon(dt: T.DataType) -> Optional[T.DataType]:
+    if isinstance(dt, T.NullType):
+        return T.StringType()
+    if isinstance(dt, T.ArrayType):
+        elem = _canon(dt.elementType)
+        return None if elem is None else T.ArrayType(elem, True)
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            ft = _canon(f.dataType)
+            if ft is not None:
+                fields.append(T.StructField(f.name, ft, True))
+        return T.StructType(fields) if fields else None
+    return dt
+
+
+def infer_batch_schema(docs: Iterable[Any]) -> T.StructType:
+    """Union shape of one ingest batch of parsed documents (dicts)."""
+    acc: T.DataType = T.StructType([])
+    for doc in docs:
+        acc = merge_types(acc, infer_value_type(doc))
+    assert isinstance(acc, T.StructType)
+    return acc
+
+
+def schema_to_json(dt: T.StructType) -> str:
+    return json.dumps(dt.jsonValue())
+
+
+def schema_from_json(text: str) -> T.StructType:
+    out = T.StructType.fromJson(json.loads(text))
+    return out

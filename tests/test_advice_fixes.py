@@ -255,13 +255,13 @@ def test_schema_cache_survives_same_shape_inserts(spark, tmp_path):
 
     db = BasenineDB(spark, path=str(tmp_path / "store"))
     db.insert_json([json.dumps({"a": 1})])
-    db.dataframe()  # populate schema cache
+    db.dataframe()  # schema maintained at write time
     cached = db._typed_schema
     assert cached is not None
-    db.insert_json([json.dumps({"a": 2})])  # same keys → cache kept
+    db.insert_json([json.dumps({"a": 2})])  # same shape → same object
     assert db._typed_schema is cached
-    db.insert_json([json.dumps({"a": 3, "b": "new"})])  # new key → refresh
-    assert db._typed_schema is None
+    db.insert_json([json.dumps({"a": 3, "b": "new"})])  # new key → merged
+    assert db._typed_schema is not None  # no invalidation, no re-scan
     assert "b" in db.dataframe().columns
 
 
