@@ -1198,3 +1198,235 @@ def compile_filter(
     if v.collapse is not False:
         pred = F.when(v.collapse, _false()).otherwise(pred)
     return Compiled(predicate=pred, limit=q.limit)
+
+
+# ---------------------------------------------------------------------------
+# Schema-static redact fast path
+# ---------------------------------------------------------------------------
+
+REDACTED = "[REDACTED]"  # eval.go:406
+
+
+# helpers that never read the document when called bare (compile-time
+# folded, or — redact — write-only)
+_NO_READ_HELPERS = frozenset(
+    {"now", "datetime", "limit", "redact"} | set(TIME_HELPERS)
+)
+
+
+def _collect_path_reads(expr: Expr, out: list) -> None:
+    """Dotted prefixes read by an expression.  An empty tuple means "an
+    unresolvable root" (wildcard/descent-first path) and overlaps every
+    prefix.  Helper arguments are never reads (the reference evaluates
+    Path parameters to ``false`` without touching the document,
+    eval.go:565-578)."""
+    if isinstance(expr, Path):
+        if expr.outer or expr.helper not in _NO_READ_HELPERS:
+            names = []
+            for seg in expr.outer:
+                if isinstance(seg, Field):
+                    names.append(seg.name)
+                elif isinstance(seg, Key):
+                    names.append(seg.key)
+                else:
+                    break  # wildcard/index/descent — prefix so far suffices
+            out.append(tuple(names))
+    elif isinstance(expr, Unary):
+        _collect_path_reads(expr.operand, out)
+    elif isinstance(expr, BinaryOp):
+        _collect_path_reads(expr.left, out)
+        _collect_path_reads(expr.right, out)
+    elif isinstance(expr, SubExpression):
+        _collect_path_reads(expr.expr, out)
+
+
+def _prefix_overlap(a: Tuple[str, ...], b: Tuple[str, ...]) -> bool:
+    k = min(len(a), len(b))
+    return a[:k] == b[:k]
+
+
+# public aliases for the engine layer
+collect_path_reads = _collect_path_reads
+prefix_overlap = _prefix_overlap
+
+
+def collect_redact_taints(expr: Expr) -> Optional[List[Tuple[str, ...]]]:
+    """Dotted prefixes any ``redact`` inside ``expr`` may MUTATE, or
+    None when a redact target is statically unresolvable (non-literal
+    arg, ``..`` descent) — then everything is tainted.  Used to keep the
+    row-backend conjunct pre-filter sound: the reference evaluates
+    and-chains left-to-right over the mutated document, so a conjunct
+    reading a redacted path must not be evaluated against the scan."""
+    taints: List[Tuple[str, ...]] = []
+
+    def walk(e: Expr) -> bool:  # False ⇒ unresolvable somewhere
+        if isinstance(e, Path):
+            if e.helper != "redact":
+                return True
+            for a in e.args:
+                if not isinstance(a, StringLit):
+                    return False
+                from .pyeval import parse_path_string
+
+                head = a.value.split(".json()")[0].split(".xml()")[0]
+                names: List[str] = []
+                for seg in parse_path_string(head):
+                    if isinstance(seg, Field):
+                        names.append(seg.name)
+                    elif isinstance(seg, Key):
+                        names.append(seg.key)
+                    else:
+                        break
+                if not names:
+                    return False
+                taints.append(tuple(names))
+            return True
+        if isinstance(e, Unary):
+            return walk(e.operand)
+        if isinstance(e, BinaryOp):
+            return walk(e.left) and walk(e.right)
+        if isinstance(e, SubExpression):
+            return walk(e.expr)
+        return True
+
+    return taints if walk(expr) else None
+
+
+def _static_redact_path(arg: Expr) -> Optional[Tuple[str, ...]]:
+    """A redact argument expressible as a pure struct-field chain —
+    no ``..`` descent, no index/wildcard, no ``json()``/``xml()``
+    re-decode (those need per-row document surgery → row backend)."""
+    if not isinstance(arg, StringLit):
+        return None
+    s = arg.value
+    if ".json()" in s or ".xml()" in s:
+        return None
+    from .pyeval import parse_path_string
+
+    segs = parse_path_string(s)
+    if not segs:
+        return None
+    names = []
+    for seg in segs:
+        if isinstance(seg, Field):
+            names.append(seg.name)
+        elif isinstance(seg, Key):
+            names.append(seg.key)
+        else:
+            return None
+    return tuple(names)
+
+
+def _struct_chain(schema: T.StructType, path: Tuple[str, ...]) -> Optional[bool]:
+    """True: path resolves through structs (project it).  False: the
+    path cannot exist in any document — a name absent at a struct level,
+    or a chain crossing an array/scalar (ojg ``Child`` fragments only
+    descend maps, so the reference no-ops there too; pinned in
+    tests/test_redact_fast.py) → skip it.  None: the chain crosses a
+    MapType (per-row key presence — only the row backend is exact)."""
+    dt: T.DataType = schema
+    for name in path:
+        if isinstance(dt, T.MapType):
+            return None
+        if not isinstance(dt, T.StructType):
+            return False
+        hit = next((f for f in dt.fields if f.name == name), None)
+        if hit is None:
+            return False
+        dt = hit.dataType
+    return True
+
+
+def _redacted_field(root: Column, path: Tuple[str, ...]) -> Column:
+    """Replacement value for ``root`` with ``path`` under it redacted:
+    per-row existence is preserved (a NULL level stays NULL — the
+    reference only sets paths that resolve, eval.go:449-452)."""
+    name, rest = path[0], path[1:]
+    child = root.getField(name)
+    if not rest:
+        return root.withField(
+            f"`{name}`", F.when(child.isNotNull(), F.lit(REDACTED))
+        )
+    return root.withField(f"`{name}`", _redacted_field(child, rest))
+
+
+def compile_redact_fast(
+    q: Query,
+    df_or_schema: Union[DataFrame, T.StructType],
+    protected_roots: Tuple[str, ...] = (),
+    now_ms: Optional[int] = None,
+) -> Optional[Tuple[Optional[Column], List[Tuple[str, ...]]]]:
+    """Compile ``redact("a.b") and <filter>`` to a pure-Column plan
+    (reference semantics ``eval.go:526-537``): the redact conjuncts are
+    always-truthy document mutations, so the query is equivalent to
+    filtering by the remaining conjuncts and projecting
+    ``withField(lit('[REDACTED]'))`` over the named paths — whole-stage
+    codegen end-to-end, no Python stage.
+
+    Returns ``(other_predicate, redact_paths)`` or None when the query
+    needs the exact row backend: redact under ``or``/``!``, dynamic
+    paths (``..``, ``[i]``, wildcards), ``json()``/``xml()`` re-decode,
+    a non-literal argument, a path crossing a non-struct level, a path
+    also *read* by another conjunct (the reference mutates the document
+    left-to-right, so the filter would see the redacted value), or a
+    protected root (the id column).
+    """
+    if q.expr is None:
+        return None
+    conjs = split_conjuncts(q.expr)
+    redacts = [
+        c for c in conjs if isinstance(c, Path) and c.helper == "redact"
+    ]
+    others = [
+        c for c in conjs if not (isinstance(c, Path) and c.helper == "redact")
+    ]
+    if not redacts:
+        return None
+    schema = (
+        df_or_schema.schema
+        if isinstance(df_or_schema, DataFrame)
+        else df_or_schema
+    )
+    paths: List[Tuple[str, ...]] = []
+    for r in redacts:
+        if r.outer or r.docfunc or r.inner:
+            return None  # helper must be the bare `redact(...)` call
+        for a in r.args:
+            p = _static_redact_path(a)
+            if p is None:
+                return None
+            if p[0] in protected_roots:
+                return None
+            resolved = _struct_chain(schema, p)
+            if resolved is None:
+                return None
+            if resolved:
+                paths.append(p)
+    reads: List[Tuple[str, ...]] = []
+    for other in others:
+        _collect_path_reads(other, reads)
+    for rp in paths:
+        for rd in reads:
+            if _prefix_overlap(rp, rd):
+                return None
+    pred: Optional[Column] = None
+    for other in others:  # UnsupportedBFL propagates → caller falls back
+        comp = compile_filter(Query(expr=other, text=q.text), schema, now_ms)
+        if comp.predicate is not None:
+            pred = comp.predicate if pred is None else pred & comp.predicate
+    return pred, paths
+
+
+def apply_redact_paths(df: DataFrame, paths: List[Tuple[str, ...]]) -> DataFrame:
+    """Apply compiled redact projections (see compile_redact_fast)."""
+    for p in paths:
+        if len(p) == 1:
+            df = df.withColumn(
+                p[0],
+                F.when(F.col(f"`{p[0]}`").isNotNull(), F.lit(REDACTED)),
+            )
+        else:
+            df = df.withColumn(
+                p[0], _redacted_field(F.col(f"`{p[0]}`"), p[1:])
+            )
+    return df

@@ -48,7 +48,16 @@ from pyspark.sql import functions as F
 
 from ..bfl import expand_macros, parse, validate as bfl_validate
 from ..bfl.ast import Query
-from ..bfl.compiler import UnsupportedBFL, compile_filter, split_conjuncts
+from ..bfl.compiler import (
+    UnsupportedBFL,
+    apply_redact_paths,
+    collect_path_reads,
+    collect_redact_taints,
+    compile_filter,
+    compile_redact_fast,
+    prefix_overlap,
+    split_conjuncts,
+)
 from ..bfl.macros import add_macro as _add_macro
 from .log import DocumentLog
 from .schema import (
@@ -144,6 +153,7 @@ class BasenineDB:
         self._typed_schema = None  # parse-ready typed-view schema (log mode)
         self._schema_acc = None  # raw merged shape (NullType placeholders kept)
         self._known_keys: set[str] = set()  # top-level doc keys seen
+        self._mounted = False  # True ⇔ from_dataframe (natural ids)
         self._mounted_total: Optional[int] = None  # cached count, mounted mode
         if self._log is not None:
             self._load_state()
@@ -215,6 +225,7 @@ class BasenineDB:
         ``id_col`` plays the role of the injected monotone id."""
         db = cls(spark, id_col=id_col)
         db._df = df
+        db._mounted = True
         return db
 
     def insert_json(self, lines: list[str]) -> list[str]:
@@ -333,9 +344,37 @@ class BasenineDB:
         try:
             compiled = compile_filter(q, df)
         except UnsupportedBFL:
+            # schema-static redact: pure-Column filter + withField
+            # projections (no Python stage); ineligible forms (dynamic
+            # paths, json()/xml() re-decode, redact under or/!) fall
+            # through to the exact row backend
+            try:
+                fast = compile_redact_fast(
+                    q, df, protected_roots=(self.id_col,)
+                )
+            except UnsupportedBFL:
+                fast = None
+            if fast is not None:
+                pred, paths = fast
+                if pred is not None:
+                    df = df.filter(pred)
+                return apply_redact_paths(df, paths)
             pre = None
             if q.expr is not None:
+                # a conjunct is only sound to pre-evaluate against the
+                # scan if no redact in the query mutates a path it reads
+                # (the reference evaluates and-chains left-to-right over
+                # the mutated document)
+                taints = collect_redact_taints(q.expr)
                 for conj in split_conjuncts(q.expr):
+                    if taints is None:
+                        break  # unresolvable redact target: push nothing
+                    reads: list = []
+                    collect_path_reads(conj, reads)
+                    if any(
+                        prefix_overlap(t, r) for t in taints for r in reads
+                    ):
+                        continue
                     try:
                         comp = compile_filter(
                             Query(expr=conj, text=q.text), df
@@ -464,9 +503,12 @@ class BasenineDB:
             df = self.dataframe()
             if left_off not in (0, "0", None, ""):
                 if left_off == "latest":
-                    if self._insert_counter > 0:
+                    if not self._mounted and self._insert_counter > 0:
                         # O(1): derived from the running counter, not a
-                        # max() scan (perf fix, VERDICT r1)
+                        # max() scan (perf fix, VERDICT r1) — but ONLY
+                        # for a purely insert-built db: a mounted table
+                        # has natural ids the counter knows nothing
+                        # about (ADVICE r2)
                         last = index_to_id(self._insert_counter - 1)
                     else:
                         last = df.agg(F.max(self.id_col)).collect()[0][0]
@@ -505,7 +547,11 @@ class BasenineDB:
         """/fetch (M3): bounded page before/after ``left_off``; scan order
         is ascending (dir=1) or descending (dir=-1) by id, stopping after
         ``limit`` *matching* records (``native.go:727-823``).  ``limit()``
-        and leftOff helpers are inert here (``native.go:665-667``)."""
+        and leftOff helpers are inert here (``native.go:665-667``).
+        ``left_off="latest"`` resolves to the last written record
+        (``handleSpecialLeftOff``, increment 0 — ``native.go:627-631,
+        1157-1176``)."""
+        left_off = self._resolve_fetch_left_off(left_off)
         if self._log is not None:
             if direction < 0:
                 df = self._typed_view(max_seq=int(left_off) - 1)
@@ -523,6 +569,112 @@ class BasenineDB:
         q.limit = 0  # limit() helper ineffective in FETCH mode
         df = self._apply_bfl(df, q)
         return df.orderBy(order).limit(limit)
+
+    def _resolve_fetch_left_off(self, left_off: int | str) -> int | str:
+        """``handleSpecialLeftOff(leftOff, 0)`` + the out-of-range guard
+        (``native.go:627-655``)."""
+        if left_off == "latest":
+            if self._log is not None:
+                return max(self._log.total_written - 1, 0)
+            if not self._mounted:
+                return index_to_id(max(self._insert_counter - 1, 0))
+            return self.dataframe().agg(F.max(self.id_col)).collect()[0][0]
+        if not self._mounted:
+            total = (
+                self._log.total_written
+                if self._log is not None
+                else self._insert_counter
+            )
+            if int(left_off) > total:
+                raise IndexError(f"Index out of range: {int(left_off)}")
+        return left_off
+
+    def fetch_with_metadata(
+        self,
+        left_off: int | str,
+        direction: int,
+        query: str = "",
+        limit: int = 100,
+    ) -> tuple[list, list[Metadata]]:
+        """/fetch with the wire's interleaved ``/metadata`` frames
+        (``native.go:780-827``): returns ``(rows, frames)`` where
+        ``frames[i]`` accompanies ``rows[i]`` — ``current`` counts
+        candidates scanned up to that record, ``leftOff`` is the running
+        resume token after it, and ``noMoreData`` marks the frame whose
+        candidate exhausted the scan range.  When the page ends before
+        ``limit`` matches (range exhausted by non-matching candidates),
+        one trailing record-less frame carries ``noMoreData`` — the
+        batch analog of the reference's final per-candidate frame.
+
+        Granularity note (SURVEY §7.4): the reference also streams a
+        frame per *non-matching* candidate; a batch API returns frames
+        only at delivery points, which is the part a paging client
+        consumes (``noMoreData`` ⇒ stop paging).
+        """
+        resolved = self._resolve_fetch_left_off(left_off)
+        rows = self.fetch(resolved, direction, query, limit).collect()
+        contiguous = not self._mounted  # ids are %024d of a dense seq
+        if self._log is not None:
+            total = self._log.live_count
+            trunc = self._log.truncated_timestamp
+            first_seq = self._log.total_written - self._log.live_count
+            last_seq = self._log.total_written - 1
+        else:
+            total = self.metadata().total
+            trunc = 0
+            first_seq, last_seq = 0, self._insert_counter - 1
+        base = int(resolved) if contiguous else 0
+        frames: list[Metadata] = []
+        exhausted = False
+        for i, row in enumerate(rows):
+            if contiguous:
+                seq = int(row[self.id_col])
+                if direction < 0:
+                    queried = base - seq
+                    run = seq  # _leftOff after the per-candidate decrement
+                    last_candidate = seq == first_seq
+                else:
+                    queried = seq - base + 1
+                    run = seq + 1
+                    last_candidate = seq == last_seq
+            else:
+                queried = i + 1
+                run = row[self.id_col]
+                last_candidate = False
+            exhausted = exhausted or last_candidate
+            frames.append(
+                Metadata(
+                    current=queried,
+                    total=total,
+                    number_of_written=i,
+                    left_off=(
+                        index_to_id(run) if contiguous else str(run)
+                    ),
+                    truncated_timestamp=trunc,
+                    no_more_data=last_candidate,
+                )
+            )
+        if not exhausted and len(rows) < limit:
+            # fewer matches than limit ⇒ the scan ran off the end of
+            # the range without a delivered final candidate
+            if contiguous:
+                end = first_seq if direction < 0 else last_seq + 1
+                span = base - first_seq if direction < 0 else last_seq - base + 1
+            else:
+                end, span = len(rows), len(rows)
+            frames.append(
+                Metadata(
+                    current=max(span, 0),
+                    total=total,
+                    number_of_written=len(rows),
+                    left_off=(
+                        index_to_id(max(end, 0)) if contiguous else str(end)
+                    ),
+                    truncated_timestamp=trunc,
+                    no_more_data=True,
+                )
+            )
+        return rows, frames
 
     def validate(self, query: str) -> tuple[bool, str]:
         """/validate (M4)."""

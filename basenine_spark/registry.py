@@ -193,8 +193,32 @@ _register(
 )
 _register(
     "redact_row_backend",
-    _bfl_events_db('redact("props") and event_type == "error"'),
+    # json()-nested redact: per-row document surgery (decode, replace,
+    # re-encode) — the genuinely dynamic form that stays on the exact
+    # row backend (eval.go:469-495)
+    _bfl_events_db('redact("props.json().k") and event_type == "error"'),
     "SELECT event_id FROM events WHERE event_type = 'error'",
+)
+
+
+def _redact_typed_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-static redact compiled to withField/lit projections —
+    whole-stage codegen, no Python stage (plan-asserted in
+    tests/test_plan_properties.py)."""
+    events = load_table(spark, sf_dir, "events")
+    db = BasenineDB.from_dataframe(spark, events, id_col="event_id")
+    out = db.query('redact("props") and event_type == "error"')
+    # fast path keeps the typed shape (the row backend collapses to
+    # exactly [id, value])
+    assert "props" in out.columns
+    return out.select("event_id", "props")
+
+
+_register(
+    "redact_typed_fast",
+    _redact_typed_fast,
+    "SELECT event_id, '[REDACTED]' AS props FROM events "
+    "WHERE event_type = 'error'",
 )
 _register(
     "recursive_descent",

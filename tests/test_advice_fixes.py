@@ -169,9 +169,11 @@ def test_row_backend_array_columns(spark):
         "event_id long, arr array<long>, name string",
     )
     db = BasenineDB.from_dataframe(spark, df, id_col="event_id")
-    # redact forces the row backend; the array must survive as a JSON
-    # array (numpy repr "[1 2 3]" would make arr.* comparisons collapse)
-    out = db.query('redact("name") and arr.* > 2')
+    # a filter reading the redacted path keeps the query on the row
+    # backend (the schema-static fast path would otherwise take it);
+    # the array must survive as a JSON array (numpy repr "[1 2 3]"
+    # would make arr.* comparisons collapse)
+    out = db.query('redact("name") and !(name == "x") and arr.* > 2')
     rows = out.collect()
     assert [r["event_id"] for r in rows] == ["1", "2"]
     for r in rows:

@@ -69,10 +69,12 @@ def test_single_with_redact(db):
     assert doc["year"] == 2007
 
 
-def test_query_redact_row_backend(db):
+def test_query_redact_schema_static(db):
+    # schema-static path → compiled withField projection (no Python
+    # stage); the exact row backend keeps only dynamic forms
     rows = db.query('year == 2003 and redact("brand.name")').collect()
     assert len(rows) == 1
-    doc = json.loads(rows[0]["value"])
+    doc = rows[0].asDict(recursive=True)
     assert doc["brand"]["name"] == "[REDACTED]"
     assert doc["model"] == "m3"
 

@@ -91,3 +91,59 @@ def test_metadata_frame_golden(db100):
     assert frame["leftOff"] == index_to_id(99)
     assert frame["truncatedTimestamp"] == 0
     assert frame["noMoreData"] is False
+
+
+# -- fetch metadata frames + special leftOff (VERDICT r2 #4) ----------------
+
+
+def test_fetch_latest_left_off(db100):
+    # handleSpecialLeftOff in FETCH mode (native.go:627-631): "latest"
+    # resolves to the last record, increment 0 — backward page starts
+    # just before it
+    rows = db100.fetch("latest", -1, "", 5).collect()
+    assert [r["id"] for r in rows] == [index_to_id(i) for i in (98, 97, 96, 95, 94)]
+    rows = db100.fetch("latest", 1, "", 5).collect()
+    assert [r["id"] for r in rows] == [index_to_id(99)]
+
+
+def test_fetch_out_of_range(db100):
+    with pytest.raises(IndexError):
+        db100.fetch(index_to_id(101), 1, "", 5)
+
+
+def test_fetch_metadata_limit_hit(db100):
+    # backward from 13, limit 5: candidates 12..8, every one matches —
+    # reference frame fields per candidate (native.go:780-812)
+    rows, frames = db100.fetch_with_metadata(index_to_id(13), -1, "", 5)
+    assert len(rows) == len(frames) == 5
+    for i, (r, f) in enumerate(zip(rows, frames)):
+        seq = 12 - i
+        assert r["id"] == index_to_id(seq)
+        assert f.current == 13 - seq  # candidates scanned so far
+        assert f.left_off == index_to_id(seq)  # running resume token
+        assert f.number_of_written == i
+        assert f.total == 100
+        assert f.no_more_data is False  # limit hit before range end
+
+
+def test_fetch_metadata_no_more_data_on_delivered_tail(db100):
+    # forward from 93, limit 20: 7 matching candidates, the last is
+    # record 99 == end of range → its own frame carries noMoreData
+    rows, frames = db100.fetch_with_metadata(
+        index_to_id(93), 1, 'brand.name == "Chevrolet"', 20
+    )
+    assert len(rows) == len(frames) == 7
+    assert [f.no_more_data for f in frames] == [False] * 6 + [True]
+    assert frames[-1].left_off == index_to_id(100)  # seq 99 + 1
+    assert frames[-1].current == 7
+
+
+def test_fetch_metadata_trailing_frame_when_nothing_matches(db100):
+    rows, frames = db100.fetch_with_metadata(
+        index_to_id(90), 1, 'model == "nope"', 5
+    )
+    assert rows == []
+    assert len(frames) == 1  # record-less final frame: scan exhausted
+    assert frames[0].no_more_data is True
+    assert frames[0].current == 10  # candidates 90..99 all scanned
+    assert frames[0].left_off == index_to_id(100)
