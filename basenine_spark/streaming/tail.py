@@ -76,9 +76,25 @@ class TailQuery:
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         db = self.db
-        # typed view of this micro-batch (same path as batch-mode M1)
+        # typed view of this micro-batch (same path as batch-mode M1).
+        # The schema is normally maintained at write time; a tail that
+        # follows a log this process never wrote (or that started on an
+        # empty db, reference: a QUERY connection may open before any
+        # INSERT) learns it from the batch itself.
         if db._typed_schema is None:
-            db.dataframe()  # populate the inferred schema
+            if batch_df.isEmpty():
+                return
+            from ..engine.schema import finalize_type, merge_types
+
+            batch_schema = self.spark.read.json(
+                batch_df.select("value").rdd.map(lambda r: r.value)
+            ).schema
+            db._schema_acc = (
+                batch_schema
+                if db._schema_acc is None
+                else merge_types(db._schema_acc, batch_schema)
+            )
+            db._typed_schema = finalize_type(db._schema_acc)
         # physical seq is only a filter key — drop it BEFORE the BFL
         # stage so row-backend (redact) document rewrites never see a
         # spurious "seq" field
@@ -124,9 +140,15 @@ class TailQuery:
     # -- lifecycle -----------------------------------------------------
 
     def start(self) -> "TailQuery":
+        import os
+
         from ..engine.log import LOG_SCHEMA
 
         assert self.db._log is not None
+        # a tail may open before the first INSERT (reference supports a
+        # QUERY connection on an empty database) — the source dir must
+        # exist for readStream to plan
+        os.makedirs(self.db._log.path, exist_ok=True)
         stream = (
             self.spark.readStream.schema(LOG_SCHEMA)
             .option("maxFilesPerTrigger", 64)

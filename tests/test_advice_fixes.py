@@ -314,3 +314,57 @@ def test_typed_array_vs_variant_row_backend_exact(spark):
     assert "value" in out.columns  # row backend engaged
     ids = sorted(int(r["id"]) for r in out.collect())
     assert ids == [0]
+
+
+# -- ADVICE r3: truncatedTimestamp survives restart -------------------------
+
+
+def test_truncated_timestamp_restored(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+
+    path = str(tmp_path / "store")
+    db = BasenineDB(spark, path=path)
+    db.set_retention_bytes(40_000)
+    import random
+
+    rnd = random.Random(7)
+    ts = 1_700_000_000_000
+    for batch in range(6):
+        db.insert_json(
+            [
+                json.dumps(
+                    {
+                        "i": batch * 50 + i,
+                        "timestamp": ts + batch * 50 + i,
+                        "pad": "%0512x" % rnd.getrandbits(2048),
+                    }
+                )
+                for i in range(50)
+            ]
+        )
+    trunc = db._log.truncated_timestamp
+    assert trunc > 0
+    # restart: the reference gob-dump restores TruncatedTimestamp
+    # (native.go:183,249) — metadata frames must keep reporting it
+    db2 = BasenineDB(spark, path=path)
+    assert db2.metadata().truncated_timestamp == trunc
+
+
+# -- ADVICE r3: tail opened on an empty durable db --------------------------
+
+
+def test_tail_on_empty_db_waits_for_data(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+    from basenine_spark.streaming.tail import tail
+
+    db = BasenineDB(spark, path=str(tmp_path / "store"))  # nothing inserted
+    t = tail(db, 'kind == "x"')
+    try:
+        db.insert_json(
+            [json.dumps({"kind": "x", "n": 1}), json.dumps({"kind": "y", "n": 2})]
+        )
+        assert t.await_written(1, timeout=30.0) == 1
+        _id, value = t.records[0]
+        assert json.loads(value)["n"] == 1
+    finally:
+        t.stop()
