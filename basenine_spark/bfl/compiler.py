@@ -1350,6 +1350,30 @@ def _redacted_field(root: Column, path: Tuple[str, ...]) -> Column:
     return root.withField(f"`{name}`", _redacted_field(child, rest))
 
 
+def pure_redact_paths(expr: Expr) -> Optional[List[Tuple[str, ...]]]:
+    """When a query is nothing but top-level ``redact(...)`` conjuncts
+    with static plain-path arguments — the always-truthy ingest-scrub
+    form (``/insert-filter 'redact("secret")'``) — return the redacted
+    paths; None otherwise.  Lets ingest derive the stored-batch schema
+    driver-side (leaf → string) instead of re-parsing the appended
+    slice."""
+    paths: List[Tuple[str, ...]] = []
+    for c in split_conjuncts(expr):
+        if not (
+            isinstance(c, Path)
+            and c.helper == "redact"
+            and not c.outer
+            and not c.docfunc
+        ):
+            return None
+        for a in c.args:
+            p = _static_redact_path(a)
+            if p is None:
+                return None
+            paths.append(p)
+    return paths
+
+
 def compile_redact_fast(
     q: Query,
     df_or_schema: Union[DataFrame, T.StructType],

@@ -268,20 +268,17 @@ class BasenineDB:
             first_new_seq = self._log.total_written
             ids = self._log.append(lines, insertion_filter_text=flt_text)
             self._insert_counter = self._log.total_written
-            if flt_text and self._log.total_written > first_new_seq:
-                # the stored docs may be filtered/redacted (value types
-                # can change, e.g. number → '[REDACTED]') — infer from
-                # the just-appended slice, a batch-bounded job pruned by
-                # the seq predicate
-                appended = (
-                    self._log.scan()
-                    .filter(F.col("seq") >= first_new_seq)
-                    .select("value")
-                )
-                batch = self.spark.read.json(
-                    appended.rdd.map(lambda r: r.value)
-                ).schema
-            elif not flt_text:
+            # An always-truthy pure-redact filter (the common ingest
+            # PII-scrub) keeps schema inference driver-side: the stored
+            # shape is the wire shape with each redacted leaf → string.
+            pure_paths = None
+            if flt_text:
+                from ..bfl.compiler import pure_redact_paths
+
+                flt_q = parse(flt_text)
+                if flt_q.expr is not None:
+                    pure_paths = pure_redact_paths(flt_q.expr)
+            if not flt_text or pure_paths is not None:
                 # stored docs carry the injected id key on top of the
                 # wire shape (native.go:294-311)
                 from pyspark.sql import types as T
@@ -290,6 +287,22 @@ class BasenineDB:
                     infer_batch_schema(parsed_docs),
                     T.StructType([T.StructField(ID_COL, T.StringType(), True)]),
                 )
+                from .schema import override_path_string
+
+                for p in pure_paths or []:
+                    batch = override_path_string(batch, p)
+            elif self._log.total_written > first_new_seq:
+                # the filter can drop records or rewrite values
+                # dynamically — infer from the just-appended slice, a
+                # batch-bounded job pruned by the seq predicate
+                appended = (
+                    self._log.scan()
+                    .filter(F.col("seq") >= first_new_seq)
+                    .select("value")
+                )
+                batch = self.spark.read.json(
+                    appended.rdd.map(lambda r: r.value)
+                ).schema
             else:  # filter dropped the whole batch — nothing to learn
                 batch = None
             if batch is not None:

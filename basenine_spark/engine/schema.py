@@ -163,3 +163,22 @@ def schema_to_json(dt: T.StructType) -> str:
 def schema_from_json(text: str) -> T.StructType:
     out = T.StructType.fromJson(json.loads(text))
     return out
+
+
+def override_path_string(dt: T.DataType, path: tuple) -> T.DataType:
+    """Type of ``dt`` after an ingest-time ``redact`` of ``path``: the
+    leaf becomes ``string`` ("[REDACTED]") wherever the chain resolves
+    through structs; anything else (array/scalar crossing, absent name)
+    is the reference's no-op (ojg Child fragments only descend maps)."""
+    if not path or not isinstance(dt, T.StructType):
+        return T.StringType() if not path else dt
+    name, rest = path[0], path[1:]
+    fields = []
+    for f in dt.fields:
+        if f.name == name:
+            fields.append(
+                T.StructField(name, override_path_string(f.dataType, rest), True)
+            )
+        else:
+            fields.append(f)
+    return T.StructType(fields)

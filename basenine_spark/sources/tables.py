@@ -42,10 +42,17 @@ def _nanos_safe_schema(path: str) -> T.StructType | None:
     """Footer-derived read schema with ``timestamp[ns]`` columns mapped
     to ``long`` (their physical INT64 form), or None when the file has
     no nanos column (plain read)."""
+    import glob
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    if os.path.isdir(path):  # multi-file dataset: any footer will do
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return None
+        path = files[0]
     arrow = pq.read_schema(path)
     if not any(
         pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in arrow

@@ -114,6 +114,58 @@ def main() -> int:
         timings["stream_14k_tail"] = round(time.perf_counter() - t0, 3)
         assert got >= 0  # got is reported via the elapsed time only
 
+    # -- scaling slope probe (VERDICT r2 #7) ------------------------------
+    # The same queries at 10× events / 2× documents: a regression in the
+    # *slope* (e.g. a filter that stopped pushing down, a join that went
+    # cartesian) shows here even when the sf0.1 wall time looks fine.
+    # Replication is deterministic (row copies with offset ids), written
+    # as a multi-file layout so scans parallelize like production data.
+    from pyspark.sql import functions as F
+
+    from basenine_spark.sources.tables import _nanos_safe_schema
+
+    SLOPE = [
+        "bfl_and_or",
+        "bfl_json_num_cmp",
+        "agg_daily_events",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+    ]
+    probe: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as scaled:
+        t0 = time.perf_counter()
+        ev_path = f"{SF_DIR}/events.parquet"
+        sch = _nanos_safe_schema(ev_path)
+        ev = (
+            spark.read.schema(sch).parquet(ev_path)
+            if sch is not None
+            else spark.read.parquet(ev_path)
+        )
+        n_ev = ev.count()
+        (
+            ev.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
+            .drop("rep")
+            .repartition(int(CPUS))
+            .write.parquet(f"{scaled}/events.parquet")
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+        (
+            docs.crossJoin(spark.range(2).select(F.col("id").alias("rep")))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
+            .drop("rep")
+            .repartition(8)
+            .write.parquet(f"{scaled}/documents.parquet")
+        )
+        build_sec = round(time.perf_counter() - t0, 3)
+        for name in SLOPE:
+            fn = SPARK_QUERIES[name]
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, scaled).write.format("noop").mode("overwrite").save()
+            probe[name] = round(time.perf_counter() - t0, 3)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
@@ -125,6 +177,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scale_probe": {
+                    "events_factor": 10,
+                    "documents_factor": 2,
+                    "build_sec": build_sec,
+                    "queries": probe,
+                },
             }
         )
     )

@@ -130,3 +130,26 @@ def test_legacy_log_without_persisted_schema(spark, tmp_path):
     # ...and persisted, so a third open restores without inference
     db3 = BasenineDB(spark, path=path)
     assert db3._typed_schema == schema
+
+
+def test_pure_redact_filter_schema_stays_driver_side(spark, tmp_path):
+    # always-truthy redact filter: stored schema derived driver-side
+    # (leaf → string), no read-back job — and it matches what
+    # spark.read.json over the stored docs would say
+    db = BasenineDB(spark, path=str(tmp_path / "store"))
+    db.set_insertion_filter('redact("secret") and redact("nested.token")')
+    db.insert_json(
+        [
+            '{"a": 1, "secret": 42, "nested": {"token": 7, "keep": true}}',
+            '{"a": 2, "nested": {"keep": false}}',
+        ]
+    )
+    stored = spark.read.json(
+        db._log.scan().select("value").rdd.map(lambda r: r.value)
+    ).schema
+    assert db._typed_schema == stored
+    rows = {r["a"]: r.asDict(recursive=True) for r in db.query("").collect()}
+    assert rows[1]["secret"] == "[REDACTED]"
+    assert rows[1]["nested"]["token"] == "[REDACTED]"
+    assert rows[1]["nested"]["keep"] is True
+    assert rows[2]["secret"] is None
