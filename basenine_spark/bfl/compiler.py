@@ -1338,16 +1338,16 @@ def _struct_chain(schema: T.StructType, path: Tuple[str, ...]) -> Optional[bool]
 
 
 def _redacted_field(root: Column, path: Tuple[str, ...]) -> Column:
-    """Replacement value for ``root`` with ``path`` under it redacted:
-    per-row existence is preserved (a NULL level stays NULL — the
-    reference only sets paths that resolve, eval.go:449-452)."""
+    """Replacement value for ``root`` with ``path`` under it redacted.
+    A NULL *intermediate* stays NULL (``withField`` on a null struct is
+    null — the reference can't descend a null, eval.go:449-452), but a
+    NULL *leaf* is redacted: under the typed-view convention a NULL
+    column value is a present JSON null, and the reference redacts
+    present nulls (pinned against pyeval in tests/test_redact_fast.py)."""
     name, rest = path[0], path[1:]
-    child = root.getField(name)
     if not rest:
-        return root.withField(
-            f"`{name}`", F.when(child.isNotNull(), F.lit(REDACTED))
-        )
-    return root.withField(f"`{name}`", _redacted_field(child, rest))
+        return root.withField(f"`{name}`", F.lit(REDACTED))
+    return root.withField(f"`{name}`", _redacted_field(root.getField(name), rest))
 
 
 def pure_redact_paths(expr: Expr) -> Optional[List[Tuple[str, ...]]]:
@@ -1445,10 +1445,7 @@ def apply_redact_paths(df: DataFrame, paths: List[Tuple[str, ...]]) -> DataFrame
     """Apply compiled redact projections (see compile_redact_fast)."""
     for p in paths:
         if len(p) == 1:
-            df = df.withColumn(
-                p[0],
-                F.when(F.col(f"`{p[0]}`").isNotNull(), F.lit(REDACTED)),
-            )
+            df = df.withColumn(p[0], F.lit(REDACTED))
         else:
             df = df.withColumn(
                 p[0], _redacted_field(F.col(f"`{p[0]}`"), p[1:])

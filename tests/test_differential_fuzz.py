@@ -142,3 +142,97 @@ def test_differential_compiler_vs_pyeval(spark, qi):
         f"doc={mismatches[0][1]} compiler={mismatches[0][0] in got_idx} "
         f"pyeval={expected[mismatches[0][0]]}"
     )
+
+
+# -- redact fast path vs pyeval (round 3) -----------------------------------
+#
+# The schema-static redact compiler must agree with the exact evaluator
+# on (a) which rows survive the other conjuncts and (b) exactly which
+# leaves read [REDACTED] afterwards — across nested structs, null
+# parents/leaves, absent names, array-crossing no-ops.
+
+_R_POOL = [
+    "s", "num", "a", "a.b", "a.c", "a.c.d", "a.missing", "missing",
+    "missing.deep", "arr.b",
+]
+_R_FILTERS = {
+    None: set(),
+    "num > 0": {"num"},
+    's == "x"': {"s"},
+    "num == 1 or s": {"num", "s"},
+    "!(num > 5)": {"num"},
+}
+
+
+def _r_doc(rnd: random.Random) -> dict:
+    a = rnd.choice(
+        [None, {"b": rnd.choice([1, "y", None]), "c": rnd.choice([None, {"d": rnd.choice([2, None])}])}]
+    )
+    return {
+        "idx": None,  # filled by caller
+        "s": rnd.choice(["x", "", None]),
+        "num": rnd.choice([0, 1, 7, None]),
+        "a": a,
+        "arr": [{"b": 1}],
+    }
+
+
+def _leaf_paths(args):
+    for arg in args:
+        yield tuple(arg.split("."))
+
+
+@pytest.mark.parametrize("qi", range(15))
+def test_differential_redact_fast_vs_pyeval(spark, qi):
+    from basenine_spark.bfl.compiler import (
+        apply_redact_paths,
+        compile_redact_fast,
+    )
+
+    rnd = random.Random(77000 + qi)
+    args = rnd.sample(_R_POOL, rnd.randint(1, 3))
+    flt = rnd.choice(list(_R_FILTERS))
+    query = " and ".join(
+        [f'redact("{a}")' for a in args] + ([flt] if flt else [])
+    )
+    docs = []
+    for i in range(40):
+        d = _r_doc(random.Random(88000 + qi * 100 + i))
+        d["idx"] = i
+        docs.append(json.dumps(d))
+
+    sample = spark.read.json(spark.sparkContext.parallelize(docs))
+    q = parse(query)
+    fast = compile_redact_fast(q, sample)
+    # a filter that reads a redacted root must fall back (left-to-right
+    # mutation visibility); everything else in the pool is eligible
+    tainted = {a.split(".")[0] for a in args} & _R_FILTERS[flt]
+    if tainted:
+        assert fast is None, f"tainted query took the fast path: {query}"
+        pytest.skip(f"row-backend by design: {query}")
+    assert fast is not None, f"eligible query fell back: {query}"
+    pred, paths = fast
+    out = sample if pred is None else sample.filter(pred)
+    out = apply_redact_paths(out, paths)
+    got = {r["idx"]: r.asDict(recursive=True) for r in out.collect()}
+
+    def dig(obj, path):
+        for name in path:
+            if not isinstance(obj, dict) or obj.get(name) is None:
+                return obj.get(name) if isinstance(obj, dict) else None
+            obj = obj[name]
+        return obj
+
+    for doc in docs:
+        truth, new_doc = eval_query(q, doc)
+        obj = json.loads(new_doc)
+        i = obj["idx"]
+        assert (i in got) == bool(truth), f"{query} over {doc}"
+        if not truth:
+            continue
+        for path in _leaf_paths(args):
+            exp = dig(obj, path)
+            act = dig(got[i], path)
+            assert (exp == "[REDACTED]") == (act == "[REDACTED]"), (
+                f"{query} path {path} over {doc}: pyeval={exp!r} fast={act!r}"
+            )

@@ -50,12 +50,34 @@ def test_nested_redact_matches_row_oracle(spark):
         assert (row["a"] or {}).get("c") == (obj.get("a") or {}).get("c")
 
 
-def test_top_level_redact_nulls_preserved(spark):
+def test_top_level_redact_includes_present_null(spark):
+    # the typed-view convention reads NULL as a present JSON null, and
+    # the reference redacts present nulls (pyeval agrees) — so every
+    # row's leaf becomes [REDACTED]
+    truth, new_doc = eval_query(parse('redact("a")'), DOCS[1])
+    assert json.loads(new_doc)["a"] == REDACTED  # pyeval oracle on null
     db, _ = _db(spark, DOCS)
     rows = {r["id"]: r for r in db.query('redact("a")').collect()}
     assert rows[0]["a"] == REDACTED
-    assert rows[1]["a"] is None  # reference: missing/null path → no set
+    assert rows[1]["a"] == REDACTED
     assert rows[2]["a"] == REDACTED
+
+
+def test_nested_redact_null_leaf_matches_oracle(spark):
+    # a.b null (present) → redacted; a null (parent) → stays null
+    db, _ = _db(spark, DOCS)
+    rows = {r["id"]: r.asDict(recursive=True) for r in db.query('redact("a.b")').collect()}
+    assert rows[0]["a"]["b"] == REDACTED
+    assert rows[1]["a"] is None  # null parent: reference can't descend
+    assert rows[2]["a"]["b"] == REDACTED  # null leaf is present → redacted
+    for doc in DOCS:
+        _, new_doc = eval_query(parse('redact("a.b")'), doc)
+        obj = json.loads(new_doc)
+        rid = obj["id"]
+        if obj.get("a") is None:
+            assert rows[rid]["a"] is None
+        else:
+            assert rows[rid]["a"]["b"] == obj["a"].get("b")
 
 
 def test_unknown_path_is_noop(spark):
