@@ -559,6 +559,61 @@ class BasenineDB:
             df = df.limit(q.limit)
         return df
 
+    def query_with_metadata(
+        self, query: str = "", left_off: int | str = 0
+    ) -> tuple[list, list[Metadata]]:
+        """/query with the wire's per-record metadata frames
+        (``native.go:488-511``): each delivered record is followed by a
+        frame whose ``current`` counts the candidates scanned since the
+        previous delivered record (the reference resets ``queried`` per
+        frame), ``numberOfWritten`` is the running delivered count, and
+        ``leftOff`` is the delivered record's id — the resume token a
+        client hands back to continue.  ``noMoreData`` stays false in
+        query mode (it is a FETCH concept)."""
+        rows = self.query(query, left_off=left_off).collect()
+        contiguous = not self._mounted
+        if self._log is not None:
+            total = self._log.live_count
+            trunc = self._log.truncated_timestamp
+        else:
+            total = self.metadata().total
+            trunc = 0
+        if left_off == "latest":
+            start = max(
+                (
+                    self._log.total_written
+                    if self._log is not None
+                    else self._insert_counter
+                )
+                - 1,
+                0,
+            )
+        elif left_off in (0, "0", None, ""):
+            start = 0
+        else:
+            start = int(left_off) + 1
+        prev = start - 1
+        frames: list[Metadata] = []
+        for i, row in enumerate(rows):
+            if contiguous:
+                seq = int(row[self.id_col])
+                current = seq - prev
+                prev = seq
+                token = index_to_id(seq)
+            else:
+                current = 1
+                token = str(row[self.id_col])
+            frames.append(
+                Metadata(
+                    current=current,
+                    total=total,
+                    number_of_written=i + 1,
+                    left_off=token,
+                    truncated_timestamp=trunc,
+                )
+            )
+        return rows, frames
+
     def single(self, record_id, query: str = "") -> Optional[dict]:
         """/single (M2): one record by id; the query only matters for
         record-altering helpers (redact) — native.go:526-601."""

@@ -147,3 +147,24 @@ def test_fetch_metadata_trailing_frame_when_nothing_matches(db100):
     assert frames[0].no_more_data is True
     assert frames[0].current == 10  # candidates 90..99 all scanned
     assert frames[0].left_off == index_to_id(100)
+
+
+def test_query_metadata_frames(db100):
+    # per-record frames (native.go:488-511): current counts candidates
+    # scanned since the previous delivered record, leftOff is the
+    # delivered record's id, numberOfWritten the running count
+    rows, frames = db100.query_with_metadata('year == 2021', left_off=13)
+    assert len(rows) == len(frames) == 86  # records 14..99
+    assert frames[0].current == 1  # record 14 is the first candidate
+    assert all(f.current == 1 for f in frames)  # every candidate matches
+    assert [f.number_of_written for f in frames[:3]] == [1, 2, 3]
+    assert frames[0].left_off == index_to_id(14)
+    assert frames[-1].left_off == index_to_id(99)
+    assert frames[0].total == 100
+
+
+def test_query_metadata_sparse_matches(db100):
+    # a selective filter: current reflects the scan gap between matches
+    rows, frames = db100.query_with_metadata("limit(2)", left_off=0)
+    assert len(rows) == 2
+    assert [f.left_off for f in frames] == [index_to_id(0), index_to_id(1)]
