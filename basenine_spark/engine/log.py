@@ -75,21 +75,74 @@ class DocumentLog:
 
     def _restore(self) -> None:
         """Restart survival (``native.go:155-258``): all state is derived
-        from the log itself — max seq (footer stats only), live
-        partitions and their max event-times."""
-        df = self.scan()
-        agg = df.groupBy("part").agg(
-            F.max("seq").alias("max_seq"), F.max("doc_ts").alias("max_ts")
-        ).collect()
-        if not agg:
+        from parquet FOOTER metadata only — max seq, row counts and max
+        event-times come from row-group statistics, so boot cost is
+        O(files), never a corpus scan (at 100 TB a restart must not read
+        the data).  Falls back to a columnar Spark scan only if some
+        footer lacks statistics."""
+        try:
+            stats = self._footer_stats()
+        except Exception:
+            stats = None
+        if stats is None:  # stats-less writer produced this log
+            df = self.scan()
+            agg = df.groupBy("part").agg(
+                F.max("seq").alias("max_seq"),
+                F.max("doc_ts").alias("max_ts"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+            stats = {
+                r["part"]: (r["max_seq"], r["max_ts"], r["n"]) for r in agg
+            }
+        if not stats:
             return
-        self._count = max(r["max_seq"] for r in agg) + 1
-        self._part = max(r["part"] for r in agg)
+        self._count = max(s[0] for s in stats.values()) + 1
+        self._part = max(stats)
         self._part_ts = {
-            r["part"]: r["max_ts"] for r in agg if r["max_ts"] is not None
+            p: s[1] for p, s in stats.items() if s[1] is not None
         }
-        live = df.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        live = sum(s[2] for s in stats.values())
         self._removed = self._count - live  # retention-dropped before restart
+
+    def _footer_stats(self) -> Optional[dict]:
+        """{part: (max_seq, max_doc_ts, rows)} from parquet footers, or
+        None when any column chunk lacks min/max statistics."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out: dict[int, list] = {}
+        for part in self._live_parts():
+            agg = [None, None, 0]
+            for fp in glob.glob(
+                os.path.join(self.path, f"part={part}", "*.parquet")
+            ):
+                md = pq.ParquetFile(fp).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    agg[2] += row_group.num_rows
+                    seq_st = row_group.column(idx["seq"]).statistics
+                    if seq_st is None or not seq_st.has_min_max:
+                        return None
+                    agg[0] = (
+                        seq_st.max
+                        if agg[0] is None
+                        else max(agg[0], seq_st.max)
+                    )
+                    ts_st = row_group.column(idx["doc_ts"]).statistics
+                    if ts_st is not None and ts_st.has_min_max and ts_st.max is not None:
+                        agg[1] = (
+                            ts_st.max
+                            if agg[1] is None
+                            else max(agg[1], ts_st.max)
+                        )
+            if agg[0] is not None:
+                out[part] = agg
+        return {p: tuple(v) for p, v in out.items()}
 
     # -- append (S1/S2/S3/S4) ------------------------------------------
 
@@ -219,14 +272,24 @@ class DocumentLog:
         parts = self._live_parts()
         while len(parts) > 2:  # ≤2 live partitions (native.go:1088-1105)
             oldest = parts[0]
-            dropped = self.spark.read.schema(
-                T.StructType([f for f in LOG_SCHEMA.fields if f.name != "part"])
-            ).parquet(os.path.join(self.path, f"part={oldest}"))
-            stats = dropped.agg(
-                F.count(F.lit(1)).alias("n"), F.max("doc_ts").alias("t")
-            ).collect()[0]
-            self._removed += stats["n"]
-            ts = stats["t"] if stats["t"] is not None else self._part_ts.get(oldest)
+            try:
+                footer = (self._footer_stats() or {}).get(oldest)
+            except Exception:
+                footer = None
+            if footer is not None:  # O(files): footer metadata only
+                n, t = footer[2], footer[1]
+            else:
+                dropped = self.spark.read.schema(
+                    T.StructType(
+                        [f for f in LOG_SCHEMA.fields if f.name != "part"]
+                    )
+                ).parquet(os.path.join(self.path, f"part={oldest}"))
+                row = dropped.agg(
+                    F.count(F.lit(1)).alias("n"), F.max("doc_ts").alias("t")
+                ).collect()[0]
+                n, t = row["n"], row["t"]
+            self._removed += n
+            ts = t if t is not None else self._part_ts.get(oldest)
             if ts is not None:
                 self.truncated_timestamp = int(ts) + 1
             shutil.rmtree(os.path.join(self.path, f"part={oldest}"))

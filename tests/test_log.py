@@ -189,3 +189,20 @@ def test_flush_keeps_state_reset_clears_it(spark, log_path):
     db2.reset()
     db3 = BasenineDB(spark, path=log_path)
     assert db3.macros == {}  # reset clears them
+
+
+def test_restore_reads_footers_not_data(spark, tmp_path, monkeypatch):
+    # boot after restart must be O(files): counters come from parquet
+    # footer statistics, never a corpus scan (100 TB restart budget)
+    path = str(tmp_path / "log")
+    log = DocumentLog(spark, path)
+    log.append(['{"a": 1, "timestamp": 5}', '{"a": 2, "timestamp": 9}'])
+
+    def _no_scan(self):
+        raise AssertionError("restore ran a data scan")
+
+    monkeypatch.setattr(DocumentLog, "scan", _no_scan)
+    log2 = DocumentLog(spark, path)
+    assert log2.total_written == 2
+    assert log2.live_count == 2
+    assert log2._part_ts.get(0) == 9
