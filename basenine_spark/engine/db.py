@@ -616,8 +616,27 @@ class BasenineDB:
 
     def single(self, record_id, query: str = "") -> Optional[dict]:
         """/single (M2): one record by id; the query only matters for
-        record-altering helpers (redact) — native.go:526-601."""
-        df = self.dataframe().filter(F.col(self.id_col) == F.lit(record_id))
+        record-altering helpers (redact) — native.go:526-601.  In
+        durable mode the lookup is a *physical* ``seq`` point predicate
+        (the doc id IS the sequence) so parquet row-group stats prune
+        before any JSON parse; a derived-column filter after
+        ``from_json`` would scan the corpus."""
+        if self._log is not None:
+            if self._log.live_count == 0:
+                return None  # "Record does not exist!"
+            try:
+                idx: Optional[int] = int(record_id)
+            except (TypeError, ValueError):
+                idx = None
+            if idx is not None:
+                df = self._typed_view(min_seq=idx, max_seq=idx)
+            else:
+                df = self.dataframe()
+            df = df.filter(F.col(self.id_col) == F.lit(record_id))
+        else:
+            df = self.dataframe().filter(
+                F.col(self.id_col) == F.lit(record_id)
+            )
         rows = df.limit(1).collect()
         if not rows:
             return None  # "Record does not exist!"

@@ -168,3 +168,19 @@ def test_query_metadata_sparse_matches(db100):
     rows, frames = db100.query_with_metadata("limit(2)", left_off=0)
     assert len(rows) == 2
     assert [f.left_off for f in frames] == [index_to_id(0), index_to_id(1)]
+
+
+def test_single_prunes_by_seq(db100):
+    # durable /single: the plan must carry a physical seq point
+    # predicate (row-group pruning), not just a derived-id filter
+    df = db100._typed_view(min_seq=42, max_seq=42)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "seq" in plan
+    import re as _re
+
+    m = _re.search(r"PushedFilters: \[(.*?)\]", plan, _re.S)
+    assert m and "GreaterThanOrEqual(seq,42)" in m.group(1), plan
+    # and the public API returns the right record on that path
+    rec = db100.single(index_to_id(42))
+    assert rec["id"] == index_to_id(42)
+    assert db100.single("not-an-id") is None
