@@ -45,6 +45,7 @@ from typing import Iterator, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..bfl import expand_macros, parse, validate as bfl_validate
 from ..bfl.ast import Query
@@ -61,11 +62,13 @@ from ..bfl.compiler import (
 from ..bfl.macros import add_macro as _add_macro
 from .log import DocumentLog
 from .schema import (
+    common_leaves_unchanged,
     finalize_type,
     infer_batch_schema,
     merge_types,
     schema_from_json,
     schema_to_json,
+    shred_write_schema,
 )
 
 ID_COL = "id"
@@ -152,6 +155,11 @@ class BasenineDB:
         self._log: Optional[DocumentLog] = DocumentLog(spark, path) if path else None
         self._typed_schema = None  # parse-ready typed-view schema (log mode)
         self._schema_acc = None  # raw merged shape (NullType placeholders kept)
+        # shredded reads allowed: every file carries a doc column and
+        # schema evolution has been additive; fresh logs start True,
+        # logs predating shredding (or with a dynamic insertion-filter
+        # batch) read via from_json instead
+        self._shred_ok = self._log is not None and self._log.total_written == 0
         self._known_keys: set[str] = set()  # top-level doc keys seen
         self._mounted = False  # True ⇔ from_dataframe (natural ids)
         self._mounted_total: Optional[int] = None  # cached count, mounted mode
@@ -200,6 +208,9 @@ class BasenineDB:
                 self._log.truncated_timestamp,
                 state.get("truncated_timestamp", 0),
             )
+            self._shred_ok = state.get(
+                "shred_ok", self._log.total_written == 0
+            )
 
     def _save_state(self) -> None:
         import os
@@ -224,6 +235,7 @@ class BasenineDB:
                         if self._log is not None
                         else 0
                     ),
+                    "shred_ok": self._shred_ok,
                 },
                 fh,
             )
@@ -266,8 +278,6 @@ class BasenineDB:
                 if isinstance(doc, dict):
                     new_keys.update(doc.keys())
             first_new_seq = self._log.total_written
-            ids = self._log.append(lines, insertion_filter_text=flt_text)
-            self._insert_counter = self._log.total_written
             # An always-truthy pure-redact filter (the common ingest
             # PII-scrub) keeps schema inference driver-side: the stored
             # shape is the wire shape with each redacted leaf → string.
@@ -278,6 +288,8 @@ class BasenineDB:
                 flt_q = parse(flt_text)
                 if flt_q.expr is not None:
                     pure_paths = pure_redact_paths(flt_q.expr)
+            batch = None
+            shred = None
             if not flt_text or pure_paths is not None:
                 # stored docs carry the injected id key on top of the
                 # wire shape (native.go:294-311)
@@ -291,7 +303,38 @@ class BasenineDB:
 
                 for p in pure_paths or []:
                     batch = override_path_string(batch, p)
-            elif self._log.total_written > first_new_seq:
+                # Shredded storage stays readable under one explicit
+                # union read schema only while schema evolution is
+                # additive; a changed common leaf (e.g. long → double)
+                # turns shredding off for this log (queries fall back
+                # to the from_json view — still exact).
+                if self._shred_ok:
+                    merged_candidate = (
+                        batch
+                        if self._schema_acc is None
+                        else merge_types(self._schema_acc, batch)
+                    )
+                    old_ws = (
+                        shred_write_schema(self._schema_acc)
+                        if self._schema_acc is not None
+                        else None
+                    )
+                    new_ws = shred_write_schema(merged_candidate)
+                    if old_ws is None or common_leaves_unchanged(
+                        old_ws, new_ws
+                    ):
+                        shred = shred_write_schema(batch)
+                        if not shred.fields:
+                            shred = None
+            ids = self._log.append(
+                lines, insertion_filter_text=flt_text, shred_schema=shred
+            )
+            self._insert_counter = self._log.total_written
+            if shred is None and self._log.total_written > first_new_seq:
+                # this batch's files carry no doc column — a shredded
+                # read would silently null them out
+                self._shred_ok = False
+            if batch is None and self._log.total_written > first_new_seq:
                 # the filter can drop records or rewrite values
                 # dynamically — infer from the just-appended slice, a
                 # batch-bounded job pruned by the seq predicate
@@ -303,8 +346,6 @@ class BasenineDB:
                 batch = self.spark.read.json(
                     appended.rdd.map(lambda r: r.value)
                 ).schema
-            else:  # filter dropped the whole batch — nothing to learn
-                batch = None
             if batch is not None:
                 merged = (
                     batch
@@ -474,21 +515,39 @@ class BasenineDB:
     def _typed_view(
         self, min_seq: Optional[int] = None, max_seq: Optional[int] = None
     ) -> DataFrame:
-        """Schema-free docs → typed DataFrame (SURVEY §1.4): infer the
-        union schema once per insert generation, then ``from_json`` over
-        the log scan. id-range predicates are applied to the *physical*
-        ``seq`` column BEFORE parsing, so they prune Parquet files via
-        min/max stats instead of scanning."""
+        """Schema-free docs → typed DataFrame (SURVEY §1.4).
+
+        Preferred path: **shredded read** — ingest already parsed each
+        document into a typed ``doc`` struct column, so this is a plain
+        parquet scan with column pruning and nested predicate pushdown
+        (a BFL filter reaches the row-group stats of ``doc.field``).
+        Fallback (legacy logs, or after non-additive schema evolution /
+        a dynamic insertion-filter batch): ``from_json`` over the raw
+        ``value``.  id-range predicates hit the *physical* ``seq``
+        column in both paths, pruning files via min/max stats."""
         assert self._log is not None
         if self._log.live_count == 0:
             raise ValueError("no data ingested")
-        scan = self._log.scan()
+        if self._typed_schema is None:
+            self._infer_schema_from_log()
+        if self._shred_ok and self._typed_schema.fields:
+            from .log import LOG_SCHEMA
+
+            read_schema = T.StructType(
+                list(LOG_SCHEMA.fields)
+                + [T.StructField("doc", self._typed_schema, True)]
+            )
+            scan = self.spark.read.schema(read_schema).parquet(
+                self._log.path
+            )
+        else:
+            scan = self._log.scan()
         if min_seq is not None:
             scan = scan.filter(F.col("seq") >= min_seq)
         if max_seq is not None:
             scan = scan.filter(F.col("seq") <= max_seq)
-        if self._typed_schema is None:
-            self._infer_schema_from_log()
+        if self._shred_ok and self._typed_schema.fields:
+            return scan.select("doc.*")
         return scan.select(
             F.from_json(F.col("value"), self._typed_schema).alias("doc")
         ).select("doc.*")
@@ -827,6 +886,8 @@ class BasenineDB:
         self._schema_acc = None
         self._known_keys = set()
         self._mounted_total = None
+        if self._log is not None:
+            self._shred_ok = True  # wiped log: shredding restarts clean
         if self._log is not None:
             self._log.flush()
             # /flush keeps macros/filter/limit (only /reset clears them,

@@ -118,8 +118,10 @@ class DocumentLog:
                 os.path.join(self.path, f"part={part}", "*.parquet")
             ):
                 md = pq.ParquetFile(fp).metadata
+                # key by full path: a shredded doc field named "seq"
+                # would otherwise shadow the top-level column
                 idx = {
-                    md.schema.column(i).name: i
+                    md.schema.column(i).path: i
                     for i in range(md.num_columns)
                 }
                 for rg in range(md.num_row_groups):
@@ -150,6 +152,7 @@ class DocumentLog:
         self,
         lines: list[str],
         insertion_filter_text: str = "",
+        shred_schema: Optional[T.StructType] = None,
     ) -> list[str]:
         """Distributed ingest of one batch: validate → insertion filter
         (+redact) → contiguous id assignment → Parquet append.
@@ -209,6 +212,15 @@ class DocumentLog:
         part = self._part
         rows = with_idx.mapPartitions(stamp).map(lambda r: r + (part,))
         df = self.spark.createDataFrame(rows, LOG_SCHEMA)
+        if shred_schema is not None and shred_schema.fields:
+            # Shredded storage: parse ONCE at ingest into a typed struct
+            # column, so queries read real parquet columns (row-group
+            # pruning + nested predicate pushdown) instead of running
+            # from_json over the corpus.  The raw ``value`` stays the
+            # record of truth for the exact row backend.
+            df = df.withColumn(
+                "doc", F.from_json(F.col("value"), shred_schema)
+            )
         if written:
             df.write.mode("append").partitionBy("part").parquet(self.path)
         rdd.unpersist()

@@ -182,3 +182,46 @@ def override_path_string(dt: T.DataType, path: tuple) -> T.DataType:
         else:
             fields.append(f)
     return T.StructType(fields)
+
+
+def common_leaves_unchanged(old: T.DataType, new: T.DataType) -> bool:
+    """True when every path present in BOTH schemas has the identical
+    type — the condition under which parquet files shredded with ``old``
+    stay readable under an explicit ``new`` read schema (new fields read
+    as null; a changed leaf type — e.g. long → double widening — would
+    need a parquet upcast the reader may not do, so shredded reads are
+    disabled then)."""
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        fo = {f.name: f.dataType for f in old.fields}
+        fn = {f.name: f.dataType for f in new.fields}
+        return all(
+            common_leaves_unchanged(fo[k], fn[k]) for k in fo.keys() & fn.keys()
+        )
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return common_leaves_unchanged(old.elementType, new.elementType)
+    return old == new
+
+
+def shred_write_schema(dt: T.StructType) -> T.StructType:
+    """Schema for writing a batch's shredded ``doc`` column: like
+    :func:`finalize_type` but NullType placeholders are DROPPED instead
+    of stringified — an all-null field binds no parquet type, leaving a
+    later batch free to type it without breaking shredded reads."""
+    out = _shred_canon(dt)
+    return out if isinstance(out, T.StructType) else T.StructType([])
+
+
+def _shred_canon(dt: T.DataType) -> Optional[T.DataType]:
+    if isinstance(dt, T.NullType):
+        return None
+    if isinstance(dt, T.ArrayType):
+        elem = _shred_canon(dt.elementType)
+        return None if elem is None else T.ArrayType(elem, True)
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            ft = _shred_canon(f.dataType)
+            if ft is not None:
+                fields.append(T.StructField(f.name, ft, True))
+        return T.StructType(fields) if fields else None
+    return dt
