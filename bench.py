@@ -104,6 +104,14 @@ def main() -> int:
         db.insert_json(lines)
         timings["insert_15k"] = round(time.perf_counter() - t0, 3)
 
+        # durable-mode BFL query: shredded parquet scan (typed doc
+        # column written at ingest) — no query-time JSON parse
+        t0 = time.perf_counter()
+        db.query("hit == true and n > 7500").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["query_durable_15k"] = round(time.perf_counter() - t0, 3)
+
         t0 = time.perf_counter()
         t = tail(db, "hit == true")
         got = t.await_written(14_000, timeout=60)
@@ -161,10 +169,16 @@ def main() -> int:
         build_sec = round(time.perf_counter() - t0, 3)
         for name in SLOPE:
             fn = SPARK_QUERIES[name]
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, scaled).write.format("noop").mode("overwrite").save()
-            probe[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _attempt in range(2):  # best-of-2: late-session GC noise
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, scaled).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            probe[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
