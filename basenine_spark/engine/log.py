@@ -234,6 +234,14 @@ class DocumentLog:
         return ids
 
     def _refresh_part_ts(self, part: int) -> None:
+        try:
+            footer = (self._footer_stats() or {}).get(part)
+        except Exception:
+            footer = None
+        if footer is not None:  # O(files), no job
+            if footer[1] is not None:
+                self._part_ts[part] = footer[1]
+            return
         pdir = os.path.join(self.path, f"part={part}")
         df = self.spark.read.schema(
             T.StructType([f for f in LOG_SCHEMA.fields if f.name != "part"])
