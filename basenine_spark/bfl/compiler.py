@@ -1337,6 +1337,25 @@ def _struct_chain(schema: T.StructType, path: Tuple[str, ...]) -> Optional[bool]
     return True
 
 
+def _with_string_leaf(dt: T.DataType, path: Tuple[str, ...]) -> T.DataType:
+    """Schema after redacting ``path``: the leaf becomes string.  Used
+    to resolve later redact arguments against the already-mutated shape
+    (``redact("a.c") and redact("a.c.d")`` — the second is a no-op, the
+    reference can't descend the redacted string)."""
+    if not path:
+        return T.StringType()
+    if not isinstance(dt, T.StructType):
+        return dt
+    return T.StructType(
+        [
+            T.StructField(f.name, _with_string_leaf(f.dataType, path[1:]), True)
+            if f.name == path[0]
+            else f
+            for f in dt.fields
+        ]
+    )
+
+
 def _redacted_field(root: Column, path: Tuple[str, ...]) -> Column:
     """Replacement value for ``root`` with ``path`` under it redacted.
     A NULL *intermediate* stays NULL (``withField`` on a null struct is
@@ -1412,6 +1431,10 @@ def compile_redact_fast(
         else df_or_schema
     )
     paths: List[Tuple[str, ...]] = []
+    # resolve each argument against the schema AS MUTATED by the
+    # arguments before it — the reference applies redacts left-to-right
+    # on the live document (eval.go:526-537)
+    working: T.DataType = schema
     for r in redacts:
         if r.outer or r.docfunc or r.inner:
             return None  # helper must be the bare `redact(...)` call
@@ -1421,11 +1444,12 @@ def compile_redact_fast(
                 return None
             if p[0] in protected_roots:
                 return None
-            resolved = _struct_chain(schema, p)
+            resolved = _struct_chain(working, p)
             if resolved is None:
                 return None
             if resolved:
                 paths.append(p)
+                working = _with_string_leaf(working, p)
     reads: List[Tuple[str, ...]] = []
     for other in others:
         _collect_path_reads(other, reads)

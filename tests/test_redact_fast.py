@@ -138,3 +138,20 @@ def test_map_crossing_path_falls_back(spark):
         [(0, {"b": 1})], "id long, m map<string,long>"
     )
     assert compile_redact_fast(parse('redact("m.b")'), df) is None
+
+
+def test_overlapping_redact_args_resolve_in_order(spark):
+    # fuzz-found: redact("a.c") turns c into a string, so a following
+    # redact("a.c.d") is the reference's no-op (can't descend a string);
+    # resolution must track the mutated shape or the plan fails analysis
+    docs = ['{"id": 0, "a": {"c": {"d": 2}}, "num": 1}']
+    db, df = _db(spark, docs)
+    row = db.query('redact("a.c") and redact("a.c.d")').collect()[0]
+    assert row["a"]["c"] == REDACTED
+    _, new_doc = eval_query(parse('redact("a.c") and redact("a.c.d")'), docs[0])
+    assert json.loads(new_doc)["a"]["c"] == REDACTED
+    # reverse order: leaf redact first, then the whole subtree
+    row = db.query('redact("a.c.d") and redact("a.c")').collect()[0]
+    assert row["a"]["c"] == REDACTED
+    _, new_doc = eval_query(parse('redact("a.c.d") and redact("a.c")'), docs[0])
+    assert json.loads(new_doc)["a"]["c"] == REDACTED
