@@ -153,3 +153,17 @@ def test_pure_redact_filter_schema_stays_driver_side(spark, tmp_path):
     assert rows[1]["nested"]["token"] == "[REDACTED]"
     assert rows[1]["nested"]["keep"] is True
     assert rows[2]["secret"] is None
+
+
+def test_overlapping_redact_insertion_filter_schema(spark, tmp_path):
+    # redact("a.c") masks the subtree, so redact("a.c.d") is a storage
+    # no-op — the driver-side schema override must agree with what
+    # actually lands on disk
+    db = BasenineDB(spark, path=str(tmp_path / "store"))
+    db.set_insertion_filter('redact("a.c") and redact("a.c.d")')
+    db.insert_json(['{"a": {"c": {"d": 2}}, "n": 1}'])
+    stored = spark.read.json(
+        db._log.scan().select("value").rdd.map(lambda r: r.value)
+    ).schema
+    assert db._typed_schema == stored
+    assert db.query("").collect()[0]["a"]["c"] == "[REDACTED]"
