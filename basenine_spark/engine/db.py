@@ -869,6 +869,14 @@ class BasenineDB:
         if self._log is not None:
             self._save_state()
 
+    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """Maintenance: merge small log files (micro-batch ingest debris)
+        into ~target-size parquet files.  See
+        :meth:`DocumentLog.compact`; no-op in non-durable mode."""
+        if self._log is None:
+            return 0
+        return self._log.compact(target_bytes=target_bytes)
+
     def set_retention_bytes(self, n: int) -> None:
         """/limit (M7): size-bound retention — enforced on the durable
         log's rolling partitions (effective limit n/2, ≤2 live

@@ -339,6 +339,48 @@ class DocumentLog:
     def last_id(self) -> str:
         return "%024d" % max(self._count - 1, 0)
 
+    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite each live partition into ~``target_bytes`` files.
+
+        Micro-batch ingest (the tail/source path commits one file set
+        per trigger) accumulates small parquet files; at scale that
+        degrades every scan (footer-per-file overhead, tiny row
+        groups).  Compaction is a maintenance operation the reference
+        never needs (one growing log file per partition,
+        ``native.go:951-964``) but a parquet log does.  Per partition:
+        read → coalesce to ⌈size/target⌉ files → write to a temp dir →
+        atomic directory swap.  All columns (including the shredded
+        ``doc`` struct) pass through with the file's own schema; seq
+        ordering, footer statistics and counters are unaffected.
+        Returns the number of partitions rewritten."""
+        import math
+
+        rewritten = 0
+        for part in self._live_parts():
+            pdir = os.path.join(self.path, f"part={part}")
+            n_files = sum(
+                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+            size = self._part_size(part)
+            want = max(1, math.ceil(size / target_bytes))
+            if n_files <= want:
+                continue
+            tmp = f"{pdir}.compact.tmp"
+            old = f"{pdir}.compact.old"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            (
+                self.spark.read.parquet(pdir)
+                .coalesce(want)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            os.rename(pdir, old)
+            os.rename(tmp, pdir)
+            shutil.rmtree(old)
+            rewritten += 1
+        return rewritten
+
     def flush(self) -> None:
         """Drop all records (``native.go:888-904``); id counter restarts
         like the reference (offsets reset)."""

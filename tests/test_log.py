@@ -206,3 +206,42 @@ def test_restore_reads_footers_not_data(spark, tmp_path, monkeypatch):
     assert log2.total_written == 2
     assert log2.live_count == 2
     assert log2._part_ts.get(0) == 9
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    import glob
+    import json as _json
+
+    path = str(tmp_path / "log")
+    log = DocumentLog(spark, path)
+    for batch in range(8):  # 8 separate commits -> >=8 files
+        log.append(
+            [_json.dumps({"n": batch * 5 + i, "timestamp": batch}) for i in range(5)]
+        )
+    before = glob.glob(f"{path}/part=0/*.parquet")
+    assert len(before) >= 8
+    pre_rows = sorted(r["seq"] for r in log.scan().collect())
+
+    assert log.compact() == 1
+    after = glob.glob(f"{path}/part=0/*.parquet")
+    assert len(after) < len(before)
+    assert sorted(r["seq"] for r in log.scan().collect()) == pre_rows
+    # footer-only restore still sees identical counters
+    log2 = DocumentLog(spark, path)
+    assert log2.total_written == 40 and log2.live_count == 40
+
+
+def test_compact_preserves_shredded_reads(spark, tmp_path):
+    import json as _json
+
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark, path=str(tmp_path / "s"))
+    for batch in range(6):
+        db.insert_json([_json.dumps({"a": batch * 3 + i}) for i in range(3)])
+    assert db._shred_ok
+    expected = sorted(r["a"] for r in db.query("a > 4").collect())
+    assert db.compact() == 1
+    assert db._shred_ok
+    got = sorted(r["a"] for r in db.query("a > 4").collect())
+    assert got == expected == list(range(5, 18))
