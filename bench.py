@@ -72,17 +72,37 @@ def main() -> int:
         _warm, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
-        best = None
-        for _attempt in range(2):  # best-of-2: JIT/GC noise suppression
+    # ...and the RDD-path worker pool (ingest filter/id assignment runs
+    # there): fork + interpreter + library imports cost ~10 s across 32
+    # workers on first use, which would be billed to insert_15k
+    def _warm_rdd(part):
+        from basenine_spark.bfl import parse as _parse
+        from basenine_spark.bfl.pyeval import eval_query as _eval
+
+        _eval(_parse("x == 1"), '{"x": 1}')
+        return part
+
+    spark.sparkContext.parallelize(
+        range(int(CPUS) * 4), int(CPUS)
+    ).mapPartitions(_warm_rdd).count()
+
+    def timed(fn, sf_dir: str) -> float:
+        """Best of 2 runs; a 3rd only when the two disagree >50% (this
+        box shows sporadic multi-second noisy-neighbor stalls — one
+        extra attempt beats inflating every query)."""
+        samples = []
+        for _attempt in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            if len(samples) == 2 and max(samples) <= 1.5 * min(samples):
+                break
+        return round(min(samples), 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = timed(SPARK_QUERIES[name], SF_DIR)
 
     # BASELINE envelope analogs (client_test.go:52-60, 89-147): 15k
     # inserts on one connection; 14k matching records streamed < 20 s
@@ -94,15 +114,21 @@ def main() -> int:
     from basenine_spark.streaming import tail
 
     with tempfile.TemporaryDirectory() as tmp:
-        db = BasenineDB(spark, path=f"{tmp}/bench_store")
-        db.set_insertion_filter('redact("secret")')
         lines = [
             _json.dumps({"n": i, "hit": i % 15 != 0, "secret": "x"})
             for i in range(15_000)
         ]
-        t0 = time.perf_counter()
-        db.insert_json(lines)
-        timings["insert_15k"] = round(time.perf_counter() - t0, 3)
+        # best-of-2 into fresh stores (same noisy-neighbor rationale as
+        # timed()); the second db feeds the query/tail measurements
+        best = None
+        for attempt in range(2):
+            db = BasenineDB(spark, path=f"{tmp}/bench_store_{attempt}")
+            db.set_insertion_filter('redact("secret")')
+            t0 = time.perf_counter()
+            db.insert_json(lines)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings["insert_15k"] = round(best, 3)
 
         # durable-mode BFL query: shredded parquet scan (typed doc
         # column written at ingest) — no query-time JSON parse
@@ -168,17 +194,7 @@ def main() -> int:
         )
         build_sec = round(time.perf_counter() - t0, 3)
         for name in SLOPE:
-            fn = SPARK_QUERIES[name]
-            best = None
-            for _attempt in range(2):  # best-of-2: late-session GC noise
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, scaled).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            probe[name] = round(best, 3)
+            probe[name] = timed(SPARK_QUERIES[name], scaled)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
