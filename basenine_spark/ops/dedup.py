@@ -369,3 +369,77 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    n-gram Jaccard pair graph, labeled by the minimum doc_id in each
+    component (the canonical survivor a dedup pass would keep).
+
+    Iterative min-label propagation (the dataframe-native form of the
+    MapReduce connected-components family, Kiveris et al., CIKM'14):
+    each round every node adopts the minimum label among itself and its
+    neighbors; rounds repeat until a fixpoint.  Near-dup components are
+    shallow (duplicates of a common ancestor), so convergence takes
+    O(component diameter) ≈ 2-4 rounds — each round is one shuffle
+    keyed on doc_id, no collect of the graph anywhere.  ``max_iter``
+    bounds pathological chains; the loop exits early on fixpoint
+    (checked with a cheap aggregate per round).
+
+    Output: (doc_id, cluster_id) for every document that has at least
+    one near-duplicate, cluster_id = min doc_id of its component.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold).select(
+        "doc_a", "doc_b"
+    ).cache()
+    # symmetric adjacency; isolated nodes are excluded by construction
+    adj = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = adj.groupBy("doc_a").agg(
+        F.least(F.min("doc_b"), F.first("doc_a")).alias("label")
+    ).select(F.col("doc_a").alias("doc_id"), "label")
+    for _round in range(max_iter):
+        # neighbor labels via one keyed join, then min with own label
+        neighbor = (
+            adj.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            labels.select("doc_id", F.col("label").alias("old"))
+            .join(new_labels, "doc_id")
+            .filter(F.col("old") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
+        "doc_id"
+    )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .bfl.compiler import UnsupportedBFL, compile_filter
 from .engine.db import BasenineDB
-from .ops import dedup, multimodal, relational, similarity, text
+from .ops import dedup, multimodal, relational, sampling, similarity, text
 from .sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -747,6 +747,53 @@ _register(
     None,
 )
 
+_register(
+    "dedup_clusters",
+    lambda s, d: dedup.duplicate_clusters(s, d, n=3, threshold=0.4),
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                  6) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+
+_register(
+    "sample_stratified",
+    lambda s, d: sampling.stratified_sample(s, d),
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substring(md5('bn' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source
+        WHEN 'src0' THEN 'cccccccc'
+        WHEN 'src1' THEN '40000000'
+        WHEN 'src2' THEN '80000000'
+        ELSE '19999999'
+      END
+    """,
+)
+
 # -- multimodal -------------------------------------------------------------
 
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +855,8 @@ _PROMOTED = [
     "text_langid",
     "text_regex_tokens",
     "text_tokens_by_source",
+    "dedup_clusters",
+    "sample_stratified",
 ]
 
 _DEMOTED = [
@@ -827,8 +876,10 @@ _DEMOTED = [
     "bfl_neq_string",
     "bfl_cmp_gt",
     "bfl_cmp_le",
+    "bfl_startswith",
     "bfl_endswith",
     "bfl_contains",
+    "text_fingerprint",
     "agg_revenue_q6",
     "agg_daily_events",
     "join_mktsegment",

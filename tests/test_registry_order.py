@@ -36,6 +36,8 @@ def test_extension_surface_inside_window():
         "text_regex_tokens",
         "text_tokens_by_source",
         "redact_typed_fast",
+        "dedup_clusters",
+        "sample_stratified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
