@@ -154,3 +154,117 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokens(F.col("text"))).cast("bigint")).alias("total_tokens"),
         F.count(F.lit(1)).alias("doc_cnt"),
     )
+
+
+def _gram_expr(n: int) -> str:
+    """SQL expression producing the order-preserving (non-distinct)
+    word-``n``-gram list of a ``toks`` array column — repeats kept, so
+    downstream counts measure repetition."""
+    gram = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        "CASE WHEN size(toks) >= {n} THEN "
+        "transform(sequence(1, size(toks) - {nm1}), i -> concat_ws(' ', {gram})) "
+        "ELSE array() END"
+    ).format(n=n, nm1=n - 1, gram=gram)
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    bigrams: ``top_ratio`` = occurrences of the most frequent bigram /
+    total bigrams, ``dup_ratio`` = fraction of bigram instances that
+    are repeats of an earlier one.  High values flag boilerplate /
+    looping text that a training pipeline drops.
+
+    Scale shape: explode + two keyed aggregations, both with map-side
+    partial agg; the (doc_id, bigram) shuffle is the only wide stage
+    and is keyed fine-grained enough to never skew.  Documents with
+    fewer than two tokens have no bigrams and drop out (same semantics
+    both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.explode(F.expr(_gram_expr(2))).alias("bg"))
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").cast("double")
+    return cnt.groupBy("doc_id").agg(
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.round(F.max("cnt").cast("double") / total, 6).alias("top_ratio"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / total, 6
+        ).alias("dup_ratio"),
+    )
+
+
+# (label, RE2-safe pattern, replacement) applied in order; replacements
+# contain no digits/@ so later patterns never re-match scrubbed spans
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\d+", "<NUM>"),
+)
+
+
+def pii_scrub(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Deterministic PII scrubbing: per-pattern match counts plus the
+    scrubbed text.  Patterns apply sequentially (counts taken on the
+    partially-scrubbed text so a span is attributed to exactly one
+    pattern).  Map-only projection, JVM regex, no shuffle — at 100 TB
+    this is a pure scan-transform-write pass.
+    """
+    cur = F.col(col)
+    out = []
+    for label, pat, repl in PII_PATTERNS:
+        out.append(
+            F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{label}")
+        )
+        cur = F.regexp_replace(cur, F.lit(pat), F.lit(repl))
+    return df.select(F.col(id_col), *out, cur.alias("scrubbed"))
+
+
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the events ``props`` payload (the only column in
+    the driver testdata with digit runs to hit)."""
+    events = load_table(spark, sf_dir, "events")
+    return pii_scrub(events, "props", "event_id")
+
+
+def contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark_source: str = "src0",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every document outside the
+    benchmark set (``source == benchmark_source`` stands in for an eval
+    suite), the fraction of its distinct word-``n``-grams that appear
+    anywhere in the benchmark set.  The decontamination primitive every
+    training pipeline runs before shipping data.
+
+    Scale shape: the benchmark n-gram universe is tiny relative to the
+    corpus, so it is broadcast — the corpus side never shuffles; the
+    per-doc aggregate is keyed on doc_id with map-side combine.
+    """
+    from .dedup import _shingle_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "source", F.explode(F.expr(_shingle_expr(n))).alias("g"))
+    bench = (
+        grams.filter(F.col("source") == benchmark_source)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    rest = grams.filter(F.col("source") != benchmark_source)
+    joined = rest.join(F.broadcast(bench), "g", "left")
+    n_overlap = F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        n_overlap.alias("n_overlap"),
+        F.round(
+            n_overlap.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("contamination"),
+    )

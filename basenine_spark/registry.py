@@ -668,6 +668,70 @@ _register(
     FROM documents GROUP BY source
     """,
 )
+_register(
+    "text_repetition",
+    text.repetition_stats,
+    """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM toks
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(max(cnt) AS BIGINT) AS top_cnt,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_ratio,
+           round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+
+
+def _pii_oracle() -> str:
+    """Build the DuckDB twin of ``text.pii_scrub`` from the same
+    pattern table so the two can never drift."""
+    sql = "SELECT event_id, props AS t FROM events"
+    counts = []
+    for label, pat, repl in text.PII_PATTERNS:
+        counts.append(f"CAST(n_{label} AS BIGINT) AS n_{label}")
+        sql = (
+            f"SELECT * EXCLUDE (t),"
+            f" len(regexp_extract_all(t, '{pat}')) AS n_{label},"
+            f" regexp_replace(t, '{pat}', '{repl}', 'g') AS t"
+            f" FROM ({sql})"
+        )
+    return (
+        f"SELECT event_id, {', '.join(counts)}, t AS scrubbed FROM ({sql})"
+    )
+
+
+_register("pii_scrub_events", text.pii_scrub_events, _pii_oracle())
+_register(
+    "text_contamination",
+    text.contamination,
+    """
+    WITH toks AS (SELECT doc_id, source, str_split(text, ' ') AS l FROM documents),
+    tri AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(CASE WHEN len(l) >= 3 THEN
+               list_transform(range(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+               ELSE [] END)) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM tri WHERE source = 'src0'),
+    rest AS (SELECT doc_id, g FROM tri WHERE source <> 'src0')
+    SELECT r.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(b.g) AS BIGINT) AS n_overlap,
+           round(CAST(count(b.g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS contamination
+    FROM rest r LEFT JOIN bench b ON r.g = b.g
+    GROUP BY r.doc_id
+    """,
+)
 
 # -- dedup ------------------------------------------------------------------
 
@@ -857,6 +921,9 @@ _PROMOTED = [
     "text_tokens_by_source",
     "dedup_clusters",
     "sample_stratified",
+    "text_repetition",
+    "pii_scrub_events",
+    "text_contamination",
 ]
 
 _DEMOTED = [
@@ -879,6 +946,9 @@ _DEMOTED = [
     "bfl_startswith",
     "bfl_endswith",
     "bfl_contains",
+    "bfl_not",
+    "bfl_bare_path_truthy",
+    "bfl_index_select",
     "text_fingerprint",
     "agg_revenue_q6",
     "agg_daily_events",

@@ -38,6 +38,9 @@ def test_extension_surface_inside_window():
         "redact_typed_fast",
         "dedup_clusters",
         "sample_stratified",
+        "text_repetition",
+        "pii_scrub_events",
+        "text_contamination",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
