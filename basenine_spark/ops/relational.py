@@ -283,3 +283,93 @@ def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^2 grouping-set combinations of
+    (status, priority) in one pass. Catalyst expands the cube into a
+    single Expand + partial-agg + one shuffle (not four scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order value per market segment × order status, statuses
+    spread into columns.
+
+    The pivot values are declared explicitly — with an implicit pivot
+    Spark first runs a distinct-scan job just to learn the column set,
+    which is a full extra pass at 100 TB. customer is the broadcast
+    dimension side; the pivot itself is a regular partial-agg shuffle
+    keyed on the segment.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    )
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+# Irregular length bands for the interval join below. Deliberately NOT
+# arithmetic-bucketable (unequal widths) so the operator demonstrates a
+# genuine non-equi interval join, not bucketing in disguise.
+LENGTH_BANDS: list[tuple[str, int, int]] = [
+    ("xs", 0, 100),
+    ("s", 100, 180),
+    ("m", 180, 260),
+    ("l", 260, 340),
+    ("xl", 340, 460),
+    ("xxl", 460, 1_000_000),
+]
+
+
+def doc_length_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (band) join: documents → irregular length bands via
+    ``lo <= n_chars < hi``.
+
+    The band table is rows-of-constants and broadcast: Spark plans a
+    BroadcastNestedLoopJoin, which for a <10-row build side is the
+    *correct* physical strategy — each fact row tests a handful of
+    predicates, no shuffle of the fact table at all. (For two large
+    interval sides the scale pattern is overlap-bucketing both sides;
+    here the dimension side is constant-sized by construction.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = spark.createDataFrame(
+        LENGTH_BANDS, ["band", "lo", "hi"]
+    )
+    return (
+        docs.join(
+            F.broadcast(bands),
+            (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Time-series extension operators: as-of join, range-frame windows,
+gap-filled resampling.
+
+The reference has no time-series operators at all — ``timestamp`` is
+only read for retention and user predicates (SURVEY §2.9 T4) — but a
+training-data/observability pipeline over an events firehose needs
+them constantly (attribution, sliding-rate features, dense calendars
+for downstream models). Everything here is declarative DataFrame ops:
+one hash shuffle on the entity key, no Python on the data path.
+
+Scale notes (100 TB):
+
+* ``asof_last_click`` uses the union-and-running-max formulation: both
+  event classes are unioned, then a single window pass per user carries
+  the last left-side timestamp forward. One shuffle on ``user_id``,
+  sort within partitions — the classic distributed as-of join shape
+  (no per-row backward probe, no range explosion). Skewed users would
+  be handled the same way as any window skew: salt + two-phase.
+* ``sliding_error_rate`` uses a RANGE frame keyed on epoch-millis —
+  Spark evaluates it with one sort per partition and a moving frame
+  pointer (O(n) amortized per partition), not a self-join.
+* ``gap_fill_hourly`` aggregates the fact table once (per-hour counts,
+  a tiny hours × keys result) and caches that; the calendar bounds, the
+  key set, and the final left join all read the cached aggregate.
+  Without the cache Catalyst column-prunes each branch into a separate
+  (cheap but full) scan of the fact table — caching the aggregate is
+  what makes the 100 TB table get read exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the same user's most
+    recent click at-or-before the purchase (click→purchase
+    attribution).
+
+    Formulated as union + running max instead of a join: click rows
+    carry their own ``ts_ms``, purchase rows carry NULL, and
+    ``max() over (user, ts rows unbounded preceding..current)`` is the
+    as-of lookup. Clicks sort before purchases at equal timestamps
+    (``kind`` tiebreaker), matching at-or-before semantics. Returning
+    the *timestamp* of the matched click (not an arbitrary surviving
+    row id) keeps the result deterministic under exact-tie clicks.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_ms").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_ms").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ms",
+        F.max(F.when(F.col("kind") == 0, F.col("t"))).over(w),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("purchase_ms"),
+        "last_click_ms",
+        (F.col("t") - F.col("last_click_ms")).alias("gap_ms"),
+    )
+
+
+def sliding_error_rate(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 1440
+) -> DataFrame:
+    """RANGE-frame sliding window: for every error event, how many
+    events (any type) the same user produced in the preceding
+    ``window_minutes`` (default 24 h, inclusive of the error itself).
+
+    A RANGE frame over epoch-millis — the declarative form of "events
+    within the last N minutes" that would otherwise be a self-join with
+    a band predicate. One shuffle on ``user_id``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    span_ms = window_minutes * 60_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-span_ms, 0)
+    )
+    return (
+        events.withColumn("recent_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts_ms", "recent_n")
+    )
+
+
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: per (event_type, hour) counts over a
+    *dense* hour calendar — missing hours appear with ``cnt = 0``.
+
+    The calendar bounds and the key set both derive from the
+    *already-aggregated* per-hour counts — a hours × keys result that
+    is tiny regardless of fact-table size, so it is cached and the raw
+    table is scanned exactly once. (Uncached, Catalyst column-prunes
+    the bounds/keys branches into separate full scans.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.withColumn("hour", F.expr("ts_ms div 3600000"))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    hours = (
+        counts.agg(F.min("hour").alias("h_min"), F.max("hour").alias("h_max"))
+        .select(F.explode(F.sequence("h_min", "h_max")).alias("hour"))
+    )
+    types = counts.select("event_type").distinct()
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("cnt"),
+        )
+    )

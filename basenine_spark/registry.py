@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .bfl.compiler import UnsupportedBFL, compile_filter
 from .engine.db import BasenineDB
-from .ops import dedup, multimodal, relational, sampling, similarity, text
+from .ops import dedup, multimodal, relational, sampling, similarity, text, timeseries
 from .sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -895,6 +895,102 @@ _register(
 )
 
 
+# -- time series ------------------------------------------------------------
+
+_register(
+    "join_asof_clicks",
+    timeseries.asof_last_click,
+    # oracle deliberately uses the correlated-subquery formulation (not
+    # the union+window one the Spark side uses) so the two derivations
+    # are independent
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ms(ts) AS ts_ms
+               FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.purchase_ms,
+                  (SELECT max(c.ts_ms) FROM c
+                   WHERE c.user_id = p.user_id
+                     AND c.ts_ms <= p.purchase_ms) AS last_click_ms
+           FROM p
+         )
+    SELECT event_id, user_id, purchase_ms, last_click_ms,
+           purchase_ms - last_click_ms AS gap_ms
+    FROM j
+    """,
+)
+_register(
+    "window_range_count",
+    timeseries.sliding_error_rate,
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+                FROM events)
+    SELECT event_id, user_id, ts_ms, recent_n FROM (
+      SELECT event_id, user_id, ts_ms, event_type,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+               AS recent_n
+      FROM ev
+    ) WHERE event_type = 'error'
+    """,
+)
+_register(
+    "ts_gap_fill_hourly",
+    timeseries.gap_fill_hourly,
+    """
+    WITH ev AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour FROM events),
+         hours AS (SELECT unnest(range((SELECT min(hour) FROM ev),
+                                       (SELECT max(hour) FROM ev) + 1)) AS hour),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         counts AS (SELECT hour, event_type, count(*) AS n
+                    FROM ev GROUP BY 1, 2)
+    SELECT h.hour, t.event_type, COALESCE(c.n, 0) AS cnt
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+    """,
+)
+
+# -- cube / pivot / interval join -------------------------------------------
+
+_register(
+    "agg_cube_orders",
+    relational.order_status_cube,
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+_register(
+    "pivot_segment_status",
+    relational.segment_status_pivot,
+    """
+    SELECT c_mktsegment,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def _band_oracle() -> str:
+    """DuckDB twin of ``doc_length_band_join`` built from the same band
+    table (``relational.LENGTH_BANDS``) so the two cannot drift."""
+    values = ", ".join(
+        f"('{b}', {lo}, {hi})" for b, lo, hi in relational.LENGTH_BANDS
+    )
+    return f"""
+    WITH bands(band, lo, hi) AS (VALUES {values})
+    SELECT band, count(*) AS n_docs, round(avg(n_chars), 3) AS avg_chars
+    FROM documents JOIN bands ON n_chars >= lo AND n_chars < hi
+    GROUP BY band
+    """
+
+
+_register("join_length_bands", relational.doc_length_band_join, _band_oracle())
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -924,6 +1020,13 @@ _PROMOTED = [
     "text_repetition",
     "pii_scrub_events",
     "text_contamination",
+    # round-3 additions: time-series + cube/pivot/interval-join surface
+    "join_asof_clicks",
+    "window_range_count",
+    "ts_gap_fill_hourly",
+    "agg_cube_orders",
+    "pivot_segment_status",
+    "join_length_bands",
 ]
 
 _DEMOTED = [
@@ -939,7 +1042,15 @@ _DEMOTED = [
     "multimodal_decode_stub",
     "validate_golden_errors",
     # oracle-backed but semantically redundant with in-window entries
-    # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing
+    # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
+    # every name below already has a green hash-checked row in
+    # CORRECTNESS_r02.json, so demotion loses no hard signal
+    "fetch_forward",  # twin of in-window fetch_backward
+    "distinct_event_types",  # distinct covered by dedup_exact + agg entries
+    "semi_join_customers",  # twin of in-window anti_join_customers
+    "bfl_time_window",  # folding covered by bfl_time_arith_fold
+    "text_token_stats",  # token surface covered by text_quality/regex_tokens
+    "bfl_json_key_eq",  # json() covered by num_cmp/base64/recursive entries
     "bfl_neq_string",
     "bfl_cmp_gt",
     "bfl_cmp_le",

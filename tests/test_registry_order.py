@@ -41,6 +41,12 @@ def test_extension_surface_inside_window():
         "text_repetition",
         "pii_scrub_events",
         "text_contamination",
+        "join_asof_clicks",
+        "window_range_count",
+        "ts_gap_fill_hourly",
+        "agg_cube_orders",
+        "pivot_segment_status",
+        "join_length_bands",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
