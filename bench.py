@@ -38,6 +38,9 @@ HEADLINE = [
     "ann_topk",
     "text_quality",
     "multimodal_meta",
+    # round-3 additions (time-series surface)
+    "join_asof_clicks",
+    "ts_gap_fill_hourly",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Generate docs/PLANS.md: the formatted physical plan of each headline
+query plus the scale argument for why that plan survives a 1000-executor
+/ 100 TB deployment.
+
+The dossier is *generated* (not hand-written) so the plans shown are
+always the plans that actually run. Re-run after any operator change:
+
+    python tools/plan_dossier.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "PLANS.md")
+
+# name -> the scale argument a reviewer should check against the plan
+COMMENTARY: dict[str, str] = {
+    "bfl_and_or": (
+        "BFL compiles to native Column expressions: the whole predicate "
+        "appears in `PushedFilters` on the Parquet scan and the stage is "
+        "one `WholeStageCodegen` span. Map-only — zero shuffles at any "
+        "scale; executors scan only row groups whose min/max stats can "
+        "match."
+    ),
+    "bfl_json_num_cmp": (
+        "`json()` extraction runs on Spark 4 Variant (`try_parse_json` + "
+        "`try_variant_get`) — JVM-side, no Python. The scan prunes to the "
+        "two referenced columns (`ReadSchema`). Map-only; the JSON parse "
+        "cost is per-row but embarrassingly parallel."
+    ),
+    "redact_typed_fast": (
+        "Schema-static redact paths compile to `withField` struct "
+        "rewrites — a pure projection inside `WholeStageCodegen`, no "
+        "Python stage anywhere in the plan (contrast with the row-backend "
+        "fallback reserved for dynamic/`..`/encoded paths)."
+    ),
+    "agg_pricing_summary": (
+        "Classic partial-aggregation shape: `HashAggregate(partial)` "
+        "before the exchange, final after — the shuffle carries one row "
+        "per (partition × group), not per input row. Filter is in "
+        "`PushedFilters`; only the five referenced columns are read."
+    ),
+    "join_top_revenue": (
+        "The dimension side is wrapped in `broadcast()`: a "
+        "`BroadcastHashJoin` with the orders fact table never shuffling "
+        "for the join — only the final aggregation exchanges, keyed and "
+        "partial-aggregated."
+    ),
+    "sessionize_gap": (
+        "Gap sessionization = lag + running sum over one window: exactly "
+        "one `Exchange hashpartitioning(user_id)`, sort within "
+        "partitions. State never leaves the executor; skewed users would "
+        "be salted (the streaming twin bounds state with watermarks)."
+    ),
+    "join_asof_clicks": (
+        "As-of join via union + running max: ONE hash shuffle on "
+        "user_id replaces a per-row backward probe (the reference "
+        "pattern) or an exploding range join. Both event classes arrive "
+        "filter-pushed from the scan."
+    ),
+    "ts_gap_fill_hourly": (
+        "The dense calendar and key set derive from the cached per-hour "
+        "aggregate (`InMemoryTableScan` nodes) — the fact table is "
+        "scanned once regardless of size; the calendar join sides are "
+        "broadcast (tiny by construction: hours × keys)."
+    ),
+    "pivot_segment_status": (
+        "Pivot with declared values: no distinct-discovery job. "
+        "Broadcast dim join + the standard two-phase pivot — the second "
+        "exchange carries only already-aggregated (segment × status) "
+        "rows."
+    ),
+    "dedup_ngram_jaccard": (
+        "Exact Jaccard near-dup via PPJoin: candidate join keyed on "
+        "rare-prefix 64-bit shingle hashes (no `CartesianProduct` / "
+        "`BroadcastNestedLoopJoin` anywhere). Three keyed shuffles "
+        "(document frequency, candidate join, verify) — each bounded by "
+        "Σ df² over *prefix* occurrences, the published scale bound."
+    ),
+    "dedup_minhash_lsh": (
+        "MinHash-LSH: banding join keyed on (band, hash); signatures "
+        "come from one Arrow-vectorized pandas_udf pass (64 hashes per "
+        "doc in numpy, not 64 Catalyst expressions). Join fan-out is "
+        "bucket-bounded; no all-pairs comparison exists in the plan."
+    ),
+    "ann_topk": (
+        "Brute-force cosine baseline: the deliberate "
+        "`BroadcastNestedLoopJoin` broadcasts the *query* side (rows of "
+        "constants); the corpus is scanned exactly once. The LSH/IVF "
+        "variants replace the nested loop with (table, bucket)-keyed "
+        "joins for the 100 TB path."
+    ),
+    "dedup_exact": (
+        "Exact dedup = hash-groupBy on content hash: partial "
+        "aggregation before the single keyed shuffle; the shuffle "
+        "carries (hash, min_id, count), never document text."
+    ),
+}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from basenine_spark.registry import SPARK_QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-dossier")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = []
+    for name, note in COMMENTARY.items():
+        df = SPARK_QUERIES[name](spark, SF_DIR)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), "formatted"
+        )
+        sections.append(
+            f"## `{name}`\n\n{note}\n\n```\n{formatted.rstrip()}\n```\n"
+        )
+
+    header = (
+        "# Physical plan dossier\n\n"
+        "Generated by `tools/plan_dossier.py` from the actual plans at "
+        f"`{SF_DIR}` — regenerate after operator changes; do not edit "
+        "by hand. Each section states the property that makes the "
+        "operator survive a 1000-executor / 100 TB deployment, and the "
+        "plan below it is the evidence.\n\n"
+        "Reading guide: `PushedFilters`/`ReadSchema` on a scan = "
+        "predicate pushdown / column pruning reached the Parquet "
+        "reader; `WholeStageCodegen` spans = JVM-compiled tight loops "
+        "(no Python on the path); `Exchange hashpartitioning` = a "
+        "shuffle, the unit of scale cost; `BroadcastHashJoin` = the "
+        "fact side never moved.\n"
+    )
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        f.write(header + "\n" + "\n".join(sections))
+    print(f"wrote {OUT} ({len(sections)} plans)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
