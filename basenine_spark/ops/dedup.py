@@ -92,6 +92,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     jaccard_col: str = "jaccard",
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """**Exact** n-gram Jaccard near-dup pairs with prefix filtering
     (PPJoin-family, Xiao et al., WWW'08 — public algorithm).
@@ -119,10 +120,10 @@ def ngram_jaccard_pairs(
     (:func:`hashed_shingle_sets`); one shuffle for df, one for the
     candidate join, one for verify. No cartesian anywhere.
     """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     hsets = hashed_shingle_sets(
-        load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        ),
+        docs.repartition(spark.sparkContext.defaultParallelism),
         n,
     ).filter(F.size("shingles") > 0).cache()
     exploded = hsets.select(
@@ -377,6 +378,7 @@ def duplicate_clusters(
     n: int = 3,
     threshold: float = 0.4,
     max_iter: int = 12,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact
     n-gram Jaccard pair graph, labeled by the minimum doc_id in each
@@ -395,9 +397,9 @@ def duplicate_clusters(
     Output: (doc_id, cluster_id) for every document that has at least
     one near-duplicate, cluster_id = min doc_id of its component.
     """
-    edges = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold).select(
-        "doc_a", "doc_b"
-    ).cache()
+    edges = ngram_jaccard_pairs(
+        spark, sf_dir, n=n, threshold=threshold, docs=docs
+    ).select("doc_a", "doc_b").cache()
     # symmetric adjacency; isolated nodes are excluded by construction
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

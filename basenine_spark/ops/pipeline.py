@@ -1,0 +1,158 @@
+"""End-to-end training-data curation pipeline: quality filter → exact
+dedup → near-dup removal, composed as ONE declarative plan.
+
+This is the composition story for the LLM-pipeline surface: the
+individual operators (:mod:`.text`, :mod:`.dedup`) are useful alone,
+but a pretraining corpus run chains them — and in Spark the chain stays
+a single lazy plan, so Catalyst pushes the cheap quality predicates
+*below* everything else: documents that fail the token/char gates are
+dropped at the Parquet scan and never tokenize, hash, or shingle.
+
+Scale shape per stage (100 TB corpus):
+
+1. quality gate — map-only, evaluated in the scan stage;
+2. exact dedup — one keyed shuffle carrying (md5, min_id), documents
+   survive via a semi join on their own (hash, id), never re-shuffling
+   text;
+3. near-dup removal — the PPJoin pair generator + min-label clustering
+   from :mod:`.dedup` (keyed joins only), applied to the already-thinned
+   survivor set, then an anti join against the non-canonical members.
+
+The driver oracle (``pipeline_curate``) replays the whole funnel in
+DuckDB including the recursive-CTE transitive closure, so the composed
+result — not just each stage — is hash-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import dedup
+
+
+def curate_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 30,
+    max_tokens: int = 1000,
+    min_chars: int = 100,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """The curated corpus: documents that pass the quality gates, are
+    the canonical copy of their exact-duplicate group, and are the
+    canonical member (minimum doc_id) of their near-duplicate cluster.
+
+    Returns (doc_id, source, n_tokens, n_chars) per surviving doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    quality = docs.withColumn("n_tokens", n_tokens).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("n_chars") >= min_chars)
+    )
+
+    # exact dedup: keep the min doc_id per distinct text — the shuffle
+    # carries (hash, min_id); the semi join brings back full rows
+    hashed = quality.withColumn("content_hash", F.md5("text"))
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    unique_docs = hashed.join(
+        keepers, ["content_hash", "doc_id"], "leftsemi"
+    ).drop("content_hash")
+
+    # near-dup removal: non-canonical cluster members (cluster_id is the
+    # min doc_id of each connected component) are anti-joined away
+    clusters = dedup.duplicate_clusters(
+        spark, sf_dir, n=n, threshold=threshold, docs=unique_docs
+    )
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return unique_docs.join(non_canonical, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+def curation_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    **kwargs,
+) -> DataFrame:
+    """Per-source funnel counts: documents in, after quality, after the
+    full curation — the monitoring view a production pipeline alerts
+    on (a stage suddenly dropping 90% of a source is a data bug)."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = curate_documents(spark, sf_dir, **kwargs)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    min_tokens = kwargs.get("min_tokens", 30)
+    max_tokens = kwargs.get("max_tokens", 1000)
+    min_chars = kwargs.get("min_chars", 100)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(
+            (
+                (n_tokens >= min_tokens)
+                & (n_tokens <= max_tokens)
+                & (F.col("n_chars") >= min_chars)
+            ).cast("bigint")
+        ).alias("n_quality"),
+    )
+    kept = survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return per_source.join(kept, "source", "left").select(
+        "source",
+        "n_in",
+        "n_quality",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = 512,
+) -> DataFrame:
+    """Greedy sequential sequence packing: assign documents (in doc_id
+    order, per source) to training-batch bins of ``budget_tokens``.
+
+    ``bin_id = floor((cumulative_tokens - n_tokens) / budget)`` — the
+    standard streaming-packing rule: a document goes into the bin its
+    *starting* offset falls in, so bins overflow by at most one
+    document (no look-ahead, deterministic, resumable from a token
+    offset).
+
+    Scale shape: one window per source partition (running sum over
+    doc_id order) — a single hash shuffle on ``source``; no global
+    ordering bottleneck because packing is per-source by design (mixing
+    sources inside a bin is what curriculum sampling does later).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_cum = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        ((F.col("cum_tokens") - F.col("n_tokens")) / budget_tokens)
+        .cast("bigint")
+        .alias("bin_id"),
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("start_offset"),
+    )

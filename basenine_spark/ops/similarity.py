@@ -315,3 +315,38 @@ def embedding_near_dup(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar (int8-style) quantization summary: L2 norm,
+    min/max quantization range, and the checksum of the 0-255 codes
+    ``round((x - min) * 255 / (max - min))``.
+
+    This is the storage-shrink step of an embedding pipeline (float32 →
+    1 byte/dim + 2 floats/vector). Map-only JVM expressions: the floats
+    are cast to double once, then ``aggregate``/``transform``
+    higher-order functions do the fold — no shuffle, no Python, linear
+    scan at any corpus size. Emitting the code *checksum* (not 64 code
+    columns) keeps the oracle comparison exact and order-insensitive.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "sqrt(aggregate(embedding, 0D,"
+                " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            ),
+            6,
+        ).alias("norm"),
+        F.round(F.expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmin"),
+        F.round(F.expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmax"),
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(round((CAST(x AS DOUBLE)"
+            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))"
+            "  * 255 / (array_max(transform(embedding, v -> CAST(v AS DOUBLE)))"
+            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))) AS BIGINT)),"
+            " 0L, (acc, c) -> acc + c)"
+        ).alias("code_sum"),
+    )

@@ -28,7 +28,16 @@ from pyspark.sql import functions as F
 
 from .bfl.compiler import UnsupportedBFL, compile_filter
 from .engine.db import BasenineDB
-from .ops import dedup, multimodal, relational, sampling, similarity, text, timeseries
+from .ops import (
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+)
 from .sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -991,6 +1000,114 @@ def _band_oracle() -> str:
 
 _register("join_length_bands", relational.doc_length_band_join, _band_oracle())
 
+# -- curation pipeline (composed) -------------------------------------------
+
+# The quality → exact-dedup → near-dup-removal funnel as CTEs shared by
+# both pipeline oracles. The near-dup stage replays the transitive
+# closure with a recursive CTE (same pattern as dedup_clusters).
+_CURATE_CTES = """
+    q AS (
+      SELECT doc_id, source, n_chars, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 30 AND 1000
+        AND n_chars >= 100
+    ), d AS (
+      SELECT * FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                  6) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+"""
+
+_register(
+    "pipeline_curate",
+    pipeline.curate_documents,
+    f"""
+    WITH RECURSIVE {_CURATE_CTES}
+    SELECT d.doc_id, d.source, d.n_tokens, d.n_chars
+    FROM d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+_register(
+    "pipeline_funnel",
+    pipeline.curation_funnel,
+    f"""
+    WITH RECURSIVE {_CURATE_CTES},
+    kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT s.source, s.n_in, s.n_quality, COALESCE(k.n_kept, 0) AS n_kept
+    FROM (
+      SELECT source, count(*) AS n_in,
+             CAST(sum(CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 1000
+                            AND n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality
+      FROM documents GROUP BY source
+    ) s LEFT JOIN kept k ON s.source = k.source
+    """,
+)
+
+_register(
+    "pipeline_pack",
+    pipeline.pack_sequences,
+    """
+    WITH c AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text, ' '))) OVER
+               (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // 512 AS bin_id,
+           cum - n_tokens AS start_offset
+    FROM c
+    """,
+)
+
+_register(
+    "embedding_quantize",
+    similarity.embedding_quantize,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_dot_product(v, v)), 6) AS norm,
+           round(list_min(v), 6) AS qmin,
+           round(list_max(v), 6) AS qmax,
+           CAST(list_sum(list_transform(v,
+             x -> CAST(round((x - list_min(v)) * 255 / (list_max(v) - list_min(v)))
+                       AS BIGINT))) AS BIGINT) AS code_sum
+    FROM e
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -1027,6 +1144,10 @@ _PROMOTED = [
     "agg_cube_orders",
     "pivot_segment_status",
     "join_length_bands",
+    "pipeline_curate",
+    "pipeline_funnel",
+    "pipeline_pack",
+    "embedding_quantize",
 ]
 
 _DEMOTED = [
@@ -1045,6 +1166,10 @@ _DEMOTED = [
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in
     # CORRECTNESS_r02.json, so demotion loses no hard signal
+    "agg_hourly_window",  # hourly counts re-verified inside ts_gap_fill_hourly
+    "bfl_eq_string",  # equality pinned by corpus + bfl_and_or/bfl_regex_match
+    "join_supplier_rollup",  # join+agg covered by join_top_revenue/pivot/cube
+    "window_top_orders",  # windows covered by window_range_count/sessionize
     "fetch_forward",  # twin of in-window fetch_backward
     "distinct_event_types",  # distinct covered by dedup_exact + agg entries
     "semi_join_customers",  # twin of in-window anti_join_customers

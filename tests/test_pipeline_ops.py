@@ -1,0 +1,98 @@
+"""Curation pipeline composition + embedding quantization.
+
+End-to-end values are hash-verified by the driver oracle
+(`pipeline_curate`, `pipeline_funnel`, `embedding_quantize`); these
+tests pin the funnel invariants, the composed-plan shape, and the
+quantization code range.
+"""
+
+from pyspark.sql import functions as F
+
+from basenine_spark.ops import pipeline, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_is_monotone(spark):
+    rows = pipeline.curation_funnel(spark, SF).collect()
+    assert rows, "funnel empty"
+    for r in rows:
+        assert r["n_in"] >= r["n_quality"] >= r["n_kept"] >= 0, r
+
+
+def test_curate_consistent_with_funnel(spark):
+    survivors = pipeline.curate_documents(spark, SF)
+    total_kept = survivors.count()
+    funnel_kept = (
+        pipeline.curation_funnel(spark, SF)
+        .agg(F.sum("n_kept"))
+        .collect()[0][0]
+    )
+    assert total_kept == funnel_kept
+
+
+def test_curate_survivors_pass_quality_gates(spark):
+    bad = (
+        pipeline.curate_documents(spark, SF)
+        .filter(
+            (F.col("n_tokens") < 30)
+            | (F.col("n_tokens") > 1000)
+            | (F.col("n_chars") < 100)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_curate_plan_pushes_quality_gate_to_scan(spark):
+    # the composed pipeline must not defeat pushdown: the n_chars gate
+    # reaches the documents Parquet scan
+    plan = (
+        pipeline.curate_documents(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(n_chars,100)" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_quantize_ranges(spark):
+    df = similarity.embedding_quantize(spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["qmax"] > r["qmin"]
+        assert r["norm"] > 0
+        # 64 dims, codes in [0, 255]: checksum bounded, and both
+        # extremes (0 and 255) exist so the sum is strictly inside
+        assert 255 <= r["code_sum"] <= 255 * 63
+
+
+def test_pack_sequences_bins(spark):
+    rows = pipeline.pack_sequences(spark, SF, budget_tokens=512).collect()
+    assert rows
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # offsets are the exclusive prefix sums in doc_id order
+        cum = 0
+        for r in rs:
+            assert r["start_offset"] == cum, (source, r)
+            assert r["bin_id"] == cum // 512
+            cum += r["n_tokens"]
+        # bin ids are non-decreasing and start at 0
+        assert rs[0]["bin_id"] == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    plan = (
+        pipeline.pack_sequences(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -47,6 +47,9 @@ def test_extension_surface_inside_window():
         "agg_cube_orders",
         "pivot_segment_status",
         "join_length_bands",
+        "pipeline_curate",
+        "pipeline_funnel",
+        "embedding_quantize",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
