@@ -61,9 +61,12 @@ def curate_documents(
     keepers = hashed.groupBy("content_hash").agg(
         F.min("doc_id").alias("doc_id")
     )
+    # cached: read twice (cluster build + final anti join); the eager
+    # label-propagation loop inside duplicate_clusters would otherwise
+    # recompute the quality+dedup stages every round
     unique_docs = hashed.join(
         keepers, ["content_hash", "doc_id"], "leftsemi"
-    ).drop("content_hash")
+    ).drop("content_hash").cache()
 
     # near-dup removal: non-canonical cluster members (cluster_id is the
     # min doc_id of each connected component) are anti-joined away

@@ -38,9 +38,10 @@ HEADLINE = [
     "ann_topk",
     "text_quality",
     "multimodal_meta",
-    # round-3 additions (time-series surface)
+    # round-3 additions (time-series + composed-pipeline surface)
     "join_asof_clicks",
     "ts_gap_fill_hourly",
+    "pipeline_curate",
 ]
 
 

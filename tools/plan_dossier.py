@@ -101,6 +101,19 @@ COMMENTARY: dict[str, str] = {
         "aggregation before the single keyed shuffle; the shuffle "
         "carries (hash, min_id, count), never document text."
     ),
+    "pipeline_curate": (
+        "The composed curation funnel (quality → exact dedup → "
+        "near-dup removal) stays ONE plan: the n_chars/token gates "
+        "appear in `PushedFilters` on the documents scan even though "
+        "they were written three operators upstream — documents that "
+        "fail quality never tokenize, hash, or shingle. All joins are "
+        "keyed (semi/anti/shingle); no nested-loop anywhere."
+    ),
+    "pipeline_pack": (
+        "Sequence packing = running sum over (source, doc_id order): "
+        "exactly one `Exchange hashpartitioning(source)`. Packing is "
+        "per-source by design, so there is no global-order bottleneck."
+    ),
 }
 
 
