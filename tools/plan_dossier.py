@@ -132,14 +132,32 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    MAX_PLAN_LINES = 160  # iterative ops re-print cached lineages per
+    # round — thousands of lines that document nothing new
+
     sections = []
     for name, note in COMMENTARY.items():
         df = SPARK_QUERIES[name](spark, SF_DIR)
         formatted = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
             df._jdf.queryExecution(), "formatted"
-        )
+        ).rstrip()
+        lines = formatted.splitlines()
+        if len(lines) > MAX_PLAN_LINES:
+            dropped = len(lines) - MAX_PLAN_LINES
+            # preserve the scan evidence (pushdown/pruning lines live in
+            # the node-detail section at the END of formatted output)
+            evidence = [
+                l for l in lines[MAX_PLAN_LINES:]
+                if "PushedFilters" in l or "ReadSchema" in l
+            ]
+            formatted = "\n".join(
+                lines[:MAX_PLAN_LINES]
+                + [f"... ({dropped} more lines: repeated cached-lineage "
+                   f"re-prints, trimmed; scan evidence below)"]
+                + sorted(set(evidence))
+            )
         sections.append(
-            f"## `{name}`\n\n{note}\n\n```\n{formatted.rstrip()}\n```\n"
+            f"## `{name}`\n\n{note}\n\n```\n{formatted}\n```\n"
         )
 
     header = (
