@@ -373,3 +373,43 @@ def doc_length_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 3).alias("avg_chars"),
         )
     )
+
+
+def approx_distinct_users(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.02
+) -> DataFrame:
+    """HyperLogLog++ distinct users per event type
+    (``approx_count_distinct``).
+
+    The sketch path for the 100 TB cardinality question: fixed-size HLL
+    state merges in the partial-agg tree, so the shuffle carries one
+    ~1.5/rsd² register block per (partition × group) instead of every
+    distinct (type, user) pair. Approximate by design → rows-only
+    driver check; the error bound vs the exact count is pinned in
+    pytest (``tests/test_sketch_ops.py``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def approx_value_quantiles(
+    spark: SparkSession, sf_dir: str, accuracy: int = 1000
+) -> DataFrame:
+    """Approximate p50/p95/p99 of ``value`` per event type
+    (``percentile_approx``, a Greenwald-Khanna-family mergeable
+    sketch).
+
+    The scale path next to the exact ``agg_value_median`` entry: exact
+    percentiles gather every value of a group on one reducer; the
+    sketch keeps O(accuracy) state and merges map-side. Rows-only
+    driver check; error vs the exact percentile is pinned in pytest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile_approx(value, 0.5, {accuracy})"), 4).alias("p50"),
+        F.round(F.expr(f"percentile_approx(value, 0.95, {accuracy})"), 4).alias("p95"),
+        F.round(F.expr(f"percentile_approx(value, 0.99, {accuracy})"), 4).alias("p99"),
+    )

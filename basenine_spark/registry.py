@@ -1000,6 +1000,12 @@ def _band_oracle() -> str:
 
 _register("join_length_bands", relational.doc_length_band_join, _band_oracle())
 
+# -- sketches (approximate by design → rows-only; error bounds pinned
+# by tests/test_sketch_ops.py against the exact twins) ----------------------
+
+_register("agg_hll_distinct", relational.approx_distinct_users, None)
+_register("agg_quantile_sketch", relational.approx_value_quantiles, None)
+
 # -- curation pipeline (composed) -------------------------------------------
 
 # The quality → exact-dedup → near-dup-removal funnel as CTEs shared by

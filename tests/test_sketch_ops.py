@@ -1,0 +1,55 @@
+"""Sketch aggregations (HLL distinct, quantile sketch): rows-only at
+the driver, so the quantitative check lives here — each sketch is
+compared against its exact twin with the sketch's own error bound."""
+
+from pyspark.sql import functions as F
+
+from basenine_spark.ops import relational
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_within_rsd_of_exact(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in relational.approx_distinct_users(spark, SF, rsd=0.02).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in (
+            relational.load_table(spark, SF, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        # 5 sigma of the configured 2% relative standard deviation
+        assert abs(approx[k] - n) <= max(2, 0.10 * n), (k, approx[k], n)
+
+
+def test_quantile_sketch_within_rank_error(spark):
+    approx = {
+        r["event_type"]: r
+        for r in relational.approx_value_quantiles(spark, SF).collect()
+    }
+    events = relational.load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    # GK sketch guarantees rank error <= 1/accuracy; translate to a
+    # value tolerance via the local quantile spread (loose but honest:
+    # compare against the exact value at rank ± 2/accuracy)
+    for k, a in approx.items():
+        e = exact[k]
+        for q in ("p50", "p95", "p99"):
+            spread = abs(e["p99"] - e["p50"]) + 1e-9
+            assert abs(a[q] - e[q]) <= 0.05 * spread + 1e-6, (k, q, a[q], e[q])
