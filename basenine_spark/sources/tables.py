@@ -38,10 +38,19 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _nanos_safe_schema(path: str) -> T.StructType | None:
-    """Footer-derived read schema with ``timestamp[ns]`` columns mapped
-    to ``long`` (their physical INT64 form), or None when the file has
-    no nanos column (plain read)."""
+# epoch-unit → factor relative to milliseconds.  Divisors (ns, us) use
+# *integer* division: nanos (~1.7e18) exceed double's 53-bit mantissa,
+# so float division can be ±1 ms off.
+_TS_TO_MS = {"ns": ("div", 1_000_000), "us": ("div", 1_000), "ms": ("div", 1), "s": ("mul", 1_000)}
+
+
+def _ts_safe_schema(path: str) -> tuple[T.StructType | None, str | None]:
+    """Footer-derived read schema with timestamp columns (any unit: the
+    driver's generator has emitted both ``timestamp[ns]`` and
+    ``timestamp[us]`` across rounds) mapped to ``long`` — their physical
+    INT64 form, which the vectorized reader takes as-is.  Returns
+    ``(schema, unit_of_ts)``; ``(None, None)`` when there is no
+    timestamp column (plain read)."""
     import glob
 
     import pyarrow as pa
@@ -51,35 +60,58 @@ def _nanos_safe_schema(path: str) -> T.StructType | None:
     if os.path.isdir(path):  # multi-file dataset: any footer will do
         files = glob.glob(os.path.join(path, "*.parquet"))
         if not files:
-            return None
+            return None, None
         path = files[0]
     arrow = pq.read_schema(path)
-    if not any(
-        pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in arrow
-    ):
-        return None
-    fields = [
-        pa.field(f.name, pa.int64())
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        else f
-        for f in arrow
-    ]
-    return from_arrow_schema(pa.schema(fields))
+    if not any(pa.types.is_timestamp(f.type) for f in arrow):
+        return None, None
+    unit = None
+    fields = []
+    for f in arrow:
+        if pa.types.is_timestamp(f.type):
+            if f.name == "ts":
+                unit = f.type.unit
+            fields.append(pa.field(f.name, pa.int64()))
+        else:
+            fields.append(f)
+    return from_arrow_schema(pa.schema(fields)), unit
+
+
+def _int_ts_unit(path: str) -> str:
+    """Infer the epoch unit of an INT64 ``ts`` column from footer stats
+    magnitude (2000-2100 epochs differ by 3 orders of magnitude per
+    unit, so the bands can't collide)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        path = glob.glob(os.path.join(path, "*.parquet"))[0]
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index("ts")
+    lo = pf.metadata.row_group(0).column(idx).statistics.min
+    for unit, bound in (("s", 1e11), ("ms", 1e14), ("us", 1e17)):
+        if abs(lo) < bound:
+            return unit
+    return "ns"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    reader = spark.read
-    if name == "events":
-        schema = _nanos_safe_schema(path)
-        if schema is not None:
-            reader = reader.schema(schema)
+    if name != "events":
+        return spark.read.parquet(path)
+    schema, unit = _ts_safe_schema(path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(path)
-    if name == "events":
-        # nanos → millis via *integer* division: nanos (~1.7e18) exceed
-        # double's 53-bit mantissa, so float division can be ±1 ms off.
-        df = df.withColumn("ts_ms", F.expr("ts div 1000000")).drop("ts")
-    return df
+    if "ts_ms" in df.columns and "ts" not in df.columns:
+        return df  # already normalized (e.g. bench's scaled replica)
+    if unit is None:
+        # ts stored as a plain integer (no logical timestamp type):
+        # infer the epoch unit from stats magnitude.
+        unit = _int_ts_unit(path)
+    op, k = _TS_TO_MS[unit]
+    expr = f"ts div {k}" if op == "div" else f"ts * {k}"
+    return df.withColumn("ts_ms", F.expr(expr)).drop("ts")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -160,7 +160,7 @@ def main() -> int:
     # as a multi-file layout so scans parallelize like production data.
     from pyspark.sql import functions as F
 
-    from basenine_spark.sources.tables import _nanos_safe_schema
+    from basenine_spark.sources.tables import load_table
 
     SLOPE = [
         "bfl_and_or",
@@ -172,13 +172,10 @@ def main() -> int:
     probe: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled:
         t0 = time.perf_counter()
-        ev_path = f"{SF_DIR}/events.parquet"
-        sch = _nanos_safe_schema(ev_path)
-        ev = (
-            spark.read.schema(sch).parquet(ev_path)
-            if sch is not None
-            else spark.read.parquet(ev_path)
-        )
+        # load_table normalizes ts to epoch-millis ts_ms regardless of the
+        # source unit; the replica is written pre-normalized and load_table
+        # passes it through untouched.
+        ev = load_table(spark, SF_DIR, "events")
         n_ev = ev.count()
         (
             ev.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
