@@ -159,3 +159,43 @@ def pack_sequences(
         .alias("bin_id"),
         (F.col("cum_tokens") - F.col("n_tokens")).alias("start_offset"),
     )
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment for training-data export,
+    summarized as a per-shard manifest (the sidecar file a dataset
+    release ships so a trainer can plan reads without listing objects).
+
+    Shard identity is content-stable — the first hex nibble of
+    ``md5('shard:' || doc_id)`` — so re-runs, retries, and other
+    engines assign identically (same contract as
+    :mod:`basenine_spark.ops.sampling`), and adding documents never
+    moves existing ones between shards.  At 100 TB the assignment is a
+    map-only expression evaluated in the scan stage; the manifest
+    aggregation is one keyed shuffle carrying 16 groups of partial
+    (count, sum, min, max) state.  The actual export is
+    ``df.write.partitionBy('shard_id')`` over the same expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(concat('shard:', cast(doc_id as string))), 1, 1)) - 1"
+    ).cast("bigint")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        docs.select(
+            shard.alias("shard_id"),
+            F.col("doc_id"),
+            n_tokens.alias("n_tokens"),
+            F.col("source"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("shard_id")
+    )

@@ -413,3 +413,53 @@ def approx_value_quantiles(
         F.round(F.expr(f"percentile_approx(value, 0.95, {accuracy})"), 4).alias("p95"),
         F.round(F.expr(f"percentile_approx(value, 0.99, {accuracy})"), 4).alias("p99"),
     )
+
+
+def salted_revenue_by_status(
+    spark: SparkSession, sf_dir: str, salt_buckets: int = 8
+) -> DataFrame:
+    """Big-big join (lineitem ⋈ orders on orderkey) with explicit key
+    salting, aggregated to revenue per order status.
+
+    The skew-mitigation pattern for joins where NEITHER side broadcasts
+    and a handful of keys dominate (null keys, default ids, a viral
+    item): the fact side gets a deterministic salt in [0, B); the other
+    side is replicated across all B salts; the join key becomes
+    (key, salt), spreading each hot key's rows over B reducers. AQE's
+    skew-join split (`spark.sql.adaptive.skewJoin`) is the first line
+    of defense and handles moderate skew automatically — explicit
+    salting is the declarative form for catastrophic single-key skew,
+    and costs one B× replication of the smaller (but un-broadcastable)
+    side.
+
+    The salt is derived from a data column (`pmod(l_linenumber, B)`),
+    not `rand()`, so the plan is deterministic and the driver oracle
+    (a plain unsalted join) hash-matches exactly.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = lineitem.withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(salt_buckets))
+    )
+    replicated = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(salt_buckets)])
+        ).alias("salt"),
+    )
+    joined = fact.join(
+        replicated,
+        (fact["l_orderkey"] == replicated["o_orderkey"])
+        & (fact["salt"] == replicated["salt"]),
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )

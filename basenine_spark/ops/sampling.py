@@ -61,3 +61,57 @@ def stratified_sample(
     return docs.filter(_bucket(salt, F.col("doc_id")) < thr).select(
         "doc_id", "source"
     )
+
+
+def mixture_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 0.03125,
+    budget: int = 200,
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample the documents table toward a target source *mixture*
+    (the data-mixing step of a pretraining run: given per-source weights
+    summing to ~1 and a document budget, keep ≈ ``budget * w_s``
+    documents of source ``s``).
+
+    Per-source rates are computed from actual counts —
+    ``rate_s = min(1, budget * w_s / n_s)`` — in one tiny aggregation
+    (one row per source) joined back via broadcast; selection is the
+    same content-stable hash threshold as :func:`deterministic_sample`,
+    so the realized sample is reproducible across runs and engines.
+    When a source lacks mass the rate clamps to 1 (keep all) — the
+    under-delivery is visible in the output counts rather than silently
+    re-weighted, matching how production mixers surface shortfalls.
+
+    Scale shape: the fact scan is map-only (hash + string compare,
+    pushdown-friendly); the only shuffle is the count aggregation whose
+    result is source-cardinality-sized and broadcast back.
+    """
+    # dyadic defaults: every target (budget * w) is an exact double, so
+    # the only in-engine float math is division/multiply of identical
+    # bit patterns — IEEE-deterministic across engines
+    weights = weights or {"src0": 0.25, "src1": 0.125, "src2": 0.0625}
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    # the per-source target (budget * w_s) is folded driver-side so both
+    # engines divide the same double literal by n_src — identical IEEE
+    # results, no cross-engine rounding drift
+    target = F.lit(float(budget) * default_weight)
+    for source, w in sorted(weights.items()):
+        target = F.when(
+            F.col("source") == source, F.lit(float(budget) * w)
+        ).otherwise(target)
+    rate = target / F.col("n_src")
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x", F.floor(rate * F.lit(4294967296.0)).cast("bigint")
+        )
+    )
+    thresholds = counts.select("source", thr.alias("mix_thr"))
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .filter(_bucket(salt, F.col("doc_id")) < F.col("mix_thr"))
+        .select("doc_id", "source")
+    )

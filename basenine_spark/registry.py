@@ -1114,6 +1114,67 @@ _register(
     """,
 )
 
+_register(
+    "join_salted_skew",
+    relational.salted_revenue_by_status,
+    """
+    SELECT o_orderstatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+_register(
+    "pipeline_shards",
+    pipeline.shard_manifest,
+    """
+    WITH d AS (
+      SELECT CAST(instr('0123456789abcdef',
+                   substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                  - 1 AS BIGINT) AS shard_id,
+             doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             source
+      FROM documents
+    )
+    SELECT shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           count(DISTINCT source) AS n_sources
+    FROM d GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+
+_register(
+    "sample_mixture",
+    lambda s, d: sampling.mixture_sample(s, d),
+    """
+    WITH n AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         t AS (SELECT source,
+                      CAST(CASE source
+                             WHEN 'src0' THEN 50.0
+                             WHEN 'src1' THEN 25.0
+                             WHEN 'src2' THEN 12.5
+                             ELSE 6.25
+                           END AS DOUBLE) / n_src AS rate
+               FROM n),
+         thr AS (SELECT source,
+                        CASE WHEN rate >= 1 THEN 'g'
+                             ELSE printf('%08x',
+                                    CAST(floor(rate * CAST(4294967296.0 AS DOUBLE))
+                                         AS BIGINT))
+                        END AS mix_thr
+                 FROM t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) < mix_thr
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -1154,6 +1215,11 @@ _PROMOTED = [
     "pipeline_funnel",
     "pipeline_pack",
     "embedding_quantize",
+    # round-4 additions: skew-salted join, shard-export manifest,
+    # mixture sampling
+    "join_salted_skew",
+    "pipeline_shards",
+    "sample_mixture",
 ]
 
 _DEMOTED = [
@@ -1197,6 +1263,13 @@ _DEMOTED = [
     "join_mktsegment",
     "union_users",
     "agg_count_distinct",
+    # round-4 demotions (each green in CORRECTNESS_r02/r03; the family
+    # stays represented in-window by the named survivor)
+    "agg_rollup_orders",  # grouping-sets engine covered by agg_cube_orders
+    "bfl_collapse_missing",  # collapse pinned by corpus + wildcard/recursive entries
+    "text_langid",  # per-doc classifier aggregated inside text_lang_profile
+    "agg_value_median",  # exact-percentile agg; the agg family keeps
+    # pricing_summary/cube/pivot in-window and the sketch twin pins error
 ]
 
 

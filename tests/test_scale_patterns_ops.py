@@ -1,0 +1,156 @@
+"""Round-4 scale-pattern operators: skew-salted join, shard-export
+manifest, mixture sampling.
+
+The driver oracle pins sf0.01 end-to-end values (`join_salted_skew`,
+`pipeline_shards`, `sample_mixture`); these tests pin the semantic
+invariants the oracle can't see — salting changes no result, shard
+assignment is a partition of the corpus, mixture rates clamp — plus
+the plan shapes that carry the 100 TB story.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from basenine_spark.ops import pipeline, relational, sampling
+from basenine_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- salted join ------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be result-invariant: every fact row joins exactly
+    once (its own salt), every dim row exists at every salt."""
+    salted = {
+        r["o_orderstatus"]: (r["revenue"], r["n_items"])
+        for r in relational.salted_revenue_by_status(spark, SF).collect()
+    }
+    lineitem = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    plain = {
+        r["o_orderstatus"]: (r["revenue"], r["n_items"])
+        for r in lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_spreads_keys(spark):
+    """The join key is (key, salt): a single hot orderkey's rows hash
+    to up to B distinct reducer keys."""
+    lineitem = load_table(spark, SF, "lineitem")
+    b = 8
+    salts = (
+        lineitem.select(
+            "l_orderkey",
+            F.pmod(F.col("l_linenumber"), F.lit(b)).alias("salt"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .agg(F.max("n_salts").alias("mx"))
+        .head()["mx"]
+    )
+    assert salts > 1  # multi-line orders really do fan out over salts
+
+
+def test_salted_join_no_cartesian(spark):
+    plan = _plan(relational.salted_revenue_by_status(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# -- shard manifest ---------------------------------------------------------
+
+
+def test_shard_manifest_is_a_partition(spark):
+    docs = load_table(spark, SF, "documents")
+    total = docs.count()
+    m = pipeline.shard_manifest(spark, SF).collect()
+    assert sum(r["n_docs"] for r in m) == total
+    assert {r["shard_id"] for r in m} <= set(range(16))
+    for r in m:
+        assert r["min_doc_id"] <= r["max_doc_id"]
+
+
+def test_shard_assignment_stable_under_appends(spark):
+    """Adding documents never moves existing ones: assignment depends
+    only on doc_id, so a half-corpus run and a full-corpus run agree
+    on the overlap (the manifest invariant that makes incremental
+    export possible)."""
+    docs = load_table(spark, SF, "documents")
+    shard_expr = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(concat('shard:', cast(doc_id as string))), 1, 1)) - 1"
+    )
+    full = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", shard_expr.alias("s")).collect()
+    }
+    half = {
+        r["doc_id"]: r["s"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", shard_expr.alias("s"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+# -- mixture sampling -------------------------------------------------------
+
+
+def test_mixture_clamps_and_deterministic(spark):
+    got = sampling.mixture_sample(spark, SF).collect()
+    again = sampling.mixture_sample(spark, SF).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in again
+    )
+    docs = load_table(spark, SF, "documents")
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    kept_src0 = sum(1 for r in got if r["source"] == "src0")
+    # target 50 > n_src0 at sf0.001 → rate clamps to 1, keep all
+    assert kept_src0 == n_src0
+
+
+def test_mixture_rate_tracks_target(spark):
+    """An unclamped source keeps ≈ rate * n docs (hash thresholding is
+    Bernoulli per doc; tolerance is loose on a tiny table)."""
+    docs = load_table(spark, SF, "documents")
+    weights = {"src0": 0.25}
+    budget = 40  # target 10 of src0's 25+ docs → rate < 1
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    rate = min(1.0, (budget * 0.25) / n_src0)
+    if rate >= 1:
+        pytest.skip("sf too small for an unclamped rate")
+    kept = (
+        sampling.mixture_sample(spark, SF, weights=weights, budget=budget)
+        .filter(F.col("source") == "src0")
+        .count()
+    )
+    assert kept <= n_src0
+    # binomial(n, rate): allow ±4σ
+    import math
+
+    sigma = math.sqrt(n_src0 * rate * (1 - rate))
+    assert abs(kept - n_src0 * rate) <= 4 * sigma + 1
+
+
+def test_mixture_fact_scan_is_map_only(spark):
+    """The documents scan side must not shuffle: the only exchange
+    below the semi-structure is the tiny counts agg, broadcast back."""
+    plan = _plan(sampling.mixture_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
