@@ -114,6 +114,32 @@ COMMENTARY: dict[str, str] = {
         "exactly one `Exchange hashpartitioning(source)`. Packing is "
         "per-source by design, so there is no global-order bottleneck."
     ),
+    "join_salted_skew": (
+        "Skew-salted big-big join: the join key is (orderkey, salt), so "
+        "a catastrophically hot key's rows spread over B reducers "
+        "instead of one; the un-broadcastable smaller side is "
+        "replicated B× via `explode` (a projection, not a shuffle). "
+        "The salt derives from a data column — deterministic, "
+        "oracle-verified identical to the plain join. AQE skew-split "
+        "handles moderate skew; this is the declarative form for the "
+        "extreme case."
+    ),
+    "pipeline_shards": (
+        "Shard export manifest: the 16-way assignment is a map-only "
+        "md5-nibble expression evaluated in the scan stage — no "
+        "shuffle to assign, append-stable by construction. The "
+        "manifest aggregation shuffles 16 groups of partial "
+        "(count/sum/min/max) state; the `count(DISTINCT source)` adds "
+        "the standard Expand + second keyed exchange, both "
+        "group-bounded."
+    ),
+    "sample_mixture": (
+        "Mixture sampling: the fact scan is map-only (md5 + string "
+        "compare); the only aggregation is source-cardinality-sized "
+        "counts joined back via `BroadcastHashJoin` — the corpus never "
+        "shuffles. Rates clamp at 1 and selection is content-stable, "
+        "so re-runs and other engines reproduce the sample exactly."
+    ),
 }
 
 
