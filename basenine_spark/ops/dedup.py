@@ -399,7 +399,32 @@ def duplicate_clusters(
     """
     edges = ngram_jaccard_pairs(
         spark, sf_dir, n=n, threshold=threshold, docs=docs
-    ).select("doc_a", "doc_b").cache()
+    )
+    return connected_components(edges, max_iter=max_iter)
+
+
+def duplicate_clusters_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 12,
+) -> DataFrame:
+    """The 100 TB path of :func:`duplicate_clusters`: same min-label
+    clustering, but the edge list comes from MinHash-LSH banding
+    (bucket-bounded candidate join + exact-Jaccard verify) instead of
+    the exact PPJoin — recall is the only approximation, so this is a
+    rows-only driver entry; the exact twin is the oracle-checked
+    baseline at test scale."""
+    edges = minhash_lsh_pairs(spark, sf_dir, n=n, threshold=threshold)
+    return connected_components(edges, max_iter=max_iter)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) edge
+    list; see :func:`duplicate_clusters` for the algorithm and scale
+    argument."""
+    edges = edges.select("doc_a", "doc_b").cache()
     # symmetric adjacency; isolated nodes are excluded by construction
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

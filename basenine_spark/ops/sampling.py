@@ -115,3 +115,41 @@ def mixture_sample(
         .filter(_bucket(salt, F.col("doc_id")) < F.col("mix_thr"))
         .select("doc_id", "source")
     )
+
+
+def quality_quantile_filter(
+    spark: SparkSession, sf_dir: str, keep_frac: float = 0.5
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of each source by quality rank — the
+    quantile form of quality filtering (fixed thresholds drift as the
+    corpus mix changes; "top X% per source" stays meaningful).
+
+    Quality signal: stopword ratio ascending (the cheap junk-text
+    signal from :func:`basenine_spark.ops.text.quality_score`), tie-broken by
+    doc_id so ranks are total and engine-portable.  ``percent_rank``
+    over a per-source window = one hash shuffle on ``source``; the rank
+    state never leaves the executor.  At 100 TB a skewed source would
+    be pre-aggregated into an approximate CDF (``percentile_approx``)
+    and the filter applied as a map-only threshold — this exact form
+    is the oracle-checkable baseline.
+    """
+    from pyspark.sql import Window
+
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_cnt = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+    )
+    n = F.size(F.split(F.col("text"), " "))
+    ratio = F.round(stop_cnt.cast("double") / n.cast("double"), 6)
+    w = Window.partitionBy("source").orderBy(
+        F.col("q_ratio").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", ratio.alias("q_ratio"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= keep_frac)
+        .select("doc_id", "source", "q_ratio")
+    )

@@ -1175,6 +1175,33 @@ _register(
     """,
 )
 
+_register(
+    "sample_quality_topk",
+    lambda s, d: sampling.quality_quantile_filter(s, d),
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x IN ('a', 'the'))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS q_ratio
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, q_ratio,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY q_ratio, doc_id) AS pr
+      FROM q
+    )
+    SELECT doc_id, source, q_ratio FROM r WHERE pr <= 0.5
+    """,
+)
+
+_register(
+    "dedup_clusters_lsh",
+    lambda s, d: dedup.duplicate_clusters_lsh(s, d),
+    None,  # recall-approximate by design; exact twin dedup_clusters is
+    # the oracle-checked baseline, agreement pinned in pytest
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -1216,10 +1243,11 @@ _PROMOTED = [
     "pipeline_pack",
     "embedding_quantize",
     # round-4 additions: skew-salted join, shard-export manifest,
-    # mixture sampling
+    # mixture sampling, quality-quantile filtering
     "join_salted_skew",
     "pipeline_shards",
     "sample_mixture",
+    "sample_quality_topk",
 ]
 
 _DEMOTED = [
@@ -1270,6 +1298,10 @@ _DEMOTED = [
     "text_langid",  # per-doc classifier aggregated inside text_lang_profile
     "agg_value_median",  # exact-percentile agg; the agg family keeps
     # pricing_summary/cube/pivot in-window and the sketch twin pins error
+    "join_top_revenue",  # broadcast join+agg family held in-window by
+    # agg_pricing_summary/cube/pivot/length-bands/salted-join
+    "dedup_clusters_lsh",  # recall-approximate; exact twin dedup_clusters
+    # is the in-window oracle entry
 ]
 
 

@@ -154,3 +154,60 @@ def test_mixture_fact_scan_is_map_only(spark):
     below the semi-structure is the tiny counts agg, broadcast back."""
     plan = _plan(sampling.mixture_sample(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+# -- quality-quantile filter ------------------------------------------------
+
+
+def test_quality_topk_keeps_best_half_per_source(spark):
+    docs = load_table(spark, SF, "documents")
+    kept = sampling.quality_quantile_filter(spark, SF).collect()
+    per_source_total = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    from collections import Counter
+
+    per_source_kept = Counter(r["source"] for r in kept)
+    for src, n in per_source_total.items():
+        # percent_rank <= 0.5 keeps ceil((n-1)*0.5)+1 rows of n
+        assert per_source_kept[src] == (n - 1) // 2 + 1
+    # kept docs have the lowest stopword ratios of their source
+    worst_kept = max(r["q_ratio"] for r in kept)
+    assert worst_kept <= 1.0
+
+
+def test_quality_topk_single_shuffle(spark):
+    plan = sampling.quality_quantile_filter(
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# -- LSH clustering ---------------------------------------------------------
+
+
+def test_lsh_clusters_agree_with_exact_on_found_components(spark):
+    """LSH clustering may miss edges (recall), but any cluster it does
+    form must be a subset-consistent view of the exact clustering:
+    two docs the LSH path groups together are near-dups in the exact
+    graph's transitive closure too (no false merges beyond verify)."""
+    from basenine_spark.ops import dedup
+
+    exact = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(spark, SF, threshold=0.5).collect()
+    }
+    lsh = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters_lsh(
+            spark, SF, threshold=0.5
+        ).collect()
+    }
+    by_cluster = {}
+    for doc, c in lsh.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for members in by_cluster.values():
+        exact_labels = {exact.get(d) for d in members}
+        # all members exist in the exact clustering and share one label
+        assert None not in exact_labels and len(exact_labels) == 1
