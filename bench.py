@@ -42,6 +42,12 @@ HEADLINE = [
     "join_asof_clicks",
     "ts_gap_fill_hourly",
     "pipeline_curate",
+    # round-4 additions (scale patterns: skew salting, shard export,
+    # mixture + quantile sampling)
+    "join_salted_skew",
+    "pipeline_shards",
+    "sample_mixture",
+    "sample_quality_topk",
 ]
 
 
