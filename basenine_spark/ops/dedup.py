@@ -445,7 +445,9 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the old label through the same join so the fixpoint
+        # check needs no second labels-vs-new-labels join per round
+        stepped = (
             labels.join(
                 neighbor.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
                 "doc_id",
@@ -453,18 +455,16 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
             )
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                ).alias("label"),
             )
             .cache()
         )
-        changed = (
-            labels.select("doc_id", F.col("label").alias("old"))
-            .join(new_labels, "doc_id")
-            .filter(F.col("old") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("old") != F.col("label")).limit(1).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
