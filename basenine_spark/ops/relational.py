@@ -463,3 +463,33 @@ def salted_revenue_by_status(
         )
         .orderBy("o_orderstatus")
     )
+
+
+def approx_heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Approximate top-k frequent users per event type via
+    ``approx_top_k`` — the frequent-items sketch completing the trio
+    next to HLL distinct and the GK quantile sketch.
+
+    The sketch state is fixed-size and merges in the partial-agg tree,
+    so the shuffle carries one sketch per (partition × group) instead
+    of every (type, user) pair — the 100 TB heavy-hitters shape.
+    Approximate by design → rows-only driver check; containment and
+    count accuracy vs the exact top-k are pinned in pytest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.expr(f"approx_top_k(user_id, {k})").alias("top"))
+        .select(
+            "event_type",
+            F.posexplode("top").alias("rank", "entry"),
+        )
+        .select(
+            "event_type",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("entry.item").alias("user_id"),
+            F.col("entry.count").alias("approx_cnt"),
+        )
+    )

@@ -135,3 +135,35 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("cnt"),
         )
     )
+
+
+def write_day_partitioned(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> str:
+    """Re-lay the events table as day-partitioned Parquet — the
+    time-dimension layout a 100 TB event store actually uses.
+
+    ``partitionBy('event_day')`` makes every time-window predicate a
+    *partition prune*: a one-day query lists one directory instead of
+    scanning footers across the corpus (cheaper than row-group-stat
+    pruning, which still opens every file).  The day is pure integer
+    math over epoch-millis (``ts_ms div 86400000`` → UTC calendar
+    date), independent of session timezone.  ``repartition(day)``
+    before the write gives one task per day writing one file — no
+    small-file explosion from every task writing every day.
+    """
+    events = load_table(spark, sf_dir, "events")
+    with_day = events.withColumn(
+        "event_day",
+        F.expr(
+            "cast(date_add(DATE'1970-01-01',"
+            " cast(ts_ms div 86400000 as int)) as string)"
+        ),
+    )
+    (
+        with_day.repartition("event_day")
+        .write.partitionBy("event_day")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+    return dest

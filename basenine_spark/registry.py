@@ -1202,6 +1202,13 @@ _register(
     # the oracle-checked baseline, agreement pinned in pytest
 )
 
+_register(
+    "agg_heavy_hitters",
+    relational.approx_heavy_hitters,
+    None,  # frequent-items sketch (approx_top_k); containment and count
+    # accuracy vs the exact top-k are pinned in pytest
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -1302,6 +1309,7 @@ _DEMOTED = [
     # agg_pricing_summary/cube/pivot/length-bands/salted-join
     "dedup_clusters_lsh",  # recall-approximate; exact twin dedup_clusters
     # is the in-window oracle entry
+    "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest
 ]
 
 

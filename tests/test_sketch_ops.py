@@ -53,3 +53,33 @@ def test_quantile_sketch_within_rank_error(spark):
         for q in ("p50", "p95", "p99"):
             spread = abs(e["p99"] - e["p50"]) + 1e-9
             assert abs(a[q] - e[q]) <= 0.05 * spread + 1e-6, (k, q, a[q], e[q])
+
+
+def test_heavy_hitters_match_exact_topk(spark):
+    """approx_top_k with default sketch capacity (10k) ≫ distinct users
+    at test scale: counts must be exact and the reported set must equal
+    the exact top-k set (ties broken arbitrarily — compare by count)."""
+    from pyspark.sql import Window
+
+    k = 5
+    approx = relational.approx_heavy_hitters(spark, SF, k=k).collect()
+    events = relational.load_table(spark, SF, "events")
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every reported count is the true count
+    for r in approx:
+        assert exact[(r["event_type"], r["user_id"])] == r["approx_cnt"], r
+    # per type: the k reported counts are the k largest true counts
+    by_type = {}
+    for (etype, _), n in exact.items():
+        by_type.setdefault(etype, []).append(n)
+    reported = {}
+    for r in approx:
+        reported.setdefault(r["event_type"], []).append(r["approx_cnt"])
+    for etype, counts in reported.items():
+        top_true = sorted(by_type[etype], reverse=True)[:k]
+        assert sorted(counts, reverse=True) == top_true, etype

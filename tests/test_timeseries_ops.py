@@ -152,3 +152,30 @@ def test_pivot_uses_declared_values(spark):
     assert "BroadcastHashJoin" in plan
     assert "pivotfirst" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_day_partitioned_layout_prunes(spark, tmp_path):
+    """A one-day predicate over the re-laid-out events must read only
+    that day's directory (partition pruning, not just row-group
+    stats)."""
+    dest = str(tmp_path / "events_by_day")
+    timeseries.write_day_partitioned(spark, SF, dest)
+    df = spark.read.parquet(dest)
+    days = [r["event_day"] for r in df.select("event_day").distinct().collect()]
+    assert len(days) > 1  # sf0.001 spans multiple days
+    one_day = str(sorted(days)[0])  # partition col reads back as DATE
+    pruned = df.filter(df["event_day"] == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must land in PartitionFilters (directory-level
+    # prune), not in PushedFilters (per-file row-group stats)
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and one_day in m.group(1), plan
+    # ...and the pruned read equals reading that directory alone
+    direct = spark.read.parquet(f"{dest}/event_day={one_day}")
+    assert pruned.count() == direct.count() > 0
+    # and the layout is lossless
+    from basenine_spark.sources.tables import load_table
+
+    assert df.count() == load_table(spark, SF, "events").count()
