@@ -1209,6 +1209,13 @@ _register(
     # accuracy vs the exact top-k are pinned in pytest
 )
 
+_register(
+    "ann_topk_pq",
+    lambda s, d: similarity.ann_topk_pq(s, d),
+    None,  # product-quantization ADC; recall floor vs exact ann_topk
+    # pinned in pytest
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -1310,6 +1317,7 @@ _DEMOTED = [
     "dedup_clusters_lsh",  # recall-approximate; exact twin dedup_clusters
     # is the in-window oracle entry
     "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest
+    "ann_topk_pq",  # recall-approximate; floor pinned in pytest
 ]
 
 

@@ -84,3 +84,32 @@ def test_ann_ivf_recall_floor(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.3, f"IVF recall {recall}"
+
+
+def test_ann_pq_recall_gate(spark):
+    """PQ-ADC recall ≥ 0.7 against brute-force ground truth at sf0.01
+    (deterministic: sample-trained codebooks, first-k init, no RNG).
+    Uniform random embeddings are PQ's adversarial case — real
+    clustered embeddings exceed this floor at coarser geometries."""
+    from basenine_spark.ops import similarity
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk(spark, sf).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_pq(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall collapsed: {recall}"
+
+
+def test_ann_pq_deterministic(spark):
+    from basenine_spark.ops import similarity
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, similarity.ann_topk_pq(spark, sf).collect()))
+    b = sorted(map(tuple, similarity.ann_topk_pq(spark, sf).collect()))
+    assert a == b
