@@ -1216,6 +1216,16 @@ _register(
     # pinned in pytest
 )
 
+_register(
+    "multimodal_features",
+    lambda s, d: multimodal.byte_histogram_features(
+        multimodal.attach_payload(load_table(s, d, "documents"))
+    ),
+    None,  # numpy-over-Arrow feature extraction; values pinned against a
+    # pure-Python reference in pytest (array<double> output has no
+    # stable DuckDB hash form)
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -1318,6 +1328,7 @@ _DEMOTED = [
     # is the in-window oracle entry
     "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest
     "ann_topk_pq",  # recall-approximate; floor pinned in pytest
+    "multimodal_features",  # values pinned against a Python reference in pytest
 ]
 
 
