@@ -138,7 +138,7 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_day_partitioned(
-    spark: SparkSession, sf_dir: str, dest: str
+    spark: SparkSession, sf_dir: str, dest: str, files_per_day: int = 4
 ) -> str:
     """Re-lay the events table as day-partitioned Parquet — the
     time-dimension layout a 100 TB event store actually uses.
@@ -148,9 +148,12 @@ def write_day_partitioned(
     scanning footers across the corpus (cheaper than row-group-stat
     pruning, which still opens every file).  The day is pure integer
     math over epoch-millis (``ts_ms div 86400000`` → UTC calendar
-    date), independent of session timezone.  ``repartition(day)``
-    before the write gives one task per day writing one file — no
-    small-file explosion from every task writing every day.
+    date), independent of session timezone.  Repartitioning on
+    ``(day, salt)`` bounds the layout at ``files_per_day`` files per
+    day — small enough to avoid a small-file explosion, parallel
+    enough that one (huge) day never serializes onto a single writer
+    task, which is what a bare ``repartition(day)`` would do at
+    100 TB.
     """
     events = load_table(spark, sf_dir, "events")
     with_day = events.withColumn(
@@ -161,7 +164,10 @@ def write_day_partitioned(
         ),
     )
     (
-        with_day.repartition("event_day")
+        with_day.repartition(
+            F.col("event_day"),
+            F.pmod(F.hash("event_id"), F.lit(files_per_day)),
+        )
         .write.partitionBy("event_day")
         .mode("overwrite")
         .parquet(dest)
