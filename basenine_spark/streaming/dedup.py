@@ -35,6 +35,7 @@ def dedup_stream(
     json_key: str | None = None,
     horizon_seconds: int = 3600,
     query_name: str = "dedup_stream",
+    quality_filter: str | None = None,
 ):
     """Start a streaming exact-dedup over a durable BasenineDB's log;
     first-seen records land in the in-memory table ``query_name``.
@@ -42,12 +43,56 @@ def dedup_stream(
 
     ``json_key`` (a JSONPath like ``$.text``) selects the field whose
     content defines identity; None dedups on the whole payload.
+
+    ``quality_filter`` (a BFL expression, e.g. ``n > 10 and lang ==
+    "en"``) gates records BEFORE they reach the dedup state — the
+    streaming twin of the curation funnel's quality stage
+    (:func:`basenine_spark.ops.pipeline.curate_documents`): junk
+    documents are dropped stateless-ly in the scan stage and never
+    consume a state-store slot.
     """
     if db._log is None:
         raise ValueError("dedup_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
 
     stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+    if quality_filter:
+        from ..bfl.compiler import compile_filter
+        from ..bfl.macros import expand_macros
+
+        if db._typed_schema is None:
+            raise ValueError(
+                "quality_filter needs the db's typed schema — ingest at "
+                "least one batch first"
+            )
+        comp = compile_filter(
+            expand_macros(db.macros, quality_filter), db._typed_schema
+        )
+        if comp.predicate is not None:
+            # the same BFL → Column compilation the batch modes use,
+            # resolved against the parsed doc fields; log columns hide
+            # behind a reserved prefix while the predicate runs so a doc
+            # field named "id"/"value" can't capture them
+            doc_fields = set(db._typed_schema.fieldNames())
+            if any(f.startswith("__bn_") for f in doc_fields):
+                raise ValueError("document fields may not start with __bn_")
+            stream = (
+                stream.select(
+                    F.col("id").alias("__bn_id"),
+                    F.col("value").alias("__bn_value"),
+                    F.col("doc_ts").alias("__bn_ts"),
+                    F.from_json(F.col("value"), db._typed_schema).alias(
+                        "__bn_doc"
+                    ),
+                )
+                .select("__bn_id", "__bn_value", "__bn_ts", "__bn_doc.*")
+                .filter(comp.predicate)
+                .select(
+                    F.col("__bn_id").alias("id"),
+                    F.col("__bn_value").alias("value"),
+                    F.col("__bn_ts").alias("doc_ts"),
+                )
+            )
     if json_key:
         content = F.get_json_object("value", json_key)
     else:

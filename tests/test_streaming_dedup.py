@@ -66,3 +66,37 @@ def test_dedup_stream_whole_payload(spark, tmp_path):
         assert sorted(json.loads(r["value"])["a"] for r in rows) == [1, 2]
     finally:
         sq.stop()
+
+
+def test_curation_stream_quality_gate_before_dedup(spark, tmp_path):
+    """The streaming curation funnel: a BFL quality gate drops junk
+    records stateless-ly BEFORE the dedup state, then first-copy-wins
+    dedup — the streaming twin of pipeline.curate_documents' first two
+    stages."""
+    db = BasenineDB(spark, path=str(tmp_path / "curstore"))
+    batch = [
+        json.dumps({"text": "good alpha", "n": 50}),
+        json.dumps({"text": "junk", "n": 1}),  # fails quality (n < 10)
+        json.dumps({"text": "good alpha", "n": 60}),  # dup of rec 1 by text
+        json.dumps({"text": "good beta", "n": 70}),
+    ]
+    db.insert_json(batch)
+    sq = dedup_stream(
+        db,
+        json_key="$.text",
+        query_name="cur_t1",
+        quality_filter="n > 10",
+    )
+    try:
+        rows = _wait_rows(spark, "cur_t1", want=2)
+        texts = sorted(json.loads(r["value"])["text"] for r in rows)
+        assert texts == ["good alpha", "good beta"]
+        ns = {json.loads(r["value"])["text"]: json.loads(r["value"])["n"] for r in rows}
+        # exactly one alpha survived; within a single micro-batch the
+        # surviving copy is partition-order-arbitrary (cross-batch,
+        # first-batch-wins is what the watermark state guarantees —
+        # pinned by test_dedup_stream_drops_repeats); junk (n=1) never
+        # entered the state
+        assert ns["good alpha"] in (50, 60) and ns["good beta"] == 70
+    finally:
+        sq.stop()
