@@ -493,3 +493,40 @@ def approx_heavy_hitters(
             F.col("entry.count").alias("approx_cnt"),
         )
     )
+
+
+def profile_table(
+    spark: SparkSession, sf_dir: str, table: str = "orders", exact: bool = True
+) -> DataFrame:
+    """Per-column data profile — row count, nulls, distincts — the
+    health check a pipeline runs before and after every stage (a column
+    suddenly going 90% null is a data bug the funnel view can't see).
+
+    One aggregation pass; ``stack`` unpivots the single stats row into
+    one row per column. ``exact=True`` uses exact distinct counts (the
+    DuckDB-verifiable form — Catalyst plans the multi-distinct via one
+    Expand, an accepted profiling cost); ``exact=False`` swaps in
+    HyperLogLog sketches whose state merges map-side — the 100 TB
+    default where ±2% on a profile is free accuracy to give away.
+    """
+    df = load_table(spark, sf_dir, table)
+    cols = df.columns
+    d_fn = (
+        F.count_distinct
+        if exact
+        else (lambda c: F.approx_count_distinct(c, 0.02))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"))
+        aggs.append(d_fn(F.col(c)).alias(f"__nd_{c}"))
+    stats = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n, __nn_{c}, __nd_{c}" for c in cols
+    )
+    return stats.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )

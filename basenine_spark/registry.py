@@ -1217,6 +1217,36 @@ _register(
 )
 
 _register(
+    "profile_orders",
+    lambda s, d: relational.profile_table(s, d, "orders", exact=True),
+    """
+    SELECT c.column_name,
+           (SELECT count(*) FROM orders) AS n_rows,
+           c.n_nulls, c.n_distinct
+    FROM (
+      SELECT 'o_orderkey' AS column_name,
+             count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct FROM orders
+      UNION ALL SELECT 'o_custkey',
+             count(*) FILTER (o_custkey IS NULL),
+             count(DISTINCT o_custkey) FROM orders
+      UNION ALL SELECT 'o_orderstatus',
+             count(*) FILTER (o_orderstatus IS NULL),
+             count(DISTINCT o_orderstatus) FROM orders
+      UNION ALL SELECT 'o_totalprice',
+             count(*) FILTER (o_totalprice IS NULL),
+             count(DISTINCT o_totalprice) FROM orders
+      UNION ALL SELECT 'o_orderdate',
+             count(*) FILTER (o_orderdate IS NULL),
+             count(DISTINCT o_orderdate) FROM orders
+      UNION ALL SELECT 'o_orderpriority',
+             count(*) FILTER (o_orderpriority IS NULL),
+             count(DISTINCT o_orderpriority) FROM orders
+    ) c
+    """,
+)
+
+_register(
     "multimodal_features",
     lambda s, d: multimodal.byte_histogram_features(
         multimodal.attach_payload(load_table(s, d, "documents"))
@@ -1272,6 +1302,7 @@ _PROMOTED = [
     "pipeline_shards",
     "sample_mixture",
     "sample_quality_topk",
+    "profile_orders",
 ]
 
 _DEMOTED = [
@@ -1319,11 +1350,13 @@ _DEMOTED = [
     # stays represented in-window by the named survivor)
     "agg_rollup_orders",  # grouping-sets engine covered by agg_cube_orders
     "bfl_collapse_missing",  # collapse pinned by corpus + wildcard/recursive entries
-    "text_langid",  # per-doc classifier aggregated inside text_lang_profile
     "agg_value_median",  # exact-percentile agg; the agg family keeps
     # pricing_summary/cube/pivot in-window and the sketch twin pins error
     "join_top_revenue",  # broadcast join+agg family held in-window by
     # agg_pricing_summary/cube/pivot/length-bands/salted-join
+    "redact_typed_fast",  # optimization twin: hash-matches the SAME oracle
+    # as in-window redact_row_backend; no-Python plan shape stays asserted
+    # in tests/test_redact_fast.py
     "dedup_clusters_lsh",  # recall-approximate; exact twin dedup_clusters
     # is the in-window oracle entry
     "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest

@@ -35,7 +35,6 @@ def test_extension_surface_inside_window():
         "text_langid",
         "text_regex_tokens",
         "text_tokens_by_source",
-        "redact_typed_fast",
         "dedup_clusters",
         "sample_stratified",
         "text_repetition",
@@ -50,9 +49,23 @@ def test_extension_surface_inside_window():
         "pipeline_curate",
         "pipeline_funnel",
         "embedding_quantize",
+        # round 4: scale patterns + profiling
+        "join_salted_skew",
+        "pipeline_shards",
+        "sample_mixture",
+        "sample_quality_topk",
+        "profile_orders",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
+
+
+def test_redact_fast_twin_demoted_but_registered():
+    # redact_typed_fast hash-matches the SAME oracle as the in-window
+    # redact_row_backend — demoted as redundant, must stay registered
+    names = list(SPARK_QUERIES)
+    assert "redact_typed_fast" in names
+    assert names.index("redact_row_backend") < WINDOW
 
 
 def test_demoted_entries_still_registered():

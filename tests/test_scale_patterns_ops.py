@@ -211,3 +211,35 @@ def test_lsh_clusters_agree_with_exact_on_found_components(spark):
         exact_labels = {exact.get(d) for d in members}
         # all members exist in the exact clustering and share one label
         assert None not in exact_labels and len(exact_labels) == 1
+
+
+# -- table profiler ---------------------------------------------------------
+
+
+def test_profile_exact_counts(spark):
+    rows = {
+        r["column_name"]: r
+        for r in relational.profile_table(spark, SF, "orders").collect()
+    }
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    assert set(rows) == set(orders.columns)
+    for r in rows.values():
+        assert r["n_rows"] == n and r["n_nulls"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+
+
+def test_profile_hll_within_error(spark):
+    exact = {
+        r["column_name"]: r["n_distinct"]
+        for r in relational.profile_table(spark, SF, "orders").collect()
+    }
+    approx = {
+        r["column_name"]: r["n_distinct"]
+        for r in relational.profile_table(
+            spark, SF, "orders", exact=False
+        ).collect()
+    }
+    for c, d in exact.items():
+        assert abs(approx[c] - d) <= max(2, 0.1 * d), (c, approx[c], d)
