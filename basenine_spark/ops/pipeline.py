@@ -199,3 +199,53 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def release_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 0.03125,
+    budget: int = 200,
+    salt: str = "rel",
+) -> DataFrame:
+    """The full dataset-release funnel as ONE declarative plan:
+    curate (quality → exact dedup → near-dup removal) → mixture-sample
+    the survivors to target source weights → summarize the release as a
+    per-shard export manifest.
+
+    This is the end-to-end composition a training-data release actually
+    runs, and the whole chain stays lazy: the quality gates are pushed
+    to the documents scan, the mixture thresholds derive from *curated*
+    per-source counts (a source that lost mass to dedup clamps toward
+    keep-all rather than silently under-delivering), and the shard
+    assignment is the same content-stable hash as
+    :func:`shard_manifest` — append-stable across releases.
+
+    The driver oracle replays the entire funnel in DuckDB, including
+    the recursive-CTE near-dup closure, the mixture thresholds, and the
+    shard grouping — the composed result is hash-verified end-to-end.
+    """
+    from .sampling import mixture_filter
+
+    survivors = curate_documents(spark, sf_dir)
+    sampled = mixture_filter(
+        survivors, weights, default_weight, budget, salt
+    )
+    shard = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(concat('shard:', cast(doc_id as string))), 1, 1)) - 1"
+    ).cast("bigint")
+    return (
+        sampled.select(
+            shard.alias("shard_id"), "doc_id", "n_tokens"
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

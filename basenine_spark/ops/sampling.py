@@ -89,12 +89,28 @@ def mixture_sample(
     pushdown-friendly); the only shuffle is the count aggregation whose
     result is source-cardinality-sized and broadcast back.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_filter(
+        docs, weights, default_weight, budget, salt
+    ).select("doc_id", "source")
+
+
+def mixture_filter(
+    df: DataFrame,
+    weights: dict[str, float] | None,
+    default_weight: float,
+    budget: int,
+    salt: str,
+) -> DataFrame:
+    """The mixture-sampling core over an arbitrary (doc_id, source, …)
+    frame — reused by :func:`mixture_sample` (raw documents) and the
+    composed release pipeline (curated survivors).  Keeps all input
+    columns of the sampled rows."""
     # dyadic defaults: every target (budget * w) is an exact double, so
     # the only in-engine float math is division/multiply of identical
     # bit patterns — IEEE-deterministic across engines
     weights = weights or {"src0": 0.25, "src1": 0.125, "src2": 0.0625}
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
     # the per-source target (budget * w_s) is folded driver-side so both
     # engines divide the same double literal by n_src — identical IEEE
     # results, no cross-engine rounding drift
@@ -111,9 +127,9 @@ def mixture_sample(
     )
     thresholds = counts.select("source", thr.alias("mix_thr"))
     return (
-        docs.join(F.broadcast(thresholds), "source")
+        df.join(F.broadcast(thresholds), "source")
         .filter(_bucket(salt, F.col("doc_id")) < F.col("mix_thr"))
-        .select("doc_id", "source")
+        .drop("mix_thr")
     )
 
 

@@ -1217,6 +1217,47 @@ _register(
 )
 
 _register(
+    "pipeline_release",
+    pipeline.release_manifest,
+    f"""
+    WITH RECURSIVE {_CURATE_CTES},
+    surv AS (
+      SELECT d.doc_id, d.source, d.n_tokens
+      FROM d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    ),
+    mix_n AS (SELECT source, count(*) AS n_src FROM surv GROUP BY source),
+    mix_t AS (SELECT source,
+                 CAST(CASE source
+                        WHEN 'src0' THEN 50.0
+                        WHEN 'src1' THEN 25.0
+                        WHEN 'src2' THEN 12.5
+                        ELSE 6.25
+                      END AS DOUBLE) / n_src AS rate
+          FROM mix_n),
+    mix_thr AS (SELECT source,
+                   CASE WHEN rate >= 1 THEN 'g'
+                        ELSE printf('%08x',
+                               CAST(floor(rate * CAST(4294967296.0 AS DOUBLE))
+                                    AS BIGINT))
+                   END AS mix_thr
+            FROM mix_t),
+    sampled AS (
+      SELECT s.doc_id, s.n_tokens FROM surv s JOIN mix_thr USING (source)
+      WHERE substring(md5('rel' || CAST(s.doc_id AS VARCHAR)), 1, 8) < mix_thr.mix_thr
+    )
+    SELECT CAST(instr('0123456789abcdef',
+                 substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                - 1 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM sampled GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+
+_register(
     "profile_orders",
     lambda s, d: relational.profile_table(s, d, "orders", exact=True),
     """
@@ -1303,6 +1344,7 @@ _PROMOTED = [
     "sample_mixture",
     "sample_quality_topk",
     "profile_orders",
+    "pipeline_release",
 ]
 
 _DEMOTED = [
@@ -1357,6 +1399,8 @@ _DEMOTED = [
     "redact_typed_fast",  # optimization twin: hash-matches the SAME oracle
     # as in-window redact_row_backend; no-Python plan shape stays asserted
     # in tests/test_redact_fast.py
+    "pipeline_funnel",  # monitoring view over the same funnel whose
+    # composed result pipeline_release now verifies end-to-end in-window
     "dedup_clusters_lsh",  # recall-approximate; exact twin dedup_clusters
     # is the in-window oracle entry
     "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest

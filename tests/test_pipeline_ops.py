@@ -96,3 +96,20 @@ def test_pack_sequences_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_release_manifest_composition(spark):
+    """The release manifest covers exactly the mixture-sampled subset
+    of curation survivors: totals reconcile and re-runs are
+    bit-identical (content-stable hashes everywhere)."""
+    from basenine_spark.ops import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    m1 = pipeline.release_manifest(spark, sf).collect()
+    m2 = pipeline.release_manifest(spark, sf).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+    n_released = sum(r["n_docs"] for r in m1)
+    n_curated = pipeline.curate_documents(spark, sf).count()
+    assert 0 < n_released <= n_curated
+    assert all(0 <= r["shard_id"] < 16 for r in m1)
+    assert all(r["min_doc_id"] <= r["max_doc_id"] for r in m1)

@@ -47,14 +47,14 @@ def test_extension_surface_inside_window():
         "pivot_segment_status",
         "join_length_bands",
         "pipeline_curate",
-        "pipeline_funnel",
         "embedding_quantize",
-        # round 4: scale patterns + profiling
+        # round 4: scale patterns + profiling + composed release
         "join_salted_skew",
         "pipeline_shards",
         "sample_mixture",
         "sample_quality_topk",
         "profile_orders",
+        "pipeline_release",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
