@@ -48,6 +48,7 @@ HEADLINE = [
     "pipeline_shards",
     "sample_mixture",
     "sample_quality_topk",
+    "pipeline_release",
 ]
 
 
