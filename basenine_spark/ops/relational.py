@@ -530,3 +530,51 @@ def profile_table(
             "(column_name, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+def bucketed_revenue_join(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> DataFrame:
+    """Co-located big-big join via bucketed tables: both sides are
+    written ``bucketBy(buckets, orderkey)`` + sorted, so the join
+    consumes bucket files directly — NO Exchange under the
+    SortMergeJoin (the plan assertion in
+    ``tests/test_scale_patterns_ops.py`` is the point of this op).
+
+    This is the third big-big join strategy next to AQE skew-split and
+    explicit salting (:func:`salted_revenue_by_status`): pre-shuffle
+    ONCE at write time, join shuffle-free forever after — the layout a
+    100 TB fact/fact join amortizes into its ingest. Bucket pruning and
+    sorted merges come free; the only remaining exchange is the final
+    small aggregation.
+
+    Tables are written into the session catalog (`bn_bkt_*`) —
+    idempotent overwrite; callers own cleanup (tests drop them).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.write.bucketBy(buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bn_bkt_orders")
+    )
+    (
+        lineitem.write.bucketBy(buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("bn_bkt_lineitem")
+    )
+    li = spark.table("bn_bkt_lineitem").hint("merge")
+    od = spark.table("bn_bkt_orders").hint("merge")
+    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )

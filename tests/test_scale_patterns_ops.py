@@ -243,3 +243,30 @@ def test_profile_hll_within_error(spark):
     }
     for c, d in exact.items():
         assert abs(approx[c] - d) <= max(2, 0.1 * d), (c, approx[c], d)
+
+
+# -- bucketed co-located join -----------------------------------------------
+
+
+def test_bucketed_join_has_no_shuffle_below_join(spark):
+    """Both sides bucketed on the join key: the SortMergeJoin consumes
+    bucket files directly — zero Exchange below the join; the only
+    exchange left is the final aggregation."""
+    try:
+        df = relational.bucketed_revenue_join(spark, SF)
+        plan = _plan(df)
+        m = plan.find("SortMergeJoin")
+        assert m != -1, plan
+        # no Exchange anywhere below the join node in the plan text
+        below = plan[m:]
+        assert "Exchange hashpartitioning" not in below, below
+        # and the values equal the salted/plain join's
+        got = {r["o_orderstatus"]: (r["revenue"], r["n_items"]) for r in df.collect()}
+        plain = {
+            r["o_orderstatus"]: (r["revenue"], r["n_items"])
+            for r in relational.salted_revenue_by_status(spark, SF).collect()
+        }
+        assert got == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bn_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bn_bkt_lineitem")
