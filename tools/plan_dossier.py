@@ -140,6 +140,15 @@ COMMENTARY: dict[str, str] = {
         "shuffles. Rates clamp at 1 and selection is content-stable, "
         "so re-runs and other engines reproduce the sample exactly."
     ),
+    "pipeline_release": (
+        "The full dataset-release funnel (curate → mixture-sample → "
+        "shard manifest) as ONE lazy plan: quality gates appear in "
+        "`PushedFilters` on the documents scan, mixture thresholds "
+        "derive from curated per-source counts broadcast back, and the "
+        "shard aggregation carries 16 groups of partial state. The "
+        "DuckDB oracle replays the entire funnel — the composed result, "
+        "not just each stage, is hash-verified."
+    ),
 }
 
 
