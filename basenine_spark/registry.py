@@ -1288,6 +1288,12 @@ _register(
 )
 
 _register(
+    "ann_topk_ivfpq",
+    lambda s, d: similarity.ann_topk_ivfpq(s, d),
+    None,  # composed IVF + residual-PQ index; recall floor pinned in pytest
+)
+
+_register(
     "multimodal_features",
     lambda s, d: multimodal.byte_histogram_features(
         multimodal.attach_payload(load_table(s, d, "documents"))
@@ -1405,6 +1411,7 @@ _DEMOTED = [
     # is the in-window oracle entry
     "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest
     "ann_topk_pq",  # recall-approximate; floor pinned in pytest
+    "ann_topk_ivfpq",  # composed index; recall floor pinned in pytest
     "multimodal_features",  # values pinned against a Python reference in pytest
 ]
 

@@ -113,3 +113,22 @@ def test_ann_pq_deterministic(spark):
     a = sorted(map(tuple, similarity.ann_topk_pq(spark, sf).collect()))
     b = sorted(map(tuple, similarity.ann_topk_pq(spark, sf).collect()))
     assert a == b
+
+
+def test_ann_ivfpq_recall_floor(spark):
+    """IVF-PQ (coarse cells + residual PQ) recall floor on the
+    adversarial uniform-random corpus; see the op docstring for the
+    regime calibration."""
+    from basenine_spark.ops import similarity
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk(spark, sf).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_ivfpq(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"IVF-PQ recall collapsed: {recall}"
