@@ -89,7 +89,12 @@ def _int_ts_unit(path: str) -> str:
         path = glob.glob(os.path.join(path, "*.parquet"))[0]
     pf = pq.ParquetFile(path)
     idx = pf.schema_arrow.get_field_index("ts")
-    lo = pf.metadata.row_group(0).column(idx).statistics.min
+    stats = pf.metadata.row_group(0).column(idx).statistics
+    if stats is not None and stats.has_min_max:
+        lo = stats.min
+    else:  # stats-less writer: read one batch's first value instead
+        batch = next(pf.iter_batches(batch_size=1, columns=["ts"]))
+        lo = batch.column(0)[0].as_py()
     for unit, bound in (("s", 1e11), ("ms", 1e14), ("us", 1e17)):
         if abs(lo) < bound:
             return unit

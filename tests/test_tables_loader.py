@@ -84,3 +84,23 @@ def test_driver_testdata_loads(spark):
     df = load_table(spark, "/root/testdata/sf0.001", "events")
     row = df.selectExpr("min(ts_ms) AS lo", "max(ts_ms) AS hi").head()
     assert 1_500_000_000_000 < row["lo"] <= row["hi"] < 2_500_000_000_000
+
+
+def test_bare_int64_without_footer_stats(spark, tmp_path):
+    """A stats-less writer must not break unit inference — the loader
+    falls back to reading one value."""
+    base = 1_700_000_000_000
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in ROWS], pa.int64()),
+            "ts": pa.array([(base + ms) * 1000 for _, ms in ROWS], pa.int64()),
+            "user_id": pa.array([7] * len(ROWS), pa.int64()),
+            "event_type": pa.array(["click"] * len(ROWS), pa.string()),
+            "value": pa.array([1.0] * len(ROWS), pa.float64()),
+            "props": pa.array([json.dumps({"k": 1})] * len(ROWS), pa.string()),
+        }
+    )
+    pq.write_table(
+        table, str(tmp_path / "events.parquet"), write_statistics=False
+    )
+    assert _got_ms(spark, str(tmp_path)) == {eid: base + ms for eid, ms in ROWS}
