@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 
-def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_last_click(
+    spark: SparkSession, sf_dir: str, tolerance_ms: int | None = None
+) -> DataFrame:
     """As-of join: for every purchase event, the same user's most
     recent click at-or-before the purchase (click→purchase
     attribution).
@@ -47,6 +49,13 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``kind`` tiebreaker), matching at-or-before semantics. Returning
     the *timestamp* of the matched click (not an arbitrary surviving
     row id) keeps the result deterministic under exact-tie clicks.
+
+    ``tolerance_ms`` bounds the lookback (pandas ``merge_asof``
+    ``tolerance`` semantics): a match older than the bound becomes
+    NULL. Because the as-of match is the *latest* candidate, applying
+    the bound to it post-hoc is exact — no older click can be inside a
+    window the latest one missed — so tolerance costs one comparison,
+    not a different plan.
     """
     events = load_table(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click").select(
@@ -70,6 +79,14 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_ms",
         F.max(F.when(F.col("kind") == 0, F.col("t"))).over(w),
     )
+    if tolerance_ms is not None:
+        merged = merged.withColumn(
+            "last_click_ms",
+            F.when(
+                F.col("t") - F.col("last_click_ms") <= tolerance_ms,
+                F.col("last_click_ms"),
+            ),
+        )
     return merged.filter(F.col("kind") == 1).select(
         "event_id",
         "user_id",

@@ -1217,6 +1217,29 @@ _register(
 )
 
 _register(
+    "join_asof_tolerance",
+    lambda s, d: timeseries.asof_last_click(s, d, tolerance_ms=3_600_000),
+    # independent correlated-subquery derivation, as join_asof_clicks
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ms(ts) AS ts_ms
+               FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.purchase_ms,
+                  (SELECT max(c.ts_ms) FROM c
+                   WHERE c.user_id = p.user_id
+                     AND c.ts_ms <= p.purchase_ms
+                     AND c.ts_ms >= p.purchase_ms - 3600000) AS last_click_ms
+           FROM p
+         )
+    SELECT event_id, user_id, purchase_ms, last_click_ms,
+           purchase_ms - last_click_ms AS gap_ms
+    FROM j
+    """,
+)
+
+_register(
     "pipeline_release",
     pipeline.release_manifest,
     f"""
