@@ -249,3 +249,29 @@ def release_manifest(
         )
         .orderBy("shard_id")
     )
+
+
+def write_training_shards(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> str:
+    """Materialize the shard layout :func:`shard_manifest` plans:
+    documents written as ``shard_id``-partitioned Parquet using the
+    same content-stable assignment expression, so the manifest and the
+    physical layout can never disagree.  A trainer reads
+    ``dest/shard_id=N`` directories directly (partition pruning), and
+    because assignment is append-stable, an incremental release only
+    rewrites shards that actually received documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(concat('shard:', cast(doc_id as string))), 1, 1)) - 1"
+    ).cast("bigint")
+    (
+        docs.withColumn("shard_id", shard)
+        .repartition(F.col("shard_id"))
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+    return dest

@@ -268,3 +268,43 @@ def contamination(
             n_overlap.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("contamination"),
     )
+
+
+def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style boolean quality rules, one column per rule plus
+    the conjunction — the rule-bundle form of quality filtering (each
+    rule cheap, JVM-only, auditable separately in the funnel).
+
+    Rules (all map-only expressions over the scanned text):
+    ``ok_len``       30 ≤ whitespace tokens ≤ 1000 (Gopher doc-length);
+    ``ok_word_len``  3 ≤ mean token length ≤ 12 (Gopher);
+    ``ok_symbol``    < 10% of characters are '#' or '…' -ish symbols
+                     (C4 symbol-to-word screen, simplified to a
+                     portable character class);
+    ``ok_upper``     < 30% of alpha characters are uppercase
+                     (shouting/boilerplate screen).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    mean_word = F.octet_length(F.regexp_replace("text", " ", "")) / n_tokens
+    n_chars = F.octet_length("text")
+    n_symbols = n_chars - F.octet_length(
+        F.regexp_replace("text", r"[#*=_~|>{}\[\]]", "")
+    )
+    n_alpha = n_chars - F.octet_length(F.regexp_replace("text", r"[A-Za-z]", ""))
+    n_upper = n_chars - F.octet_length(F.regexp_replace("text", r"[A-Z]", ""))
+    ok_len = (n_tokens >= 30) & (n_tokens <= 1000)
+    ok_word_len = (mean_word >= 3.0) & (mean_word <= 12.0)
+    ok_symbol = n_symbols.cast("double") < 0.1 * n_chars.cast("double")
+    ok_upper = (n_alpha == 0) | (
+        n_upper.cast("double") < 0.3 * n_alpha.cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbol.alias("ok_symbol"),
+        ok_upper.alias("ok_upper"),
+        (ok_len & ok_word_len & ok_symbol & ok_upper).alias("ok_all"),
+    )

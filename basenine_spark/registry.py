@@ -1217,6 +1217,40 @@ _register(
 )
 
 _register(
+    "text_quality_flags",
+    text.quality_flags,
+    """
+    WITH q AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             strlen(text) AS n_chars,
+             strlen(replace(text, ' ', '')) AS n_nospace,
+             strlen(regexp_replace(text, '[#*=_~|>{}\\[\\]]', '', 'g'))
+               AS n_nosym,
+             strlen(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_noalpha,
+             strlen(regexp_replace(text, '[A-Z]', '', 'g')) AS n_noupper
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_tokens >= 30 AND n_tokens <= 1000) AS ok_len,
+           (CAST(n_nospace AS DOUBLE) / n_tokens >= 3.0
+            AND CAST(n_nospace AS DOUBLE) / n_tokens <= 12.0) AS ok_word_len,
+           (CAST(n_chars - n_nosym AS DOUBLE) < 0.1 * n_chars) AS ok_symbol,
+           ((n_chars - n_noalpha) = 0 OR
+            CAST(n_chars - n_noupper AS DOUBLE)
+              < 0.3 * (n_chars - n_noalpha)) AS ok_upper,
+           ((n_tokens >= 30 AND n_tokens <= 1000)
+            AND (CAST(n_nospace AS DOUBLE) / n_tokens >= 3.0
+                 AND CAST(n_nospace AS DOUBLE) / n_tokens <= 12.0)
+            AND (CAST(n_chars - n_nosym AS DOUBLE) < 0.1 * n_chars)
+            AND ((n_chars - n_noalpha) = 0 OR
+                 CAST(n_chars - n_noupper AS DOUBLE)
+                   < 0.3 * (n_chars - n_noalpha))) AS ok_all
+    FROM q
+    """,
+)
+
+_register(
     "join_asof_tolerance",
     lambda s, d: timeseries.asof_last_click(s, d, tolerance_ms=3_600_000),
     # independent correlated-subquery derivation, as join_asof_clicks

@@ -88,3 +88,54 @@ def test_contamination_broadcasts_benchmark(spark):
     plan = _plan(text.contamination(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_flags_reference_values(spark):
+    """Pin the rule bundle against a pure-Python reimplementation on a
+    sample — rules must be independently auditable."""
+    import re as _re
+
+    from basenine_spark.ops import text as text_ops
+    from basenine_spark.sources.tables import load_table as _lt
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in text_ops.quality_flags(spark, sf).collect()}
+    for r in _lt(spark, sf, "documents").limit(50).collect():
+        t = r["text"]
+        toks = t.split(" ")
+        n_tokens = len(toks)
+        n_chars = len(t.encode())
+        mean_word = len(t.replace(" ", "").encode()) / n_tokens
+        n_sym = n_chars - len(_re.sub(r"[#*=_~|>{}\[\]]", "", t).encode())
+        n_alpha = n_chars - len(_re.sub(r"[A-Za-z]", "", t).encode())
+        n_upper = n_chars - len(_re.sub(r"[A-Z]", "", t).encode())
+        g = got[r["doc_id"]]
+        assert g["ok_len"] == (30 <= n_tokens <= 1000)
+        assert g["ok_word_len"] == (3.0 <= mean_word <= 12.0)
+        assert g["ok_symbol"] == (n_sym < 0.1 * n_chars)
+        assert g["ok_upper"] == (n_alpha == 0 or n_upper < 0.3 * n_alpha)
+        assert g["ok_all"] == (
+            g["ok_len"] and g["ok_word_len"] and g["ok_symbol"] and g["ok_upper"]
+        )
+
+
+def test_write_training_shards_matches_manifest(spark, tmp_path):
+    """The physical shard layout and the manifest derive from the same
+    expression — per-directory counts must equal the manifest."""
+    from pyspark.sql import functions as F
+
+    from basenine_spark.ops import pipeline as pl
+
+    sf = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "shards")
+    pl.write_training_shards(spark, sf, dest)
+    written = spark.read.parquet(dest)
+    per_dir = {
+        r["shard_id"]: r["n"]
+        for r in written.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        r["shard_id"]: r["n_docs"]
+        for r in pl.shard_manifest(spark, sf).collect()
+    }
+    assert per_dir == manifest
