@@ -308,3 +308,33 @@ def quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_upper.alias("ok_upper"),
         (ok_len & ok_word_len & ok_symbol & ok_upper).alias("ok_all"),
     )
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with
+    counts and ranks — the seed step of tokenizer/vocab training and
+    the quick drift check between corpus versions.
+
+    Shape: explode → hash-agg (map-side partial on (token) carries one
+    row per distinct token per partition) → global top-k via
+    ``orderBy().limit()`` (TakeOrdered: per-partition heaps + driver
+    merge of k rows, never a full sort). Ties rank deterministically by
+    token string, so the output is engine-stable.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the global window runs AFTER limit(k): k rows on one task, not a
+    # corpus-wide single-partition sort
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )

@@ -1217,6 +1217,21 @@ _register(
 )
 
 _register(
+    "text_vocab_topk",
+    lambda s, d: text.vocab_topk(s, d),
+    """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+      SELECT token, count(*) AS cnt FROM t WHERE token <> '' GROUP BY token
+    )
+    SELECT token, cnt,
+           row_number() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM c ORDER BY cnt DESC, token LIMIT 100
+    """,
+)
+
+_register(
     "text_quality_flags",
     text.quality_flags,
     """
