@@ -134,7 +134,10 @@ def mixture_filter(
 
 
 def quality_quantile_filter(
-    spark: SparkSession, sf_dir: str, keep_frac: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    keep_frac: float = 0.5,
+    approximate: bool = False,
 ) -> DataFrame:
     """Keep the best ``keep_frac`` of each source by quality rank — the
     quantile form of quality filtering (fixed thresholds drift as the
@@ -144,10 +147,15 @@ def quality_quantile_filter(
     signal from :func:`basenine_spark.ops.text.quality_score`), tie-broken by
     doc_id so ranks are total and engine-portable.  ``percent_rank``
     over a per-source window = one hash shuffle on ``source``; the rank
-    state never leaves the executor.  At 100 TB a skewed source would
-    be pre-aggregated into an approximate CDF (``percentile_approx``)
-    and the filter applied as a map-only threshold — this exact form
-    is the oracle-checkable baseline.
+    state never leaves the executor.  This exact form is the
+    oracle-checkable baseline.
+
+    ``approximate=True`` is the 100 TB path for skewed sources: the
+    per-source keep-threshold comes from a ``percentile_approx`` sketch
+    (one partial-agg pass, source-cardinality-sized result broadcast
+    back) and the filter is then MAP-ONLY — no per-source window sort,
+    no rank state, at the cost of the sketch's rank error at the
+    boundary (kept fraction ≈ keep_frac, not exact).
     """
     from pyspark.sql import Window
 
@@ -160,12 +168,23 @@ def quality_quantile_filter(
     )
     n = F.size(F.split(F.col("text"), " "))
     ratio = F.round(stop_cnt.cast("double") / n.cast("double"), 6)
+    scored = docs.select("doc_id", "source", ratio.alias("q_ratio"))
+    if approximate:
+        thresholds = scored.groupBy("source").agg(
+            F.expr(
+                f"percentile_approx(q_ratio, {keep_frac}, 10000)"
+            ).alias("q_cut")
+        )
+        return (
+            scored.join(F.broadcast(thresholds), "source")
+            .filter(F.col("q_ratio") <= F.col("q_cut"))
+            .select("doc_id", "source", "q_ratio")
+        )
     w = Window.partitionBy("source").orderBy(
         F.col("q_ratio").asc(), F.col("doc_id").asc()
     )
     return (
-        docs.select("doc_id", "source", ratio.alias("q_ratio"))
-        .withColumn("pr", F.percent_rank().over(w))
+        scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") <= keep_frac)
         .select("doc_id", "source", "q_ratio")
     )

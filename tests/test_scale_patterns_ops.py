@@ -270,3 +270,26 @@ def test_bucketed_join_has_no_shuffle_below_join(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bn_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bn_bkt_lineitem")
+
+
+def test_quality_topk_approximate_tracks_exact(spark):
+    """The sketch-threshold path keeps ≈ the same set as the exact rank
+    path (boundary rank error only) and its plan has NO per-source
+    window sort."""
+    exact = {
+        r["doc_id"]
+        for r in sampling.quality_quantile_filter(spark, SF).collect()
+    }
+    approx = {
+        r["doc_id"]
+        for r in sampling.quality_quantile_filter(
+            spark, SF, approximate=True
+        ).collect()
+    }
+    overlap = len(exact & approx) / max(len(exact), 1)
+    assert overlap >= 0.9, overlap
+    plan = _plan(
+        sampling.quality_quantile_filter(spark, SF, approximate=True)
+    )
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
