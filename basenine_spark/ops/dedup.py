@@ -470,3 +470,24 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )
+
+
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: which documents of an incoming batch
+    are genuinely new against the existing corpus — the admission check
+    a production pipeline runs per delivery instead of re-deduping the
+    world.
+
+    Keyed on the content hash (md5), so the anti join shuffles
+    fixed-width hashes, never text; with the corpus side stored as a
+    bucketed fingerprint table the batch side alone shuffles. Modeled
+    here as odd doc_ids arriving against the even-id corpus (a
+    deterministic, oracle-checkable split of the driver table).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5("text").alias("content_hash")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(fp)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)
+    return batch.join(corpus, "content_hash", "left_anti").select(
+        "doc_id", "source"
+    )

@@ -1217,6 +1217,19 @@ _register(
 )
 
 _register(
+    "dedup_incremental",
+    dedup.incremental_new_docs,
+    """
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 2 = 1
+      AND md5(text) NOT IN (SELECT h FROM corpus)
+    """,
+)
+
+_register(
     "text_vocab_topk",
     lambda s, d: text.vocab_topk(s, d),
     """
