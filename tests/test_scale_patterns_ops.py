@@ -293,3 +293,38 @@ def test_quality_topk_approximate_tracks_exact(spark):
     )
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# -- sampling nestedness (the incremental-release property) -----------------
+
+
+def test_deterministic_sample_nested_across_rates(spark):
+    """Hash-threshold selection is monotone: raising the rate only ADDs
+    documents — a release sampled at 20% is a strict subset of the same
+    corpus sampled at 40%. This is the property that makes growing a
+    dataset release incremental instead of a reshuffle."""
+    docs = load_table(spark, SF, "documents")
+    small = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs, "doc_id", 0.2).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs, "doc_id", 0.4).collect()
+    }
+    assert small <= big and len(small) < len(big)
+
+
+def test_mixture_sample_nested_across_budgets(spark):
+    """Same monotonicity through the mixture path: a bigger budget
+    raises every per-source rate, so the smaller release is contained
+    in the larger."""
+    a = {
+        r["doc_id"]
+        for r in sampling.mixture_sample(spark, SF, budget=100).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in sampling.mixture_sample(spark, SF, budget=300).collect()
+    }
+    assert a <= b
