@@ -328,3 +328,29 @@ def test_mixture_sample_nested_across_budgets(spark):
         for r in sampling.mixture_sample(spark, SF, budget=300).collect()
     }
     assert a <= b
+
+
+def test_rate_threshold_monotone_property():
+    """Pure property (no Spark): the hex threshold is monotone in the
+    rate and stays an 8-char lowercase-hex string below 1.0 — the
+    invariants every sampling op's portability rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from basenine_spark.ops.sampling import rate_to_hex_threshold
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    )
+    def check(a, b):
+        ta, tb = rate_to_hex_threshold(a), rate_to_hex_threshold(b)
+        if a <= b:
+            assert ta <= tb
+        if a < 1.0:
+            assert len(ta) == 8 and all(c in "0123456789abcdef" for c in ta)
+        else:
+            assert ta == "g"
+
+    check()
