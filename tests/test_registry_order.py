@@ -84,3 +84,24 @@ def test_demoted_entries_still_registered():
 
 def test_oracles_subset_of_queries():
     assert set(ORACLES) == set(SPARK_QUERIES)
+
+
+def test_registry_import_is_sparkless():
+    """Importing the registry (what the driver does first) must not
+    create or require a SparkSession — all plans are built lazily
+    inside queries()[name](spark, sf_dir)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import basenine_spark.registry as r\n"
+        "from pyspark.sql import SparkSession\n"
+        "assert SparkSession.getActiveSession() is None\n"
+        "assert len(r.SPARK_QUERIES) >= 100\n"
+        "print('sparkless-ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert out.returncode == 0 and "sparkless-ok" in out.stdout, out.stderr[-500:]
