@@ -245,3 +245,36 @@ def test_compact_preserves_shredded_reads(spark, tmp_path):
     assert db._shred_ok
     got = sorted(r["a"] for r in db.query("a > 4").collect())
     assert got == expected == list(range(5, 18))
+
+
+def test_restore_ignores_crashed_write_artifacts(spark, tmp_path):
+    """A killed executor leaves `_temporary/`, `_SUCCESS`, and `.crc`
+    litter behind; restore and queries must ignore all of it (Spark's
+    hidden-file filter + the part= enumeration), recovering exactly the
+    committed records."""
+    import json as _json
+    import os
+
+    from basenine_spark.engine.db import BasenineDB
+
+    path = str(tmp_path / "crashstore")
+    db = BasenineDB(spark, path=path)
+    ids = db.insert_json([_json.dumps({"n": i}) for i in range(20)])
+    # simulate a crashed append: litter at the log root and inside a part dir
+    os.makedirs(f"{path}/_temporary/0/_temporary/attempt_0/part=9", exist_ok=True)
+    with open(
+        f"{path}/_temporary/0/_temporary/attempt_0/part=9/part-00000.parquet", "wb"
+    ) as f:
+        f.write(b"torn")
+    open(f"{path}/_SUCCESS", "w").close()
+    part_dir = next(d for d in os.listdir(path) if d.startswith("part="))
+    open(f"{path}/{part_dir}/.part-junk.parquet.crc", "w").close()
+
+    db2 = BasenineDB(spark, path=path)
+    out = db2.query("n >= 0")
+    assert out.count() == 20
+    assert len(ids) == 20
+    more = db2.insert_json([_json.dumps({"n": 99})])
+    # id sequence resumes exactly where the committed log left off
+    assert more == ["%024d" % 20]
+    assert db2.query("n == 99").count() == 1
