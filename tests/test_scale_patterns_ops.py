@@ -354,3 +354,62 @@ def test_rate_threshold_monotone_property():
             assert ta == "g"
 
     check()
+
+
+# -- PPJoin exactness on adversarial boilerplate ----------------------------
+
+
+def test_ppjoin_exact_on_boilerplate_corpus(spark, tmp_path):
+    """Crawl-regime adversary: many documents share a long boilerplate
+    prefix (ultra-frequent shingles) but only some pairs cross the
+    Jaccard threshold. PPJoin's prefix filter must keep EXACTLY the
+    brute-force pair set — rare-shingle indexing prunes candidates, not
+    results."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basenine_spark.ops import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    texts = []
+    for g in range(6):  # 6 groups × 5 near-identical docs
+        base = " ".join(f"g{g}w{i}" for i in range(20))
+        for v in range(5):
+            texts.append(f"{boiler} {base} v{v}")
+    for j in range(30):  # 30 boilerplate-only docs, mutually dissimilar tails
+        tail = " ".join(f"u{j}x{i}" for i in range(40))
+        texts.append(f"{boiler} {tail}")
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    n, thr = 3, 0.4
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = [shingles(t) for t in texts]
+    expect = set()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[a] & sets[b])
+        if inter / (len(sets[a]) + len(sets[b]) - inter) >= thr:
+            expect.add((a, b))
+    assert expect  # the within-group pairs really exist
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            spark, str(tmp_path), n=n, threshold=thr
+        ).collect()
+    }
+    assert got == expect
