@@ -83,3 +83,44 @@ def test_resize_image_mode_raises(spark):
     t = _payloads(spark, n=2)
     with pytest.raises(Exception, match="NotImplementedError|image resize"):
         multimodal.resize_payload(t, mode="image").collect()
+
+
+def test_byte_ops_on_multibyte_text(spark, tmp_path):
+    """Multibyte payloads: byte-level features and frame slicing operate
+    on UTF-8 bytes (not codepoints) — frame reassembly must still be
+    byte-exact and the histogram must match the Python reference."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["héllo wörld", "你好，世界 — grüß", "emoji 🎉🎊 tail", "plain"]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["xx"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    docs = load_table(spark, str(tmp_path), "documents")
+    t = multimodal.attach_payload(docs).cache()
+
+    # payload is the UTF-8 encoding
+    for r in t.collect():
+        assert bytes(r["payload"]) == texts[r["doc_id"]].encode("utf-8")
+        assert r["meta"]["n_bytes"] == len(texts[r["doc_id"]].encode("utf-8"))
+
+    frames = multimodal.frame_sample(t, frame_bytes=5).collect()
+    by_doc = {}
+    for r in sorted(frames, key=lambda r: (r["doc_id"], r["frame_idx"])):
+        by_doc.setdefault(r["doc_id"], b"")
+        by_doc[r["doc_id"]] += bytes(r["frame"])
+    for i, text in enumerate(texts):
+        assert by_doc[i] == text.encode("utf-8")
+
+    got = {r["doc_id"]: r["checksum"] for r in multimodal.decode_features(t).collect()}
+    for i, text in enumerate(texts):
+        assert got[i] == zlib.crc32(text.encode("utf-8"))
