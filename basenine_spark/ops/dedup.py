@@ -446,7 +446,11 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
         # carry the old label through the same join so the fixpoint
-        # check needs no second labels-vs-new-labels join per round
+        # check needs no second labels-vs-new-labels join per round;
+        # localCheckpoint TRUNCATES the lineage each round — without it
+        # the logical plan nests one join level per iteration and a
+        # deep component (long chain) OOMs the driver during planning
+        # long before any executor limit is hit
         stepped = (
             labels.join(
                 neighbor.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
@@ -461,7 +465,7 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("label")),
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = stepped.filter(F.col("old") != F.col("label")).limit(1).count()
         labels = stepped.select("doc_id", "label")

@@ -413,3 +413,33 @@ def test_ppjoin_exact_on_boilerplate_corpus(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_connected_components_chain_topology(spark):
+    """A linear chain a-b-c-…-j (only adjacent pairs connected) must
+    collapse to ONE component labeled by the minimum id — the
+    propagation loop really iterates to the fixpoint instead of
+    stopping after one hop."""
+    from basenine_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(11)}
+
+
+def test_connected_components_two_components(spark):
+    from basenine_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
