@@ -403,6 +403,15 @@ class BasenineDB:
             self._df = new if self._df is None else self._df.unionByName(
                 new, allowMissingColumns=True
             )
+            # each insert nests one more Union into the logical plan; a
+            # client looping small inserts (the reference's wire pattern)
+            # would grow planning cost per batch without bound — truncate
+            # the lineage periodically (same driver-OOM class as the
+            # label-propagation loop, see ops/dedup.py)
+            self._union_depth = getattr(self, "_union_depth", 0) + 1
+            if self._union_depth >= 32:
+                self._df = self._df.localCheckpoint(eager=True)
+                self._union_depth = 0
         rdd.unpersist()
         self._insert_counter = base + written
         return [index_to_id(base + i) for i in range(written)]

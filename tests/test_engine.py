@@ -131,3 +131,23 @@ def test_mounted_parquet_table(spark):
     rows = out.collect()
     assert rows, "expected purchases with value > 190"
     assert all(r["event_type"] == "purchase" and r["value"] > 190 for r in rows)
+
+
+def test_many_small_inserts_bounded_plan(spark):
+    """The reference's wire pattern is many small inserts on one
+    connection; the in-memory union lineage must stay bounded (periodic
+    truncation) so the 100th batch plans as fast as the first."""
+    import json as _json
+
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark)
+    for i in range(80):
+        db.insert_json([_json.dumps({"n": i})])
+    out = db.query("n >= 0")
+    assert out.count() == 80
+    # plan depth is bounded: far fewer Union nodes than inserts
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Union") < 40, plan.count("Union")
+    ids = [r["id"] for r in db.query("n == 79").collect()]
+    assert ids == ["%024d" % 79]
