@@ -151,3 +151,33 @@ def test_many_small_inserts_bounded_plan(spark):
     assert plan.count("Union") < 40, plan.count("Union")
     ids = [r["id"] for r in db.query("n == 79").collect()]
     assert ids == ["%024d" % 79]
+
+
+def test_deeply_nested_and_large_records(spark):
+    """Engine edges: a 30-level nested path compiles and matches; a
+    ~1 MB record round-trips through insert + query + redact (the
+    reference caps records at 200 MiB — scanner buffer, server.go:115)."""
+    import json as _json
+
+    from basenine_spark.engine.db import BasenineDB
+
+    deep: dict = {"leaf": 7}
+    for i in range(29):
+        deep = {f"k{28 - i}": deep}
+    big_payload = "x" * 1_000_000
+    db = BasenineDB(spark)
+    db.insert_json(
+        [
+            _json.dumps({"name": "deep", **deep}),
+            _json.dumps({"name": "big", "payload": big_payload, "secret": "s"}),
+        ]
+    )
+    path = ".".join(f"k{i}" for i in range(29)) + ".leaf"
+    assert db.query(f"{path} == 7").count() == 1
+    assert db.query('name == "big" and payload.startsWith("xxx")').count() == 1
+    # redact the big record; payload survives, secret is rewritten
+    rows = db.query('redact("secret") and name == "big"').collect()
+    assert len(rows) == 1
+    doc = _json.loads(rows[0]["value"]) if "value" in rows[0].__fields__ else None
+    if doc is not None:
+        assert doc["secret"] == "[REDACTED]" and len(doc["payload"]) == 1_000_000
