@@ -31,11 +31,20 @@ from ..sources.tables import load_table
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one surviving doc_id (the smallest) per distinct
     text. Hash-groupBy with map-side partial aggregation — the shuffle
-    carries (hash, min_id) not documents."""
+    carries (hash, min_id) not documents.
+
+    NULL text is excluded: no content means nothing to deduplicate, and
+    grouping nulls would silently merge unrelated empty records into
+    one "duplicate group" (the shingle-based variants already exclude
+    them via the empty-shingle-set guard)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count(F.lit(1)).alias("dup_cnt"),
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
     )
 
 

@@ -748,7 +748,7 @@ _register(
     "dedup_exact",
     dedup.exact_dedup,
     "SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt "
-    "FROM documents GROUP BY md5(text)",
+    "FROM documents WHERE text IS NOT NULL GROUP BY md5(text)",
 )
 
 

@@ -443,3 +443,24 @@ def test_connected_components_two_components(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_exact_dedup_excludes_null_text(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basenine_spark.ops import dedup
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["same", "same", None, None], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([4, 4, 0, 0], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    rows = dedup.exact_dedup(spark, str(tmp_path)).collect()
+    # one group for "same"; null-text docs are NOT merged into a group
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0 and rows[0]["dup_cnt"] == 2
