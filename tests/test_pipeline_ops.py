@@ -113,3 +113,30 @@ def test_release_manifest_composition(spark):
     assert 0 < n_released <= n_curated
     assert all(0 <= r["shard_id"] < 16 for r in m1)
     assert all(r["min_doc_id"] <= r["max_doc_id"] for r in m1)
+
+
+def test_curation_empty_survivor_set(spark, tmp_path):
+    """Every document failing the quality gates must yield an empty —
+    not erroring — funnel: the dedup/clustering stages see zero rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basenine_spark.ops import pipeline as pl
+
+    texts = ["tiny", "also tiny"]  # all below min_tokens/min_chars
+    table = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 2, pa.string()),
+            "source": pa.array(["s"] * 2, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    assert pl.curate_documents(spark, str(tmp_path)).count() == 0
+    funnel = {r["source"]: r for r in pl.curation_funnel(spark, str(tmp_path)).collect()}
+    assert funnel["s"]["n_in"] == 2
+    assert funnel["s"]["n_quality"] == 0
+    assert funnel["s"]["n_kept"] == 0
+    assert pl.release_manifest(spark, str(tmp_path)).count() == 0
