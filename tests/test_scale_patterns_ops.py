@@ -464,3 +464,51 @@ def test_exact_dedup_excludes_null_text(spark, tmp_path):
     rows = dedup.exact_dedup(spark, str(tmp_path)).collect()
     # one group for "same"; null-text docs are NOT merged into a group
     assert len(rows) == 1 and rows[0]["doc_id"] == 0 and rows[0]["dup_cnt"] == 2
+
+
+# -- sessionize gap-boundary edges ------------------------------------------
+
+
+def test_sessionize_gap_boundary_and_ties(spark, tmp_path):
+    """Exactly-at-gap stays in the session (break requires STRICTLY
+    greater than the gap, matching the oracle's `> 1800000`);
+    simultaneous events share a session regardless of event_id order."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    gap_ms = 30 * 60_000
+    rows = [
+        # user 1: e0, e1 exactly gap apart (same session), e2 gap+1 later (new)
+        (0, 0, 1),
+        (1, gap_ms, 1),
+        (2, 2 * gap_ms + 1, 1),
+        # user 2: three simultaneous events → one session of 3
+        (3, 500, 2),
+        (4, 500, 2),
+        (5, 500, 2),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1000 for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([_json.dumps({})] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["session_start_ms"],
+            r["session_end_ms"],
+            r["n_events"],
+        )
+        for r in relational.sessionize(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 0)] == (0, gap_ms, 2)  # boundary event stayed
+    assert got[(1, 1)] == (2 * gap_ms + 1, 2 * gap_ms + 1, 1)
+    assert got[(2, 0)] == (500, 500, 3)
+    assert len(got) == 3
