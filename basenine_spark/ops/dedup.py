@@ -496,8 +496,17 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed fingerprint table the batch side alone shuffles. Modeled
     here as odd doc_ids arriving against the even-id corpus (a
     deterministic, oracle-checkable split of the driver table).
+
+    Null-text rows are excluded on BOTH sides (matching
+    :func:`exact_duplicates`): a contentless record has no admissible
+    fingerprint, and engines disagree on NULL-key anti-join semantics
+    (Spark's left_anti keeps NULL-hash probe rows; SQL ``NOT IN``
+    returns UNKNOWN), so admission of such rows must be an explicit
+    upstream policy, not an engine accident.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     fp = F.md5("text").alias("content_hash")
     corpus = docs.filter(F.col("doc_id") % 2 == 0).select(fp)
     batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)

@@ -161,7 +161,14 @@ def quality_quantile_filter(
 
     from .text import STOPWORDS
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Null/empty text scores as NULL q_ratio; Spark windows sort NULLs
+    # FIRST (ranking contentless docs as best quality) while most SQL
+    # engines sort them LAST — filter them out before scoring so the
+    # semantics are engine-portable and contentless docs never win a
+    # quality race.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     stop_cnt = F.expr(
         f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"

@@ -22,6 +22,47 @@ def test_window_is_fully_oracle_backed():
     )
 
 
+def test_every_unverified_oracle_entry_is_inside_window():
+    """THE guard against the recurring round-2/round-4 failure mode:
+    registering an oracle-backed entry below the 50-row cut, where the
+    driver never checks it.  Every oracle-backed entry must either be
+    inside the window (will be checked this round) or already have a
+    green hash-match row in a committed CORRECTNESS_r*.json (was
+    checked in an earlier round's window)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                green.add(name)
+    names = list(SPARK_QUERIES)
+    offenders = [
+        n
+        for i, n in enumerate(names)
+        if i >= WINDOW and ORACLES[n] is not None and n not in green
+    ]
+    assert offenders == [], (
+        "oracle-backed entries registered below the driver's "
+        f"{WINDOW}-row verification cut with no green CORRECTNESS row "
+        f"in any committed round: {offenders} — promote them (demote a "
+        "multi-round-green entry to free the slot)"
+    )
+
+
+def test_promoted_and_demoted_disjoint():
+    # a name in both lists silently keeps its promoted slot and the
+    # demotion frees nothing (the round-4 pipeline_funnel bug);
+    # _finalize_order() raises, but assert here too so the failure is
+    # a readable test, not an import error
+    from basenine_spark.registry import _DEMOTED, _PROMOTED
+
+    assert not (set(_PROMOTED) & set(_DEMOTED))
+
+
 def test_extension_surface_inside_window():
     names = list(SPARK_QUERIES)[:WINDOW]
     required = {
@@ -29,14 +70,11 @@ def test_extension_surface_inside_window():
         "dedup_ngram_jaccard",
         "ann_topk",
         "multimodal_meta",
-        "multimodal_frames",
         "text_winnow_fingerprints",
         "text_lang_profile",
-        "text_langid",
         "text_regex_tokens",
         "text_tokens_by_source",
         "dedup_clusters",
-        "sample_stratified",
         "text_repetition",
         "pii_scrub_events",
         "text_contamination",
@@ -55,6 +93,11 @@ def test_extension_surface_inside_window():
         "sample_quality_topk",
         "profile_orders",
         "pipeline_release",
+        # round 5: the four entries round 4 registered below the cut
+        "dedup_incremental",
+        "text_vocab_topk",
+        "text_quality_flags",
+        "join_asof_tolerance",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
