@@ -231,17 +231,42 @@ def minhash_signature_udf(num_perm: int = NUM_PERM):
     ).astype(np.uint64)
     MULT = np.uint64(0x9E3779B97F4A7C15)
 
+    # Row-aligned flat chunks keep the (perm, chunk) hash matrix ≤
+    # ~32 MB while replacing the former per-row Python loop (one numpy
+    # dispatch per document) with one dispatch per ~64k shingles —
+    # the r4 verdict's dedup hot-loop finding.
+    CHUNK = 1 << 16
+
     @pandas_udf("array<long>")
     def sig(shingle_sets: pd.Series) -> pd.Series:
-        out = []
+        arrs = [np.asarray(sh, dtype=np.int64) for sh in shingle_sets]
+        out: list = [None] * len(arrs)
+        i = 0
         with np.errstate(over="ignore"):
-            for sh in shingle_sets:
-                x = np.asarray(sh, dtype=np.int64).astype(np.uint64)
-                if x.size == 0:
-                    out.append(None)
-                    continue
-                h = (x[None, :] ^ seeds[:, None]) * MULT  # (perm, k) wrap-mod-2^64
-                out.append(h.min(axis=1).astype(np.int64))
+            while i < len(arrs):
+                # grow a row-aligned chunk of at most CHUNK shingles
+                # (a single oversized row still goes through whole)
+                j, total = i, 0
+                while j < len(arrs) and (total == 0 or total + arrs[j].size <= CHUNK):
+                    total += arrs[j].size
+                    j += 1
+                rows = [a for a in arrs[i:j] if a.size]
+                if rows:
+                    flat = np.concatenate(rows).astype(np.uint64)
+                    h = (flat[None, :] ^ seeds[:, None]) * MULT  # wrap-mod-2^64
+                    lens = np.fromiter(
+                        (a.size for a in rows), dtype=np.int64, count=len(rows)
+                    )
+                    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    mins = np.minimum.reduceat(h, offsets, axis=1).astype(
+                        np.int64
+                    )
+                    k = 0
+                    for r in range(i, j):
+                        if arrs[r].size:
+                            out[r] = mins[:, k]
+                            k += 1
+                i = j
         return pd.Series(out)
 
     return sig

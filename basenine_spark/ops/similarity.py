@@ -545,21 +545,35 @@ def ann_topk_ivfpq(
     # approx <q, x> = <q, c_cell> + sum_s <q_s, B[s][code_s]>
     q_dot_c = Q @ Cn.T  # (q, cells)
     LUT = np.einsum("qsd,sjd->qsj", Q.reshape(len(Q), m, d), B)  # (q, m, codes)
-    probe_set = {(qi, int(c)) for qi in range(len(Q)) for c in probes[qi]}
+    # cell → probing-query index list (replaces the per-(row, query)
+    # probe_set membership loop — the r4 verdict's ANN hot-loop finding)
+    cell_queries: dict = {}
+    for qi in range(len(Q)):
+        for c in probes[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
 
     @pandas_udf("array<struct<q_idx:int, sim:double>>")
     def adc(cell_col: pd.Series, code_col: pd.Series) -> pd.Series:
-        cells_np = cell_col.to_numpy()
+        cells_np = cell_col.to_numpy().astype("int64")
         codes_np = np.stack(code_col.to_numpy()).astype("int64")
-        out = []
-        for i in range(len(cells_np)):
-            c = int(cells_np[i])
-            hits = []
-            for qi in range(len(Q)):
-                if (qi, c) in probe_set:
-                    sim = q_dot_c[qi, c] + LUT[qi, np.arange(m), codes_np[i]].sum()
-                    hits.append({"q_idx": qi, "sim": round(float(sim), 4)})
-            out.append(hits)
+        out: list = [[] for _ in range(len(cells_np))]
+        for c in np.unique(cells_np):
+            qs = cell_queries.get(int(c))
+            if not qs:
+                continue
+            rows = np.nonzero(cells_np == c)[0]
+            # gather (nq, m, n_rows) from the broadcast LUT in one shot,
+            # reduce the subspace axis, add the cell prior
+            gathered = np.take_along_axis(
+                LUT[qs], codes_np[rows].T[None, :, :], axis=2
+            )
+            sims = np.round(
+                q_dot_c[np.asarray(qs), c][:, None] + gathered.sum(axis=1), 4
+            )
+            for iq, qi in enumerate(qs):
+                row_sims = sims[iq]
+                for ir, r in enumerate(rows):
+                    out[r].append({"q_idx": qi, "sim": float(row_sims[ir])})
         return pd.Series(out)
 
     coded = corpus.select(
