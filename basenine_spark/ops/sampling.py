@@ -85,13 +85,24 @@ def mixture_sample(
     under-delivery is visible in the output counts rather than silently
     re-weighted, matching how production mixers surface shortfalls.
 
-    Scale shape: the fact scan is map-only (hash + string compare,
-    pushdown-friendly); the only shuffle is the count aggregation whose
-    result is source-cardinality-sized and broadcast back.
+    Scale shape: one source-cardinality count aggregation runs first
+    (columnar scan of `source` only) and its handful of rows come back
+    to the driver, where the per-source thresholds fold into a literal
+    CASE expression — so the fact scan itself is MAP-ONLY with zero
+    joins (hash + string compare, pushdown-friendly).  This is the
+    static-weight shape; the release funnel keeps the lazy
+    broadcast-join variant because there the counts derive from the
+    curated survivors, which collecting would compute twice.
     """
     docs = load_table(spark, sf_dir, "documents")
+    n_by_source = {
+        r["source"]: r["n_src"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .collect()
+    }
     return mixture_filter(
-        docs, weights, default_weight, budget, salt
+        docs, weights, default_weight, budget, salt, counts=n_by_source
     ).select("doc_id", "source")
 
 
@@ -101,16 +112,47 @@ def mixture_filter(
     default_weight: float,
     budget: int,
     salt: str,
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """The mixture-sampling core over an arbitrary (doc_id, source, …)
     frame — reused by :func:`mixture_sample` (raw documents) and the
     composed release pipeline (curated survivors).  Keeps all input
-    columns of the sampled rows."""
+    columns of the sampled rows.
+
+    With ``counts`` (per-source row counts known up front), the
+    thresholds fold into a literal CASE expression and the plan is
+    MAP-ONLY — no aggregation, no join; a source absent from
+    ``counts`` gets a NULL threshold and is dropped (an explicit
+    contract: the static path samples only sources it was sized for).
+    Without ``counts``, the sizing aggregation and a broadcast join
+    stay inside the (lazy) plan — the right shape when ``df`` is
+    itself expensive (the curated-survivor funnel) and collecting
+    counts would compute it twice.  Threshold arithmetic is the same
+    IEEE double sequence either way (budget·w exact dyadic literal,
+    one divide, one multiply, floor), so both paths and the SQL oracle
+    pick identical rows."""
     # dyadic defaults: every target (budget * w) is an exact double, so
     # the only in-engine float math is division/multiply of identical
     # bit patterns — IEEE-deterministic across engines
     weights = weights or {"src0": 0.25, "src1": 0.125, "src2": 0.0625}
-    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    if counts is not None:
+        import math
+
+        def _thr(source: str) -> str:
+            rate = (
+                float(budget) * weights.get(source, default_weight)
+            ) / float(counts[source])
+            if rate >= 1.0:
+                return "g"
+            return "%08x" % math.floor(rate * 4294967296.0)
+
+        thr_lit = F.lit(None).cast("string")
+        for source in sorted(counts):
+            thr_lit = F.when(
+                F.col("source") == source, F.lit(_thr(source))
+            ).otherwise(thr_lit)
+        return df.filter(_bucket(salt, F.col("doc_id")) < thr_lit)
+    counts_df = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
     # the per-source target (budget * w_s) is folded driver-side so both
     # engines divide the same double literal by n_src — identical IEEE
     # results, no cross-engine rounding drift
@@ -125,7 +167,7 @@ def mixture_filter(
             "%08x", F.floor(rate * F.lit(4294967296.0)).cast("bigint")
         )
     )
-    thresholds = counts.select("source", thr.alias("mix_thr"))
+    thresholds = counts_df.select("source", thr.alias("mix_thr"))
     return (
         df.join(F.broadcast(thresholds), "source")
         .filter(_bucket(salt, F.col("doc_id")) < F.col("mix_thr"))

@@ -150,10 +150,30 @@ def test_mixture_rate_tracks_target(spark):
 
 
 def test_mixture_fact_scan_is_map_only(spark):
-    """The documents scan side must not shuffle: the only exchange
-    below the semi-structure is the tiny counts agg, broadcast back."""
+    """Static-weight mixture must be join-free and shuffle-free: the
+    thresholds fold driver-side into a literal CASE, so the fact scan
+    is one map-only stage (the r4→r5 plan restoration)."""
     plan = _plan(sampling.mixture_sample(spark, SF))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_static_and_dynamic_paths_agree(spark):
+    """The folded-CASE static path and the lazy broadcast-join dynamic
+    path must pick exactly the same rows (identical IEEE threshold
+    arithmetic)."""
+    docs = load_table(spark, SF, "documents")
+    dynamic = {
+        (r["doc_id"], r["source"])
+        for r in sampling.mixture_filter(
+            docs, None, 0.03125, 200, "mix"
+        ).select("doc_id", "source").collect()
+    }
+    static = {
+        (r["doc_id"], r["source"])
+        for r in sampling.mixture_sample(spark, SF).collect()
+    }
+    assert static == dynamic and static
 
 
 # -- quality-quantile filter ------------------------------------------------
