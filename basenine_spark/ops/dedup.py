@@ -454,11 +454,65 @@ def duplicate_clusters_lsh(
     return connected_components(edges, max_iter=max_iter)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
-    """Min-label propagation over an undirected (doc_a, doc_b) edge
-    list; see :func:`duplicate_clusters` for the algorithm and scale
-    argument."""
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 12,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
+    """Min-label connected components over an undirected
+    (doc_a, doc_b) edge list; see :func:`duplicate_clusters` for the
+    algorithm and scale argument.
+
+    Two physical strategies behind one result:
+
+    * **small graph** (≤ ``driver_max_edges``, checked with an explicit
+      count of the cached edge list — near-dup graphs are sparse, ~2M
+      edges ≈ 32 MB): path-compressed union-find on the driver.  The
+      distributed loop costs ~2 scheduled jobs *per round* regardless
+      of size, which swamps a sparse graph; union-find is O(E α(E))
+      in-process.  The collect is bounded by construction — it only
+      happens below the counted threshold.
+    * **large graph**: the distributed min-label propagation rounds
+      (one keyed shuffle per round, per-round ``localCheckpoint``
+      lineage truncation) — no driver materialization anywhere.
+
+    Both paths emit identical (doc_id, cluster_id = component-min)
+    rows; their agreement is pinned in pytest by forcing the
+    distributed path on the same graph.
+    """
     edges = edges.select("doc_a", "doc_b").cache()
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        spark = edges.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set = set()
+        for a, b in edges.collect():
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: the smaller id becomes the root, so the
+                # root IS the component label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = sorted((n, find(n)) for n in nodes)
+        edges.unpersist()
+        return spark.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        ).orderBy("doc_id")
     # symmetric adjacency; isolated nodes are excluded by construction
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -505,6 +559,10 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    # labels is checkpoint-backed; the adjacency caches are dead weight
+    # once the loop converges
+    adj.unpersist()
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )

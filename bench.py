@@ -97,23 +97,29 @@ def main() -> int:
         range(int(CPUS) * 4), int(CPUS)
     ).mapPartitions(_warm_rdd).count()
 
-    def timed(fn, sf_dir: str) -> float:
-        """Best of 2 runs; a 3rd only when the two disagree >50% (this
-        box shows sporadic multi-second noisy-neighbor stalls — one
-        extra attempt beats inflating every query)."""
+    def timed(fn, sf_dir: str) -> tuple[float, float]:
+        """(min, median) over 3 runs: min is the capability number
+        (comparable with earlier rounds' best-of-N), median is the
+        regression detector — a single noisy-neighbor stall moves the
+        min not at all and the median by one slot, so a median shift
+        across rounds is a real plan change, not noise (VERDICT r4 #4:
+        single-run timings made regressions and noise
+        indistinguishable)."""
         samples = []
         for _attempt in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-            if len(samples) == 2 and max(samples) <= 1.5 * min(samples):
-                break
-        return round(min(samples), 3)
+        samples.sort()
+        return round(samples[0], 3), round(samples[1], 3)
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
-        timings[name] = timed(SPARK_QUERIES[name], SF_DIR)
+        mn, med = timed(SPARK_QUERIES[name], SF_DIR)
+        timings[name] = mn
+        stats[name] = {"min": mn, "median": med}
 
     # BASELINE envelope analogs (client_test.go:52-60, 89-147): 15k
     # inserts on one connection; 14k matching records streamed < 20 s
@@ -202,7 +208,7 @@ def main() -> int:
         )
         build_sec = round(time.perf_counter() - t0, 3)
         for name in SLOPE:
-            probe[name] = timed(SPARK_QUERIES[name], scaled)
+            probe[name] = timed(SPARK_QUERIES[name], scaled)[0]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -214,6 +220,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_stats": stats,
                 "sf": sf,
                 "scale_probe": {
                     "events_factor": 10,

@@ -465,6 +465,31 @@ def test_connected_components_two_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path (small counted graphs) and the
+    distributed min-label loop must emit identical components; the
+    distributed path is forced with driver_max_edges=0."""
+    from basenine_spark.ops.dedup import connected_components
+
+    edge_list = (
+        [(i, i + 1) for i in range(0, 12)]  # chain
+        + [(100, 103), (101, 103), (102, 103)]  # star, min inside
+        + [(200, 201)]
+    )
+    edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(edges, max_iter=20).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            edges, max_iter=20, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist and fast
+
+
 def test_exact_dedup_excludes_null_text(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
