@@ -171,8 +171,18 @@ def resize_payload(
     ``mode="image"`` raises ``NotImplementedError``: a real deployment
     plugs ``cv2.resize``/``PIL`` into the same ``mapInPandas``
     signature — schema, batching, and parallelism are identical, only
-    the per-payload function changes.
+    the per-payload function changes.  The check runs driver-side,
+    before any plan is built, so the unsupported mode fails immediately
+    instead of surfacing as an executor task failure (or not at all on
+    an empty input).
     """
+    if mode == "image":
+        raise NotImplementedError(
+            "image resize requires codec libraries not present in this "
+            "container — decimate mode exercises the same Spark path"
+        )
+    if mode != "decimate":
+        raise ValueError(f"unknown resize mode: {mode!r}")
     schema = "doc_id bigint, payload binary, n_bytes bigint"
 
     def run(batches: Iterator) -> Iterator:
@@ -182,12 +192,6 @@ def resize_payload(
         for pdf in batches:
             out = {"doc_id": [], "payload": [], "n_bytes": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if mode == "image":
-                    raise NotImplementedError(
-                        "image resize requires codec libraries not present in "
-                        "this container — decimate mode exercises the same "
-                        "Spark path"
-                    )
                 data = np.frombuffer(
                     bytes(payload) if payload is not None else b"", dtype=np.uint8
                 )

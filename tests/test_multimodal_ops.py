@@ -80,9 +80,19 @@ def test_resize_decimates(spark):
 
 
 def test_resize_image_mode_raises(spark):
+    # driver-side, before any plan/job: NotImplementedError directly,
+    # not a wrapped executor PythonException — and it raises even on
+    # an empty input (ADVICE r4)
     t = _payloads(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|image resize"):
-        multimodal.resize_payload(t, mode="image").collect()
+    with pytest.raises(NotImplementedError, match="image resize"):
+        multimodal.resize_payload(t, mode="image")
+    with pytest.raises(NotImplementedError, match="image resize"):
+        multimodal.resize_payload(t.limit(0), mode="image")
+
+
+def test_resize_unknown_mode_raises(spark):
+    with pytest.raises(ValueError, match="unknown resize mode"):
+        multimodal.resize_payload(_payloads(spark, n=1), mode="nope")
 
 
 def test_byte_ops_on_multibyte_text(spark, tmp_path):
