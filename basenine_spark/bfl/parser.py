@@ -103,8 +103,15 @@ def tokenize(text: str) -> List[Token]:
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
         if m is None:
+            # Stray character outside the token set (e.g. a lone "="):
+            # lex it as a single-rune punct token — the parser then
+            # reports the reference's golden `unexpected token "="`
+            # (participle's text/scanner lexer does the same;
+            # server_test.go:268 validate table).
             col = pos - line_start + 1
-            raise BFLSyntaxError(line, col, f'invalid input text {text[pos:pos+10]!r}')
+            tokens.append(Token("punct", text[pos], line, col))
+            pos += 1
+            continue
         kind = m.lastgroup
         value = m.group()
         col = pos - line_start + 1
@@ -373,6 +380,18 @@ class _Parser:
             extend(Wildcard() if tok.value == "*" else Key(_unquote(tok.value)))
             self.expect("]")
             progressed = True
+        if self.at("["):
+            # Bracket with invalid contents (e.g. a float index): the
+            # reference fails inside participle's key-select branch with
+            # its expected-token set — golden string pinned by
+            # server_test.go:270 (`request.path[3.14]`).
+            bad = self.peek(1)
+            raise BFLSyntaxError(
+                bad.line,
+                bad.col,
+                f'unexpected token "{bad.value}" (expected (<string> '
+                f'| <char> | <rawstring> | "*") "]")',
+            )
 
         # `..name` recursive descent.
         if (

@@ -1,0 +1,556 @@
+"""TCP wire-protocol server: the reference's line protocol over a
+:class:`~basenine_spark.engine.db.BasenineDB`.
+
+This is the capability-closure layer that lets an existing basenine
+client connect to the Spark engine unchanged.  The protocol is the
+reference's newline-delimited TCP dialect
+(``/root/reference/server/server.go:88-222`` connection loop and mode
+dispatch, ``/root/reference/server/lib/structs.go:60-87`` command and
+frame constants, ``/root/reference/server/lib/helpers.go:19-35`` OK /
+error / ``%quit%`` frames):
+
+=================  ====================================================
+first line         connection mode (``server.go:234-280``)
+=================  ====================================================
+``/insert``        every further line is one JSON document to ingest
+``/insert-filter`` next line sets the insertion filter (OK / error)
+``/query``         two lines (leftOff, query) then an unbounded stream
+                   of ``record\\n/metadata {...}\\n`` pairs (follow
+                   mode, ``native.go:374-523``)
+``/single``        two lines (index, query) → one record or an error
+``/fetch``         four lines (leftOff, direction, query, limit) →
+                   ``/metadata {...}\\n`` before each record
+                   (``native.go:780-827``), then ``%quit%``
+``/validate``      next line → ``OK`` or the parser's golden error
+``/macro``         next line ``name~expansion`` → ``OK``
+``/limit``         next line byte budget → ``OK``
+``/flush``         immediate, → ``OK``
+``/reset``         immediate, → ``OK``
+=================  ====================================================
+
+Spark-first shape: the server is a *driver-side* component — each
+connection's queries run as ordinary pruned Spark scans against the
+durable log, so the heavy lifting (filter pushdown, file pruning via
+the physical ``seq`` column, typed fast path vs row backend) is
+exactly the batch engine's.  Follow mode re-expresses the reference's
+fsnotify wait (``native.go:520-522,1139-1155``) as an incremental
+re-scan from the last served sequence: each poll's ``seq > leftOff``
+predicate prunes all previously-served files via Parquet min/max
+stats, so an idle tail costs one file-listing job per interval and a
+busy tail scans only the new tail files.  At cluster scale the
+per-connection state is one integer (the resume seq) — connections
+are stateless against the storage, so the server can be replicated
+behind a TCP balancer with a shared log directory.
+
+Known divergence (strictly better, pinned in tests): the reference's
+QUERY-mode metadata ``leftOff`` token is the candidate index **plus
+one** and its resume path adds one again (``native.go:392`` increment
+1 after a token minted at ``native.go:497-505``), so a reference
+client that feeds the token back skips one record; our token is the
+delivered record's own id and resume starts just after it — no skip.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+from typing import Optional
+
+from .engine.db import BasenineDB, Metadata, index_to_id
+
+CMD_INSERT = "/insert"
+CMD_INSERTION_FILTER = "/insert-filter"
+CMD_QUERY = "/query"
+CMD_SINGLE = "/single"
+CMD_FETCH = "/fetch"
+CMD_VALIDATE = "/validate"
+CMD_MACRO = "/macro"
+CMD_LIMIT = "/limit"
+CMD_METADATA = "/metadata"
+CMD_FLUSH = "/flush"
+CMD_RESET = "/reset"
+CLOSE_CONNECTION = "%quit%"
+
+_TIMEOUT = object()  # sentinel: readline timed out (no complete line yet)
+
+# one INSERT-mode flush: at most this many docs per Spark append job
+INSERT_BATCH_MAX = 10_000
+
+
+def _strip_nulls(v):
+    """Drop dict entries whose value is null — the typed view carries
+    every schema column, absent keys surface as nulls, and the wire
+    document must be the inserted shape (``native.go:294-311`` stores
+    the document verbatim plus ``id``).  Nulls inside arrays are kept
+    (array length is data, not schema)."""
+    if isinstance(v, dict):
+        return {k: _strip_nulls(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_strip_nulls(x) for x in v]
+    return v
+
+
+def row_to_doc(row, id_col: str = "id") -> str:
+    """Serialize one query-result row to its wire document.
+
+    Row-backend results (schema exactly ``(id, value)`` with ``value``
+    a JSON object string — ``engine/db.py`` ``_row_backend``) already
+    carry the evaluated document; typed rows are re-serialized with
+    schema-null keys dropped."""
+    fields = row.__fields__
+    if len(fields) == 2 and id_col in fields and "value" in fields:
+        v = row["value"]
+        if isinstance(v, str) and v.startswith("{"):
+            try:
+                if isinstance(json.loads(v), dict):
+                    return v
+            except ValueError:
+                pass
+    d = _strip_nulls(row.asDict(recursive=True))
+    return json.dumps(d, separators=(",", ":"), default=str)
+
+
+class _LineReader:
+    """Newline-splitting reader with its own buffer, so a timed-out
+    read never loses bytes (a buffered ``makefile`` readline can).
+    Mirrors the reference's ``bufio.Scanner`` including delivery of a
+    final unterminated token (``server.go:111-115``)."""
+
+    def __init__(self, sock: socket.socket):
+        self._sock = sock
+        self._buf = bytearray()
+        self._eof = False
+
+    def readline(self, timeout: Optional[float] = None):
+        """One line without its ``\\n``; ``None`` on EOF; the module
+        ``_TIMEOUT`` sentinel if no complete line arrived in time."""
+        while True:
+            i = self._buf.find(b"\n")
+            if i >= 0:
+                line = self._buf[:i]
+                del self._buf[: i + 1]
+                return line.decode("utf-8", errors="replace")
+            if self._eof:
+                if self._buf:
+                    line, self._buf = bytes(self._buf), bytearray()
+                    return line.decode("utf-8", errors="replace")
+                return None
+            self._sock.settimeout(timeout)
+            try:
+                chunk = self._sock.recv(1 << 16)
+            except socket.timeout:
+                return _TIMEOUT
+            except OSError:
+                self._eof = True
+                continue
+            if not chunk:
+                self._eof = True
+                continue
+            self._buf += chunk
+
+
+class BasenineServer:
+    """Serve a :class:`BasenineDB` over the reference wire protocol.
+
+    One OS thread per connection (the reference runs one goroutine per
+    connection, ``server.go:95``); Spark job submission is thread-safe
+    so concurrent QUERY/FETCH connections run concurrent jobs.  INSERT
+    batches are serialized under a lock — id assignment is a single
+    contiguous counter (``S3``), exactly like the reference's storage
+    mutex (``native.go:298-325``)."""
+
+    def __init__(
+        self,
+        db: BasenineDB,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        poll_interval: float = 0.15,
+    ):
+        self.db = db
+        self.poll_interval = poll_interval
+        self._listener = socket.create_server((host, port))
+        self.host, self.port = self._listener.getsockname()[:2]
+        self._insert_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._conns: list[socket.socket] = []
+        self._accept_thread: Optional[threading.Thread] = None
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> "BasenineServer":
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True
+        )
+        self._accept_thread.start()
+        return self
+
+    def stop(self) -> None:
+        """Graceful shutdown: ``%quit%`` to every live connection then
+        close (``server.go:226-230`` ``quitConnections``)."""
+        self._stop.set()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+        for conn in list(self._conns):
+            try:
+                conn.sendall((CLOSE_CONNECTION + "\n").encode())
+            except OSError:
+                pass
+            try:
+                conn.close()
+            except OSError:
+                pass
+        for t in self._threads:
+            t.join(timeout=5)
+
+    def __enter__(self) -> "BasenineServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return
+            self._conns.append(conn)
+            t = threading.Thread(
+                target=self._handle_connection, args=(conn,), daemon=True
+            )
+            self._threads.append(t)
+            t.start()
+
+    # -- wire helpers --------------------------------------------------
+
+    @staticmethod
+    def _send(conn: socket.socket, msg: str) -> bool:
+        try:
+            conn.sendall((msg + "\n").encode())
+            return True
+        except OSError:
+            return False
+
+    @staticmethod
+    def _conn_alive(conn: socket.socket) -> bool:
+        """POSIX peer-close probe (``helpers.go:38-71`` ``ConnCheck``)."""
+        try:
+            b = conn.recv(1, socket.MSG_PEEK | socket.MSG_DONTWAIT)
+            return bool(b)  # b'' ⇒ orderly shutdown by the peer
+        except BlockingIOError:
+            return True
+        except OSError:
+            return False
+
+    # -- connection state machine (server.go:100-222) ------------------
+
+    def _handle_connection(self, conn: socket.socket) -> None:
+        reader = _LineReader(conn)
+        try:
+            while not self._stop.is_set():
+                line = reader.readline()
+                if line is None:
+                    return
+                if not line.startswith("/"):
+                    continue  # data before a mode: ignored (mode NONE)
+                if line == CMD_INSERT:
+                    self._serve_insert(conn, reader)
+                    return
+                elif line.startswith(CMD_INSERTION_FILTER):
+                    self._serve_insertion_filter(conn, reader)
+                    return
+                elif line.startswith(CMD_QUERY):
+                    self._serve_query(conn, reader)
+                    return
+                elif line == CMD_SINGLE:
+                    self._serve_single(conn, reader)
+                    return
+                elif line == CMD_FETCH:
+                    self._serve_fetch(conn, reader)
+                    return
+                elif line.startswith(CMD_VALIDATE):
+                    self._serve_validate(conn, reader)
+                    return
+                elif line.startswith(CMD_MACRO):
+                    self._serve_macro(conn, reader)
+                    return
+                elif line.startswith(CMD_LIMIT):
+                    self._serve_limit(conn, reader)
+                    return
+                elif line == CMD_FLUSH:
+                    try:
+                        self.db.flush()
+                        self._send(conn, "OK")
+                    except Exception as e:  # noqa: BLE001 — wire reports
+                        self._send(conn, str(e))
+                    return
+                elif line == CMD_RESET:
+                    try:
+                        self.db.reset()
+                        self._send(conn, "OK")
+                    except Exception as e:  # noqa: BLE001
+                        self._send(conn, str(e))
+                    return
+                else:
+                    self._send(conn, "Unrecognized command.")
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            if conn in self._conns:
+                self._conns.remove(conn)
+
+    # -- modes ---------------------------------------------------------
+
+    def _serve_insert(self, conn: socket.socket, reader: _LineReader) -> None:
+        """INSERT mode: each line one document.  Lines are micro-batched
+        (drain what is already buffered, flush on idle) so a firehose
+        client costs one Spark append job per batch, not per record —
+        while ids stay contiguous in arrival order.  A non-JSON-object
+        line ends the connection after the valid prefix is flushed
+        (reference: ``InsertData`` returns the unmarshal error and the
+        connection loop breaks, ``server.go:163-164,211-213``)."""
+        pending: list[str] = []
+
+        def flush() -> None:
+            if not pending:
+                return
+            with self._insert_lock:
+                self.db.insert_json(pending)
+            pending.clear()
+
+        while not self._stop.is_set():
+            line = reader.readline(timeout=0.02 if pending else None)
+            if line is _TIMEOUT:
+                flush()
+                continue
+            if line is None:
+                flush()
+                return
+            if not line:
+                continue
+            try:
+                ok = isinstance(json.loads(line), dict)
+            except ValueError:
+                ok = False
+            if not ok:
+                flush()
+                return
+            pending.append(line)
+            if len(pending) >= INSERT_BATCH_MAX:
+                flush()
+
+    def _serve_insertion_filter(
+        self, conn: socket.socket, reader: _LineReader
+    ) -> None:
+        line = reader.readline()
+        if line is None:
+            return
+        try:
+            self.db.set_insertion_filter(line)
+            self._send(conn, "OK")
+        except Exception as e:  # noqa: BLE001 — parse error text on wire
+            self._send(conn, str(e))
+
+    def _db_total(self) -> int:
+        db = self.db
+        return (
+            db._log.total_written if db._log is not None else db._insert_counter
+        )
+
+    def _serve_query(self, conn: socket.socket, reader: _LineReader) -> None:
+        """QUERY mode (follow): snapshot + incremental re-scan.  Wire
+        framing is record line then ``/metadata`` frame
+        (``native.go:488-511``); ``limit(N)`` stops the stream but not
+        the connection (``native.go:513-517``)."""
+        left_line = reader.readline()
+        if left_line is None:
+            return
+        qtext = reader.readline()
+        if qtext is None:
+            return
+        try:
+            prepared = self.db._prepare(qtext)
+        except Exception:  # noqa: BLE001 — reference closes on parse error
+            return  # native.go:385-389: conn.Close()
+        limit = prepared.limit
+        written = 0
+        left_off: int | str = left_line.strip() or 0
+        last_seq = -1
+        mounted = self.db._mounted
+        while not self._stop.is_set():
+            if not self._conn_alive(conn):
+                return
+            if not mounted and self._db_total() == 0:
+                # a QUERY connection may open before the first INSERT
+                # (server_test.go InsertionFilter flow)
+                self._stop.wait(self.poll_interval)
+                continue
+            snapshot_total = self._db_total()
+            try:
+                rows, frames = self.db.query_with_metadata(
+                    qtext, left_off=left_off
+                )
+            except Exception as e:  # noqa: BLE001
+                self._send(conn, f"Error: {e}")
+                return
+            poll_base = written
+            for row, frame in zip(rows, frames):
+                if limit > 0 and written >= limit:
+                    break
+                if not self._send(conn, row_to_doc(row, self.db.id_col)):
+                    return
+                # numberOfWritten is cumulative across the whole stream
+                # (native.go:495-505), not per re-scan
+                frame.number_of_written += poll_base
+                if not self._send(
+                    conn, f"{CMD_METADATA} {frame.to_json()}"
+                ):
+                    return
+                written += 1
+                try:
+                    last_seq = max(last_seq, int(frame.left_off))
+                except ValueError:
+                    pass
+            if mounted or (limit > 0 and written >= limit):
+                # stream done (limit hit, or a mounted table has no
+                # follow semantics); the connection stays open until
+                # the client hangs up (native.go:513-517)
+                while not self._stop.is_set() and self._conn_alive(conn):
+                    self._stop.wait(self.poll_interval)
+                return
+            # resume after everything scanned this round: the next poll's
+            # seq predicate prunes all files already served
+            left_off = max(snapshot_total - 1, last_seq, 0)
+            self._stop.wait(self.poll_interval)
+
+    def _serve_single(self, conn: socket.socket, reader: _LineReader) -> None:
+        index_line = reader.readline()
+        if index_line is None:
+            return
+        qtext = reader.readline()
+        if qtext is None:
+            return
+        try:
+            idx = int(index_line)
+        except ValueError as e:
+            self._send(
+                conn,
+                f"Error: While converting the index to integer: {e}",
+            )
+            return
+        total = self._db_total()
+        if not self.db._mounted and idx >= total:
+            # native.go:544-550 distinguishes past-the-end from removed
+            self._send(conn, f"Index out of range: {idx}")
+            return
+        try:
+            rec = self.db.single(index_to_id(idx), qtext)
+        except Exception as e:  # noqa: BLE001
+            self._send(conn, f"Eval error: {e}")
+            return
+        if rec is None:
+            self._send(conn, "Record does not exist!")
+            return
+        self._send(
+            conn,
+            json.dumps(_strip_nulls(rec), separators=(",", ":"), default=str),
+        )
+
+    def _serve_fetch(self, conn: socket.socket, reader: _LineReader) -> None:
+        """FETCH mode: ``/metadata`` frame *before* each record
+        (``native.go:799-827``), ``%quit%`` when the page is done."""
+        args = []
+        for _ in range(4):
+            line = reader.readline()
+            if line is None:
+                return
+            args.append(line)
+        left_line, dir_line, qtext, limit_line = args
+        left_off: int | str = left_line.strip()
+        if left_off != "latest":
+            try:
+                left_off = int(left_off or 0)
+            except ValueError as e:
+                self._send(
+                    conn,
+                    f"Error: Cannot parse leftOff value to int: {e}",
+                )
+                return
+        try:
+            direction = int(dir_line)
+        except ValueError as e:
+            self._send(
+                conn,
+                f"Error: While converting the direction to integer: {e}",
+            )
+            return
+        try:
+            limit = int(limit_line)
+        except ValueError as e:
+            self._send(
+                conn,
+                f"Error: While converting the limit to integer: {e}",
+            )
+            return
+        try:
+            rows, frames = self.db.fetch_with_metadata(
+                left_off, direction, qtext, limit
+            )
+        except IndexError as e:
+            self._send(conn, str(e))
+            return
+        except Exception as e:  # noqa: BLE001
+            self._send(conn, f"Error: {e}")
+            return
+        for i, frame in enumerate(frames):
+            if not self._send(conn, f"{CMD_METADATA} {frame.to_json()}"):
+                return
+            if i < len(rows):
+                if not self._send(conn, row_to_doc(rows[i], self.db.id_col)):
+                    return
+        self._send(conn, CLOSE_CONNECTION)
+
+    def _serve_validate(self, conn: socket.socket, reader: _LineReader) -> None:
+        line = reader.readline()
+        if line is None:
+            return
+        ok, msg = self.db.validate(line)
+        self._send(conn, "OK" if ok else msg)
+
+    def _serve_macro(self, conn: socket.socket, reader: _LineReader) -> None:
+        line = reader.readline()
+        if line is None:
+            return
+        parts = line.split("~")
+        if len(parts) != 2:
+            self._send(conn, "Error: Provide only two expressions!")
+            return
+        try:
+            self.db.add_macro(parts[0].strip(), parts[1].strip())
+            self._send(conn, "OK")
+        except Exception as e:  # noqa: BLE001
+            self._send(conn, str(e))
+
+    def _serve_limit(self, conn: socket.socket, reader: _LineReader) -> None:
+        line = reader.readline()
+        if line is None:
+            return
+        try:
+            n = int(line)
+        except ValueError as e:
+            self._send(
+                conn,
+                f"Error: While converting the limit to integer: {e}",
+            )
+            return
+        try:
+            self.db.set_retention_bytes(n)
+            self._send(conn, "OK")
+        except Exception as e:  # noqa: BLE001
+            self._send(conn, str(e))

@@ -71,6 +71,10 @@ class TailQuery:
             self.min_seq = 0
         else:
             self.min_seq = int(left_off) + 1
+        # last *delivered* seq — frame accounting carries candidate
+        # counts across micro-batches (native.go:497-505: `current`
+        # counts records scanned since the previous frame)
+        self._prev_seq = self.min_seq - 1
 
     # -- internals -----------------------------------------------------
 
@@ -127,12 +131,24 @@ class TailQuery:
                 if self.on_record:
                     self.on_record(r["_id"], r["_v"])
                 if self.on_metadata:
-                    # per-record frame interleaving, like the reference
-                    # (native.go:497-511): leftOff advances to the record
-                    # just delivered
-                    md = db.metadata(written=self.written, queried=self.written)
+                    # per-record frame interleaving, field-for-field
+                    # with native.go:497-511: `numberOfWritten` is the
+                    # cumulative delivered count, `current` counts
+                    # candidates scanned since the previous delivered
+                    # record (carrying across micro-batches — skipped
+                    # non-matching records between deliveries are
+                    # charged to the next frame), `leftOff` is the
+                    # delivered record's resume token
+                    md = db.metadata(written=self.written, queried=1)
                     if r["_id"]:
                         md.left_off = r["_id"]
+                        try:
+                            seq = int(r["_id"])
+                        except ValueError:
+                            seq = None
+                        if seq is not None:
+                            md.current = seq - self._prev_seq
+                            self._prev_seq = seq
                     self.on_metadata(md)
             if self.limit > 0 and self.written >= self.limit:
                 self._limit_hit.set()

@@ -72,3 +72,31 @@ def test_tail_left_off_resume(spark, tmp_path):
         assert metas and metas[-1].total == 60
     finally:
         t.stop()
+
+
+def test_tail_per_record_metadata_golden(spark, tmp_path):
+    """Per-record frame parity with native.go:497-511: after each
+    delivered record the frame carries the cumulative delivered count,
+    the candidates scanned since the previous delivered record
+    (non-matching docs charged to the next frame, across batches), and
+    the delivered record's resume token."""
+    from basenine_spark.engine.db import index_to_id
+
+    db = _mkdb(spark, tmp_path)
+    db.insert_json(_docs(0, 60))  # hit at even n, miss at odd
+    frames = []
+    t = tail(db, 'tag == "hit"', on_metadata=frames.append)
+    try:
+        got = t.await_written(30, timeout=60)
+        assert got == 30
+        assert len(frames) == 30
+        for i, md in enumerate(frames):
+            assert md.number_of_written == i + 1  # cumulative
+            assert md.left_off == index_to_id(2 * i)  # delivered id
+            # first frame scanned one candidate (seq 0); later frames
+            # charge the skipped odd record too
+            assert md.current == (1 if i == 0 else 2)
+            assert md.total == 60
+            assert md.no_more_data is False
+    finally:
+        t.stop()

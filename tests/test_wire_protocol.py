@@ -1,0 +1,307 @@
+"""Wire-protocol golden tests ported from
+``/root/reference/server/server_test.go`` (123-206 query table, 208-265
+single, 266-297 validate table, 299-400 macro, 403-506 fetch table,
+508-545 limit, 548-566 flush/reset) — driven over real localhost TCP
+sockets against :class:`basenine_spark.server.BasenineServer`, using
+the Python port of the reference client."""
+
+import json
+
+import pytest
+
+from basenine_spark import client as bn
+from basenine_spark.engine.db import BasenineDB, index_to_id
+from basenine_spark.server import BasenineServer
+
+PAYLOAD = '{"brand":{"name":"Chevrolet"},"model":"Camaro","year":2021}'
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    """Fresh durable db + running server per test."""
+    db = BasenineDB(spark, path=str(tmp_path / "store"))
+    server = BasenineServer(db, poll_interval=0.05).start()
+    yield db, server
+    server.stop()
+
+
+@pytest.fixture(scope="module")
+def served100(spark, tmp_path_factory):
+    """100 identical inserts behind a running server (read-only tests)."""
+    db = BasenineDB(
+        spark, path=str(tmp_path_factory.mktemp("wire") / "store")
+    )
+    db.insert_json([PAYLOAD] * 100)
+    server = BasenineServer(db, poll_interval=0.05).start()
+    yield db, server
+    server.stop()
+
+
+def _doc(line: str) -> dict:
+    return json.loads(line)
+
+
+# -- INSERT mode (server_test.go:19-42) --------------------------------
+
+
+def test_insert_mode_roundtrip(served):
+    db, server = served
+    with bn.BasenineClient(server.host, server.port) as c:
+        c.insert([PAYLOAD, PAYLOAD])
+        # protocol has no insert ack; wait for the batch flush
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and db._log.total_written < 2:
+            time.sleep(0.05)
+    assert db._log.total_written == 2
+    rec = db.single(index_to_id(1))
+    assert rec["model"] == "Camaro"
+
+
+def test_insert_mode_non_json_closes_connection(served):
+    db, server = served
+    with bn.BasenineClient(server.host, server.port) as c:
+        c.insert([PAYLOAD, "hello world", PAYLOAD])
+        # the valid prefix is flushed; the bad line ends the connection
+        # (server.go:163-164,211-213: InsertData error breaks the loop)
+        line = c.reader.readline(timeout=30)
+        assert line is None  # EOF: server hung up
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline and db._log.total_written < 1:
+        time.sleep(0.05)
+    assert db._log.total_written == 1
+
+
+# -- QUERY mode golden table (server_test.go:123-206) ------------------
+
+QUERY_CASES = [
+    ('brand.name == "Chevrolet"', 100, 0),
+    ('brand.name == "Chevrolet" and limit(10)', 10, 0),
+    ('limit(10) and brand.name == "Chevrolet"', 10, 0),
+    ('brand.name == "Chevrolet"', 39, 60),
+]
+
+
+@pytest.mark.parametrize("query,expected,left_off", QUERY_CASES)
+def test_query_mode_golden(served100, query, expected, left_off):
+    _, server = served100
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query(str(left_off) if left_off else "", query)
+        start = left_off + 1 if left_off else 0
+        got = 0
+        index = start
+        while got < expected:
+            frame = next(frames)
+            if frame.metadata is not None:
+                md = frame.metadata
+                assert set(md) == {
+                    "current",
+                    "total",
+                    "numberOfWritten",
+                    "leftOff",
+                    "truncatedTimestamp",
+                    "noMoreData",
+                }
+                assert md["numberOfWritten"] == got
+                assert md["leftOff"] == index_to_id(index - 1)
+                continue
+            doc = _doc(frame.record)
+            # record then metadata frame, id injected, insertion order
+            assert doc["id"] == index_to_id(index)
+            assert doc["brand"]["name"] == "Chevrolet"
+            assert doc["model"] == "Camaro"
+            assert doc["year"] == 2021
+            index += 1
+            got += 1
+    assert got == expected
+
+
+def test_query_mode_follow_streams_new_inserts(served):
+    """The QUERY connection is live: records inserted after the
+    snapshot keep streaming (native.go:520-522 fsnotify resume)."""
+    db, server = served
+    db.insert_json([PAYLOAD] * 3)
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query("", 'brand.name == "Chevrolet"')
+        seen = []
+        while len(seen) < 3:
+            f = next(frames)
+            if f.record:
+                seen.append(_doc(f.record)["id"])
+        db.insert_json([PAYLOAD] * 2)
+        while len(seen) < 5:
+            f = next(frames)
+            if f.record:
+                seen.append(_doc(f.record)["id"])
+    assert seen == [index_to_id(i) for i in range(5)]
+
+
+# -- INSERTION_FILTER mode (server_test.go:44-121) ---------------------
+
+
+def test_insertion_filter_mode(served):
+    db, server = served
+    err = bn.insertion_filter(
+        server.host,
+        server.port,
+        'brand.name == "Chevrolet" and redact("year")',
+    )
+    assert err is None
+    db.insert_json([PAYLOAD] * 10)
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query("", 'brand.name == "Chevrolet"')
+        docs = []
+        while len(docs) < 10:
+            f = next(frames)
+            if f.record:
+                docs.append(_doc(f.record))
+    for i, doc in enumerate(docs):
+        assert doc["id"] == index_to_id(i)
+        assert doc["year"] == "[REDACTED]"
+        assert doc["brand"]["name"] == "Chevrolet"
+
+
+# -- SINGLE mode (server_test.go:208-265) ------------------------------
+
+
+def test_single_mode_golden(served100):
+    _, server = served100
+    line = bn.single(server.host, server.port, 42)
+    doc = _doc(line)
+    assert doc["id"] == index_to_id(42)
+    assert doc["brand"]["name"] == "Chevrolet"
+    assert doc["model"] == "Camaro"
+    assert doc["year"] == 2021
+
+
+def test_single_mode_out_of_range(served100):
+    _, server = served100
+    line = bn.single(server.host, server.port, 4242)
+    assert line == "Index out of range: 4242"
+
+
+def test_single_mode_bad_index(served100):
+    _, server = served100
+    with bn.BasenineClient(server.host, server.port) as c:
+        c.send_text("/single")
+        c.send_text("not-a-number")
+        c.send_text("")
+        line = c._read_line()
+    assert line.startswith("Error: While converting the index to integer:")
+
+
+# -- VALIDATE mode golden table (server_test.go:266-297) ---------------
+
+VALIDATE_CASES = [
+    ('brand.name == "Chevrolet"', None),
+    ("=.=", '1:1: unexpected token "="'),
+    (
+        'request.path[3.14] == "hello"',
+        '1:14: unexpected token "3.14" (expected (<string> | <char> '
+        '| <rawstring> | "*") "]")',
+    ),
+]
+
+
+@pytest.mark.parametrize("query,expected", VALIDATE_CASES)
+def test_validate_mode_golden(served100, query, expected):
+    _, server = served100
+    assert bn.validate(server.host, server.port, query) == expected
+
+
+# -- MACRO mode (server_test.go:299-400) -------------------------------
+
+
+def test_macro_mode(served):
+    db, server = served
+    assert (
+        bn.macro(
+            server.host, server.port, "chevy", 'brand.name == "Chevrolet"'
+        )
+        is None
+    )
+    db.insert_json([PAYLOAD] * 5)
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query("", "chevy")
+        docs = []
+        while len(docs) < 5:
+            f = next(frames)
+            if f.record:
+                docs.append(_doc(f.record))
+    assert [d["id"] for d in docs] == [index_to_id(i) for i in range(5)]
+
+
+def test_macro_mode_malformed(served100):
+    _, server = served100
+    err = bn.macro(server.host, server.port, "a~b", "c")  # three parts
+    assert err == "Error: Provide only two expressions!"
+
+
+# -- FETCH mode golden table (server_test.go:403-506) ------------------
+
+FETCH_CASES = [
+    (0, 1, 5, 5),
+    (13, 1, 5, 5),
+    (13, 1, 200, 87),
+    (93, 1, 20, 7),
+    (99, -1, 5, 5),
+    (13, -1, 5, 5),
+    (13, -1, 200, 13),
+    (93, -1, 20, 20),
+]
+
+
+@pytest.mark.parametrize("left_off,direction,limit,expected", FETCH_CASES)
+def test_fetch_mode_golden(served100, left_off, direction, limit, expected):
+    _, server = served100
+    records, first_meta, last_meta = bn.fetch(
+        server.host,
+        server.port,
+        str(left_off),
+        direction,
+        'brand.name == "Chevrolet"',
+        limit,
+    )
+    assert len(records) == expected
+    index = left_off if direction > 0 else left_off - 1
+    for rec in records:
+        doc = _doc(rec)
+        assert doc["id"] == index_to_id(index)
+        assert doc["year"] == 2021
+        index += 1 if direction > 0 else -1
+    assert first_meta is not None and last_meta is not None
+    # the final frame marks scan-range exhaustion iff the page ran off
+    # the end (fewer matches than limit)
+    assert last_meta["noMoreData"] == (expected < limit)
+
+
+# -- LIMIT / FLUSH / RESET modes (server_test.go:508-566) --------------
+
+
+def test_limit_mode(served):
+    _, server = served
+    assert bn.limit(server.host, server.port, 1_000_000) is None
+    assert (
+        bn.limit(server.host, server.port, "not-a-number")  # type: ignore[arg-type]
+        .startswith("Error: While converting the limit to integer:")
+    )
+
+
+def test_flush_and_reset_modes(served):
+    db, server = served
+    db.insert_json([PAYLOAD] * 3)
+    assert bn.flush(server.host, server.port) is None
+    assert db._log.total_written == 0
+    db.insert_json([PAYLOAD] * 2)
+    assert bn.reset(server.host, server.port) is None
+    assert db._log.total_written == 0
+
+
+def test_unrecognized_command(served100):
+    _, server = served100
+    with bn.BasenineClient(server.host, server.port) as c:
+        c.send_text("/bogus")
+        assert c._read_line() == "Unrecognized command."
