@@ -594,3 +594,124 @@ def ann_topk_ivfpq(
         )
     )
     return _rank_topk(scored, k)
+
+
+def embed_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """Document clustering over the embedding column — the topic-
+    balancing / domain-mixing primitive of a training-data pipeline
+    (cluster, inspect, re-weight).  Deterministic Lloyd's k-means fit on
+    a bounded lowest-id sample (driver-side numpy — no RNG, no per-
+    iteration Spark jobs), then ONE distributed Arrow-batched assignment
+    pass over the corpus.
+
+    Scale shape (the standard sample-fit/full-assign split, same as
+    ``_pq_train``): training touches ``max(2048, 32k)`` rows regardless
+    of corpus size; the corpus itself is scanned exactly once, with the
+    k × dim centroid matrix broadcast into the argmin — no shuffle, no
+    iteration over the data.  At 100 TB choose k ∝ corpus/target-
+    cluster-size; the assignment pass is embarrassingly parallel.
+
+    Output: (vec_id, cluster, dist) with dist rounded-before-output for
+    engine-stable comparison; deterministic across runs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    sample = (
+        emb.orderBy("vec_id")
+        .limit(max(2048, 32 * k))
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    C = X[: min(k, len(X))].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+
+    @pandas_udf("struct<cluster: int, dist: double>")
+    def assign(embs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cell.astype("int32"),
+                "dist": np.round(np.sqrt(d[np.arange(len(cell)), cell]), 4),
+            }
+        )
+
+    return (
+        emb.select("vec_id", assign(F.col("embedding")).alias("a"))
+        .select("vec_id", F.col("a.cluster").alias("cluster"), F.col("a.dist").alias("dist"))
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then within each
+    cluster greedily drop vectors whose cosine similarity to an
+    already-kept vector exceeds ``threshold`` (keep order = ascending
+    vec_id, so the survivor set is deterministic).
+
+    Scale shape: the quadratic similarity comparison happens **only
+    within a cluster** (``applyInPandas`` per cluster key — one shuffle
+    on the cluster id), never across the corpus; cluster sizes are
+    bounded by choosing k ∝ N, which caps per-task memory at
+    (cluster_size × dim) and per-task work at cluster_size².  This is
+    the published algorithm's own scaling argument, re-expressed as a
+    grouped Pandas stage over a broadcast-assigned clustering.
+
+    Output: surviving (vec_id, cluster) rows — the semantically-unique
+    corpus subset.
+    """
+    import numpy as np
+    import pandas as pd
+
+    clusters = embed_clusters(spark, sf_dir, k=k, iters=iters).select(
+        "vec_id", "cluster"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned = clusters.join(emb, "vec_id")
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if not kept or sims[i, kept].max() < threshold:
+                kept.append(i)
+        out = pdf.iloc[kept]
+        return out[["vec_id", "cluster"]]
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(dedup_cluster, schema="vec_id bigint, cluster int")
+        .orderBy("vec_id")
+    )

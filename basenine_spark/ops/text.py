@@ -338,3 +338,103 @@ def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+BM25_QUERY_TERMS = ("spark", "hash", "window", "sort")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple = BM25_QUERY_TERMS,
+    k: int = 50,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed term set —
+    the retrieval/quality-weighting primitive of a training-data
+    pipeline (e.g. select documents relevant to a target domain before
+    mixing).  Okapi BM25 with the standard smoothed idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Shape (scale-first):
+      * one explode → filter-to-query-terms **before** the aggregate, so
+        the shuffle carries only (doc_id, term) pairs for the |Q| query
+        terms, never the full token stream;
+      * per-term document frequencies and corpus stats (N, avgdl) are
+        tiny aggregates collected to scalars/a |Q|-row broadcast — the
+        corpus is scanned twice (tf pass + doclen pass) but shuffled
+        only on the filtered pairs;
+      * scores are rounded **before** ranking (same determinism contract
+        as ``ann_topk``: two engines agree on the rounded value, so the
+        rank/tie order is engine-stable — ties break by doc_id).
+
+    At 100 TB: the tf aggregate is the only corpus-sized shuffle and it
+    is pre-filtered to query terms (|shuffle| ≈ docs × |Q| hit rate);
+    df/avgdl are scalar reductions; the final top-k is a TakeOrdered
+    (per-partition heaps), not a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    term_lit = list(terms)
+    # per-doc length (in whitespace tokens) + corpus scalars
+    lens = docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+    )
+    n_avg = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(n_avg["n"]), float(n_avg["avgdl"])
+    # tf: explode, keep only query terms (the filter reaches the
+    # generator output before the shuffle), count per (doc, term)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term").isin(term_lit))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # document frequency per term: |Q| rows — broadcast back
+    df_stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = df_stats.select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )

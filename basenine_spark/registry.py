@@ -1397,6 +1397,62 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: relevance ranking + embedding clustering/semdedup
+# ---------------------------------------------------------------------------
+
+_register(
+    "text_bm25_topk",
+    lambda s, d: text.bm25_topk(s, d),
+    # Okapi BM25 (k1=1.2, b=0.75, smoothed idf), scores rounded before
+    # ranking on both sides so the rank/tie order is engine-stable
+    """
+    WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl
+      FROM documents WHERE text IS NOT NULL
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE term IN ('spark', 'hash', 'window', 'sort')
+      GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term,
+             ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(sum(idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                         / (SELECT avgdl FROM stats)))),
+                   4) AS bm25
+      FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+    """,
+)
+
+_register(
+    "embed_clusters",
+    lambda s, d: similarity.embed_clusters(s, d),
+    None,  # deterministic k-means assignment; replaying Lloyd iterations
+    # in SQL needs a recursive CTE over array math — determinism,
+    # cluster-count and inertia invariants pinned in pytest instead
+)
+
+_register(
+    "dedup_semantic",
+    lambda s, d: similarity.semantic_dedup(s, d, threshold=0.35),
+    None,  # SemDeDup survivor set; greedy within-cluster elimination is
+    # iterative (order-dependent) — planted-near-dup behavior, keep-order
+    # determinism and threshold semantics pinned in pytest
+)
+
+# ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
 #
@@ -1417,7 +1473,8 @@ _PROMOTED = [
     "text_winnow_fingerprints",
     "text_lang_profile",
     "text_regex_tokens",
-    "text_tokens_by_source",
+    # text_tokens_by_source: demoted in round 5 to fund text_bm25_topk
+    # (green r2-r4; family held by text_vocab_topk + text_quality)
     "dedup_clusters",
     "text_repetition",
     "pii_scrub_events",
@@ -1449,6 +1506,11 @@ _PROMOTED = [
     "text_vocab_topk",
     "text_quality_flags",
     "join_asof_tolerance",
+    # round-5 addition: BM25 relevance ranking (new oracle-backed entry
+    # goes in-window by construction; slot funded by demoting
+    # text_tokens_by_source, whose token-counting family stays held by
+    # text_vocab_topk + text_quality)
+    "text_bm25_topk",
 ]
 
 _DEMOTED = [
@@ -1516,6 +1578,8 @@ _DEMOTED = [
     "multimodal_frames",  # multimodal family held by multimodal_meta
     "text_langid",  # langid re-verified inside in-window text_lang_profile
     "sample_stratified",  # sampling family held by sample_mixture/quality_topk
+    "text_tokens_by_source",  # token-count family held by text_vocab_topk
+    # + text_quality (slot funds the text_bm25_topk promotion)
 ]
 
 

@@ -49,6 +49,10 @@ HEADLINE = [
     "sample_mixture",
     "sample_quality_topk",
     "pipeline_release",
+    # round-5 additions (relevance ranking + embedding clustering)
+    "text_bm25_topk",
+    "embed_clusters",
+    "dedup_semantic",
 ]
 
 

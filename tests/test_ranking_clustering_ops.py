@@ -1,0 +1,176 @@
+"""Round-5 additions: BM25 relevance ranking, k-means embedding
+clustering, and SemDeDup-style semantic deduplication.
+
+BM25 is differentially pinned against its DuckDB oracle at sf0.001
+(same comparison the driver runs at sf0.01); the clustering/semdedup
+entries are rows-only for the driver (iterative algorithms), so their
+semantics — determinism, cluster invariants, planted-near-dup
+elimination, keep-order — are pinned here.
+"""
+
+import json
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from basenine_spark.ops import similarity, text
+from basenine_spark.registry import ORACLES, SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(json.dumps([repr(row[i]) for i in order]) for row in rows)
+
+
+# -- BM25 --------------------------------------------------------------
+
+
+def test_bm25_matches_duckdb_oracle(spark, duck):
+    sdf = SPARK_QUERIES["text_bm25_topk"](spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLES["text_bm25_topk"])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert _canon(srows, scols) == _canon(drows, dcols)
+
+
+def test_bm25_hand_computed_tiny_corpus(spark, tmp_path):
+    """One-term sanity check against the textbook formula: two docs,
+    the one with the higher tf (at equal length) scores higher, and the
+    absolute score matches a hand evaluation of Okapi BM25."""
+    docs = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "spark spark beats disk",      # tf=2, dl=4
+                "spark is a query engine",     # tf=1, dl=5
+                "no relevant terms here now",  # tf=0
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [22, 23, 24],
+        }
+    )
+    d = tmp_path / "tiny"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = text.bm25_topk(spark, str(d), terms=("spark",), k=10).collect()
+    # doc 2 has no query terms: absent from the ranking
+    assert [r["doc_id"] for r in out] == [0, 1]
+    n, df_t, avgdl = 3, 2, (4 + 5 + 5) / 3.0
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def bm25(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out[0]["bm25"] == pytest.approx(round(bm25(2, 4), 4), abs=1e-9)
+    assert out[1]["bm25"] == pytest.approx(round(bm25(1, 5), 4), abs=1e-9)
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+# -- k-means clustering ------------------------------------------------
+
+
+def test_embed_clusters_deterministic_and_complete(spark):
+    a = similarity.embed_clusters(spark, SF, k=8, iters=3).collect()
+    b = similarity.embed_clusters(spark, SF, k=8, iters=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # no RNG anywhere
+    total = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(a) == total  # every vector assigned
+    clusters = {r["cluster"] for r in a}
+    assert clusters <= set(range(8))
+    assert len(clusters) > 1  # the data is not degenerate
+    assert all(r["dist"] >= 0.0 for r in a)
+
+
+def test_embed_clusters_iterations_reduce_inertia(spark):
+    def inertia(iters):
+        rows = similarity.embed_clusters(spark, SF, k=8, iters=iters).collect()
+        return sum(r["dist"] ** 2 for r in rows)
+
+    assert inertia(4) <= inertia(1) + 1e-6  # Lloyd's monotonicity
+
+
+# -- SemDeDup ----------------------------------------------------------
+
+
+def _write_embeddings(tmp_path, vecs):
+    t = pa.table(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": [0] * len(vecs),
+        }
+    )
+    d = tmp_path / "sem"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark, tmp_path):
+    """10 seeded base vectors, each followed by 2 noisy copies
+    (cosine > 0.999): survivors are exactly the 10 lowest-id originals
+    (greedy keep order = ascending vec_id — the SemDeDup determinism
+    contract)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 64)
+    # bases first (ids 0-9), then the noisy copies (ids 10-29): the
+    # deterministic lowest-id k-means init then seeds from distinct
+    # vectors (an init drawn from a run of near-identical vectors can
+    # split a dup group across clusters — the documented reason SemDeDup
+    # uses k ≪ N and meaningful cluster sizes)
+    vecs = [base[i] for i in range(10)]
+    for i in range(10):
+        for _ in range(2):
+            vecs.append(base[i] + rng.randn(64) * 1e-3)
+    sf_dir = _write_embeddings(tmp_path, vecs)
+    out = similarity.semantic_dedup(
+        spark, sf_dir, k=4, iters=2, threshold=0.99
+    ).collect()
+    # survivors: exactly the 10 lowest-id originals
+    assert [r["vec_id"] for r in out] == list(range(10))
+
+
+def test_semantic_dedup_threshold_one_keeps_everything(spark, tmp_path):
+    rng = np.random.RandomState(3)
+    sf_dir = _write_embeddings(tmp_path, rng.randn(30, 64))
+    out = similarity.semantic_dedup(
+        spark, sf_dir, k=4, iters=2, threshold=1.1
+    ).collect()
+    assert len(out) == 30  # nothing exceeds an impossible threshold
+
+
+def test_semantic_dedup_on_driver_table_is_deterministic(spark):
+    a = similarity.semantic_dedup(spark, SF, threshold=0.35).collect()
+    b = similarity.semantic_dedup(spark, SF, threshold=0.35).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # survivors are a subset of the corpus, in ascending id order
+    ids = [r["vec_id"] for r in a]
+    assert ids == sorted(ids)

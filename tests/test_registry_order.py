@@ -73,7 +73,8 @@ def test_extension_surface_inside_window():
         "text_winnow_fingerprints",
         "text_lang_profile",
         "text_regex_tokens",
-        "text_tokens_by_source",
+        # text_tokens_by_source demoted in round 5 (green r2-r4) to
+        # fund the text_bm25_topk promotion
         "dedup_clusters",
         "text_repetition",
         "pii_scrub_events",
@@ -98,6 +99,8 @@ def test_extension_surface_inside_window():
         "text_vocab_topk",
         "text_quality_flags",
         "join_asof_tolerance",
+        # round 5: BM25 relevance ranking
+        "text_bm25_topk",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
