@@ -305,3 +305,60 @@ def test_unrecognized_command(served100):
     with bn.BasenineClient(server.host, server.port) as c:
         c.send_text("/bogus")
         assert c._read_line() == "Unrecognized command."
+
+
+# -- concurrency + big payloads (server.go:95 one goroutine per conn) --
+
+
+def test_concurrent_query_connections_see_all_records(served):
+    """Three follow-mode clients + a wire INSERT stream: every client
+    sees every record exactly once, in insertion order — the server's
+    per-connection threads share one storage, like the reference's
+    goroutines over one nativeStorage."""
+    import threading
+
+    db, server = served
+    results = {i: [] for i in range(3)}
+    errors = []
+
+    def follow(i):
+        try:
+            with bn.BasenineClient(server.host, server.port) as c:
+                frames = c.query("", 'brand.name == "Chevrolet"')
+                while len(results[i]) < 30:
+                    f = next(frames)
+                    if f.record:
+                        results[i].append(_doc(f.record)["id"])
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    threads = [
+        threading.Thread(target=follow, args=(i,), daemon=True)
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    with bn.BasenineClient(server.host, server.port) as c:
+        c.insert([PAYLOAD] * 30)
+        for t in threads:
+            t.join(timeout=90)
+    assert not errors
+    expected = [index_to_id(i) for i in range(30)]
+    for i in range(3):
+        assert results[i] == expected
+
+
+def test_insert_large_record_roundtrip(served):
+    """A ~1 MB document on one wire line (the reference sizes its
+    scanner buffer for 200 MB lines, server.go:112-115)."""
+    db, server = served
+    big = json.dumps({"brand": {"name": "Chevrolet"}, "blob": "x" * 1_000_000})
+    with bn.BasenineClient(server.host, server.port) as c:
+        c.insert([big])
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and db._log.total_written < 1:
+            time.sleep(0.05)
+    rec = db.single(index_to_id(0))
+    assert len(rec["blob"]) == 1_000_000

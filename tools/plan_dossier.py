@@ -149,6 +149,29 @@ COMMENTARY: dict[str, str] = {
         "DuckDB oracle replays the entire funnel — the composed result, "
         "not just each stage, is hash-verified."
     ),
+    "text_bm25_topk": (
+        "BM25 ranking: the token explode is filtered to the query terms "
+        "**before** the tf aggregate, so the only corpus-sized shuffle "
+        "carries (doc_id, term) pairs for matching terms only; the "
+        "|Q|-row idf table is a `BroadcastHashJoin` build side; the "
+        "final top-k is `TakeOrderedAndProject` (per-partition heaps), "
+        "never a global sort. Scores are rounded before ranking so the "
+        "DuckDB oracle agrees on rank order."
+    ),
+    "embed_clusters": (
+        "Sample-fit / full-assign k-means: centroids are trained on a "
+        "bounded lowest-id sample driver-side (no per-iteration Spark "
+        "jobs), then ONE Arrow-batched argmin pass assigns the corpus "
+        "with the k×dim matrix broadcast — a map-only plan, zero "
+        "shuffles over the embedding table at any corpus size."
+    ),
+    "dedup_semantic": (
+        "SemDeDup: the quadratic cosine comparison is confined to one "
+        "cluster per `FlatMapGroupsInPandas` task (one shuffle keyed on "
+        "the cluster id). Cluster sizes are bounded by choosing k ∝ N, "
+        "which caps per-task memory/work — the published algorithm's "
+        "own scaling argument as a grouped-pandas stage."
+    ),
 }
 
 
