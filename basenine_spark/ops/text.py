@@ -438,3 +438,50 @@ def bm25_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+def unigram_surprisal(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Corpus-relative unigram surprisal: per-document mean negative
+    log-probability of its tokens under the corpus's own unigram
+    distribution — the LM-perplexity quality signal (CCNet-style) in
+    its simplest exactly-reproducible form.  High surprisal = dense in
+    corpus-rare tokens (jargon, noise, other-language fragments); the
+    top-k most surprising documents are the review/filter queue.
+
+    Shape: one explode → (token) hash-agg builds the unigram table (the
+    same partial-agg shuffle as ``vocab_topk``); the per-doc pass joins
+    exploded tokens against it on the token key and averages ``-ln p``.
+    The unigram table is vocabulary-sized, not corpus-sized — Spark
+    broadcasts it when it fits (AQE decides), else the join shuffles on
+    the token key with partial aggregation on both sides.  Surprisal is
+    rounded before the top-k ranking (engine-stable rank order, ties by
+    doc_id), and the top-k itself is a TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    scored = (
+        toks.join(uni, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.lit(float(total)))), 4
+            ).alias("surprisal"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )

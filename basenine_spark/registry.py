@@ -1437,6 +1437,35 @@ _register(
 )
 
 _register(
+    "text_unigram_surprisal",
+    lambda s, d: text.unigram_surprisal(s, d),
+    # per-doc mean -ln p(token) under the corpus unigram distribution,
+    # rounded before the top-k ranking (ties by doc_id)
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), t2 AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), uni AS (
+      SELECT token, count(*) AS cnt FROM t2 GROUP BY token
+    ), total AS (
+      SELECT sum(cnt)::DOUBLE AS t FROM uni
+    ), scored AS (
+      SELECT t2.doc_id,
+             round(avg(-ln(uni.cnt / (SELECT t FROM total))), 4)
+               AS surprisal,
+             count(*) AS n_tokens
+      FROM t2 JOIN uni USING (token)
+      GROUP BY t2.doc_id
+    )
+    SELECT doc_id, surprisal, n_tokens,
+           row_number() OVER (ORDER BY surprisal DESC, doc_id) AS rank
+    FROM scored ORDER BY surprisal DESC, doc_id LIMIT 100
+    """,
+)
+
+_register(
     "embed_clusters",
     lambda s, d: similarity.embed_clusters(s, d),
     None,  # deterministic k-means assignment; replaying Lloyd iterations
@@ -1472,9 +1501,9 @@ _PROMOTED = [
     "multimodal_meta",
     "text_winnow_fingerprints",
     "text_lang_profile",
-    "text_regex_tokens",
-    # text_tokens_by_source: demoted in round 5 to fund text_bm25_topk
-    # (green r2-r4; family held by text_vocab_topk + text_quality)
+    # text_regex_tokens + text_tokens_by_source: demoted in round 5 to
+    # fund text_bm25_topk + text_unigram_surprisal (both green r2-r4;
+    # family held by text_vocab_topk + text_quality)
     "dedup_clusters",
     "text_repetition",
     "pii_scrub_events",
@@ -1506,11 +1535,13 @@ _PROMOTED = [
     "text_vocab_topk",
     "text_quality_flags",
     "join_asof_tolerance",
-    # round-5 addition: BM25 relevance ranking (new oracle-backed entry
-    # goes in-window by construction; slot funded by demoting
-    # text_tokens_by_source, whose token-counting family stays held by
-    # text_vocab_topk + text_quality)
+    # round-5 additions: BM25 relevance ranking + unigram surprisal
+    # (new oracle-backed entries go in-window by construction; slots
+    # funded by demoting text_tokens_by_source and text_regex_tokens,
+    # whose token-counting family stays held by text_vocab_topk +
+    # text_quality)
     "text_bm25_topk",
+    "text_unigram_surprisal",
 ]
 
 _DEMOTED = [
@@ -1580,6 +1611,8 @@ _DEMOTED = [
     "sample_stratified",  # sampling family held by sample_mixture/quality_topk
     "text_tokens_by_source",  # token-count family held by text_vocab_topk
     # + text_quality (slot funds the text_bm25_topk promotion)
+    "text_regex_tokens",  # regex token counting; same family cover (slot
+    # funds the text_unigram_surprisal promotion)
 ]
 
 

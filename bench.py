@@ -51,6 +51,7 @@ HEADLINE = [
     "pipeline_release",
     # round-5 additions (relevance ranking + embedding clustering)
     "text_bm25_topk",
+    "text_unigram_surprisal",
     "embed_clusters",
     "dedup_semantic",
 ]

@@ -174,3 +174,41 @@ def test_semantic_dedup_on_driver_table_is_deterministic(spark):
     # survivors are a subset of the corpus, in ascending id order
     ids = [r["vec_id"] for r in a]
     assert ids == sorted(ids)
+
+
+# -- unigram surprisal -------------------------------------------------
+
+
+def test_surprisal_matches_duckdb_oracle(spark, duck):
+    sdf = SPARK_QUERIES["text_unigram_surprisal"](spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLES["text_unigram_surprisal"])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert _canon(srows, scols) == _canon(drows, dcols)
+
+
+def test_surprisal_rare_tokens_rank_first(spark, tmp_path):
+    """A doc made of corpus-unique tokens must out-surprise docs made
+    of the corpus's most common token."""
+    docs = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "common common common common",
+                "common common common rareword",
+                "unique1 unique2 unique3 unique4",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [10, 11, 12],
+        }
+    )
+    d = tmp_path / "sup"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = text.unigram_surprisal(spark, str(d), k=10).collect()
+    assert [r["doc_id"] for r in out] == [2, 1, 0]
+    assert out[0]["surprisal"] > out[1]["surprisal"] > out[2]["surprisal"]

@@ -72,9 +72,8 @@ def test_extension_surface_inside_window():
         "multimodal_meta",
         "text_winnow_fingerprints",
         "text_lang_profile",
-        "text_regex_tokens",
-        # text_tokens_by_source demoted in round 5 (green r2-r4) to
-        # fund the text_bm25_topk promotion
+        # text_regex_tokens + text_tokens_by_source demoted in round 5
+        # (both green r2-r4) to fund the bm25/surprisal promotions
         "dedup_clusters",
         "text_repetition",
         "pii_scrub_events",
@@ -99,8 +98,9 @@ def test_extension_surface_inside_window():
         "text_vocab_topk",
         "text_quality_flags",
         "join_asof_tolerance",
-        # round 5: BM25 relevance ranking
+        # round 5: BM25 relevance ranking + unigram surprisal
         "text_bm25_topk",
+        "text_unigram_surprisal",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -158,6 +158,13 @@ COMMENTARY: dict[str, str] = {
         "never a global sort. Scores are rounded before ranking so the "
         "DuckDB oracle agrees on rank order."
     ),
+    "text_unigram_surprisal": (
+        "Unigram surprisal: the vocabulary aggregate and the per-doc "
+        "average are both partial-agg shuffles keyed fine-grained "
+        "(token / doc_id); the token-probability join broadcasts when "
+        "the vocabulary fits (AQE decides) and the top-k is a "
+        "TakeOrdered. No Python anywhere."
+    ),
     "embed_clusters": (
         "Sample-fit / full-assign k-means: centroids are trained on a "
         "bounded lowest-id sample driver-side (no per-iteration Spark "
