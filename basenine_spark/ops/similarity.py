@@ -179,42 +179,33 @@ IVF_ITERS = 5
 
 
 def _kmeans_centroids(df, vec_col: str, k: int, iters: int):
-    """Deterministic Lloyd's k-means coarse quantizer.
+    """Deterministic Lloyd's k-means coarse quantizer, fit on a bounded
+    lowest-id sample (the standard IVF practice — Jégou et al. train
+    the quantizer on a training subset, not the corpus).
 
-    Init = the k lowest-id vectors (deterministic, no RNG). Each
-    iteration: distributed assignment (one Arrow-batched argmin matmul
-    per batch against the broadcast centroid matrix — centroids are tiny,
-    the corpus never moves) → groupBy mean. Driver holds only the k×dim
-    centroid matrix. Returns a numpy array (k, dim)."""
+    Init = the k lowest-id sample vectors (deterministic, no RNG); all
+    Lloyd iterations run driver-side over the ``max(2048, 32k)``-row
+    sample as one numpy loop — zero Spark jobs per iteration, so build
+    cost is independent of corpus size.  The corpus is only ever touched
+    by the caller's single assignment pass with the k×dim centroid
+    matrix broadcast.  Returns a numpy array (k, dim)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    first = df.orderBy("vec_id").limit(k).select(vec_col).collect()
-    centroids = np.array([list(r[0]) for r in first], dtype=np.float64)
-
+    sample = (
+        df.orderBy("vec_id")
+        .limit(max(2048, 32 * k))
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    centroids = X[: min(k, len(X))].copy()
     for _ in range(iters):
-        C = centroids  # rebroadcast each iteration
-
-        @pandas_udf("int")
-        def assign(embs: pd.Series) -> pd.Series:
-            mat = np.stack(embs.to_numpy()).astype(np.float64)
-            d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d.argmin(axis=1).astype("int32"))
-
-        assigned = df.select(vec_col, assign(F.col(vec_col)).alias("cell"))
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                F.array(*[
-                    F.avg(F.col(vec_col)[i]).alias(f"c{i}")
-                    for i in range(centroids.shape[1])
-                ]).alias("mean")
-            )
-            .collect()
-        )
-        for r in means:
-            centroids[r["cell"]] = np.array(r["mean"], dtype=np.float64)
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = X[a == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
     return centroids
 
 
@@ -626,21 +617,7 @@ def embed_clusters(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    sample = (
-        emb.orderBy("vec_id")
-        .limit(max(2048, 32 * k))
-        .select("embedding")
-        .collect()
-    )
-    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    C = X[: min(k, len(X))].copy()
-    for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
-        for j in range(len(C)):
-            members = X[a == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+    C = _kmeans_centroids(emb, "embedding", k, iters)
 
     @pandas_udf("struct<cluster: int, dist: double>")
     def assign(embs: pd.Series) -> pd.DataFrame:
