@@ -170,6 +170,31 @@ def main() -> int:
         timings["stream_14k_tail"] = round(time.perf_counter() - t0, 3)
         assert got >= 0  # got is reported via the elapsed time only
 
+        # wire-protocol ingest envelope: the same 15k documents pushed
+        # through the TCP server on one INSERT connection (the
+        # reference's server_test.go:508-545 shape, minus its 500 µs/
+        # insert client-side pacing — ~7.5 s of sleep the reference
+        # test spends that we do not). Measures the full socket →
+        # line-split → micro-batch → distributed append path.
+        from basenine_spark.client import BasenineClient
+        from basenine_spark.server import BasenineServer
+
+        wire_db = BasenineDB(spark, path=f"{tmp}/bench_store_wire")
+        server = BasenineServer(wire_db).start()
+        try:
+            t0 = time.perf_counter()
+            with BasenineClient(server.host, server.port) as c:
+                c.insert(lines)
+                while wire_db._log.total_written < 15_000:
+                    if time.perf_counter() - t0 > 120:
+                        break
+                    time.sleep(0.02)
+            timings["wire_insert_15k"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            server.stop()
+
     # -- scaling slope probe (VERDICT r2 #7) ------------------------------
     # The same queries at 10× events / 2× documents: a regression in the
     # *slope* (e.g. a filter that stopped pushing down, a join that went
