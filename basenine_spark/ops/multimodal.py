@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are not available in this container,
-so the *decode* step is stubbed (deterministic fake features, or
-``NotImplementedError`` in "real" mode) — but the Spark-side plumbing is
-real and tested: binary columns, typed metadata structs, Arrow-batched
-``mapInPandas`` decoder signatures, and JVM-side frame sampling via
-``substring`` over binary.
+Third-party decode libraries (PIL/cv2/soundfile) are not in this
+container, so the generic ``decode_features(mode="real")`` hook stays a
+documented stub — but two real container formats ARE decoded with the
+standard library alone: RIFF/WAVE PCM audio (``wav_features``) and
+uncompressed 24-bit BMP images (``bmp_stats``/``bmp_resize``), with
+executor-side payload synthesis (``synth_media_table``) so the full
+decode → feature-extract → resize pipeline runs on genuine media bytes
+at any scale.  The Spark-side plumbing is shared: binary columns, typed
+metadata structs, Arrow-batched ``mapInPandas`` decoder signatures, and
+JVM-side frame sampling via ``substring`` over binary.
 
 Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
 decode is a map-only ``mapInPandas`` — embarrassingly parallel, batch
@@ -203,4 +207,296 @@ def resize_payload(
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         run, schema=schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs — stdlib-only formats (WAV via `wave`, BMP via struct)
+# ---------------------------------------------------------------------------
+#
+# The container has no PIL/cv2/soundfile, but two real media formats are
+# decodable with the standard library alone: RIFF/WAVE PCM audio
+# (`wave` + numpy) and uncompressed 24-bit BMP images (struct + numpy).
+# These give the multimodal path genuine decode → feature-extract →
+# resize bodies, not stubs: the bytes on the wire are real container
+# formats, the decoders reject malformed input, and the features are
+# physically meaningful (RMS/zero-crossings for audio, per-channel
+# means for images).
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """PCM16 mono WAV encoder (test/bench payload source)."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        w.writeframes((x * (2**15 - 1)).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes):
+    """(sample_rate, n_channels, samples float64 in [-1, 1]) or None."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    try:
+        with _wave.open(io.BytesIO(payload), "rb") as w:
+            sr, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except Exception:  # noqa: BLE001 — malformed container ⇒ null row
+        return None
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 2**15
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128
+    else:
+        return None
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)  # downmix
+    return sr, nch, x
+
+
+def wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode + feature extraction: parse each payload as a
+    RIFF/WAVE container, decode PCM, emit duration / RMS / zero-crossing
+    rate / peak. Malformed payloads yield ``ok=false`` rows instead of
+    failing the task (corpus audio is always partly corrupt at scale).
+
+    Map-only ``mapInPandas`` — the decode parallelizes over Arrow
+    batches; nothing but fixed-width feature rows leaves the executor.
+    """
+    schema = (
+        f"{id_col} bigint, ok boolean, sample_rate int, n_channels int, "
+        "n_samples bigint, duration_ms double, rms double, zcr double, "
+        "peak double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                dec = _decode_wav(data)
+                if dec is None:
+                    rows.append((rid, False, 0, 0, 0, 0.0, 0.0, 0.0, 0.0))
+                    continue
+                sr, nch, x = dec
+                n = len(x)
+                zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if n > 1 else 0
+                rows.append(
+                    (
+                        rid,
+                        True,
+                        sr,
+                        nch,
+                        n,
+                        round(1000.0 * n / sr, 3) if sr else 0.0,
+                        round(float(np.sqrt((x**2).mean())) if n else 0.0, 6),
+                        round(zc / (n - 1), 6) if n > 1 else 0.0,
+                        round(float(np.abs(x).max()) if n else 0.0, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "zcr", "peak",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP encoder. ``pixels`` is an
+    (h, w, 3) uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad  # BGR rows, bottom-up
+        for y in range(h - 1, -1, -1)
+    )
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + body
+
+
+def _decode_bmp(payload: bytes):
+    """(h, w, 3) uint8 RGB array, or None if not an uncompressed
+    24-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    (dib_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if dib_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) & ~3
+    if len(payload) < offset + stride * h:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    arr = arr.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]  # → RGB
+    return arr[::-1] if flip else arr
+
+
+def bmp_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode + stats: width/height + per-channel means of
+    each 24-bit BMP payload (``ok=false`` for non-BMP bytes)."""
+    schema = (
+        f"{id_col} bigint, ok boolean, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                img = _decode_bmp(bytes(payload) if payload is not None else b"")
+                if img is None:
+                    rows.append((rid, False, 0, 0, 0.0, 0.0, 0.0))
+                else:
+                    m = img.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (rid, True, img.shape[1], img.shape[0],
+                         round(float(m[0]), 4), round(float(m[1]), 4),
+                         round(float(m[2]), 4))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ok", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def bmp_resize(df: DataFrame, factor: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """REAL image resize: decode each BMP, nearest-neighbor downsample
+    by ``factor``, re-encode — payload in, payload out, same
+    ``mapInPandas`` shape a cv2/PIL deployment would use."""
+    schema = f"{id_col} bigint, payload binary, width int, height int"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                img = _decode_bmp(bytes(payload) if payload is not None else b"")
+                if img is None:
+                    continue  # non-images drop out of the resize stage
+                small = img[::factor, ::factor]
+                rows.append(
+                    (rid, encode_bmp(small), small.shape[1], small.shape[0])
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "payload", "width", "height"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def synth_media_table(spark: SparkSession, sf_dir: str, modulo: int = 3) -> DataFrame:
+    """Deterministic mixed-media table over the documents ids: every
+    ``modulo``-th doc carries a synthesized WAV (sine whose frequency
+    and length derive from the id), the next a 24-bit BMP gradient, the
+    rest raw text bytes — generated executor-side (no driver payloads),
+    so the decode entries exercise real container bytes at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    schema = "doc_id bigint, media_type string, payload binary"
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = int(doc_id)
+                kind = did % modulo
+                if kind == 0:
+                    sr = 8000
+                    freq = 100 + (did % 40) * 10
+                    n = 400 + (int(n_chars or 0) % 400)
+                    t = np.arange(n) / sr
+                    payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), sr)
+                    rows.append((did, "audio/wav", payload))
+                elif kind == 1:
+                    w, h = 8 + did % 8, 8 + (did // 2) % 8
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (xx * 255 // max(w - 1, 1)),
+                            (yy * 255 // max(h - 1, 1)),
+                            np.full_like(xx, did % 256),
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    rows.append((did, "image/bmp", encode_bmp(px)))
+                else:
+                    rows.append(
+                        (did, "text/plain", str(did).encode() * 4)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "payload"]
+            )
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-decode entry: synthesize the mixed-media table,
+    route each payload to its modality's REAL decoder (WAV / BMP), and
+    union the feature rows — the full decode → feature pipeline with
+    actual container formats, no stubs."""
+    media = synth_media_table(spark, sf_dir)
+    wav = wav_features(media.filter(F.col("media_type") == "audio/wav"))
+    bmp = bmp_stats(media.filter(F.col("media_type") == "image/bmp"))
+    return (
+        wav.select(
+            "doc_id",
+            F.lit("audio/wav").alias("media_type"),
+            "ok",
+            F.col("duration_ms").alias("f1"),
+            F.col("rms").alias("f2"),
+            F.col("zcr").alias("f3"),
+        )
+        .unionByName(
+            bmp.select(
+                "doc_id",
+                F.lit("image/bmp").alias("media_type"),
+                "ok",
+                F.col("width").cast("double").alias("f1"),
+                F.col("mean_r").alias("f2"),
+                F.col("mean_g").alias("f3"),
+            )
+        )
+        .orderBy("doc_id")
     )

@@ -1437,6 +1437,15 @@ _register(
 )
 
 _register(
+    "multimodal_decode_real",
+    multimodal.media_decode_features,
+    None,  # REAL container decode (stdlib RIFF/WAVE + 24-bit BMP) over
+    # executor-synthesized payloads; exact feature values (RMS, ZCR,
+    # channel means, nearest-neighbor resize) pinned in
+    # tests/test_multimodal_ops.py — no SQL engine can decode WAV/BMP
+)
+
+_register(
     "text_unigram_surprisal",
     lambda s, d: text.unigram_surprisal(s, d),
     # per-doc mean -ln p(token) under the corpus unigram distribution,
@@ -1555,6 +1564,8 @@ _DEMOTED = [
     "ann_topk_ivf",
     "embedding_near_dup",
     "multimodal_decode_stub",
+    "multimodal_decode_real",  # real WAV/BMP decode; exact values pinned
+    # in pytest (no SQL oracle can decode media containers)
     "validate_golden_errors",
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;

@@ -134,3 +134,89 @@ def test_byte_ops_on_multibyte_text(spark, tmp_path):
     got = {r["doc_id"]: r["checksum"] for r in multimodal.decode_features(t).collect()}
     for i, text in enumerate(texts):
         assert got[i] == zlib.crc32(text.encode("utf-8"))
+
+
+# -- real codecs (stdlib WAV + BMP; round 5) ---------------------------
+
+
+def test_wav_roundtrip_exact_features(spark):
+    """Real RIFF/WAVE decode: a known sine comes back with its exact
+    sample count, ~A/sqrt(2) RMS, and a zero-crossing rate of ~2f/sr."""
+    import numpy as np
+
+    from basenine_spark.ops.multimodal import encode_wav, wav_features
+
+    sr, f, n, amp = 8000, 400, 8000, 0.5
+    t = np.arange(n) / sr
+    payload = encode_wav(amp * np.sin(2 * np.pi * f * t), sr)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = wav_features(df).collect()[0]
+    assert row["ok"] and row["sample_rate"] == sr and row["n_samples"] == n
+    assert row["duration_ms"] == 1000.0
+    assert abs(row["rms"] - amp / np.sqrt(2)) < 1e-3
+    # a 400 Hz sine crosses zero 800 times per second
+    assert abs(row["zcr"] - 2 * f / sr) < 1e-3
+    assert abs(row["peak"] - amp) < 1e-3
+
+
+def test_wav_malformed_payload_yields_not_ok(spark):
+    from basenine_spark.ops.multimodal import wav_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav at all"))], "doc_id long, payload binary"
+    )
+    row = wav_features(df).collect()[0]
+    assert row["ok"] is False and row["n_samples"] == 0
+
+
+def test_bmp_roundtrip_exact_stats_and_resize(spark):
+    import numpy as np
+
+    from basenine_spark.ops.multimodal import (
+        _decode_bmp,
+        bmp_resize,
+        bmp_stats,
+        encode_bmp,
+    )
+
+    # 4x6 image with known channel means (incl. a width that forces
+    # BMP row padding: 6*3=18 bytes -> padded to 20)
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 10
+    px[:, :, 1] = 20
+    px[:, :, 2] = 200
+    payload = encode_bmp(px)
+    assert np.array_equal(_decode_bmp(payload), px)  # exact roundtrip
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    row = bmp_stats(df).collect()[0]
+    assert row["ok"] and (row["width"], row["height"]) == (6, 4)
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 200.0)
+
+    small = bmp_resize(df, factor=2).collect()[0]
+    assert (small["width"], small["height"]) == (3, 2)
+    resized = _decode_bmp(bytes(small["payload"]))
+    assert np.array_equal(resized, px[::2, ::2])  # exact nearest-neighbor
+
+
+def test_bmp_stats_rejects_non_bmp(spark):
+    from basenine_spark.ops.multimodal import bmp_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"PNG? nope"))], "doc_id long, payload binary"
+    )
+    assert bmp_stats(df).collect()[0]["ok"] is False
+
+
+def test_media_decode_features_end_to_end(spark):
+    """The mixed-media entry decodes every synthesized payload for both
+    real modalities (ok=true across the board) and is deterministic."""
+    from basenine_spark.ops.multimodal import media_decode_features
+
+    sf = "/root/testdata/sf0.001"
+    a = media_decode_features(spark, sf).collect()
+    b = media_decode_features(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
+    assert all(r["ok"] for r in a)
+    kinds = {r["media_type"] for r in a}
+    assert kinds == {"audio/wav", "image/bmp"}
