@@ -54,6 +54,7 @@ HEADLINE = [
     "text_unigram_surprisal",
     "embed_clusters",
     "dedup_semantic",
+    "multimodal_decode_real",
 ]
 
 
