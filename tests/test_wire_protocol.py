@@ -362,3 +362,36 @@ def test_insert_large_record_roundtrip(served):
             time.sleep(0.05)
     rec = db.single(index_to_id(0))
     assert len(rec["blob"]) == 1_000_000
+
+
+def test_query_left_off_latest_streams_only_new(served):
+    """leftOff="latest" resumes at the last written record
+    (native.go:1158-1176): the stream re-delivers the final existing
+    record, then only what arrives after."""
+    db, server = served
+    db.insert_json([PAYLOAD] * 5)
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query("latest", 'brand.name == "Chevrolet"')
+        seen = []
+        while len(seen) < 1:
+            f = next(frames)
+            if f.record:
+                seen.append(_doc(f.record)["id"])
+        assert seen == [index_to_id(4)]  # the last existing record
+        db.insert_json([PAYLOAD] * 2)
+        while len(seen) < 3:
+            f = next(frames)
+            if f.record:
+                seen.append(_doc(f.record)["id"])
+    assert seen == [index_to_id(4), index_to_id(5), index_to_id(6)]
+
+
+def test_fetch_left_off_latest_pages_backward(served100):
+    _, server = served100
+    records, _, _ = bn.fetch(
+        server.host, server.port, "latest", -1, "", 5
+    )
+    # backward from the last written record (99): page is 98..94
+    assert [_doc(r)["id"] for r in records] == [
+        index_to_id(i) for i in (98, 97, 96, 95, 94)
+    ]
