@@ -222,6 +222,10 @@ class BasenineServer:
             t = threading.Thread(
                 target=self._handle_connection, args=(conn,), daemon=True
             )
+            # prune finished handlers so a churn of short-lived
+            # connections (the reference's TCPConnectionLeak test shape)
+            # never grows the bookkeeping lists
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
             t.start()
 

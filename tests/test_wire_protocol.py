@@ -395,3 +395,19 @@ def test_fetch_left_off_latest_pages_backward(served100):
     assert [_doc(r)["id"] for r in records] == [
         index_to_id(i) for i in (98, 97, 96, 95, 94)
     ]
+
+
+def test_connection_churn_does_not_leak(served100):
+    """client_test.go:179-186 TCPConnectionLeak, scaled down: hundreds
+    of short-lived validate connections leave no bookkeeping behind."""
+    _, server = served100
+    for _ in range(300):
+        assert (
+            bn.validate(server.host, server.port, 'brand.name == "x"')
+            is None
+        )
+    import time
+
+    time.sleep(0.3)  # let the last handlers finish
+    assert len([t for t in server._threads if t.is_alive()]) == 0
+    assert len(server._conns) <= 1
