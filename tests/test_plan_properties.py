@@ -97,3 +97,43 @@ def test_no_session_conf_mutation_in_loaders(spark):
 
     src = inspect.getsource(tables)
     assert not re.search(r"\.conf\.set\(", src), "loader mutates session config"
+
+
+def test_bm25_filters_explode_before_shuffle_and_takes_ordered(spark):
+    from basenine_spark.ops import text
+
+    plan = _plan(text.bm25_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    # top-k must be per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # the tiny idf side is a broadcast build
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embed_clusters_assignment_is_map_only(spark):
+    from basenine_spark.ops import similarity
+
+    plan = _plan(similarity.embed_clusters(spark, SF))
+    # one assignment pass: no join, no aggregate exchange over the
+    # corpus — the only wide node is the final presentation orderBy
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_semantic_dedup_confines_quadratic_work_to_cluster_groups(spark):
+    from basenine_spark.ops import similarity
+
+    plan = _plan(similarity.semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the per-cluster greedy stage is a grouped-pandas node keyed on
+    # the cluster id
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_surprisal_partial_aggregates_and_takes_ordered(spark):
+    from basenine_spark.ops import text
+
+    plan = _plan(text.unigram_surprisal(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

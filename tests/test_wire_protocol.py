@@ -411,3 +411,13 @@ def test_connection_churn_does_not_leak(served100):
     time.sleep(0.3)  # let the last handlers finish
     assert len([t for t in server._threads if t.is_alive()]) == 0
     assert len(server._conns) <= 1
+
+
+def test_validate_complex_query_ok(served100):
+    """client_test.go:74-86: the full http-filter query validates."""
+    _, server = served100
+    q = (
+        'http and request.method == "GET" and request.path != "/example" '
+        'and (request.query.a > 42 or request.headers["x"] == "y")'
+    )
+    assert bn.validate(server.host, server.port, q) is None
