@@ -644,6 +644,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 4,
     threshold: float = 0.95,
+    max_cluster_size: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with k-means, then within each
@@ -659,6 +660,15 @@ def semantic_dedup(
     the published algorithm's own scaling argument, re-expressed as a
     grouped Pandas stage over a broadcast-assigned clustering.
 
+    ``max_cluster_size`` is the skew guard for degenerate corpora
+    (one centroid swallowing most of the data would otherwise make a
+    single task O(N²)): clusters larger than the cap are deterministically
+    sub-partitioned by a content hash of the id, so every task stays
+    within the bound at the cost of missing cross-sub-partition
+    near-dup pairs inside oversized clusters — the same
+    bounded-recall-for-bounded-work trade every LSH-band method makes.
+    0 disables the guard (exact within-cluster semantics).
+
     Output: surviving (vec_id, cluster) rows — the semantically-unique
     corpus subset.
     """
@@ -672,6 +682,31 @@ def semantic_dedup(
         "vec_id", "embedding"
     )
     assigned = clusters.join(emb, "vec_id")
+    if max_cluster_size > 0:
+        sizes = clusters.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("c_size")
+        )
+        n_subs = F.ceil(
+            F.col("c_size") / F.lit(float(max_cluster_size))
+        ).cast("long")
+        # content-stable hash slot within the oversized cluster
+        slot = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("long"),
+            n_subs,
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "gkey", F.col("cluster") * F.lit(100_000) + slot
+            )
+            .drop("c_size")
+        )
+    else:
+        assigned = assigned.withColumn("gkey", F.col("cluster"))
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -688,7 +723,7 @@ def semantic_dedup(
         return out[["vec_id", "cluster"]]
 
     return (
-        assigned.groupBy("cluster")
+        assigned.groupBy("gkey")
         .applyInPandas(dedup_cluster, schema="vec_id bigint, cluster int")
         .orderBy("vec_id")
     )

@@ -212,3 +212,31 @@ def test_surprisal_rare_tokens_rank_first(spark, tmp_path):
     out = text.unigram_surprisal(spark, str(d), k=10).collect()
     assert [r["doc_id"] for r in out] == [2, 1, 0]
     assert out[0]["surprisal"] > out[1]["surprisal"] > out[2]["surprisal"]
+
+
+def test_semantic_dedup_cluster_cap_bounds_tasks(spark, tmp_path):
+    """The skew guard: with a tiny max_cluster_size every grouped task
+    stays within the cap, the result remains deterministic, and
+    survivors are a superset of the uncapped run (sub-partitioning can
+    only MISS near-dup pairs, never drop extra docs)."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 64)
+    vecs = [base[i] for i in range(6)]
+    for i in range(6):
+        for _ in range(4):
+            vecs.append(base[i] + rng.randn(64) * 1e-3)
+    sf_dir = _write_embeddings(tmp_path, vecs)
+    uncapped = similarity.semantic_dedup(
+        spark, sf_dir, k=2, iters=2, threshold=0.99
+    ).collect()
+    capped = similarity.semantic_dedup(
+        spark, sf_dir, k=2, iters=2, threshold=0.99, max_cluster_size=5
+    ).collect()
+    capped2 = similarity.semantic_dedup(
+        spark, sf_dir, k=2, iters=2, threshold=0.99, max_cluster_size=5
+    ).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in capped2]
+    assert {r["vec_id"] for r in uncapped} <= {r["vec_id"] for r in capped}
+    # the guard still removes most dups (each sub-partition dedups
+    # internally): far fewer survivors than the 30 inputs
+    assert len(capped) < 30
