@@ -3,4 +3,5 @@
 document log."""
 
 from .dedup import dedup_stream  # noqa: F401
+from .semdedup import semantic_admit_stream  # noqa: F401
 from .tail import TailQuery, tail  # noqa: F401
