@@ -103,12 +103,18 @@ def tokenize(text: str) -> List[Token]:
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
         if m is None:
+            col = pos - line_start + 1
+            if text[pos] in "\"'`":
+                # Opening quote with no closing partner: participle's
+                # text/scanner reports "literal not terminated" at the
+                # position after the quote (parser_test.go:1243-1249
+                # golden `2:5: literal not terminated`).
+                raise BFLSyntaxError(line, col + 1, "literal not terminated")
             # Stray character outside the token set (e.g. a lone "="):
             # lex it as a single-rune punct token — the parser then
             # reports the reference's golden `unexpected token "="`
             # (participle's text/scanner lexer does the same;
             # server_test.go:268 validate table).
-            col = pos - line_start + 1
             tokens.append(Token("punct", text[pos], line, col))
             pos += 1
             continue

@@ -421,3 +421,13 @@ def test_validate_complex_query_ok(served100):
         'and (request.query.a > 42 or request.headers["x"] == "y")'
     )
     assert bn.validate(server.host, server.port, q) is None
+
+
+def test_validate_literal_not_terminated(served100):
+    """parser_test.go:1243-1249 golden (single-line wire form): an
+    unterminated string literal reports participle's exact message."""
+    _, server = served100
+    assert (
+        bn.validate(server.host, server.port, '=.="')
+        == '1:5: literal not terminated'
+    )
