@@ -275,3 +275,48 @@ def write_training_shards(
         .parquet(dest)
     )
     return dest
+
+
+def epoch_order(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = "epoch0",
+    shards: int = 16,
+) -> DataFrame:
+    """Deterministic epoch ordering: the RNG-free "shuffle" a dataset
+    release publishes so every trainer reads the documents in the same
+    pseudo-random order for a given epoch seed, with no shared state
+    and no actual random source.
+
+    Each document's epoch position derives from a content-stable hash
+    of ``seed || doc_id``: shard = hash mod ``shards`` (which training
+    worker reads it), ``seq`` = the document's rank inside its shard
+    under the same hash (the read order).  Changing ``seed`` re-shuffles
+    globally; re-running with the same seed reproduces the epoch
+    bit-for-bit — on this engine, on DuckDB, anywhere md5 exists.
+
+    Scale shape: the hash is a map-only expression in the scan stage;
+    the only shuffle is the shard-keyed exchange for the per-shard
+    rank, and each task sorts just its own shard's slice (corpus/shards
+    rows) — no global sort anywhere.  ``shards`` must divide 16 (shard
+    identity is a hex-nibble slice of the hash, so the same expression
+    is one substring in ANSI SQL — no base conversion anywhere).
+    """
+    from pyspark.sql import Window
+
+    if 16 % shards != 0:
+        raise ValueError("shards must divide 16 (hex-nibble sharding)")
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    nibble = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), 1, 1)) - 1
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod(nibble, F.lit(shards)))
+        .withColumn("seq", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "seq")
+    )

@@ -1437,6 +1437,28 @@ _register(
 )
 
 _register(
+    "pipeline_epoch_order",
+    lambda s, d: pipeline.epoch_order(s, d),
+    # RNG-free reproducible epoch shuffle: hex-nibble shard + per-shard
+    # rank under a seeded content hash — identical on any engine
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('epoch0:' || cast(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % 16
+             AS shard,
+           row_number() OVER (
+             PARTITION BY (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % 16
+             ORDER BY h, doc_id
+           ) AS seq
+    FROM h
+    """,
+)
+
+_register(
     "multimodal_decode_real",
     multimodal.media_decode_features,
     None,  # REAL container decode (stdlib RIFF/WAVE + 24-bit BMP) over
@@ -1522,7 +1544,9 @@ _PROMOTED = [
     "window_range_count",
     "ts_gap_fill_hourly",
     "agg_cube_orders",
-    "pivot_segment_status",
+    # pivot_segment_status: demoted in round 5 to fund
+    # pipeline_epoch_order (green r3+r4; cube keeps the grouping-sets
+    # family in-window)
     "join_length_bands",
     "pipeline_curate",
     "pipeline_pack",
@@ -1551,6 +1575,10 @@ _PROMOTED = [
     # text_quality)
     "text_bm25_topk",
     "text_unigram_surprisal",
+    # reproducible epoch ordering (slot funded by demoting
+    # pivot_segment_status — grouping-sets machinery stays held
+    # in-window by agg_cube_orders)
+    "pipeline_epoch_order",
 ]
 
 _DEMOTED = [
@@ -1624,6 +1652,9 @@ _DEMOTED = [
     # + text_quality (slot funds the text_bm25_topk promotion)
     "text_regex_tokens",  # regex token counting; same family cover (slot
     # funds the text_unigram_surprisal promotion)
+    "pivot_segment_status",  # pivot projection over the grouping-sets
+    # engine that in-window agg_cube_orders exercises (slot funds the
+    # pipeline_epoch_order promotion)
 ]
 
 

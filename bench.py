@@ -55,6 +55,7 @@ HEADLINE = [
     "embed_clusters",
     "dedup_semantic",
     "multimodal_decode_real",
+    "pipeline_epoch_order",
 ]
 
 

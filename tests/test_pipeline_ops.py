@@ -140,3 +140,28 @@ def test_curation_empty_survivor_set(spark, tmp_path):
     assert funnel["s"]["n_quality"] == 0
     assert funnel["s"]["n_kept"] == 0
     assert pl.release_manifest(spark, str(tmp_path)).count() == 0
+
+
+def test_epoch_order_reproducible_and_seed_sensitive(spark):
+    """RNG-free epoch shuffle: same seed → identical order; different
+    seed → a different permutation; every doc appears exactly once with
+    per-shard contiguous seq starting at 1."""
+    from basenine_spark.ops.pipeline import epoch_order
+
+    sf = "/root/testdata/sf0.001"
+    a = epoch_order(spark, sf, seed="epoch0").collect()
+    b = epoch_order(spark, sf, seed="epoch0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = epoch_order(spark, sf, seed="epoch1").collect()
+    pos_a = {r["doc_id"]: (r["shard"], r["seq"]) for r in a}
+    pos_c = {r["doc_id"]: (r["shard"], r["seq"]) for r in c}
+    assert set(pos_a) == set(pos_c)  # same corpus
+    assert pos_a != pos_c  # re-shuffled
+    # per-shard seqs are 1..n contiguous
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["seq"])
+    for seqs in by_shard.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))

@@ -82,7 +82,8 @@ def test_extension_surface_inside_window():
         "window_range_count",
         "ts_gap_fill_hourly",
         "agg_cube_orders",
-        "pivot_segment_status",
+        # pivot_segment_status demoted in round 5 (green r3+r4) to
+        # fund pipeline_epoch_order
         "join_length_bands",
         "pipeline_curate",
         "embedding_quantize",
@@ -98,9 +99,11 @@ def test_extension_surface_inside_window():
         "text_vocab_topk",
         "text_quality_flags",
         "join_asof_tolerance",
-        # round 5: BM25 relevance ranking + unigram surprisal
+        # round 5: BM25 relevance ranking + unigram surprisal +
+        # reproducible epoch ordering
         "text_bm25_topk",
         "text_unigram_surprisal",
+        "pipeline_epoch_order",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
