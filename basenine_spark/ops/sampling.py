@@ -237,3 +237,54 @@ def quality_quantile_filter(
         .filter(F.col("pr") <= keep_frac)
         .select("doc_id", "source", "q_ratio")
     )
+
+
+def token_mixture_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 0.0625,
+    token_budget: int = 20_000,
+    salt: str = "tokmix",
+) -> DataFrame:
+    """Token-weighted mixture sampling: size each source's contribution
+    by TOKENS, not documents — the unit training mixtures are actually
+    specified in (a 10 % "web" share means 10 % of the tokens, and
+    sources with long documents must contribute fewer of them).
+
+    Mechanics mirror :func:`mixture_filter`: per-source token totals →
+    keep-rate ``token_budget·w_s / tokens_s`` → content-stable md5
+    threshold, so the expected token share matches the target while
+    selection stays reproducible across engines and re-runs.  One
+    16-group aggregate broadcast back; the document scan is map-only.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    docs = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    weights = weights or {"src0": 0.5, "src1": 0.25, "src2": 0.125}
+    totals = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("t_src")
+    )
+    target = F.lit(float(token_budget) * default_weight)
+    for source, w in sorted(weights.items()):
+        target = F.when(
+            F.col("source") == source, F.lit(float(token_budget) * w)
+        ).otherwise(target)
+    rate = target / F.col("t_src").cast("double")
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x", F.floor(rate * F.lit(4294967296.0)).cast("bigint")
+        )
+    )
+    thresholds = totals.select("source", thr.alias("mix_thr"))
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .filter(_bucket(salt, F.col("doc_id")) < F.col("mix_thr"))
+        .drop("mix_thr")
+        .select("doc_id", "source", "n_tokens")
+    )

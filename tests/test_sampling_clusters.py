@@ -65,3 +65,75 @@ def test_duplicate_clusters_match_union_find(spark):
         for r in dedup.duplicate_clusters(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_token_mixture_matches_duckdb_and_hits_token_targets(spark):
+    """Token-weighted mixture: the selection hash-matches a DuckDB
+    replay of the same expression sequence (the pytest stand-in for a
+    driver oracle), and each source's sampled token mass lands near its
+    target share."""
+    import duckdb
+
+    from basenine_spark.ops.sampling import token_mixture_sample
+
+    sf = "/root/testdata/sf0.01"
+    out = token_mixture_sample(spark, sf).collect()
+    got = sorted((r["doc_id"], r["source"], r["n_tokens"]) for r in out)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    rows = con.execute(
+        """
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents WHERE text IS NOT NULL
+        ), t AS (
+          SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS t_src FROM d GROUP BY source
+        ), thr AS (
+          SELECT source,
+                 CASE WHEN CAST(CASE source
+                        WHEN 'src0' THEN 10000.0
+                        WHEN 'src1' THEN 5000.0
+                        WHEN 'src2' THEN 2500.0
+                        ELSE 1250.0 END AS DOUBLE) / t_src >= 1 THEN 'g'
+                      ELSE printf('%08x', CAST(floor(
+                        CAST(CASE source
+                          WHEN 'src0' THEN 10000.0
+                          WHEN 'src1' THEN 5000.0
+                          WHEN 'src2' THEN 2500.0
+                          ELSE 1250.0 END AS DOUBLE) / t_src
+                        * CAST(4294967296.0 AS DOUBLE)) AS BIGINT))
+                 END AS mix_thr
+          FROM t
+        )
+        SELECT d.doc_id, d.source, d.n_tokens
+        FROM d JOIN thr USING (source)
+        WHERE substring(md5('tokmix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < thr.mix_thr
+        ORDER BY d.doc_id
+        """
+    ).fetchall()
+    con.close()
+    assert got == sorted((int(a), b, int(c)) for a, b, c in rows)
+
+    # token-mass sanity: each sampled source lands within 50% of
+    # min(target, available) — a source with fewer total tokens than
+    # its target clamps at rate 1 and contributes everything it has
+    # (Bernoulli variance at sf0.01 is wide; the driver-scale check is
+    # the cross-engine identity above)
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    avail = defaultdict(int)
+    for r in spark.read.parquet(f"{sf}/documents.parquet").collect():
+        if r["text"] is not None:
+            avail[r["source"]] += len(r["text"].split(" "))
+    for _, src, n in got:
+        mass[src] += n
+    targets = {"src0": 10000, "src1": 5000, "src2": 2500}
+    for src, target in targets.items():
+        expected = min(target, avail[src])
+        assert 0.5 * expected < mass[src] <= 1.5 * expected

@@ -158,6 +158,12 @@ COMMENTARY: dict[str, str] = {
         "never a global sort. Scores are rounded before ranking so the "
         "DuckDB oracle agrees on rank order."
     ),
+    "pipeline_epoch_order": (
+        "Reproducible epoch shuffle: the seeded hash and the shard "
+        "nibble are map-only scan-stage expressions; the single "
+        "`Exchange hashpartitioning(shard)` feeds a per-shard sort of "
+        "corpus/16 rows each — no global sort, no RNG, no driver state."
+    ),
     "text_unigram_surprisal": (
         "Unigram surprisal: the vocabulary aggregate and the per-doc "
         "average are both partial-agg shuffles keyed fine-grained "
