@@ -441,7 +441,7 @@ def bm25_topk(
 
 
 def unigram_surprisal(
-    spark: SparkSession, sf_dir: str, k: int = 100
+    spark: SparkSession, sf_dir: str, k: int = 100, min_count: int = 1
 ) -> DataFrame:
     """Corpus-relative unigram surprisal: per-document mean negative
     log-probability of its tokens under the corpus's own unigram
@@ -458,6 +458,15 @@ def unigram_surprisal(
     the token key with partial aggregation on both sides.  Surprisal is
     rounded before the top-k ranking (engine-stable rank order, ties by
     doc_id), and the top-k itself is a TakeOrdered.
+
+    ``min_count`` is the crawl-scale vocabulary cap (TUNING.md): tokens
+    below the count floor are dropped from the probability table — they
+    score as if they occurred exactly ``min_count - 0.5`` times (a
+    fixed out-of-vocabulary surprisal, still relative to the same total
+    mass), so the broadcastable table holds only the head vocabulary
+    while rare-token-dense documents still rank at the top.  The
+    default (1) keeps the exact distribution — the oracle-verified
+    semantics.
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
@@ -466,6 +475,39 @@ def unigram_surprisal(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        # total mass BEFORE the cap (probabilities stay calibrated),
+        # vocabulary AFTER it (the table that ships to executors)
+        total = uni.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+        uni = uni.filter(F.col("cnt") >= min_count)
+        oov = -float(
+            __import__("math").log((min_count - 0.5) / float(total))
+        )
+        scored = (
+            toks.join(uni, "token", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.avg(
+                        F.when(
+                            F.col("cnt").isNull(), F.lit(oov)
+                        ).otherwise(
+                            -F.log(F.col("cnt") / F.lit(float(total)))
+                        )
+                    ),
+                    4,
+                ).alias("surprisal"),
+                F.count(F.lit(1)).alias("n_tokens"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
+        return (
+            scored.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        )
     total = uni.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
     scored = (
         toks.join(uni, "token")

@@ -240,3 +240,37 @@ def test_semantic_dedup_cluster_cap_bounds_tasks(spark, tmp_path):
     # the guard still removes most dups (each sub-partition dedups
     # internally): far fewer survivors than the 30 inputs
     assert len(capped) < 30
+
+
+def test_surprisal_min_count_caps_vocab_keeps_ranking_sane(spark, tmp_path):
+    """min_count drops rare tokens from the probability table; docs
+    dense in capped-out (rare) tokens still rank at the top via the
+    fixed OOV surprisal, and min_count=1 equals the exact path."""
+    docs = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "common common common common common common",
+                "common common rare1 rare2",
+                "rare3 rare4 rare5 rare6",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [10, 11, 12],
+        }
+    )
+    d = tmp_path / "cap"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    exact = text.unigram_surprisal(spark, str(d), k=10).collect()
+    capped = text.unigram_surprisal(spark, str(d), k=10, min_count=2).collect()
+    # ordering identical here: rare-dense docs stay on top either way
+    assert [r["doc_id"] for r in exact] == [2, 1, 0]
+    assert [r["doc_id"] for r in capped] == [2, 1, 0]
+    # the all-common doc is scored from the (uncapped) exact counts
+    assert capped[-1]["surprisal"] == exact[-1]["surprisal"]
+    # all-rare doc under the cap scores the fixed OOV surprisal
+    import math
+
+    total = 14  # 8 common + 6 rare tokens
+    assert capped[0]["surprisal"] == round(-math.log((2 - 0.5) / total), 4)
