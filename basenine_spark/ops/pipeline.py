@@ -320,3 +320,106 @@ def epoch_order(
         .withColumn("seq", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "seq")
     )
+
+
+def write_webdataset_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    shards: int = 16,
+) -> DataFrame:
+    """WebDataset-style tar shard export for multimodal payloads: the
+    sequential-read container format multimodal training loaders
+    consume (one ``.tar`` per shard; each sample is a pair of members
+    ``{key}.{ext}`` + ``{key}.json`` metadata, keys in epoch order).
+
+    Spark-first shape: shard assignment reuses the content-stable
+    hex-nibble expression (`shard_manifest` — manifest and physical
+    layout can never disagree), rows are ``repartition(shard)``-ed and
+    sorted within partitions by the epoch hash, and each executor task
+    streams ITS shard's members into ``dest/shard-NNNN.tar`` with the
+    stdlib ``tarfile`` over ``mapInPandas`` — payload bytes never visit
+    the driver, one tar per task, no shuffle beyond the shard exchange.
+    Tar metadata (mtime/uid) is zeroed so re-runs are byte-identical.
+
+    Returns the (shard, n_members, n_bytes) accounting DataFrame (the
+    written manifest rows, one per non-empty shard).
+    """
+    import json as _json
+    from typing import Iterator as _It
+
+    from .multimodal import synth_media_table
+
+    media = synth_media_table(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    nib = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    ).cast("int")
+    shard = F.pmod(nib, F.lit(shards))
+    rows = (
+        media.withColumn("shard", shard)
+        .withColumn("h", h)
+        .repartition(shards, "shard")
+        .sortWithinPartitions("shard", "h", "doc_id")
+    )
+    schema = "shard int, n_members bigint, n_bytes bigint"
+
+    def write_tars(batches: _It) -> _It:
+        import os
+        import tarfile
+        import time as _time
+
+        import pandas as pd
+
+        EXT = {"audio/wav": "wav", "image/bmp": "bmp", "text/plain": "txt"}
+        tars: dict[int, tarfile.TarFile] = {}
+        counts: dict[int, list[int]] = {}
+        os.makedirs(dest, exist_ok=True)
+
+        def tar_for(s: int) -> tarfile.TarFile:
+            if s not in tars:
+                tars[s] = tarfile.open(
+                    os.path.join(dest, f"shard-{s:04d}.tar"), "w"
+                )
+                counts[s] = [0, 0]
+            return tars[s]
+
+        def add(tf, name: str, data: bytes) -> int:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0  # reproducible bytes
+            import io
+
+            tf.addfile(info, io.BytesIO(data))
+            return len(data)
+
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                s = int(r["shard"])
+                tf = tar_for(s)
+                key = f"{int(r['doc_id']):012d}"
+                payload = bytes(r["payload"])
+                ext = EXT.get(r["media_type"], "bin")
+                n = add(tf, f"{key}.{ext}", payload)
+                meta = _json.dumps(
+                    {
+                        "doc_id": int(r["doc_id"]),
+                        "media_type": r["media_type"],
+                        "n_bytes": len(payload),
+                    },
+                    separators=(",", ":"),
+                ).encode()
+                n += add(tf, f"{key}.json", meta)
+                counts[s][0] += 1
+                counts[s][1] += n
+        for tf in tars.values():
+            tf.close()
+        if counts:
+            yield pd.DataFrame(
+                [(s, c[0], c[1]) for s, c in sorted(counts.items())],
+                columns=["shard", "n_members", "n_bytes"],
+            )
+
+    return rows.select(
+        "shard", "doc_id", "media_type", "payload"
+    ).mapInPandas(write_tars, schema=schema)

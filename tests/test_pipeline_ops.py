@@ -165,3 +165,59 @@ def test_epoch_order_reproducible_and_seed_sensitive(spark):
         by_shard[r["shard"]].append(r["seq"])
     for seqs in by_shard.values():
         assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
+def test_webdataset_shards_roundtrip(spark, tmp_path):
+    """Tar shard export: every synthesized media sample lands in its
+    content-stable shard as a payload + JSON-metadata member pair, the
+    payloads roundtrip byte-exact, members are in epoch order, and
+    re-export is byte-identical (zeroed tar metadata)."""
+    import hashlib
+    import json
+    import os
+    import tarfile
+
+    from basenine_spark.ops.multimodal import synth_media_table
+    from basenine_spark.ops.pipeline import write_webdataset_shards
+
+    sf = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "wds")
+    stats = write_webdataset_shards(spark, sf, dest).collect()
+    n_media = synth_media_table(spark, sf).count()
+    assert sum(r["n_members"] for r in stats) == n_media
+
+    payloads = {
+        int(r["doc_id"]): bytes(r["payload"])
+        for r in synth_media_table(spark, sf).collect()
+    }
+    seen = 0
+    for fn in sorted(os.listdir(dest)):
+        with tarfile.open(os.path.join(dest, fn)) as tf:
+            names = tf.getnames()
+            data_members = [n for n in names if not n.endswith(".json")]
+            meta_members = [n for n in names if n.endswith(".json")]
+            assert len(data_members) == len(meta_members)
+            for name in data_members:
+                key = int(name.split(".")[0])
+                body = tf.extractfile(name).read()
+                assert body == payloads[key]  # byte-exact payload
+                meta = json.loads(
+                    tf.extractfile(f"{name.split('.')[0]}.json").read()
+                )
+                assert meta["doc_id"] == key
+                assert meta["n_bytes"] == len(body)
+                seen += 1
+    assert seen == n_media
+
+    # reproducibility: re-export produces byte-identical tars
+    def digest(d):
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            with open(os.path.join(d, fn), "rb") as f:
+                out[fn] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    d1 = digest(dest)
+    dest2 = str(tmp_path / "wds2")
+    write_webdataset_shards(spark, sf, dest2).collect()
+    assert digest(dest2) == d1
