@@ -423,3 +423,69 @@ def write_webdataset_shards(
     return rows.select(
         "shard", "doc_id", "media_type", "payload"
     ).mapInPandas(write_tars, schema=schema)
+
+
+def read_webdataset_shards(spark: SparkSession, src: str) -> DataFrame:
+    """WebDataset tar source: read the shard directory
+    :func:`write_webdataset_shards` produces (or any WebDataset-style
+    layout of ``{key}.{ext}`` + ``{key}.json`` member pairs) back into
+    (doc_id, media_type, n_bytes, payload) rows.
+
+    Spark-first shape: the tar files arrive via the built-in
+    ``binaryFile`` source (one row per shard file, split across
+    executors by Spark's file scheduler), and each task untars ITS
+    shards with the stdlib ``tarfile`` inside ``mapInPandas`` — member
+    bytes never visit the driver, and a 10k-shard corpus parallelizes
+    across however many executors scan it.  Sequential tar reads are
+    the point of the format: one open stream per shard, no seeks.
+    """
+    import json as _json
+    from typing import Iterator as _It
+
+    schema = (
+        "doc_id bigint, media_type string, n_bytes bigint, payload binary"
+    )
+
+    def untar(batches: _It) -> _It:
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content))
+                ) as tf:
+                    metas: dict[str, dict] = {}
+                    datas: dict[str, tuple] = {}
+                    for member in tf.getmembers():
+                        stem, ext = member.name.rsplit(".", 1)
+                        body = tf.extractfile(member).read()
+                        if ext == "json":
+                            metas[stem] = _json.loads(body)
+                        else:
+                            datas[stem] = body
+                    for stem, body in datas.items():
+                        meta = metas.get(stem, {})
+                        rows.append(
+                            (
+                                int(meta.get("doc_id", int(stem))),
+                                meta.get("media_type", "application/octet-stream"),
+                                len(body),
+                                body,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "n_bytes", "payload"],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(src)
+        .select("content")
+        .mapInPandas(untar, schema=schema)
+    )

@@ -221,3 +221,28 @@ def test_webdataset_shards_roundtrip(spark, tmp_path):
     dest2 = str(tmp_path / "wds2")
     write_webdataset_shards(spark, sf, dest2).collect()
     assert digest(dest2) == d1
+
+
+def test_webdataset_read_back_roundtrips(spark, tmp_path):
+    """write → read roundtrip through the binaryFile + tarfile source:
+    every sample comes back with its exact payload and metadata."""
+    from basenine_spark.ops.multimodal import synth_media_table
+    from basenine_spark.ops.pipeline import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dest = str(tmp_path / "wds_rt")
+    write_webdataset_shards(spark, sf, dest).collect()
+    back = read_webdataset_shards(spark, dest).collect()
+    orig = {
+        int(r["doc_id"]): (r["media_type"], bytes(r["payload"]))
+        for r in synth_media_table(spark, sf).collect()
+    }
+    assert len(back) == len(orig)
+    for r in back:
+        mt, payload = orig[int(r["doc_id"])]
+        assert r["media_type"] == mt
+        assert bytes(r["payload"]) == payload
+        assert r["n_bytes"] == len(payload)
