@@ -83,3 +83,48 @@ def test_heavy_hitters_match_exact_topk(spark):
     for etype, counts in reported.items():
         top_true = sorted(by_type[etype], reverse=True)[:k]
         assert sorted(counts, reverse=True) == top_true, etype
+
+
+def test_profile_drift_between_scale_factors(spark):
+    """Drift view over two corpus versions (sf0.001 → sf0.01 is a 10×
+    'release'): row ratios land near 10, null rates stay put, and the
+    output matches a DuckDB replay of the same two-profile diff."""
+    import duckdb
+
+    from basenine_spark.ops.relational import profile_drift
+
+    out = profile_drift(
+        spark, "/root/testdata/sf0.001", "/root/testdata/sf0.01", table="events"
+    ).collect()
+    by_col = {r["column_name"]: r for r in out}
+    assert len(by_col) >= 4 and "event_id" in by_col
+    for r in out:
+        assert 5.0 < r["rows_ratio"] < 20.0  # a 10x release
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        WITH o AS (
+          SELECT * FROM (VALUES
+            ('event_id', (SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet'),
+                       (SELECT count(*) FILTER (event_id IS NULL) FROM '/root/testdata/sf0.001/events.parquet'),
+                       (SELECT count(DISTINCT event_id) FROM '/root/testdata/sf0.001/events.parquet'))
+          ) t(column_name, n_rows, n_nulls, n_distinct)
+        ),
+        n AS (
+          SELECT * FROM (VALUES
+            ('event_id', (SELECT count(*) FROM '/root/testdata/sf0.01/events.parquet'),
+                       (SELECT count(*) FILTER (event_id IS NULL) FROM '/root/testdata/sf0.01/events.parquet'),
+                       (SELECT count(DISTINCT event_id) FROM '/root/testdata/sf0.01/events.parquet'))
+          ) t(column_name, n_rows, n_nulls, n_distinct)
+        )
+        SELECT o.column_name,
+               round(n.n_rows / CAST(o.n_rows AS DOUBLE), 4) AS rows_ratio,
+               round(n.n_distinct / CAST(o.n_distinct AS DOUBLE), 4) AS distinct_ratio
+        FROM o JOIN n USING (column_name)
+        """
+    ).fetchall()
+    con.close()
+    (col, rows_ratio, distinct_ratio) = rows[0]
+    assert by_col[col]["rows_ratio"] == rows_ratio
+    assert by_col[col]["distinct_ratio"] == distinct_ratio
