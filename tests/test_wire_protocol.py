@@ -431,3 +431,43 @@ def test_validate_literal_not_terminated(served100):
         bn.validate(server.host, server.port, '=.="')
         == '1:5: literal not terminated'
     )
+
+
+def test_server_survives_garbage_connections(served100):
+    """Seeded fuzz: random command/garbage line sequences (binary
+    junk, half-finished modes, oversized tokens, abrupt hangups) must
+    never wedge the server — a golden query works afterwards."""
+    import random
+    import socket as _socket
+
+    _, server = served100
+    rng = random.Random(42)
+    fragments = [
+        "/query", "/fetch", "/single", "/insert", "/validate", "/macro",
+        "/limit", "/bogus", "", "latest", "-1", "999999999999999999",
+        "not json", '{"half":', "\x00\x01\x02", "a" * 5000,
+        'brand.name == "Chevrolet"', "~", "x~y~z", "3.14",
+    ]
+    for _ in range(40):
+        try:
+            with _socket.create_connection(
+                (server.host, server.port), timeout=5
+            ) as s:
+                for _ in range(rng.randint(1, 6)):
+                    line = rng.choice(fragments)
+                    try:
+                        s.sendall((line + "\n").encode())
+                    except OSError:
+                        break
+                # half the time: abrupt close without reading replies
+                if rng.random() < 0.5:
+                    s.setsockopt(
+                        _socket.SOL_SOCKET,
+                        _socket.SO_LINGER,
+                        b"\x01\x00\x00\x00\x00\x00\x00\x00",
+                    )
+        except OSError:
+            pass
+    # the server still answers a clean golden request
+    line = bn.single(server.host, server.port, 42)
+    assert json.loads(line)["id"] == index_to_id(42)
