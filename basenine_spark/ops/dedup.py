@@ -279,6 +279,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding, verified with exact
     Jaccard (so the output is exact-over-candidates; recall is the only
@@ -290,10 +291,10 @@ def minhash_lsh_pairs(
     cartesian product; a 100 TB corpus pairs only within buckets.
     """
     rows = num_perm // bands
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     sets = hashed_shingle_sets(
-        load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        ),
+        docs.repartition(spark.sparkContext.defaultParallelism),
         n,
     ).filter(F.size("shingles") > 0).cache()
     sig = sets.select(
@@ -443,6 +444,7 @@ def duplicate_clusters_lsh(
     n: int = 3,
     threshold: float = 0.5,
     max_iter: int = 12,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The 100 TB path of :func:`duplicate_clusters`: same min-label
     clustering, but the edge list comes from MinHash-LSH banding
@@ -450,7 +452,7 @@ def duplicate_clusters_lsh(
     the exact PPJoin — recall is the only approximation, so this is a
     rows-only driver entry; the exact twin is the oracle-checked
     baseline at test scale."""
-    edges = minhash_lsh_pairs(spark, sf_dir, n=n, threshold=threshold)
+    edges = minhash_lsh_pairs(spark, sf_dir, n=n, threshold=threshold, docs=docs)
     return connected_components(edges, max_iter=max_iter)
 
 

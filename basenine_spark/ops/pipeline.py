@@ -40,10 +40,18 @@ def curate_documents(
     min_chars: int = 100,
     n: int = 3,
     threshold: float = 0.4,
+    near_dup: str = "exact",
 ) -> DataFrame:
     """The curated corpus: documents that pass the quality gates, are
     the canonical copy of their exact-duplicate group, and are the
     canonical member (minimum doc_id) of their near-duplicate cluster.
+
+    ``near_dup`` picks the pair generator: ``"exact"`` (PPJoin exact
+    n-gram Jaccard — the oracle-verified baseline at test scale) or
+    ``"lsh"`` (MinHash-LSH banding — the documented 100 TB path, where
+    recall is the only approximation). The funnel around it is
+    identical, so switching the flag switches the scale story without
+    touching the pipeline.
 
     Returns (doc_id, source, n_tokens, n_chars) per surviving doc.
     """
@@ -70,9 +78,16 @@ def curate_documents(
 
     # near-dup removal: non-canonical cluster members (cluster_id is the
     # min doc_id of each connected component) are anti-joined away
-    clusters = dedup.duplicate_clusters(
-        spark, sf_dir, n=n, threshold=threshold, docs=unique_docs
-    )
+    if near_dup == "lsh":
+        clusters = dedup.duplicate_clusters_lsh(
+            spark, sf_dir, n=n, threshold=threshold, docs=unique_docs
+        )
+    elif near_dup == "exact":
+        clusters = dedup.duplicate_clusters(
+            spark, sf_dir, n=n, threshold=threshold, docs=unique_docs
+        )
+    else:
+        raise ValueError(f"unknown near_dup method: {near_dup!r}")
     non_canonical = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")

@@ -246,3 +246,26 @@ def test_webdataset_read_back_roundtrips(spark, tmp_path):
         assert r["media_type"] == mt
         assert bytes(r["payload"]) == payload
         assert r["n_bytes"] == len(payload)
+
+
+def test_curate_lsh_path_is_consistent_with_exact(spark):
+    """The one-flag 100 TB switch: LSH-curated survivors are a
+    deterministic set that (a) passes the same quality/exact-dedup
+    gates and (b) differs from the exact-PPJoin result only by LSH
+    recall — every doc the LSH path removes is removed by the exact
+    path too (candidates are verified with exact Jaccard, so LSH can
+    only MISS near-dup pairs, never invent them)."""
+    from basenine_spark.ops.pipeline import curate_documents
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"] for r in curate_documents(spark, sf).collect()}
+    lsh_a = {
+        r["doc_id"]
+        for r in curate_documents(spark, sf, near_dup="lsh").collect()
+    }
+    lsh_b = {
+        r["doc_id"]
+        for r in curate_documents(spark, sf, near_dup="lsh").collect()
+    }
+    assert lsh_a == lsh_b  # deterministic
+    assert exact <= lsh_a  # LSH only misses pairs => keeps a superset
