@@ -223,6 +223,7 @@ def release_manifest(
     default_weight: float = 0.03125,
     budget: int = 200,
     salt: str = "rel",
+    near_dup: str = "exact",
 ) -> DataFrame:
     """The full dataset-release funnel as ONE declarative plan:
     curate (quality → exact dedup → near-dup removal) → mixture-sample
@@ -243,7 +244,7 @@ def release_manifest(
     """
     from .sampling import mixture_filter
 
-    survivors = curate_documents(spark, sf_dir)
+    survivors = curate_documents(spark, sf_dir, near_dup=near_dup)
     sampled = mixture_filter(
         survivors, weights, default_weight, budget, salt
     )
