@@ -213,6 +213,11 @@ def main() -> int:
         "agg_daily_events",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        # round-5 text rankers (documents-only inputs, 2× replicated):
+        # the vocabulary/idf aggregates and the token-keyed joins are the
+        # parts whose slope matters at crawl scale
+        "text_bm25_topk",
+        "text_unigram_surprisal",
     ]
     probe: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled:
