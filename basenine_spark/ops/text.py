@@ -527,3 +527,57 @@ def unigram_surprisal(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+def bigram_surprisal(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Bigram conditional surprisal: per-document mean of
+    ``-ln p(w_i | w_{i-1})`` under the corpus's own bigram counts
+    (``p = c(w_{i-1} w_i) / c(w_{i-1} ·)``) — the next step up from
+    :func:`unigram_surprisal`: a document built from common words in
+    *implausible order* (shuffled/generated junk) scores high here
+    while the unigram signal cannot see it.
+
+    Shape: adjacency comes from one per-document window (``lag`` over
+    token position — shuffle keyed on doc_id, each task orders only its
+    own documents); the bigram and context tables are partial-agg
+    shuffles keyed on the pair/context token; the scoring join
+    broadcasts when the tables fit (AQE decides) and the top-k is a
+    TakeOrdered.  Scores are rounded before ranking; documents with
+    fewer than two tokens have no bigrams and drop out.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", F.col("token").alias("cur"))
+    )
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("c2") / F.col("c1").cast("double"))), 4
+            ).alias("surprisal"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    w2 = Window.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+    )

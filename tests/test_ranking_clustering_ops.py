@@ -274,3 +274,78 @@ def test_surprisal_min_count_caps_vocab_keeps_ranking_sane(spark, tmp_path):
 
     total = 14  # 8 common + 6 rare tokens
     assert capped[0]["surprisal"] == round(-math.log((2 - 0.5) / total), 4)
+
+
+# -- bigram surprisal --------------------------------------------------
+
+
+def test_bigram_surprisal_matches_duckdb_replay(spark, duck):
+    """Differential vs a DuckDB replay of the same bigram-LM math
+    (lag-pair counts, context totals, mean -ln conditional p)."""
+    from basenine_spark.ops.text import bigram_surprisal
+
+    sdf = bigram_surprisal(spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, l AS toks FROM (
+            SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents WHERE text IS NOT NULL
+          )
+        ), pairs AS (
+          SELECT doc_id, toks[i.i] AS prev, toks[i.i + 1] AS cur
+          FROM toks, UNNEST(range(1, len(toks))) AS i(i)
+        ), big AS (
+          SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur
+        ), ctx AS (
+          SELECT prev, sum(c2) AS c1 FROM big GROUP BY prev
+        ), scored AS (
+          SELECT p.doc_id,
+                 round(avg(-ln(b.c2 / CAST(x.c1 AS DOUBLE))), 4)
+                   AS surprisal,
+                 count(*) AS n_bigrams
+          FROM pairs p
+          JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+          JOIN ctx x ON p.prev = x.prev
+          GROUP BY p.doc_id
+        )
+        SELECT doc_id, surprisal, n_bigrams,
+               row_number() OVER (ORDER BY surprisal DESC, doc_id) AS rank
+        FROM scored ORDER BY surprisal DESC, doc_id LIMIT 100
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert _canon(srows, scols) == _canon(drows, dcols)
+
+
+def test_bigram_surprisal_flags_shuffled_word_order(spark, tmp_path):
+    """The signal unigram scoring cannot see: two docs with IDENTICAL
+    token multisets — one in the corpus-common order, one shuffled —
+    get the same unigram score but the shuffled one out-surprises on
+    bigrams."""
+    from basenine_spark.ops.text import bigram_surprisal, unigram_surprisal
+
+    base = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over lazy jumps fox brown the quick"
+    docs = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [base, base, base, base, shuffled],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [len(base)] * 4 + [len(shuffled)],
+        }
+    )
+    d = tmp_path / "big"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    uni = {r["doc_id"]: r["surprisal"] for r in unigram_surprisal(spark, str(d), k=10).collect()}
+    assert uni[4] == uni[0]  # unigram is blind to order
+    big = bigram_surprisal(spark, str(d), k=10).collect()
+    assert big[0]["doc_id"] == 4  # shuffled doc ranks first
+    scores = {r["doc_id"]: r["surprisal"] for r in big}
+    assert scores[4] > scores[0]
