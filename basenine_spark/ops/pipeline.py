@@ -505,3 +505,39 @@ def read_webdataset_shards(spark: SparkSession, src: str) -> DataFrame:
         .select("content")
         .mapInPandas(untar, schema=schema)
     )
+
+
+def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental release manifest: the per-shard delta a nightly
+    ingest publishes — which shards received how many genuinely-new
+    documents (and token mass), so consumers refresh only the shards
+    that changed instead of re-reading the release.
+
+    Composition: admission dedup (:func:`~basenine_spark.ops.dedup.
+    incremental_new_docs` — content-hash anti join against the corpus)
+    → the SAME content-stable shard expression as
+    :func:`shard_manifest` (append-stable: existing documents never
+    move, so a delta is purely additive) → a 16-group aggregate.  The
+    whole chain is one lazy plan; at 100 TB the only wide stages are
+    the hash-keyed anti join and the 16-group manifest aggregate.
+    """
+    admitted = dedup.incremental_new_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    shard = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(concat('shard:', cast(doc_id as string))), 1, 1)) - 1"
+    ).cast("bigint")
+    return (
+        admitted.join(docs, "doc_id")
+        .select(shard.alias("shard_id"), "doc_id", "n_tokens", "source")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_docs"),
+            F.sum("n_tokens").alias("new_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("shard_id")
+    )

@@ -269,3 +269,42 @@ def test_curate_lsh_path_is_consistent_with_exact(spark):
     }
     assert lsh_a == lsh_b  # deterministic
     assert exact <= lsh_a  # LSH only misses pairs => keeps a superset
+
+
+def test_release_delta_matches_duckdb_replay(spark):
+    """The nightly-ingest delta manifest hash-matches a DuckDB replay
+    of admission dedup → content-stable shard → per-shard aggregate."""
+    import duckdb
+
+    from basenine_spark.ops.pipeline import release_delta
+
+    sf = "/root/testdata/sf0.01"
+    out = sorted(tuple(r) for r in release_delta(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    rows = con.execute(
+        """
+        WITH d AS (
+          SELECT doc_id, source, text, md5(text) AS h,
+                 len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents WHERE text IS NOT NULL
+        ), corpus AS (
+          SELECT h FROM d WHERE doc_id % 2 = 0
+        ), admitted AS (
+          SELECT doc_id, source, n_tokens FROM d b
+          WHERE doc_id % 2 = 1
+            AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+        )
+        SELECT (strpos('0123456789abcdef',
+                  substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                - 1)::BIGINT AS shard_id,
+               count(*) AS n_new_docs,
+               sum(n_tokens) AS new_tokens,
+               count(DISTINCT source) AS n_sources
+        FROM admitted GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    con.close()
+    assert out == sorted((int(a), int(b), int(c), int(d)) for a, b, c, d in rows)
