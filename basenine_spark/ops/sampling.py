@@ -288,3 +288,42 @@ def token_mixture_sample(
         .drop("mix_thr")
         .select("doc_id", "source", "n_tokens")
     )
+
+
+def split_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    ratios: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Content-stable train/validation/test split: every document gets
+    exactly one split label from disjoint md5-bucket ranges — the
+    release-time assignment that must be reproducible (any engine,
+    any re-run), leak-proof (a document can never migrate between
+    splits when the corpus grows), and exhaustive (labels partition
+    the corpus).
+
+    Cumulative thresholds are folded driver-side from the ratio dict
+    (insertion order = precedence), so the plan is MAP-ONLY: one hash,
+    one chained CASE, no shuffle anywhere.  The same two expressions in
+    ANSI SQL reproduce the assignment bit-for-bit.
+    """
+    ratios = ratios or {"train": 0.9, "val": 0.05, "test": 0.05}
+    import math
+
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, r in ratios.items():
+        acc += r
+        hi = (
+            "g" * 8
+            if acc >= 1.0
+            else "%08x" % math.floor(acc * 4294967296.0)
+        )
+        bounds.append((name, hi))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = _bucket(salt, F.col("doc_id"))
+    label = F.lit(None).cast("string")
+    for name, hi in reversed(bounds):
+        label = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(label)
+    return docs.select("doc_id", "source", label.alias("split"))

@@ -137,3 +137,49 @@ def test_token_mixture_matches_duckdb_and_hits_token_targets(spark):
     for src, target in targets.items():
         expected = min(target, avail[src])
         assert 0.5 * expected < mass[src] <= 1.5 * expected
+
+
+def test_split_assign_disjoint_exhaustive_and_engine_stable(spark):
+    """Train/val/test assignment: exhaustive (every doc labeled),
+    ratio-plausible, stable when the corpus grows (sf0.001 ⊂ sf0.01
+    label agreement on shared ids is what makes splits leak-proof),
+    and identical to the DuckDB replay."""
+    import duckdb
+
+    from basenine_spark.ops.sampling import split_assign
+
+    out = split_assign(spark, "/root/testdata/sf0.01").collect()
+    labels = {r["doc_id"]: r["split"] for r in out}
+    assert len(labels) == 500 and all(v is not None for v in labels.values())
+    from collections import Counter
+
+    c = Counter(labels.values())
+    assert 0.8 < c["train"] / 500 < 0.97
+    assert c["val"] > 0 and c["test"] > 0
+
+    # growth stability: the sf0.001 corpus is the same id space — every
+    # shared id keeps its label
+    small = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert all(labels[k] == v for k, v in small.items())
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT doc_id,
+               CASE
+                 WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < printf('%08x', CAST(floor(0.9 * 4294967296.0) AS BIGINT))
+                   THEN 'train'
+                 WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < printf('%08x', CAST(floor(0.95 * 4294967296.0) AS BIGINT))
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM '/root/testdata/sf0.01/documents.parquet'
+        """
+    ).fetchall()
+    con.close()
+    assert {int(a): b for a, b in rows} == labels
