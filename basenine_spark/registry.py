@@ -1458,6 +1458,45 @@ _register(
     """,
 )
 
+# The five entries below carry exact DuckDB twins, but the twins live
+# as pytest differentials (test_ranking_clustering_ops / test_pipeline_ops
+# / test_sampling_clusters / test_sketch_ops) rather than driver oracles:
+# the driver verifies only the first 50 registry rows and every family
+# here already holds an oracle-checked in-window survivor, so the
+# differential runs in CI instead of consuming a window slot.
+
+_register(
+    "text_bigram_surprisal",
+    lambda s, d: text.bigram_surprisal(s, d),
+    None,  # DuckDB twin in test_ranking_clustering_ops (lag-pair LM replay)
+)
+
+_register(
+    "sample_splits",
+    lambda s, d: sampling.split_assign(s, d),
+    None,  # DuckDB twin + growth-stability in test_sampling_clusters
+)
+
+_register(
+    "sample_token_mixture",
+    lambda s, d: sampling.token_mixture_sample(s, d),
+    None,  # DuckDB twin in test_sampling_clusters
+)
+
+_register(
+    "profile_drift_events",
+    lambda s, d: relational.profile_drift(
+        s, "/root/testdata/sf0.001", d, table="events"
+    ),
+    None,  # DuckDB two-profile replay in test_sketch_ops
+)
+
+_register(
+    "pipeline_release_delta",
+    lambda s, d: pipeline.release_delta(s, d),
+    None,  # DuckDB whole-composition replay in test_pipeline_ops
+)
+
 _register(
     "multimodal_decode_real",
     multimodal.media_decode_features,

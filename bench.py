@@ -56,6 +56,10 @@ HEADLINE = [
     "dedup_semantic",
     "multimodal_decode_real",
     "pipeline_epoch_order",
+    "text_bigram_surprisal",
+    "sample_splits",
+    "sample_token_mixture",
+    "pipeline_release_delta",
 ]
 
 
