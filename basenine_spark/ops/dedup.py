@@ -598,3 +598,191 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "content_hash", "left_anti").select(
         "doc_id", "source"
     )
+
+
+# -- exact duplicated spans (substring dedup) -------------------------------
+
+
+def _gram_positions(docs: DataFrame, n: int) -> DataFrame:
+    """doc_id → (pos, gram) for EVERY overlapping word n-gram, position
+    1-based. Same rolling ``xxhash64`` chain as
+    :func:`hashed_shingle_sets` (no n-gram strings are materialized;
+    the corpus-wide shuffle carries 8-byte longs) but positional — no
+    ``array_distinct`` — because span extraction needs every
+    occurrence, including intra-document repeats."""
+    roll = "slice(toks, 1, size(toks) - {nm1})".format(nm1=n - 1)
+    for j in range(1, n):
+        roll = (
+            f"zip_with({roll}, slice(toks, {j + 1}, size(toks) - {n - 1}), "
+            f"(x, y) -> xxhash64(x, y))"
+        )
+    expr = f"CASE WHEN size(toks) >= {n} THEN {roll} ELSE array() END"
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias(
+                "toks"
+            ),
+        )
+        .select("doc_id", F.posexplode(F.expr(expr)).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+
+
+def _merge_spans(hits: DataFrame, n: int) -> DataFrame:
+    """Merge per-document gram-hit positions into maximal duplicated
+    spans. A hit at ``pos`` covers tokens ``[pos, pos+n-1]``; hits
+    whose coverage overlaps or touches (gap of zero tokens) merge.
+
+    Pure window algebra — one shuffle keyed on doc_id, state bounded by
+    document length: ``new_span`` flags a hit starting past the running
+    max end of all previous hits, and its running sum is the span id.
+    """
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + n - 1).over(w_prev), F.lit(-1)
+            )
+            + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("span_id", F.sum("new_span").over(w_run))
+    return flagged.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n - 1).alias("span_end"),
+        (F.max("pos") + n - 1 - F.min("pos") + 1).alias("span_tokens"),
+    )
+
+
+def duplicate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_count: int = 2,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22 — public
+    algorithm family): for every document, the maximal token spans
+    whose every length-``n`` window occurs at least ``min_count`` times
+    corpus-wide (including intra-document repeats, which that paper
+    also removes).
+
+    Spark-first substitute for the paper's suffix array: a corpus
+    suffix array is a single global sort no cluster wants; the same
+    duplicated-span set falls out of keyed dataflow —
+
+    1. positional n-gram hashes (map-only, rolling ``xxhash64``);
+    2. corpus-wide occurrence counts (one shuffle keyed on the 8-byte
+       gram hash, map-side partial aggregation — boilerplate grams
+       skew a *count*, never a pair explosion);
+    3. hits = grams ∩ duplicated grams (keyed left-semi join);
+    4. per-document interval merge (window algebra, one doc_id-keyed
+       shuffle, state bounded by document length).
+
+    No cartesian stage anywhere; every shuffle carries fixed-width
+    keys. Output: (doc_id, span_start, span_end, span_tokens),
+    positions 1-based inclusive over the whitespace tokenization.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
+    grams = _gram_positions(docs, n)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    return _merge_spans(hits, n).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
+def scrub_duplicate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Remove duplicated substrings, keeping exactly one occurrence
+    corpus-wide (the paper's policy). The canonical keeper of each
+    duplicated gram is its globally smallest occurrence ``(doc_id,
+    pos)`` — deterministic and engine-independent; every other
+    occurrence is redundant, and tokens covered only by redundant
+    occurrences are dropped.
+
+    Same keyed-shuffle budget as :func:`duplicate_spans` plus one
+    broadcast-sized per-doc span list joined back to the corpus; the
+    rebuild is a JVM higher-order filter (positions vs. span array,
+    O(tokens x spans/doc) per document, no Python).
+
+    Output: (doc_id, clean_text, removed_tokens) for every non-null
+    document, removed_tokens = 0 and clean_text = text when nothing
+    was scrubbed.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
+    grams = _gram_positions(docs, n)
+    per_gram = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    redundant = (
+        grams.join(per_gram.filter(F.col("cnt") >= 2), "gram")
+        .filter(
+            (F.col("doc_id") != F.col("keeper.doc_id"))
+            | (F.col("pos") != F.col("keeper.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    spans = (
+        _merge_spans(redundant, n)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans")
+        )
+    )
+    kept = (
+        "transform(filter(transform(split(text, ' '), (t, i) -> "
+        "struct(t AS t, i + 1 AS p)), s -> NOT exists(spans, sp -> "
+        "s.p >= sp.span_start AND s.p <= sp.span_end)), s -> s.t)"
+    )
+    return (
+        docs.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("spans").isNull(), F.col("text"))
+            .otherwise(F.array_join(F.expr(kept), " "))
+            .alias("clean_text"),
+            F.coalesce(
+                F.aggregate(
+                    "spans",
+                    F.lit(0).cast("long"),
+                    lambda acc, sp: acc
+                    + sp["span_end"]
+                    - sp["span_start"]
+                    + 1,
+                ),
+                F.lit(0).cast("long"),
+            ).alias("removed_tokens"),
+        )
+    )

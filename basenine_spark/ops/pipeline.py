@@ -176,6 +176,66 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    size: int = 64,
+    stride: int = 48,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/pretraining prep
+    step that turns each document into fixed-size chunks with
+    ``size - stride`` tokens of overlap, tail-aligned so every token is
+    covered and (for documents longer than ``size``) every chunk is
+    exactly ``size`` tokens.
+
+    Chunk starts are ``1, 1+stride, …`` up to ``L - size + 1``, plus a
+    final tail-aligned start at ``L - size + 1`` when the stride
+    doesn't land there exactly; a document with ``L <= size`` yields a
+    single chunk. Chunk identity is ``(doc_id, chunk_idx)`` — stable
+    under corpus growth because it derives only from the document's own
+    token count.
+
+    Scale shape: pure map-only — the start list is a per-row
+    ``sequence`` + ``posexplode`` and the chunk text a ``slice`` +
+    ``array_join``, all JVM expressions in the scan stage; no shuffle,
+    no Python, output size ~``L/stride`` rows per document.
+    """
+    if size <= 0 or stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    m = F.greatest(F.lit(1), F.size("toks") - size + 1)
+    base = F.sequence(F.lit(1), m, F.lit(stride))
+    starts = F.when(
+        F.element_at(base, -1) != m, F.concat(base, F.array(m))
+    ).otherwise(base)
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.least(
+                F.lit(size), F.size("toks") - F.col("chunk_start") + 1
+            )
+            .cast("bigint")
+            .alias("chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_start"), F.lit(size)),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-way shard assignment for training-data export,
     summarized as a per-shard manifest (the sidecar file a dataset

@@ -290,6 +290,48 @@ def token_mixture_sample(
     )
 
 
+def source_cap(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = 50,
+    salt: str = "cap",
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-source document cap — the domain-balancing guard a web-scale
+    corpus needs so no single domain floods the mixture (the per-domain
+    cap step of C4/RefinedWeb-style pipelines). Keeps exactly
+    ``min(cap, |source|)`` documents per source, chosen by a
+    content-stable hash rank (ties broken by doc_id), so the kept set
+    is reproducible on any engine and stable under re-runs.
+
+    Plan: one hash (map-only) + one window rank keyed on ``source`` —
+    a single shuffle whose per-task sort is bounded by the source's own
+    row count. At 100 TB with mega-domains, the refinement is a
+    two-phase exact top-cap: pre-filter each source to ~2 x cap rows
+    via a count-derived hash threshold (map-only after a broadcast
+    count agg), rank only the survivors, and fall back per-source on
+    the rare under-fill — same output, sort state O(cap) instead of
+    O(|source|). The single-window form here IS the reference
+    semantics the refinement must reproduce.
+
+    Output: (doc_id, source, cap_rank), cap_rank in [1, cap].
+    """
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    h = _bucket(salt, F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("cap_rank") <= cap)
+        .select("doc_id", "source", "cap_rank")
+    )
+
+
 def split_assign(
     spark: SparkSession,
     sf_dir: str,

@@ -727,3 +727,95 @@ def semantic_dedup(
         .applyInPandas(dedup_cluster, schema="vec_id bigint, cluster int")
         .orderBy("vec_id")
     )
+
+
+# -- k-NN graph -------------------------------------------------------------
+
+
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    tables: int = 24,
+    bits: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over the embedding corpus —
+    the substrate for graph-based curation (semantic cluster pruning,
+    label propagation, connectivity-based quality scoring) and for
+    graph-ANN index construction.
+
+    Candidate edges come from SRP-LSH co-bucketing (the same
+    deterministic hyperplane family as :func:`ann_topk_lsh`, keyed join
+    on (table, bucket) — never all-pairs); each candidate pair is
+    scored with exact cosine once (undirected, ``vec_a < vec_b``), then
+    mirrored and ranked per node, keeping each node's top ``k``.
+    ``mutual`` marks edges whose reverse also survived ranking — the
+    symmetrized core that graph algorithms usually want.
+
+    Scale shape: bucketed candidate join + one node-keyed window whose
+    per-task sort is bounded by the node's candidate count
+    (~tables x corpus / 2^bits); scores are rounded before ranking so
+    the rank order (ties by neighbor id) is engine-stable. Approximate
+    recall ⇒ rows-only correctness; the recall floor vs brute force is
+    pinned in pytest.
+
+    Output: (src, dst, sim, rank, mutual), rank in [1, k].
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketer = _srp_buckets(dim, tables, bits)
+    with_b = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(bucketer("embedding")).alias("tbl", "bucket"),
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("e_a"),
+            F.col("b.embedding").alias("e_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("sim"),
+        )
+    )
+    directed = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "sim"
+    ).union(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst").asc()
+    )
+    topk = (
+        directed.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+    reverse = topk.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        topk.join(reverse, ["src", "dst"], "left_semi")
+        .withColumn("mutual", F.lit(True))
+        .unionByName(
+            topk.join(reverse, ["src", "dst"], "left_anti").withColumn(
+                "mutual", F.lit(False)
+            )
+        )
+        .select("src", "dst", "sim", "rank", "mutual")
+    )

@@ -1551,6 +1551,45 @@ _register(
     # determinism and threshold semantics pinned in pytest
 )
 
+_register(
+    "dedup_spans",
+    lambda s, d: dedup.duplicate_spans(s, d),
+    None,  # exact duplicated-substring spans (Lee et al. ACL'22 family);
+    # DuckDB string-gram replay + boundary/intra-doc-repeat goldens in
+    # tests/test_dedup_spans.py
+)
+
+_register(
+    "knn_graph",
+    # 12 tables x 8 bits: bucket resolution sized for the sf0.01+ corpus
+    # (the sf0.001 recall gate in pytest uses the 24x5 moderate-sim
+    # calibration — bucket count must track corpus size, see docstring)
+    lambda s, d: similarity.knn_graph(s, d, tables=12, bits=8),
+    None,  # approximate k-NN graph (SRP-LSH candidates, per-node top-k,
+    # mutual-edge flag); recall floor + invariants in tests/test_knn_graph.py
+)
+
+_register(
+    "sample_source_cap",
+    lambda s, d: sampling.source_cap(s, d),
+    None,  # per-source (domain) cap via content-stable hash rank;
+    # DuckDB replay + cap/contiguity invariants in tests/test_source_cap.py
+)
+
+_register(
+    "text_chunks",
+    lambda s, d: pipeline.chunk_documents(s, d),
+    None,  # overlapping token-window chunking (map-only, tail-aligned);
+    # DuckDB replay + coverage/shape invariants in tests/test_chunking.py
+)
+
+_register(
+    "dedup_scrub_spans",
+    lambda s, d: dedup.scrub_duplicate_spans(s, d),
+    None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
+    # replay (clean_text + removed_tokens) in tests/test_dedup_spans.py
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------

@@ -60,6 +60,10 @@ HEADLINE = [
     "sample_splits",
     "sample_token_mixture",
     "pipeline_release_delta",
+    # round-5 late additions (substring dedup + chunking + domain caps)
+    "dedup_spans",
+    "text_chunks",
+    "sample_source_cap",
 ]
 
 

@@ -1,0 +1,77 @@
+"""k-NN graph: recall vs numpy brute force, degree/rank invariants,
+mutual-flag correctness, determinism."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from basenine_spark.ops import similarity
+
+SF = "/root/testdata/sf0.001"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return similarity.knn_graph(spark, SF, k=K).collect()
+
+
+@pytest.fixture(scope="module")
+def exact_topk():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    sims = np.round(unit @ unit.T, 4)
+    out = {}
+    for i, vid in enumerate(ids):
+        order = sorted(
+            (int(ids[j]) for j in range(len(ids)) if j != i),
+            key=lambda d: (-sims[i, np.where(ids == d)[0][0]], d),
+        )
+        out[int(vid)] = order[:K]
+    return out
+
+
+def test_degree_and_rank_invariants(graph):
+    by_src: dict = {}
+    for r in graph:
+        by_src.setdefault(r["src"], []).append(r["rank"])
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= K
+
+
+def test_recall_vs_brute_force(graph, exact_topk):
+    approx: dict = {}
+    for r in graph:
+        approx.setdefault(r["src"], set()).add(r["dst"])
+    hits = total = 0
+    for src, exact in exact_topk.items():
+        got = approx.get(src, set())
+        hits += len(got & set(exact))
+        total += len(exact)
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.7, f"knn_graph recall {recall:.3f} < 0.7"
+
+
+def test_mutual_flag_is_reverse_edge_membership(graph):
+    edges = {(r["src"], r["dst"]) for r in graph}
+    for r in graph:
+        assert r["mutual"] == ((r["dst"], r["src"]) in edges)
+
+
+def test_mutual_edges_exist_both_ways(graph):
+    mut = [(r["src"], r["dst"]) for r in graph if r["mutual"]]
+    assert mut, "expected at least one mutual edge on the label corpus"
+    edges = {(r["src"], r["dst"]) for r in graph}
+    for s, d in mut:
+        assert (d, s) in edges
+
+
+def test_deterministic(spark, graph):
+    again = similarity.knn_graph(spark, SF, k=K).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, graph))

@@ -1,0 +1,90 @@
+"""Per-source document cap: DuckDB replay differential at sf0.001 plus
+cap/contiguity invariants."""
+
+import json
+
+import pytest
+
+from basenine_spark.ops import sampling
+
+SF = "/root/testdata/sf0.001"
+CAP = 30
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(json.dumps([repr(row[i]) for i in order]) for row in rows)
+
+
+def test_source_cap_matches_duckdb_replay(spark, duck):
+    sdf = sampling.source_cap(spark, SF, cap=CAP)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substring(md5('cap' || cast(doc_id AS VARCHAR)),
+                                      1, 8),
+                            doc_id
+                 ) AS cap_rank
+          FROM documents
+        )
+        SELECT doc_id, source, cap_rank FROM ranked
+        WHERE cap_rank <= {CAP}
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_cap_and_rank_invariants(spark):
+    rows = sampling.source_cap(spark, SF, cap=CAP).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r["cap_rank"])
+    import duckdb
+
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT source, count(*) FROM '{SF}/documents.parquet' "
+            "GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+    assert set(by_source) == {s for s in counts}
+    for s, ranks in by_source.items():
+        # exactly min(cap, |source|) docs, ranks contiguous from 1
+        assert sorted(ranks) == list(range(1, min(CAP, counts[s]) + 1))
+
+
+def test_deterministic_across_runs(spark):
+    a = sorted(map(tuple, sampling.source_cap(spark, SF, cap=7).collect()))
+    b = sorted(map(tuple, sampling.source_cap(spark, SF, cap=7).collect()))
+    assert a == b
+
+
+def test_salt_reshuffles_kept_set(spark):
+    a = {r["doc_id"] for r in sampling.source_cap(spark, SF, cap=7).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.source_cap(spark, SF, cap=7, salt="cap2").collect()
+    }
+    assert a != b
