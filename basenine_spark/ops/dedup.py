@@ -752,14 +752,19 @@ def scrub_duplicate_spans(
         )
         .select("doc_id", "pos")
     )
-    spans = (
-        _merge_spans(redundant, n)
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("span_start", "span_end"))
-            ).alias("spans")
-        )
+    return _scrub_with_spans(docs, _merge_spans(redundant, n))
+
+
+def _scrub_with_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rebuild each document's text with the given (doc_id, span_start,
+    span_end) token intervals removed. JVM higher-order filter over
+    (token, position) pairs vs. the per-doc span array — O(tokens x
+    spans/doc), no Python. Documents without spans pass through with
+    removed_tokens = 0."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans")
     )
     kept = (
         "transform(filter(transform(split(text, ' '), (t, i) -> "
@@ -767,7 +772,7 @@ def scrub_duplicate_spans(
         "s.p >= sp.span_start AND s.p <= sp.span_end)), s -> s.t)"
     )
     return (
-        docs.join(spans, "doc_id", "left")
+        docs.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("spans").isNull(), F.col("text"))
@@ -786,3 +791,44 @@ def scrub_duplicate_spans(
             ).alias("removed_tokens"),
         )
     )
+
+
+def decontaminate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark_source: str = "src0",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level benchmark decontamination: remove from every training
+    document the exact token spans whose every length-``n`` window also
+    appears in the benchmark set (``source == benchmark_source`` stands
+    in for an eval suite) — the surgical form of decontamination that
+    keeps the document and cuts only the leaked text, where doc-level
+    contamination scoring (:func:`..text.contamination`) would discard
+    or keep it whole.
+
+    Scale shape: the benchmark gram universe is tiny relative to the
+    corpus, so its distinct hash set is BROADCAST and the corpus side
+    never shuffles for the probe; then one doc_id-keyed window merges
+    hit intervals and one join attaches the span lists for the JVM
+    token rebuild. Same rolling-hash positional grams as
+    :func:`duplicate_spans`.
+
+    Output: (doc_id, clean_text, removed_tokens) for every non-null
+    NON-benchmark document.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    bench_grams = (
+        _gram_positions(docs.filter(F.col("source") == benchmark_source), n)
+        .select("gram")
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != benchmark_source)
+    hits = (
+        _gram_positions(train, n)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _scrub_with_spans(train, _merge_spans(hits, n))

@@ -1584,6 +1584,14 @@ _register(
 )
 
 _register(
+    "text_decontaminate_spans",
+    lambda s, d: dedup.decontaminate_spans(s, d),
+    None,  # span-level benchmark decontamination (broadcast bench-gram
+    # probe + interval merge + JVM rebuild); DuckDB replay + planted-leak
+    # golden in tests/test_dedup_spans.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

@@ -215,3 +215,107 @@ def test_no_duplicates_no_spans(spark, tmp_path):
     for d, t in enumerate(texts):
         assert rows[d]["clean_text"] == t
         assert rows[d]["removed_tokens"] == 0
+
+
+# -- span-level decontamination --------------------------------------------
+
+
+def test_decontaminate_matches_duckdb_replay(spark, duck):
+    sdf = dedup.decontaminate_spans(spark, SF, benchmark_source="src0", n=N)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS l
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id, source, pos,
+                 array_to_string(list_slice(l, pos, pos + {N} - 1), ' ')
+                   AS gram
+          FROM (
+            SELECT doc_id, source, l,
+                   unnest(generate_series(1, len(l) - {N} + 1)) AS pos
+            FROM toks WHERE len(l) >= {N}
+          )
+        ), bench AS (
+          SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+        ), hits AS (
+          SELECT doc_id, pos FROM grams
+          WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+        ), """
+        + _MERGE.lstrip()
+        + """
+        , cover AS (
+          SELECT doc_id,
+                 unnest(generate_series(span_start, span_end)) AS p
+          FROM spans
+        ), tokpos AS (
+          SELECT doc_id, l[i] AS tok, i FROM (
+            SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+            FROM toks WHERE source <> 'src0'
+          )
+        )
+        SELECT t.doc_id,
+               coalesce(string_agg(tok, ' ' ORDER BY i)
+                          FILTER (WHERE c.p IS NULL), '') AS clean_text,
+               count(c.p) AS removed_tokens
+        FROM tokpos t
+        LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.i = c.p
+        GROUP BY t.doc_id
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def _write_docs_sources(tmp_path, rows):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_decontaminate_cuts_exactly_the_leak(spark, tmp_path):
+    bench = " ".join(_tok(900 + i) for i in range(10))
+    leaked = (
+        " ".join(_tok(i) for i in range(15))
+        + " " + bench + " "
+        + " ".join(_tok(100 + i) for i in range(15))
+    )
+    clean = " ".join(_tok(200 + i) for i in range(20))
+    sf = _write_docs_sources(
+        tmp_path,
+        [(0, bench, "src0"), (1, leaked, "web"), (2, clean, "web")],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_spans(
+            spark, sf, benchmark_source="src0", n=8
+        ).collect()
+    }
+    # benchmark docs are not in the output
+    assert set(rows) == {1, 2}
+    assert rows[1]["removed_tokens"] == 10
+    assert rows[1]["clean_text"] == (
+        " ".join(_tok(i) for i in range(15))
+        + " "
+        + " ".join(_tok(100 + i) for i in range(15))
+    )
+    assert rows[2]["clean_text"] == clean
+    assert rows[2]["removed_tokens"] == 0
