@@ -332,6 +332,84 @@ def source_cap(
     )
 
 
+def source_cap_twophase(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = 50,
+    salt: str = "cap",
+    margin: float = 4.0,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """The mega-domain-safe form of :func:`source_cap` — IDENTICAL
+    output, O(margin x cap) window state per source instead of
+    O(|source|).
+
+    Because the ranking key is a uniform hash, the top-``cap`` rows of
+    a source are exactly its ``cap`` smallest hashes, and the set
+    ``{h < t}`` is downward-closed in the ranking order (ties break by
+    doc_id but the filter is on the hash alone). So:
+
+    1. count rows per source (one partial-aggregated shuffle, tiny
+       result broadcast back);
+    2. map-only pre-filter: keep ``h < t`` where ``t`` targets
+       ``margin x cap`` expected survivors (sources smaller than
+       ``margin x cap`` keep everything — exact by construction);
+    3. rank only the survivors (window state ~``margin x cap``);
+    4. detect under-fill — a source whose kept count fell short of
+       ``min(cap, |source|)`` because the pre-filter was unlucky
+       (probability ~exp(-Θ(margin)), i.e. rare at margin 4) — and
+       re-rank JUST those sources without the pre-filter.
+
+    The equality with the single-window form is pinned in pytest at an
+    adversarial margin that forces the fallback path.
+    """
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source").withColumn(
+        "h", _bucket(salt, F.col("doc_id"))
+    )
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    want = float(margin) * cap
+    thr = F.when(F.col("n_src") <= want, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x",
+            (F.lit(want) / F.col("n_src") * F.lit(4294967296.0)).cast(
+                "bigint"
+            ),
+        )
+    )
+    with_thr = base.join(
+        F.broadcast(counts.select("source", "n_src", thr.alias("thr"))),
+        "source",
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    kept = (
+        with_thr.filter(F.col("h") < F.col("thr"))
+        .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("cap_rank") <= cap)
+    )
+    shortfall = (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(F.broadcast(counts), "source")
+        .filter(F.col("n_kept") < F.least(F.lit(cap), F.col("n_src")))
+        .select("source")
+    )
+    exact_refill = (
+        base.join(F.broadcast(shortfall), "source", "left_semi")
+        .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("cap_rank") <= cap)
+    )
+    good = kept.join(F.broadcast(shortfall), "source", "left_anti")
+    return good.select("doc_id", "source", "cap_rank").unionByName(
+        exact_refill.select("doc_id", "source", "cap_rank")
+    )
+
+
 def split_assign(
     spark: SparkSession,
     sf_dir: str,

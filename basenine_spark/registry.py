@@ -1577,6 +1577,14 @@ _register(
 )
 
 _register(
+    "sample_source_cap_twophase",
+    lambda s, d: sampling.source_cap_twophase(s, d),
+    None,  # mega-domain form: pre-filter to ~margin*cap rows/source then
+    # rank; exact-equality vs the single-window form pinned in pytest,
+    # including a forced-fallback adversarial margin
+)
+
+_register(
     "text_chunks",
     lambda s, d: pipeline.chunk_documents(s, d),
     None,  # overlapping token-window chunking (map-only, tail-aligned);

@@ -88,3 +88,84 @@ def test_salt_reshuffles_kept_set(spark):
         for r in sampling.source_cap(spark, SF, cap=7, salt="cap2").collect()
     }
     assert a != b
+
+
+# -- two-phase (mega-domain) form ------------------------------------------
+
+
+def test_twophase_equals_single_window(spark):
+    ref = sorted(
+        map(tuple, sampling.source_cap(spark, SF, cap=CAP).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            sampling.source_cap_twophase(spark, SF, cap=CAP).collect(),
+        )
+    )
+    assert got == ref
+
+
+def test_twophase_equals_under_adversarial_margin(spark):
+    # cap 10 < every source's 25 docs and margin 1.0: expected
+    # survivors == cap, so sources under-fill with ~50% probability and
+    # take the exact re-rank fallback — output must STILL be identical
+    # to the single-window form. Guard first that the pre-filter
+    # actually starves at least one source (non-vacuous test).
+    from pyspark.sql import functions as F
+
+    from basenine_spark.ops.sampling import _bucket
+    from basenine_spark.sources.tables import load_table
+
+    cap, want = 10, 10.0
+    base = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "source")
+        .withColumn("h", _bucket("cap", F.col("doc_id")))
+    )
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    thr = F.when(F.col("n_src") <= want, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x",
+            (F.lit(want) / F.col("n_src") * F.lit(4294967296.0)).cast(
+                "bigint"
+            ),
+        )
+    )
+    survivors = (
+        base.join(
+            counts.select("source", "n_src", thr.alias("thr")), "source"
+        )
+        .filter(F.col("h") < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    starved = survivors.filter(F.col("n_kept") < cap).count()
+    assert starved > 0, "margin 1.0 starved no source — test is vacuous"
+
+    ref = sorted(
+        map(tuple, sampling.source_cap(spark, SF, cap=cap).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            sampling.source_cap_twophase(
+                spark, SF, cap=cap, margin=1.0
+            ).collect(),
+        )
+    )
+    assert got == ref
+
+
+def test_twophase_small_sources_kept_whole(spark):
+    # cap larger than every source: output = every doc, rank contiguous
+    ref = sorted(
+        map(tuple, sampling.source_cap(spark, SF, cap=10**6).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            sampling.source_cap_twophase(spark, SF, cap=10**6).collect(),
+        )
+    )
+    assert got == ref
