@@ -1,0 +1,182 @@
+"""Distributed BPE (byte-pair encoding) vocabulary induction and
+subword tokenization — the tokenizer-training step of an LLM data
+pipeline, Spark-first.
+
+The classic algorithm (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units", ACL'16 — public) trains on the WORD-
+FREQUENCY table, not the corpus: merge decisions depend only on
+``{word_type: count}``. That factorization is exactly what makes the
+op scale — a 100 TB corpus reduces to its word-type table with ONE
+partially-aggregated shuffle, the table is truncated to the top-V
+types (standard practice; V bounds driver memory the way the k-means /
+PQ codebook trainers bound their sample), and the merge loop runs on
+that bounded table. Tokenization then fans the learned merge ranks
+back out as a broadcast dict applied by an Arrow-batched UDF with a
+per-batch word memo — words repeat massively, so the memo turns
+per-token work into per-distinct-word work.
+
+Determinism: top-V selection orders by (count desc, word), the merge
+loop breaks pair-count ties lexicographically, and encoding applies
+the lowest-rank pair first — same corpus ⇒ same vocabulary ⇒ same
+tokenization, on any cluster layout.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
+                     # (PEP 563 is active in this file) via module globals
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def word_frequencies(
+    spark: SparkSession, sf_dir: str, top_v: int = 20000
+) -> DataFrame:
+    """Top-V word types by frequency (ties by word, ascending) — the
+    bounded training table. One explode + one partially-aggregated
+    shuffle; the top-V cut is a TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(top_v)
+    )
+
+
+def _train_merges(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic BPE merge loop over a (word, freq) table: each round
+    counts adjacent symbol pairs weighted by word frequency, merges the
+    most frequent pair (ties lexicographic), rewrites the table.
+    Runs driver-side on the bounded top-V table — O(V x avg_len) per
+    round. Returns [(left, right, pair_freq)] in merge order."""
+    table: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in word_freqs if w
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in table:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (l, r), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        merges.append((l, r, freq))
+        lr = l + r
+        new_table = []
+        for syms, c in table:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_table.append((out, c))
+        table = new_table
+    return merges
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    num_merges: int = 64,
+    top_v: int = 20000,
+) -> DataFrame:
+    """Learn the BPE merge table from the corpus. Output: (rank, left,
+    right, pair_freq), rank = merge priority starting at 0."""
+    wf = [
+        (r["word"], int(r["freq"]))
+        for r in word_frequencies(spark, sf_dir, top_v).collect()
+    ]
+    merges = _train_merges(wf, num_merges)
+    return spark.createDataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank long, left string, right string, pair_freq long",
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE encoding of one word."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_i, best_rank = i, rk
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    num_merges: int = 64,
+    top_v: int = 20000,
+) -> DataFrame:
+    """Per-document subword token count under the corpus-trained BPE
+    vocabulary — the number that sizes a training run (token budget),
+    which whitespace counting only approximates.
+
+    The merge table is collected once (bounded: ``num_merges`` rows)
+    and BROADCAST; encoding is an Arrow-batched pandas UDF whose
+    per-batch ``{word: len(subwords)}`` memo makes the cost
+    per-distinct-word. The corpus is scanned once, map-only.
+
+    Output: (doc_id, n_words, n_bpe_tokens).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merges = [
+        (r["left"], r["right"], int(r["rank"]))
+        for r in bpe_train(spark, sf_dir, num_merges, top_v).collect()
+    ]
+    ranks = {(l, r): k for l, r, k in merges}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    @pandas_udf("long")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        rk = bc.value
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            total = 0
+            for w in t.split(" "):
+                if not w:
+                    continue
+                n = memo.get(w)
+                if n is None:
+                    n = len(_encode_word(w, rk))
+                    memo[w] = n
+                total += n
+            out.append(total)
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+        .cast("bigint")
+        .alias("n_words"),
+        n_tokens(F.col("text")).alias("n_bpe_tokens"),
+    )

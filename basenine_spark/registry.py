@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .bfl.compiler import UnsupportedBFL, compile_filter
 from .engine.db import BasenineDB
 from .ops import (
+    bpe,
     dedup,
     multimodal,
     pipeline,
@@ -1597,6 +1598,21 @@ _register(
     None,  # span-level benchmark decontamination (broadcast bench-gram
     # probe + interval merge + JVM rebuild); DuckDB replay + planted-leak
     # golden in tests/test_dedup_spans.py
+)
+
+_register(
+    "bpe_merges",
+    lambda s, d: bpe.bpe_train(s, d, num_merges=32),
+    None,  # BPE vocabulary induction on the word-frequency table; the
+    # type-factorization is differentially pinned against a naive
+    # full-token-stream reference + hand goldens in tests/test_bpe.py
+)
+
+_register(
+    "text_bpe_token_counts",
+    lambda s, d: bpe.bpe_token_counts(s, d, num_merges=32),
+    None,  # per-doc subword token counts under the learned merges;
+    # monotonicity/bounds + encode-priority semantics in tests/test_bpe.py
 )
 
 _register(
