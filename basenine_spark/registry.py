@@ -33,6 +33,7 @@ from .ops import (
     dedup,
     multimodal,
     pipeline,
+    quality_model,
     relational,
     sampling,
     similarity,
@@ -1613,6 +1614,14 @@ _register(
     lambda s, d: bpe.bpe_token_counts(s, d, num_merges=32),
     None,  # per-doc subword token counts under the learned merges;
     # monotonicity/bounds + encode-priority semantics in tests/test_bpe.py
+)
+
+_register(
+    "text_quality_model",
+    lambda s, d: quality_model.quality_model_scores(s, d),
+    None,  # weak-label quality classifier (HashingTF + distributed
+    # MLlib LogisticRegression); held-out AUC floor on a planted
+    # two-vocabulary corpus in tests/test_quality_model.py
 )
 
 _register(
