@@ -31,6 +31,7 @@ from .engine.db import BasenineDB
 from .ops import (
     bpe,
     dedup,
+    graph,
     multimodal,
     pipeline,
     quality_model,
@@ -1622,6 +1623,14 @@ _register(
     None,  # weak-label quality classifier (HashingTF + distributed
     # MLlib LogisticRegression); held-out AUC floor on a planted
     # two-vocabulary corpus in tests/test_quality_model.py
+)
+
+_register(
+    "knn_pagerank",
+    lambda s, d: graph.knn_pagerank(s, d, iters=5),
+    None,  # PageRank centrality over the k-NN graph (per-round
+    # localCheckpoint keyed-shuffle loop); exact numpy power-iteration
+    # agreement + mass conservation in tests/test_graph_pagerank.py
 )
 
 _register(
