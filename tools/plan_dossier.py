@@ -185,6 +185,38 @@ COMMENTARY: dict[str, str] = {
         "which caps per-task memory/work — the published algorithm's "
         "own scaling argument as a grouped-pandas stage."
     ),
+    "dedup_spans": (
+        "Duplicated-substring spans without a suffix array: positional "
+        "rolling-hash grams are scan-stage JVM expressions; the gram "
+        "count is a partial-aggregated `Exchange` over 8-byte longs "
+        "(boilerplate grams skew a count, never a pair join); the hits "
+        "probe is a keyed left-semi join (broadcast at this SF, SMJ via "
+        "AQE beyond); the interval merge is one doc_id-keyed window "
+        "whose state is bounded by document length. No cartesian "
+        "stage, no Python."
+    ),
+    "text_chunks": (
+        "Overlapping chunking is the degenerate ideal: ONE `Generate` "
+        "(posexplode of the per-row start list) inside the scan stage — "
+        "zero shuffles, zero Python, output streamed straight to the "
+        "sink at any corpus size."
+    ),
+    "sample_source_cap": (
+        "Domain cap: map-only content hash + a single "
+        "`Exchange hashpartitioning(source)` feeding one window rank — "
+        "per-task sort bounded by the source's own rows. The committed "
+        "two-phase twin (`sample_source_cap_twophase`) bounds window "
+        "state at O(margin x cap) for mega-domains and is pinned "
+        "bit-identical in pytest."
+    ),
+    "knn_pagerank": (
+        "PageRank composed over the LSH-bucketed k-NN edge list: each "
+        "iteration is two keyed shuffles (edges x ranks join, dst "
+        "aggregate) over a ~k x N edge table; per-round "
+        "`localCheckpoint` keeps the logical plan constant-size and "
+        "the only driver traffic is one dangling-mass scalar per "
+        "round."
+    ),
 }
 
 
