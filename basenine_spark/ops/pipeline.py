@@ -601,3 +601,53 @@ def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def release_balanced(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = 15,
+    n: int = 8,
+    salt: str = "cap",
+) -> DataFrame:
+    """Balanced-release composition: per-source domain cap →
+    duplicated-substring scrub (on the capped survivor set) →
+    content-stable train/val/test split → per-(split, source) manifest.
+    The publication a domain-balanced, substring-deduped dataset ships,
+    chained as ONE lazy plan so Catalyst shares the scan and pushes the
+    cap's semi join below the (expensive) gram stages — only survivors
+    ever tokenize or hash.
+
+    Manifest columns: split, source, n_docs, n_tokens (whitespace
+    tokens of the SCRUBBED text), removed_tokens. Every stage is the
+    already-verified operator (`sample_source_cap`,
+    `dedup_scrub_spans`, `sample_splits`); the pytest oracle replays
+    the whole composition in DuckDB, so the composed result — not just
+    each stage — is differentially pinned.
+    """
+    from .dedup import scrub_duplicate_spans
+    from .sampling import source_cap, split_assign
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    capped = source_cap(spark, sf_dir, cap=cap, salt=salt, docs=docs).select(
+        "doc_id", "source"
+    )
+    survivors = docs.join(capped.select("doc_id"), "doc_id", "left_semi")
+    scrubbed = scrub_duplicate_spans(spark, sf_dir, n=n, docs=survivors)
+    splits = split_assign(spark, sf_dir).select("doc_id", "split")
+    clean_tokens = F.size(
+        F.filter(F.split(F.col("clean_text"), " "), lambda w: w != "")
+    ).cast("bigint")
+    return (
+        scrubbed.join(capped, "doc_id")
+        .join(splits, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(clean_tokens).alias("n_tokens"),
+            F.sum("removed_tokens").alias("removed_tokens"),
+        )
+        .orderBy("split", "source")
+    )

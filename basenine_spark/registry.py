@@ -1634,6 +1634,14 @@ _register(
 )
 
 _register(
+    "pipeline_release_balanced",
+    lambda s, d: pipeline.release_balanced(s, d),
+    None,  # cap -> substring scrub -> split -> manifest as ONE lazy plan;
+    # whole-composition DuckDB replay + cap/scrub non-vacuity guards in
+    # tests/test_release_balanced.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

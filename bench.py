@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_spans",
     "text_chunks",
     "sample_source_cap",
+    "pipeline_release_balanced",
 ]
 
 
