@@ -710,7 +710,10 @@ def duplicate_spans(
     )
     hits = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
     return _merge_spans(hits, n).select(
-        "doc_id", "span_start", "span_end", "span_tokens"
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
     )
 
 

@@ -1557,9 +1557,43 @@ _register(
 _register(
     "dedup_spans",
     lambda s, d: dedup.duplicate_spans(s, d),
-    None,  # exact duplicated-substring spans (Lee et al. ACL'22 family);
-    # DuckDB string-gram replay + boundary/intra-doc-repeat goldens in
-    # tests/test_dedup_spans.py
+    # exact duplicated-substring spans (Lee et al. ACL'22 family); the
+    # oracle replays the whole pipeline with STRING grams where Spark
+    # rolls xxhash64 — agreement also pins hash fidelity. Boundary /
+    # intra-doc-repeat goldens in tests/test_dedup_spans.py.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(l, pos, pos + 7), ' ') AS gram
+      FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS pos
+        FROM toks WHERE len(l) >= 8
+      )
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ), sp AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+             max(pos) + 7 - min(pos) + 1 AS span_tokens
+      FROM sp GROUP BY doc_id, span_id
+    )
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """,
 )
 
 _register(
@@ -1575,8 +1609,21 @@ _register(
 _register(
     "sample_source_cap",
     lambda s, d: sampling.source_cap(s, d),
-    None,  # per-source (domain) cap via content-stable hash rank;
-    # DuckDB replay + cap/contiguity invariants in tests/test_source_cap.py
+    # per-source (domain) cap via content-stable hash rank (cap 50);
+    # cap/contiguity/salt invariants in tests/test_source_cap.py
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5('cap' || cast(doc_id AS VARCHAR)),
+                                  1, 8),
+                        doc_id
+             ) AS cap_rank
+      FROM documents
+    )
+    SELECT doc_id, source, cap_rank FROM ranked WHERE cap_rank <= 50
+    """,
 )
 
 _register(
@@ -1590,8 +1637,32 @@ _register(
 _register(
     "text_chunks",
     lambda s, d: pipeline.chunk_documents(s, d),
-    None,  # overlapping token-window chunking (map-only, tail-aligned);
-    # DuckDB replay + coverage/shape invariants in tests/test_chunking.py
+    # overlapping token-window chunking (map-only, tail-aligned;
+    # size 64 / stride 48); coverage/shape goldens in tests/test_chunking.py
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id, l, greatest(1, len(l) - 64 + 1) AS mx FROM toks
+    ), st AS (
+      SELECT doc_id, l,
+             CASE WHEN s[-1] <> mx THEN list_append(s, mx) ELSE s END
+               AS starts
+      FROM (SELECT doc_id, l, mx, generate_series(1, mx, 48) AS s FROM m)
+    ), ex AS (
+      SELECT doc_id, l,
+             unnest(generate_series(1, len(starts))) - 1 AS chunk_idx,
+             unnest(starts) AS chunk_start
+      FROM st
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           least(64, len(l) - chunk_start + 1) AS chunk_tokens,
+           array_to_string(
+             list_slice(l, chunk_start, chunk_start + 63), ' '
+           ) AS chunk_text
+    FROM ex
+    """,
 )
 
 _register(
@@ -1636,9 +1707,85 @@ _register(
 _register(
     "pipeline_release_balanced",
     lambda s, d: pipeline.release_balanced(s, d),
-    None,  # cap -> substring scrub -> split -> manifest as ONE lazy plan;
-    # whole-composition DuckDB replay + cap/scrub non-vacuity guards in
-    # tests/test_release_balanced.py
+    # cap(15) -> substring scrub(n=8) -> 90/5/5 split -> per-(split,
+    # source) manifest, replayed wholesale; cap-binds / scrub-contributes
+    # non-vacuity guards in tests/test_release_balanced.py
+    """
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5('cap' || cast(doc_id AS VARCHAR)),
+                                  1, 8),
+                        doc_id
+             ) AS rnk
+      FROM base
+    ), surv AS (
+      SELECT b.doc_id, b.source, b.text
+      FROM base b JOIN ranked r USING (doc_id) WHERE r.rnk <= 15
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM surv
+    ), grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(l, pos, pos + 7), ' ') AS gram
+      FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS pos
+        FROM toks WHERE len(l) >= 8
+      )
+    ), rn AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+               AS rn
+      FROM grams
+    ), hits AS (
+      SELECT doc_id, pos FROM rn WHERE rn >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ), sp AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+             max(pos) + 7 - min(pos) + 1 AS span_tokens
+      FROM sp GROUP BY doc_id, span_id
+    ), cover AS (
+      SELECT doc_id, unnest(generate_series(span_start, span_end)) AS p
+      FROM spans
+    ), tokpos AS (
+      SELECT doc_id, l[i] AS tok, i FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM toks
+      )
+    ), per_doc AS (
+      SELECT t.doc_id,
+             count(*) FILTER (WHERE c.p IS NULL AND tok <> '') AS n_tok,
+             count(c.p) AS removed
+      FROM tokpos t
+      LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.i = c.p
+      GROUP BY t.doc_id
+    ), lbl AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5('split' || cast(doc_id AS VARCHAR)),
+                                 1, 8) < 'e6666666' THEN 'train'
+                  WHEN substring(md5('split' || cast(doc_id AS VARCHAR)),
+                                 1, 8) < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM surv
+    )
+    SELECT split, source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           sum(removed)::BIGINT AS removed_tokens
+    FROM per_doc JOIN surv USING (doc_id) JOIN lbl USING (doc_id)
+    GROUP BY split, source
+    """,
 )
 
 _register(
@@ -1685,7 +1832,8 @@ _PROMOTED = [
     # family in-window)
     "join_length_bands",
     "pipeline_curate",
-    "pipeline_pack",
+    # pipeline_pack: demoted late round 5 (green r3+r4) to fund the
+    # new-family promotions below
     "embedding_quantize",
     # round-4 additions: skew-salted join, shard-export manifest,
     # mixture sampling, quality-quantile filtering
@@ -1715,6 +1863,14 @@ _PROMOTED = [
     # pivot_segment_status — grouping-sets machinery stays held
     # in-window by agg_cube_orders)
     "pipeline_epoch_order",
+    # round-5 late additions: the substring-dedup / chunking / domain-cap
+    # / balanced-release families are NEW — no in-window survivor exists,
+    # so their SQL-replayable members take window slots (slots funded by
+    # demoting four multi-round-green entries listed in _DEMOTED)
+    "dedup_spans",
+    "text_chunks",
+    "sample_source_cap",
+    "pipeline_release_balanced",
 ]
 
 _DEMOTED = [
@@ -1778,6 +1934,16 @@ _DEMOTED = [
     "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest
     "ann_topk_pq",  # recall-approximate; floor pinned in pytest
     "ann_topk_ivfpq",  # composed index; recall floor pinned in pytest
+    # round-5 late demotions (each green r2/r3/r4 or r3/r4; families
+    # keep in-window survivors) funding the four new-family promotions
+    "pipeline_pack",  # pipeline family held by curate/shards/release/
+    # epoch_order/release_balanced; packing rule pinned in pytest
+    "anti_join_customers",  # left-anti semantics held in-window by
+    # dedup_incremental; relational family by cube/profile/length-bands
+    "bfl_time_arith_fold",  # F6-F7 folding pinned by the golden corpus
+    # + differential fuzz; BFL family keeps 8 in-window entries
+    "agg_pricing_summary",  # partial-agg family held by cube/profile;
+    # still benched every round as a headline query
     "multimodal_features",  # values pinned against a Python reference in pytest
     # round-5 demotions funding the four promotions above (each green
     # in CORRECTNESS_r02+r03+r04; the family keeps in-window survivors)

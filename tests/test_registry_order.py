@@ -104,6 +104,15 @@ def test_extension_surface_inside_window():
         "text_bm25_topk",
         "text_unigram_surprisal",
         "pipeline_epoch_order",
+        # round 5 late: NEW operator families (substring dedup,
+        # chunking, domain caps, balanced release) — SQL-replayable
+        # members take window slots; funded by demoting pipeline_pack,
+        # anti_join_customers, bfl_time_arith_fold, agg_pricing_summary
+        # (all multi-round green, families keep in-window survivors)
+        "dedup_spans",
+        "text_chunks",
+        "sample_source_cap",
+        "pipeline_release_balanced",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
