@@ -500,3 +500,115 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- perceptual hashing / image near-dup ------------------------------------
+
+
+def _phash_from_img(img) -> int:
+    """63-bit perceptual hash (pHash family, public): grayscale →
+    32x32 nearest resize → 2-D DCT-II → top-left 8x8 low-frequency
+    block minus the DC term → median threshold. Bit i of the result is
+    1 iff coefficient i exceeds the block median; 63 bits keeps the
+    value inside a signed 64-bit long."""
+    import numpy as np
+
+    g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    s = g[np.ix_(ys, xs)]
+    n = 32
+    k = np.arange(n)[:, None]
+    D = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    coef = D @ s @ D.T
+    block = coef[:8, :8].flatten()[1:]  # drop the DC coefficient
+    med = np.median(block)
+    bits = block > med
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL perceptual hash over BMP payloads: (id, ok, phash bigint).
+    Map-only ``mapInPandas``; non-BMP payloads come back ok=false."""
+    schema = f"{id_col} bigint, ok boolean, phash bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                img = _decode_bmp(bytes(payload) if payload is not None else b"")
+                if img is None:
+                    rows.append((rid, False, 0))
+                else:
+                    rows.append((rid, True, _phash_from_img(img)))
+            yield pd.DataFrame(rows, columns=[id_col, "ok", "phash"])
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def image_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 6,
+    media: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance —
+    the image-space analog of SimHash text dedup, with the SAME
+    pigeonhole guarantee: the 63-bit hash splits into 8 bands of 8
+    bits, a candidate pair must share at least one whole band, and any
+    pair within Hamming distance 7 provably does (8 bands, ≤7 differing
+    bits → one band untouched). So for ``max_hamming <= 7`` recall is
+    EXACT, not probabilistic — pinned against a numpy all-pairs brute
+    force in pytest.
+
+    Plan shape: decode+hash is one map-only Arrow pass; candidates come
+    from a join keyed on (band index, band value) — never all-pairs;
+    the verify is JVM ``bit_count(xor)`` on candidates only.
+
+    Output: (doc_id_a, doc_id_b, hamming), doc_id_a < doc_id_b.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("pigeonhole exactness requires max_hamming <= 7")
+    if media is None:
+        media = synth_media_table(spark, sf_dir)
+    imgs = media.filter(F.col("media_type") == "image/bmp")
+    hashes = image_phash(imgs).filter(F.col("ok")).select("doc_id", "phash")
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 7), "
+                "i -> shiftright(phash, i * 8) & 255)"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return (
+        cands.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1789,6 +1789,15 @@ _register(
 )
 
 _register(
+    "multimodal_image_near_dup",
+    lambda s, d: multimodal.image_near_dup(s, d),
+    None,  # pHash Hamming near-dup over real decoded BMPs; banded
+    # candidate join with pigeonhole-EXACT recall for hamming <= 7,
+    # pinned equal to a numpy all-pairs brute force in
+    # tests/test_image_phash.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

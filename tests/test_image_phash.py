@@ -1,0 +1,137 @@
+"""Perceptual hashing + image near-dup: hash invariances, and the
+banded candidate join must find EXACTLY the numpy brute-force pair set
+(pigeonhole exactness for Hamming <= 7)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from basenine_spark.ops import multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _gradient(w, h, bias):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            np.full_like(xx, bias % 256),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _noise(img, rng, amount=2):
+    out = img.astype(np.int16) + rng.integers(
+        -amount, amount + 1, img.shape
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _textured(rng, w, h):
+    """Low-frequency random image: an 8x8 random block upsampled — the
+    DCT low band carries strong structure, so the hash is robust to
+    pixel noise (a flat gradient's near-zero AC coefficients would sit
+    on the median threshold and flip on any perturbation)."""
+    block = rng.integers(0, 256, (8, 8, 3))
+    img = np.kron(block, np.ones((h // 8, w // 8, 1)))
+    return img[:h, :w].astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """3 base images, each with 2 slightly-noised copies, plus 6
+    distinct images — near-dup structure known by construction."""
+    rng = np.random.default_rng(7)
+    rows = []
+    did = 0
+    for b in range(3):
+        base = _textured(rng, 48 + b * 8, 40 + b * 8)
+        for copy in range(3):
+            img = base if copy == 0 else _noise(base, rng)
+            rows.append((did, "image/bmp", multimodal.encode_bmp(img)))
+            did += 1
+    for b in range(6):
+        rng2 = np.random.default_rng(100 + b)
+        img = rng2.integers(0, 256, (24 + b, 30 + b, 3)).astype(np.uint8)
+        rows.append((did, "image/bmp", multimodal.encode_bmp(img)))
+        did += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+
+
+def test_phash_deterministic_and_noise_robust(spark, planted):
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.image_phash(planted).collect()
+    }
+    again = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.image_phash(planted).collect()
+    }
+    assert hashes == again
+    # noised copies stay within Hamming 7 of their base
+    for b in range(3):
+        base = hashes[b * 3]
+        for c in (1, 2):
+            d = bin(base ^ hashes[b * 3 + c]).count("1")
+            assert d <= 7, f"copy {b*3+c} drifted to hamming {d}"
+
+
+def test_near_dup_matches_brute_force_exactly(spark, planted):
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.image_phash(planted).collect()
+    }
+    for mh in (0, 4, 7):
+        expect = {
+            (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+            for a in hashes
+            for b in hashes
+            if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= mh
+        }
+        got = {
+            (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+            for r in multimodal.image_near_dup(
+                spark, SF, max_hamming=mh, media=planted
+            ).collect()
+        }
+        assert got == expect, f"mismatch at max_hamming={mh}"
+
+
+def test_planted_copies_found(spark, planted):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in multimodal.image_near_dup(
+            spark, SF, max_hamming=7, media=planted
+        ).collect()
+    }
+    for b in range(3):
+        ids = [b * 3, b * 3 + 1, b * 3 + 2]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert (ids[i], ids[j]) in pairs
+
+
+def test_non_bmp_payloads_flagged(spark):
+    df = spark.createDataFrame(
+        [(0, b"not an image"), (1, b"")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["ok"] for r in multimodal.image_phash(df).collect()}
+    assert rows == {0: False, 1: False}
+
+
+def test_bad_threshold_rejected(spark):
+    with pytest.raises(ValueError):
+        multimodal.image_near_dup(spark, SF, max_hamming=8)
+
+
+def test_synth_table_entry_runs(spark):
+    out = multimodal.image_near_dup(spark, SF, max_hamming=6).collect()
+    for r in out:
+        assert r["doc_id_a"] < r["doc_id_b"]
+        assert 0 <= r["hamming"] <= 6
