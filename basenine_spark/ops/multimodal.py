@@ -612,3 +612,84 @@ def image_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- spectral features ------------------------------------------------------
+
+
+def _spectral_profile(x, sr: int, n_fft: int = 256, hop: int = 128):
+    """(n_frames, dominant_hz, centroid_hz) of a mono signal via a
+    Hann-windowed power spectrogram (numpy rfft — stdlib-free DSP).
+    Frames shorter than ``n_fft`` are dropped; returns None when the
+    signal yields no full frame."""
+    import numpy as np
+
+    n = len(x)
+    if n < n_fft or sr <= 0:
+        return None
+    n_frames = 1 + (n - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(n_fft)
+    spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+    mean_pow = spec.mean(axis=0)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    dom = float(freqs[int(mean_pow.argmax())])
+    total = float(mean_pow.sum())
+    centroid = float((freqs * mean_pow).sum() / total) if total > 0 else 0.0
+    return n_frames, dom, centroid
+
+
+def wav_spectral_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_fft: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """REAL spectral analysis over WAV payloads: Hann/rfft power
+    spectrogram → frame count, dominant frequency, spectral centroid.
+    The synthesized corpus is pure sines of known frequency, so pytest
+    pins actual frequency RECOVERY (|dominant - synthesized| within one
+    FFT bin), not just decode plumbing. Map-only ``mapInPandas``; the
+    windowed-frame matrix is one strided numpy view per payload."""
+    schema = (
+        f"{id_col} bigint, ok boolean, n_frames bigint, "
+        "dominant_hz double, centroid_hz double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                dec = _decode_wav(data)
+                prof = None
+                if dec is not None:
+                    sr, _nch, x = dec
+                    prof = _spectral_profile(x, sr, n_fft, hop)
+                if prof is None:
+                    rows.append((rid, False, 0, 0.0, 0.0))
+                else:
+                    nf, dom, cen = prof
+                    rows.append(
+                        (rid, True, nf, round(dom, 3), round(cen, 3))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "n_frames", "dominant_hz", "centroid_hz",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def media_spectral_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: spectral features of every synthesized WAV in
+    the mixed-media table (non-audio rows excluded upstream — the
+    filter prunes before any Python runs)."""
+    media = synth_media_table(spark, sf_dir)
+    return wav_spectral_features(
+        media.filter(F.col("media_type") == "audio/wav")
+    )

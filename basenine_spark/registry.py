@@ -1798,6 +1798,14 @@ _register(
 )
 
 _register(
+    "multimodal_spectral",
+    multimodal.media_spectral_entry,
+    None,  # Hann/rfft power spectrogram over real decoded WAVs; pytest
+    # pins corpus-wide recovery of the synthesized sine frequencies
+    # within one FFT bin (tests/test_wav_spectral.py)
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
