@@ -227,6 +227,13 @@ def main() -> int:
         # parts whose slope matters at crawl scale
         "text_bm25_topk",
         "text_unigram_surprisal",
+        # substring dedup + domain cap: the gram-count shuffle (~1 row
+        # per corpus token) and the per-source window are the slope
+        # carriers; note the 2× replica duplicates every doc, so
+        # dedup_spans' hit volume scales superlinearly BY DESIGN (every
+        # gram becomes duplicated) — the probe watches that worst case
+        "dedup_spans",
+        "sample_source_cap",
     ]
     probe: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled:
