@@ -190,3 +190,96 @@ def write_day_partitioned(
         .parquet(dest)
     )
     return dest
+
+
+# -- event-sequence analytics ----------------------------------------------
+
+
+def event_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: for every user, the timestamp at which
+    each funnel step was first reached, where step ``i+1`` must occur
+    STRICTLY after the user's step-``i`` time (the product-analytics
+    "did they view, then click, then buy" question — a sequential
+    pattern no single groupBy expresses).
+
+    Spark-first shape: ONE user-keyed shuffle. Each user's events are
+    collected sorted and a JVM ``aggregate`` higher-order fold walks
+    them once, appending a step time whenever the next unfilled step's
+    type appears after the previously filled time — the per-user state
+    is the (≤ len(steps)) filled-times array, and no Python runs
+    anywhere. Greedy-first-match is provably equal to the chained
+    ``min(ts) > prev`` formulation, which is exactly how the DuckDB
+    differential replays it (sequential per-step CTEs).
+
+    Output: (user_id, s1_ms, s2_ms, … — NULL where the user never
+    reached the step).
+    """
+    n = len(steps)
+    if n < 1:
+        raise ValueError("need at least one funnel step")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ms", "event_type"
+    )
+    steps_sql = ", ".join("'%s'" % s.replace("'", "''") for s in steps)
+    fold = (
+        "aggregate("
+        "  sort_array(evs), cast(array() as array<bigint>),"
+        "  (acc, e) -> IF("
+        f"    size(acc) < {n}"
+        f"    AND e.event_type = element_at(array({steps_sql}), size(acc) + 1)"
+        "    AND (size(acc) = 0 OR e.ts_ms > element_at(acc, -1)),"
+        "    concat(acc, array(e.ts_ms)), acc))"
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts_ms", "event_type")).alias("evs")
+    )
+    out = agg.select("user_id", F.expr(fold).alias("times"))
+    cols = [F.col("user_id")]
+    for i in range(n):
+        cols.append(
+            F.when(F.size("times") > i, F.element_at("times", i + 1))
+            .cast("bigint")
+            .alias(f"s{i + 1}_ms")
+        )
+    return out.select(*cols)
+
+
+WEEK_MS = 604_800_000
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their signup week (first
+    ``signup`` event), counted as active in each subsequent week they
+    produced any event — the (cohort, week-offset) retention triangle.
+
+    Weeks are epoch-week indexes (``ts_ms div 604800000``) — pure
+    integer arithmetic, engine- and timezone-independent, so the DuckDB
+    replay is bit-identical. Plan: one user-keyed aggregate for the
+    cohort week, one broadcast-friendly join back, one
+    (cohort, offset)-keyed distinct-count — all partial-aggregated.
+
+    Output: (cohort_week, week_offset, n_users), offsets >= 0 only.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ms", "event_type"
+    )
+    wk = F.expr(f"ts_ms div {WEEK_MS}")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wk).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )

@@ -1806,6 +1806,23 @@ _register(
 )
 
 _register(
+    "events_funnel_steps",
+    lambda s, d: timeseries.event_funnel(s, d),
+    None,  # ordered funnel via a JVM fold over per-user sorted events;
+    # greedy-first-match proven equal to the chained-min CTE form by the
+    # DuckDB differential + strictly-after goldens in
+    # tests/test_event_analytics.py
+)
+
+_register(
+    "events_cohort_retention",
+    lambda s, d: timeseries.cohort_retention(s, d),
+    None,  # signup-week cohort retention triangle (epoch-week integer
+    # arithmetic, engine-independent); DuckDB differential + hand-built
+    # triangle in tests/test_event_analytics.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

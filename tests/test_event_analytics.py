@@ -1,0 +1,155 @@
+"""Event-sequence analytics: funnel (greedy fold ≡ chained-min CTEs)
+and cohort retention, both DuckDB-differential at sf0.001 plus
+hand-built orderings that pin the strictly-after semantics."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from basenine_spark.ops import timeseries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(json.dumps([repr(row[i]) for i in order]) for row in rows)
+
+
+def test_funnel_matches_duckdb_chained_mins(spark, duck):
+    sdf = timeseries.event_funnel(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        """
+        WITH s1 AS (
+          SELECT user_id, min(epoch_ms(ts)) AS s1_ms
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, min(epoch_ms(e.ts)) AS s2_ms
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.s1_ms
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, min(epoch_ms(e.ts)) AS s3_ms
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.s2_ms
+          GROUP BY e.user_id
+        )
+        SELECT u.user_id, s1_ms, s2_ms, s3_ms
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_retention_matches_duckdb(spark, duck):
+    sdf = timeseries.cohort_retention(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        """
+        WITH cohorts AS (
+          SELECT user_id, min(epoch_ms(ts) // 604800000) AS cohort_week
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), activity AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+          FROM events
+        )
+        SELECT cohort_week, (week - cohort_week) AS week_offset,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM activity JOIN cohorts USING (user_id)
+        WHERE week >= cohort_week
+        GROUP BY cohort_week, week_offset
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def _write_events(tmp_path, rows):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1000 for r in rows], pa.timestamp("ms")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    return str(d)
+
+
+def test_funnel_strictly_after_semantics(spark, tmp_path):
+    rows = [
+        # user 1: completes in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE view — click at 5 must not count;
+        # the click at 25 does
+        (2, 5, "click"), (2, 15, "view"), (2, 25, "click"),
+        # user 3: purchase before click — never reaches step 3
+        (3, 10, "view"), (3, 12, "purchase"), (3, 20, "click"),
+        # user 4: same-ms view+click — strict ordering rejects the tie
+        (4, 10, "view"), (4, 10, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: (r["s1_ms"], r["s2_ms"], r["s3_ms"])
+        for r in timeseries.event_funnel(spark, sf).collect()
+    }
+    assert got[1] == (10000, 20000, 30000)
+    assert got[2] == (15000, 25000, None)
+    assert got[3] == (10000, 20000, None)
+    assert got[4] == (10000, None, None)
+
+
+def test_retention_triangle_on_hand_built(spark, tmp_path):
+    wk = 604800
+    rows = [
+        (1, 0 * wk + 100, "signup"), (1, 1 * wk + 100, "view"),
+        (1, 3 * wk + 100, "click"),
+        (2, 0 * wk + 200, "signup"), (2, 0 * wk + 300, "view"),
+        # user 3 signs up in week 1, active week 1 only
+        (3, 1 * wk + 100, "signup"),
+        # user 4 never signs up — excluded entirely
+        (4, 2 * wk, "view"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in timeseries.cohort_retention(spark, sf).collect()
+    }
+    assert got == {
+        (0, 0): 2,  # users 1 and 2 active in their signup week
+        (0, 1): 1,  # user 1
+        (0, 3): 1,  # user 1
+        (1, 0): 1,  # user 3
+    }
