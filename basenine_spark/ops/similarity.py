@@ -819,3 +819,121 @@ def knn_graph(
         )
         .select("src", "dst", "sim", "rank", "mutual")
     )
+
+
+# -- embedding distribution drift -------------------------------------------
+
+
+def embedding_drift(
+    spark: SparkSession,
+    ref_dir: str,
+    cur_dir: str,
+    table: str = "embeddings",
+) -> DataFrame:
+    """Embedding-space drift between two dataset releases: per-dimension
+    mean/std of the reference vs the candidate corpus plus their deltas
+    — the monitor that catches a silently retrained or re-normalized
+    encoder before it poisons ANN indexes and dedup thresholds (the
+    embedding-space sibling of the tabular ``profile_drift``).
+
+    Plan: ``posexplode`` pivots (vector, dim) → (dim, value) so the
+    statistics are ONE partial-aggregated shuffle keyed on the (tiny)
+    dimension index per corpus, then a dim-keyed join of two
+    64-row aggregates. The explode multiplies rows by dim but carries
+    8-byte pairs, and the partial aggregation collapses them within the
+    scan stage — corpus size never reaches the shuffle.
+
+    Output: (dim, mean_ref, mean_cur, mean_delta, std_ref, std_cur),
+    all rounded to 4 decimals; 0-based dim index.
+    """
+
+    def stats(sf_dir: str, suffix: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, table)
+        vals = emb.select(
+            F.posexplode("embedding").alias("dim", "val")
+        )
+        return vals.groupBy("dim").agg(
+            F.round(F.avg("val"), 4).alias(f"mean_{suffix}"),
+            F.round(F.stddev_pop("val"), 4).alias(f"std_{suffix}"),
+        )
+    ref = stats(ref_dir, "ref")
+    cur = stats(cur_dir, "cur")
+    return ref.join(cur, "dim").select(
+        "dim",
+        "mean_ref",
+        "mean_cur",
+        F.round(F.col("mean_cur") - F.col("mean_ref"), 4).alias(
+            "mean_delta"
+        ),
+        "std_ref",
+        "std_cur",
+    )
+
+
+# -- contrastive pair mining ------------------------------------------------
+
+
+def contrastive_triplets(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    sim_floor: float = 0.2,
+    tables: int = 24,
+    bits: int = 5,
+    salt: str = "neg",
+) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for contrastive /
+    metric-learning training — positives are the anchor's nearest
+    neighbors (from :func:`knn_graph`, sim >= ``sim_floor``), negatives
+    a content-stable pseudo-random draw from the corpus, RNG-free so a
+    re-run (or another engine) emits the identical training set.
+
+    The negative for (anchor, positive) is ``xxhash64(anchor, positive,
+    salt) mod N`` over the corpus id range — a map-only expression, no
+    sampling join. Draws that collide with the anchor, the positive, or
+    any of the anchor's k-NN neighbors are DROPPED (not re-drawn): at k
+    neighbors out of N vectors the loss is ~(k+2)/N of triplets,
+    deterministic, and the join that enforces it is the (already
+    bounded) edge list — the standard price for closed-form negatives.
+
+    Output: (anchor, positive, negative, pos_sim, neg_sim), both sims
+    rounded to 4; pos_sim comes from the graph, neg_sim is computed
+    exactly for the mined negative.
+    """
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    edges = knn_graph(spark, sf_dir, k=k, tables=tables, bits=bits).filter(
+        F.col("sim") >= sim_floor
+    )
+    cand = edges.select(
+        F.col("src").alias("anchor"),
+        F.col("dst").alias("positive"),
+        F.col("sim").alias("pos_sim"),
+        F.pmod(
+            F.xxhash64(F.col("src"), F.col("dst"), F.lit(salt)),
+            F.lit(n_vecs),
+        ).alias("negative"),
+    )
+    cand = cand.filter(
+        (F.col("negative") != F.col("anchor"))
+        & (F.col("negative") != F.col("positive"))
+    ).join(
+        edges.select(
+            F.col("src").alias("anchor"), F.col("dst").alias("negative")
+        ),
+        ["anchor", "negative"],
+        "left_anti",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("e_a"))
+    n = emb.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("e_n"))
+    return (
+        cand.join(a, "anchor")
+        .join(n, "negative")
+        .select(
+            "anchor",
+            "positive",
+            "negative",
+            "pos_sim",
+            F.round(cosine(F.col("e_a"), F.col("e_n")), 4).alias("neg_sim"),
+        )
+    )

@@ -1823,6 +1823,22 @@ _register(
 )
 
 _register(
+    "embedding_drift_releases",
+    lambda s, d: similarity.embedding_drift(s, "/root/testdata/sf0.001", d),
+    None,  # per-dimension embedding-space drift between two releases
+    # (posexplode -> dim-keyed partial agg); DuckDB differential +
+    # planted-shift golden in tests/test_embedding_drift_triplets.py
+)
+
+_register(
+    "embedding_triplets",
+    lambda s, d: similarity.contrastive_triplets(s, d),
+    None,  # RNG-free contrastive triplet mining (kNN positives,
+    # closed-form hash negatives); determinism/exclusion/margin gates in
+    # tests/test_embedding_drift_triplets.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
