@@ -570,19 +570,30 @@ def image_near_dup(
 
     Output: (doc_id_a, doc_id_b, hamming), doc_id_a < doc_id_b.
     """
-    if not 0 <= max_hamming <= 7:
-        raise ValueError("pigeonhole exactness requires max_hamming <= 7")
     if media is None:
         media = synth_media_table(spark, sf_dir)
     imgs = media.filter(F.col("media_type") == "image/bmp")
     hashes = image_phash(imgs).filter(F.col("ok")).select("doc_id", "phash")
+    return hamming_near_dup(hashes, "phash", max_hamming)
+
+
+def hamming_near_dup(
+    hashes: DataFrame, hash_col: str, max_hamming: int
+) -> DataFrame:
+    """Banded Hamming near-dup join over any 63-bit fingerprint column:
+    8 bands x 8 bits, candidate pairs share >=1 whole band (pigeonhole
+    => EXACT recall for max_hamming <= 7), verify = JVM
+    ``bit_count(xor)`` on candidates only. Input: (doc_id, hash_col);
+    output: (doc_id_a, doc_id_b, hamming), doc_id_a < doc_id_b."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("pigeonhole exactness requires max_hamming <= 7")
     bands = hashes.select(
         "doc_id",
-        "phash",
+        F.col(hash_col).alias("h"),
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 7), "
-                "i -> shiftright(phash, i * 8) & 255)"
+                f"transform(sequence(0, 7), "
+                f"i -> shiftright({hash_col}, i * 8) & 255)"
             )
         ).alias("band_idx", "band_val"),
     )
@@ -597,8 +608,8 @@ def image_near_dup(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
@@ -606,7 +617,7 @@ def image_near_dup(
         cands.select(
             "doc_id_a",
             "doc_id_b",
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
             .cast("bigint")
             .alias("hamming"),
         )
@@ -693,3 +704,70 @@ def media_spectral_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_spectral_features(
         media.filter(F.col("media_type") == "audio/wav")
     )
+
+
+# -- audio fingerprint near-dup ---------------------------------------------
+
+
+def _afp_from_signal(x, sr: int, n_fft: int = 256, hop: int = 128):
+    """63-bit spectral-shape fingerprint (Haitsma-Kalker family,
+    public): Hann/rfft mean power spectrum → 64 log-spaced-ish bands
+    (equal bin groups) → bit i = 1 iff band i+1 energy > band i.
+    Amplitude-invariant by construction (only energy *differences*
+    matter); robust to mild noise. None if no full frame."""
+    import numpy as np
+
+    n = len(x)
+    if n < n_fft or sr <= 0:
+        return None
+    n_frames = 1 + (n - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(n_fft)
+    spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+    mean_pow = spec.mean(axis=0)[1:]  # drop DC
+    bands = np.array_split(mean_pow, 64)
+    e = np.array([b.sum() for b in bands])
+    bits = e[1:] > e[:-1]
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio fingerprinting over WAV payloads: (id, ok, afp
+    bigint). Map-only ``mapInPandas``."""
+    schema = f"{id_col} bigint, ok boolean, afp bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                dec = _decode_wav(data)
+                fp = None
+                if dec is not None:
+                    sr, _nch, x = dec
+                    fp = _afp_from_signal(x, sr)
+                rows.append((rid, fp is not None, fp if fp is not None else 0))
+            yield pd.DataFrame(rows, columns=[id_col, "ok", "afp"])
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+def audio_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 6,
+    media: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint Hamming distance — the
+    audio member of the near-dup family, sharing
+    :func:`hamming_near_dup`'s pigeonhole-EXACT banded join with the
+    image pHash path. Output: (doc_id_a, doc_id_b, hamming)."""
+    if media is None:
+        media = synth_media_table(spark, sf_dir)
+    wavs = media.filter(F.col("media_type") == "audio/wav")
+    hashes = (
+        audio_fingerprint(wavs).filter(F.col("ok")).select("doc_id", "afp")
+    )
+    return hamming_near_dup(hashes, "afp", max_hamming)

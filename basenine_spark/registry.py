@@ -1839,6 +1839,15 @@ _register(
 )
 
 _register(
+    "multimodal_audio_near_dup",
+    lambda s, d: multimodal.audio_near_dup(s, d),
+    None,  # spectral-shape fingerprint (Haitsma-Kalker family) over real
+    # decoded WAVs; shares the pigeonhole-exact banded Hamming join with
+    # the image path; brute-force parity + robustness gates in
+    # tests/test_audio_fingerprint.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
