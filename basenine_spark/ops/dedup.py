@@ -835,3 +835,41 @@ def decontaminate_spans(
         .select("doc_id", "pos")
     )
     return _scrub_with_spans(train, _merge_spans(hits, n))
+
+
+def canonical_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Canonicalizing exact dedup: documents that differ only in case,
+    digit runs, or whitespace runs are the same document (the C4-style
+    normalization pass that catches templated near-copies — "Page 7 of
+    12" vs "page 3 of 9" boilerplate — which byte-exact dedup misses
+    and Jaccard wastes a pair join on).
+
+    Canonical form: lowercase → every digit run → ``0`` → whitespace
+    runs collapsed → trimmed. Pure JVM ``regexp_replace`` chain in the
+    scan stage; then the same (hash, min_id) group-by as
+    :func:`exact_dedup` — one keyed shuffle carrying fixed-width rows.
+
+    Output: (canon_hash, doc_id = min id of the group, dup_cnt).
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"),
+            "[\\s]+",
+            " ",
+        )
+    )
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5(canon).alias("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )

@@ -1848,6 +1848,14 @@ _register(
 )
 
 _register(
+    "dedup_canonical",
+    lambda s, d: dedup.canonical_dedup(s, d),
+    None,  # canonicalizing exact dedup (lowercase / digit-run / whitespace
+    # normalization, JVM regexp chain); DuckDB replay + templated-copy
+    # golden in tests/test_dedup_spans.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

@@ -319,3 +319,42 @@ def test_decontaminate_cuts_exactly_the_leak(spark, tmp_path):
     )
     assert rows[2]["clean_text"] == clean
     assert rows[2]["removed_tokens"] == 0
+
+
+# -- canonicalizing dedup ---------------------------------------------------
+
+
+def test_canonical_dedup_matches_duckdb(spark, duck):
+    sdf = dedup.canonical_dedup(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        r"""
+        SELECT md5(canon) AS canon_hash, min(doc_id) AS doc_id,
+               count(*)::BIGINT AS dup_cnt
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+                   '[\s]+', ' ', 'g')) AS canon
+          FROM documents WHERE text IS NOT NULL
+        )
+        GROUP BY 1
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_canonical_dedup_catches_templated_copies(spark, tmp_path):
+    texts = [
+        "Page 7 of 12 results for QUERY",
+        "page 3 of 9   results for query",   # same after canonicalization
+        "Page 7 of 12 results for OTHER",    # genuinely different
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = dedup.canonical_dedup(spark, sf).collect()
+    groups = {r["doc_id"]: r["dup_cnt"] for r in rows}
+    assert groups == {0: 2, 2: 1}
