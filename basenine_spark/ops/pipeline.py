@@ -651,3 +651,48 @@ def release_balanced(
         )
         .orderBy("split", "source")
     )
+
+
+def curriculum_order(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: int = 4,
+    seed: str = "cur0",
+) -> DataFrame:
+    """Curriculum schedule: partition the corpus into quality stages
+    (easy → hard by stopword-ratio quartile — higher stop_ratio ≈
+    simpler prose first) and give every document a deterministic
+    position inside its stage via the seeded content hash — the
+    reproducible "which documents does the trainer see in phase s"
+    schedule, an epoch ordering (:func:`epoch_order`) stratified by a
+    difficulty signal.
+
+    Stage assignment is an ``ntile`` over the (score, doc_id) order —
+    one range exchange; the within-stage rank is a stage-keyed window
+    over the seeded hash. RNG-free end to end: same corpus + seed ⇒
+    identical schedule on any engine.
+
+    Output: (doc_id, stage 1..stages, seq 1.. within stage).
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    q = quality_score(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    w_stage = Window.orderBy(
+        F.col("stop_ratio").desc(), F.col("doc_id").asc()
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    staged = q.select(
+        "doc_id",
+        F.ntile(stages).over(w_stage).alias("stage"),
+        h.alias("h"),
+    )
+    w_seq = Window.partitionBy("stage").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return staged.select(
+        "doc_id",
+        "stage",
+        F.row_number().over(w_seq).cast("bigint").alias("seq"),
+    )

@@ -1856,6 +1856,23 @@ _register(
 )
 
 _register(
+    "agg_equi_depth_histogram",
+    lambda s, d: relational.equi_depth_histogram(s, d),
+    None,  # exact equal-frequency histogram (global ntile); DuckDB
+    # differential + depth/range invariants in
+    # tests/test_histogram_curriculum.py; approx twin =
+    # agg_quantile_sketch
+)
+
+_register(
+    "pipeline_curriculum_order",
+    lambda s, d: pipeline.curriculum_order(s, d),
+    None,  # quality-stratified reproducible schedule (ntile stages +
+    # seeded within-stage hash rank); DuckDB differential + stage/seq
+    # invariants in tests/test_histogram_curriculum.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
