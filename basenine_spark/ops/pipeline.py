@@ -668,9 +668,12 @@ def curriculum_order(
     difficulty signal.
 
     Stage assignment is an ``ntile`` over the (score, doc_id) order —
-    one range exchange; the within-stage rank is a stage-keyed window
-    over the seeded hash. RNG-free end to end: same corpus + seed ⇒
-    identical schedule on any engine.
+    NOTE: an unpartitioned ntile plans a single-partition sort (the
+    exact-quartile reference semantics; at crawl scale swap the stage
+    boundary for an ``approx_value_quantiles`` threshold, keeping the
+    map-only bucket comparison). The within-stage rank is a
+    stage-keyed window over the seeded hash. RNG-free end to end: same
+    corpus + seed ⇒ identical schedule on any engine.
 
     Output: (doc_id, stage 1..stages, seq 1.. within stage).
     """

@@ -641,13 +641,15 @@ def equi_depth_histogram(
     tails; equal-DEPTH buckets expose them as wide value ranges).
 
     ``ntile(k)`` over the global value order assigns ranks; one
-    aggregation per bucket emits (lo, hi, count). The global sort
-    behind ntile is a single range-partitioned exchange — Spark's sort
-    machinery at its best case (no per-key state) — and k stays tiny.
-    For 100 TB-scale columns the approximate twin is
-    :func:`approx_value_quantiles` (percentile sketch, one pass,
-    map-side combine); this exact form is the oracle-checkable
-    reference semantics.
+    aggregation per bucket emits (lo, hi, count). Honest scale note:
+    an unpartitioned window ntile plans an ``Exchange SinglePartition``
+    — the whole column sorts through one task, which is fine up to
+    ~10^8 rows and is the price of EXACT equal-frequency semantics (the
+    oracle-checkable reference). At 100 TB use the one-pass map-side
+    sketch :func:`approx_value_quantiles` (same bucket boundaries
+    within sketch error, no global sort), or derive boundaries from it
+    and bucket by range comparison — both shapes already in this
+    module.
 
     Output: (bucket 1..k, lo, hi, n_rows), values rounded to 4.
     """
