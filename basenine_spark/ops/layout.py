@@ -1,0 +1,169 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional clustering
+so that a file/row-group's min-max statistics prune scans on EITHER
+(or both) of two query columns, where a single-column sort only helps
+its leading column. The layout trick behind Delta/Iceberg OPTIMIZE
+ZORDER, built from Spark primitives: equal-width bucketize each
+column, interleave the bucket bits into a Morton key (pure JVM bit
+expressions), then ``repartitionByRange + sortWithinPartitions`` on
+the key so each output file covers a compact hyper-rectangle.
+
+Everything is one pass + one range exchange; the min/max bounds come
+from a single tiny aggregate. The benefit is MEASURED in pytest, not
+asserted rhetorically: footer statistics of the written files are read
+back and a 2-D box query must overlap strictly fewer files than the
+same data laid out by id order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def morton_key(xb: Column, yb: Column, bits: int = 10) -> Column:
+    """Interleave two ``bits``-wide bucket indexes into a Morton code.
+    Folded shift/mask JVM expressions — no UDF, codegen-friendly."""
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        key = (
+            key
+            + (F.shiftright(xb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+            + (
+                F.shiftright(yb, i).bitwiseAND(F.lit(1))
+                * F.lit(1 << (2 * i + 1))
+            )
+        )
+    return key
+
+
+def _bucketize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Equal-width bucket index in [0, 2^bits): map-only arithmetic on
+    broadcast min/max bounds (degenerate hi==lo collapses to 0)."""
+    n = 1 << bits
+    span = hi - lo
+    raw = F.when(span <= 0, F.lit(0)).otherwise(
+        F.floor((col - lo) / span * n)
+    )
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("bigint")
+
+
+def zorder_write(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    x_col: str = "user_id",
+    y_col: str = "value",
+    bits: int = 10,
+    files: int = 16,
+    table: str = "events",
+) -> str:
+    """Write ``table`` Z-ordered on (x_col, y_col): bucketize both
+    columns over their global min/max (one scalar aggregate), Morton-
+    interleave, range-partition into ``files`` output files sorted by
+    the key. Each file then covers a compact rectangle of the
+    (x, y) space — its parquet footer min/max on BOTH columns is
+    tight, and any engine's stats-based pruning (including this one's)
+    skips non-overlapping files for 2-D box predicates."""
+    df = load_table(spark, sf_dir, table).filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    bounds = df.agg(
+        F.min(x_col).alias("x_lo"),
+        F.max(x_col).alias("x_hi"),
+        F.min(y_col).alias("y_lo"),
+        F.max(y_col).alias("y_hi"),
+    ).collect()[0]
+    xb = _bucketize(
+        F.col(x_col).cast("double"),
+        F.lit(float(bounds["x_lo"])),
+        F.lit(float(bounds["x_hi"])),
+        bits,
+    )
+    yb = _bucketize(
+        F.col(y_col).cast("double"),
+        F.lit(float(bounds["y_lo"])),
+        F.lit(float(bounds["y_hi"])),
+        bits,
+    )
+    (
+        df.withColumn("zkey", morton_key(xb, yb, bits))
+        .repartitionByRange(files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    return dest
+
+
+def files_overlapping_box(
+    path: str,
+    x_col: str,
+    x_range: tuple,
+    y_col: str,
+    y_range: tuple,
+) -> tuple[int, int]:
+    """(overlapping, total) parquet files under ``path`` whose footer
+    min/max statistics intersect the 2-D box — exactly the skip
+    decision a stats-driven scan makes, measured from the real
+    footers (pyarrow, driver-side metadata only)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = overlap = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        schema_names = md.schema.to_arrow_schema().names
+        xi, yi = schema_names.index(x_col), schema_names.index(y_col)
+        x_lo = min(md.row_group(g).column(xi).statistics.min for g in range(md.num_row_groups))
+        x_hi = max(md.row_group(g).column(xi).statistics.max for g in range(md.num_row_groups))
+        y_lo = min(md.row_group(g).column(yi).statistics.min for g in range(md.num_row_groups))
+        y_hi = max(md.row_group(g).column(yi).statistics.max for g in range(md.num_row_groups))
+        total += 1
+        if x_hi >= x_range[0] and x_lo <= x_range[1] and y_hi >= y_range[0] and y_lo <= y_range[1]:
+            overlap += 1
+    return overlap, total
+
+
+def zorder_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: write the events table twice (Z-ordered on
+    (user_id, value) vs event_id-ordered), measure how many files a
+    selective 2-D box query overlaps under each layout from the real
+    parquet footers, and return the comparison — the layout op's
+    benefit as data, not prose. Output: (layout, files_hit,
+    files_total)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="zorder_bench_")
+    try:
+        files = 16
+        z_dest = zorder_write(spark, sf_dir, f"{tmp}/z", files=files)
+        src = load_table(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        id_dest = f"{tmp}/id"
+        (
+            src.repartitionByRange(files, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .parquet(id_dest)
+        )
+        box = dict(
+            x_col="user_id",
+            x_range=(2, 4),
+            y_col="value",
+            y_range=(10.0, 25.0),
+        )
+        z_hit, z_total = files_overlapping_box(z_dest, **box)
+        id_hit, id_total = files_overlapping_box(id_dest, **box)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [("zorder", z_hit, z_total), ("id_order", id_hit, id_total)],
+        "layout string, files_hit int, files_total int",
+    )

@@ -32,6 +32,7 @@ from .ops import (
     bpe,
     dedup,
     graph,
+    layout,
     multimodal,
     pipeline,
     quality_model,
@@ -1870,6 +1871,15 @@ _register(
     None,  # quality-stratified reproducible schedule (ntile stages +
     # seeded within-stage hash rank); DuckDB differential + stage/seq
     # invariants in tests/test_histogram_curriculum.py
+)
+
+_register(
+    "layout_zorder",
+    lambda s, d: layout.zorder_effectiveness(s, d),
+    None,  # Z-order (Morton) layout rewrite; the entry MEASURES footer-
+    # stats file pruning for a 2-D box vs an id-ordered layout; Morton
+    # correctness + strict-pruning-advantage gates in
+    # tests/test_zorder_layout.py
 )
 
 _register(

@@ -1,0 +1,90 @@
+"""Z-order layout: Morton key correctness vs a pure-Python reference,
+data preservation through the rewrite, and the measured point — a 2-D
+box query must overlap strictly fewer z-ordered files than id-ordered
+files of the same data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from basenine_spark.ops import layout
+from basenine_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_morton(x, y, bits):
+    k = 0
+    for i in range(bits):
+        k |= ((x >> i) & 1) << (2 * i)
+        k |= ((y >> i) & 1) << (2 * i + 1)
+    return k
+
+
+def test_morton_key_matches_python(spark):
+    rows = [(x, y) for x in range(0, 1024, 37) for y in range(0, 1024, 41)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", layout.morton_key(F.col("x"), F.col("y"), 10).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _py_morton(r["x"], r["y"], 10)
+
+
+def test_zorder_preserves_data(spark, tmp_path):
+    dest = layout.zorder_write(spark, SF, str(tmp_path / "z"), files=8)
+    src = load_table(spark, SF, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    out = spark.read.parquet(dest)
+    assert out.count() == src.count()
+    assert sorted(r["event_id"] for r in out.select("event_id").collect()) == sorted(
+        r["event_id"] for r in src.select("event_id").collect()
+    )
+
+
+def test_box_query_prunes_more_files_than_id_order(spark, tmp_path):
+    files = 16
+    z_dest = layout.zorder_write(spark, SF, str(tmp_path / "z"), files=files)
+    # baseline: same rows, same file count, laid out by event_id order
+    src = load_table(spark, SF, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    id_dest = str(tmp_path / "id")
+    (
+        src.repartitionByRange(files, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(id_dest)
+    )
+    # a selective 2-D box: a few users x a narrow value band
+    box = dict(
+        x_col="user_id", x_range=(2, 4), y_col="value", y_range=(10.0, 25.0)
+    )
+    z_hit, z_total = layout.files_overlapping_box(z_dest, **box)
+    id_hit, id_total = layout.files_overlapping_box(id_dest, **box)
+    assert z_total == id_total == files
+    # id-ordered files all span the full (user, value) space — no
+    # pruning; the z-ordered layout must actually skip files
+    assert z_hit < id_hit, (z_hit, id_hit)
+    assert z_hit <= files // 2
+
+
+def test_query_results_identical_across_layouts(spark, tmp_path):
+    z_dest = layout.zorder_write(spark, SF, str(tmp_path / "z2"), files=8)
+    src = load_table(spark, SF, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    pred = (
+        (F.col("user_id").between(2, 4))
+        & (F.col("value").between(10.0, 25.0))
+    )
+    expect = sorted(
+        r["event_id"] for r in src.filter(pred).select("event_id").collect()
+    )
+    got = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(z_dest)
+        .filter(pred)
+        .select("event_id")
+        .collect()
+    )
+    assert got == expect
