@@ -873,3 +873,88 @@ def canonical_dedup(
             F.count(F.lit(1)).alias("dup_cnt"),
         )
     )
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """**Exact** asymmetric containment pairs: (doc_a, doc_b) where at
+    least ``threshold`` of A's distinct n-gram set also appears in B —
+    the quote/excerpt/subset-duplicate relation that symmetric Jaccard
+    misses entirely (a paragraph quoted inside a long article has high
+    containment but tiny Jaccard).
+
+    Prefix-filtered like PPJoin, adapted to the asymmetric bound: if
+    ``|A∩B| >= ceil(t*|A|)`` then at most ``|A| - ceil(t*|A|)`` of A's
+    shingles lie outside B, so indexing A's ``|A| - ceil(t*|A|) + 1``
+    rarest shingles against B's FULL postings provably reaches every
+    true pair (no order alignment needed because B is fully indexed —
+    the asymmetry moves all the pruning onto A's side). Verification
+    computes exact containment via ``array_intersect`` on candidates
+    only. No length filter applies — that's the point: |B| may dwarf
+    |A|.
+
+    Scale: joins keyed on 64-bit shingle hashes; candidate volume is
+    Σ over A-prefix occurrences of df(shingle) — rarest-first prefixes
+    keep df small, and a stop-shingle df cap bounds adversarial
+    boilerplate exactly as in the Jaccard variant (recall of *capped*
+    shingles is the only casualty, documented).
+
+    Output: (doc_a, doc_b, containment), doc_a ≠ doc_b (both
+    directions possible).
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    hsets = hashed_shingle_sets(docs, n).filter(F.size("shingles") > 0).cache()
+    exploded = hsets.select(
+        "doc_id",
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("sh"),
+    )
+    dfreq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = exploded.join(dfreq, "sh").groupBy("doc_id").agg(
+        F.first("sz").alias("sz"),
+        F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"),
+    )
+    prefix_n = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    prefix = ranked.withColumn("prefix_n", prefix_n).select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(
+            F.slice(
+                F.transform("ordered", lambda s: s.sh), 1, F.col("prefix_n")
+            )
+        ).alias("sh"),
+    )
+    postings = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
+    cands = (
+        prefix.join(postings, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = hsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = hsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size("sh_a").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

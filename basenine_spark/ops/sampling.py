@@ -447,3 +447,41 @@ def split_assign(
     for name, hi in reversed(bounds):
         label = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(label)
     return docs.select("doc_id", "source", label.alias("split"))
+
+
+def exact_n_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 100,
+    salt: str = "exn",
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Exactly-``n`` deterministic global sample: the ``n`` documents
+    with the smallest content-stable hash (ties by doc_id) — the
+    fixed-SIZE counterpart of the rate-based samplers (an eval set is
+    "1000 documents", not "0.1%"). Reproducible on any engine; like
+    any competitive selection, membership shifts as the corpus grows
+    (the rate-based samplers are the growth-stable family).
+
+    Plan: map-only hash + ``TakeOrderedAndProject`` (per-partition
+    top-n heaps merged on the driver, n bounded) — no global sort, no
+    full shuffle.
+
+    Output: (doc_id, source, sample_rank 1..n).
+    """
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    h = _bucket(salt, F.col("doc_id"))
+    ranked = (
+        docs.select("doc_id", "source", h.alias("h"))
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .limit(n)
+    )
+    w = Window.orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    )

@@ -1883,6 +1883,22 @@ _register(
 )
 
 _register(
+    "dedup_containment",
+    lambda s, d: dedup.containment_pairs(s, d),
+    None,  # exact asymmetric containment (quote/subset detection) via an
+    # A-prefix vs B-full-postings PPJoin adaptation; DuckDB brute-force
+    # parity + planted-quote golden in tests/test_containment_sample.py
+)
+
+_register(
+    "sample_exact_n",
+    lambda s, d: sampling.exact_n_sample(s, d),
+    None,  # exactly-n deterministic global sample (TakeOrdered on the
+    # content hash); DuckDB replay + nested-prefix property in
+    # tests/test_containment_sample.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
