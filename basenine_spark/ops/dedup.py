@@ -958,3 +958,94 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def containment_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Subset-dedup action over :func:`containment_pairs`: drop every
+    document that is ≥``threshold`` contained in a LARGER document
+    (ties on shingle-set size break by doc_id so mutual containment —
+    exact duplicates at the gram level — keeps exactly one side).
+    Quotes, excerpts, and partial scrapes disappear; their containers
+    survive.
+
+    Output: (doc_id, source) of the survivors.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
+    pairs = containment_pairs(spark, sf_dir, threshold, n, docs=docs)
+    sizes = hashed_shingle_sets(docs, n).select(
+        "doc_id", F.size("shingles").alias("sz")
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    drop = (
+        pairs.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .filter(
+            (F.col("sz_b") > F.col("sz_a"))
+            | (
+                (F.col("sz_b") == F.col("sz_a"))
+                & (F.col("doc_b") < F.col("doc_a"))
+            )
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+
+
+def cluster_best_quality(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-duplicate
+    cluster keep the HIGHEST-QUALITY member (longest text, ties by
+    doc_id) instead of the naive minimum id — what a production
+    curation run actually wants (the min-id copy may be the truncated
+    scrape; the best copy should represent the cluster).
+
+    Composition: the oracle-verified PPJoin pair graph → min-label
+    clustering → one cluster-keyed arg-max window. Singleton documents
+    (no near-dup) pass through as their own representative.
+
+    Output: (doc_id, cluster_id, n_chars, cluster_size) — one row per
+    cluster, doc_id = the chosen representative.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n, threshold, docs=docs)
+    clusters = connected_components(pairs.select("doc_a", "doc_b"))
+    membership = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        membership.withColumn("pick", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("pick") == 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )

@@ -1899,6 +1899,22 @@ _register(
 )
 
 _register(
+    "dedup_containment_survivors",
+    lambda s, d: dedup.containment_dedup(s, d),
+    None,  # subset-dedup action: drop docs contained in larger docs;
+    # planted-quote + mutual-containment goldens in
+    # tests/test_containment_sample.py
+)
+
+_register(
+    "dedup_cluster_best",
+    lambda s, d: dedup.cluster_best_quality(s, d),
+    None,  # quality-aware canonical selection (argmax n_chars per
+    # near-dup cluster); partition/representative invariants + planted
+    # truncated-copy golden in tests/test_containment_sample.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

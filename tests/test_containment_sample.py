@@ -141,3 +141,72 @@ def test_exact_n_is_prefix_stable(spark):
         for r in sampling.exact_n_sample(spark, SF, n=20).collect()
     }
     assert s20 == {k: v for k, v in s50.items() if k <= 20}
+
+
+# -- containment dedup action ----------------------------------------------
+
+
+def test_containment_dedup_drops_quote_keeps_article(spark, tmp_path):
+    quote = " ".join(f"q{i}" for i in range(12))
+    article = (
+        " ".join(f"w{i}" for i in range(60))
+        + " " + quote + " "
+        + " ".join(f"v{i}" for i in range(60))
+    )
+    other = " ".join(f"z{i}" for i in range(30))
+    sf = _write_docs(tmp_path, [quote, article, other])
+    kept = {
+        r["doc_id"]
+        for r in dedup.containment_dedup(spark, sf, threshold=0.8).collect()
+    }
+    assert kept == {1, 2}
+
+
+def test_containment_dedup_mutual_keeps_one(spark, tmp_path):
+    # two gram-identical docs (mutual containment 1.0): exactly one
+    # survives, chosen deterministically
+    a = " ".join(f"m{i}" for i in range(20))
+    sf = _write_docs(tmp_path, [a, a])
+    kept = {
+        r["doc_id"]
+        for r in dedup.containment_dedup(spark, sf, threshold=0.8).collect()
+    }
+    assert kept == {0}
+
+
+# -- quality-aware canonical selection -------------------------------------
+
+
+def test_cluster_best_quality_picks_longest(spark, tmp_path):
+    base = " ".join(f"c{i}" for i in range(30))
+    longer = base + " " + " ".join(f"x{i}" for i in range(5))
+    truncated = " ".join(f"c{i}" for i in range(22))
+    unrelated = " ".join(f"u{i}" for i in range(25))
+    sf = _write_docs(tmp_path, [truncated, base, longer, unrelated])
+    rows = {
+        r["cluster_id"]: r
+        for r in dedup.cluster_best_quality(
+            spark, sf, n=3, threshold=0.4
+        ).collect()
+    }
+    # the near-dup cluster {0,1,2} is represented by doc 2 (longest),
+    # labeled by its min id 0
+    assert rows[0]["doc_id"] == 2 and rows[0]["cluster_size"] == 3
+    # the unrelated doc is its own singleton representative
+    assert rows[3]["doc_id"] == 3 and rows[3]["cluster_size"] == 1
+
+
+def test_cluster_best_quality_sf_invariants(spark):
+    rows = dedup.cluster_best_quality(spark, SF).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    (n_docs,) = con.execute(
+        f"SELECT count(*) FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchone()
+    con.close()
+    # one representative per cluster; clusters partition the corpus
+    assert sum(r["cluster_size"] for r in rows) == n_docs
+    assert len({r["cluster_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["cluster_id"] <= r["doc_id"] or r["cluster_size"] > 1
