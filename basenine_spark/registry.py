@@ -31,6 +31,7 @@ from .engine.db import BasenineDB
 from .ops import (
     bpe,
     dedup,
+    expectations,
     graph,
     layout,
     multimodal,
@@ -1912,6 +1913,14 @@ _register(
     None,  # quality-aware canonical selection (argmax n_chars per
     # near-dup cluster); partition/representative invariants + planted
     # truncated-copy golden in tests/test_containment_sample.py
+)
+
+_register(
+    "events_expectations",
+    lambda s, d: expectations.events_expectations(s, d),
+    None,  # declarative data-quality gate (one conditional-agg pass +
+    # uniqueness); DuckDB differential + NULL-is-violation semantics in
+    # tests/test_expectations.py
 )
 
 _register(
