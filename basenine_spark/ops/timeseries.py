@@ -283,3 +283,55 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+def rolling_outliers(
+    spark: SparkSession,
+    sf_dir: str,
+    window_n: int = 50,
+    z_threshold: float = 3.0,
+    min_window: int = 10,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per event type: each
+    event's ``value`` scored against the mean/std of the previous
+    ``window_n`` same-type events — the monitoring primitive behind
+    "this metric just spiked" alerts, self-calibrating per key and
+    leak-free (the frame ends at the PREVIOUS row, so an outlier never
+    contaminates its own baseline).
+
+    One shuffle keyed on event_type; the frame state is a bounded
+    ``window_n``-row sliding aggregate. Scores are rounded to 4 before
+    thresholding so the flag is engine-stable (DuckDB differential in
+    pytest). Rows with fewer than ``min_window`` predecessors or zero
+    variance emit NULL score and false flag — warm-up is explicit, not
+    a fake z of 0.
+
+    Output: (event_id, event_type, ts_ms, value, zscore, is_outlier).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+        .rowsBetween(-window_n, -1)
+    )
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    cnt = F.count("value").over(w)
+    zscore = F.when(
+        (cnt >= min_window) & (sd > 0),
+        F.round((F.col("value") - mean) / sd, 4),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts_ms",
+        "value",
+        zscore.alias("zscore"),
+        F.coalesce(
+            F.abs(zscore) >= z_threshold, F.lit(False)
+        ).alias("is_outlier"),
+    )

@@ -1924,6 +1924,14 @@ _register(
 )
 
 _register(
+    "events_rolling_outliers",
+    lambda s, d: timeseries.rolling_outliers(s, d),
+    None,  # leak-free trailing-window z-score anomaly detection;
+    # DuckDB differential + planted-spike/warm-up goldens in
+    # tests/test_event_analytics.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

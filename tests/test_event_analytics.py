@@ -153,3 +153,66 @@ def test_retention_triangle_on_hand_built(spark, tmp_path):
         (0, 3): 1,  # user 1
         (1, 0): 1,  # user 3
     }
+
+
+# -- rolling z-score outliers ----------------------------------------------
+
+
+def test_rolling_outliers_match_duckdb(spark, duck):
+    sdf = timeseries.rolling_outliers(spark, SF, window_n=50)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        """
+        WITH ev AS (
+          SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value
+          FROM events WHERE value IS NOT NULL
+        ), scored AS (
+          SELECT event_id, event_type, ts_ms, value,
+            avg(value) OVER w AS m,
+            stddev_samp(value) OVER w AS sd,
+            count(value) OVER w AS c
+          FROM ev
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                       ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, event_type, ts_ms, value,
+               CASE WHEN c >= 10 AND sd > 0
+                    THEN round((value - m) / sd, 4) END AS zscore,
+               coalesce(abs(CASE WHEN c >= 10 AND sd > 0
+                    THEN round((value - m) / sd, 4) END) >= 3.0, false)
+                 AS is_outlier
+        FROM scored
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_rolling_outliers_flag_planted_spike(spark, tmp_path):
+    # jittered baseline (sd > 0) then a huge spike; the first
+    # min_window rows are warm-up and must be NULL-scored
+    rows = [(1, 100 + i, "view") for i in range(30)]
+    sf = _write_events(tmp_path, rows)
+    import pyarrow.parquet as pq_mod
+    import pyarrow as pa_mod
+
+    t = pq_mod.read_table(f"{sf}/events.parquet")
+    vals = [10.0 + (i % 5) * 0.1 for i in range(29)] + [1000.0]
+    t = t.set_column(
+        t.schema.get_field_index("value"), "value",
+        pa_mod.array(vals, pa_mod.float64()),
+    )
+    pq_mod.write_table(t, f"{sf}/events.parquet")
+    out = {
+        r["event_id"]: r
+        for r in timeseries.rolling_outliers(
+            spark, sf, window_n=50, min_window=10
+        ).collect()
+    }
+    spike = out[29]
+    assert spike["is_outlier"] and spike["zscore"] > 100
+    for i in range(10):
+        assert out[i]["zscore"] is None and not out[i]["is_outlier"]
