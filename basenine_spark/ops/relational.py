@@ -666,3 +666,70 @@ def equi_depth_histogram(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def psi_drift(
+    spark: SparkSession,
+    ref_dir: str,
+    cur_dir: str,
+    k: int = 10,
+    table: str = "events",
+    col: str = "value",
+) -> DataFrame:
+    """Population Stability Index between two releases of a numeric
+    column — THE model-monitoring drift metric: bucket boundaries come
+    from the REFERENCE release's equi-depth quantiles, both releases
+    are histogrammed against those fixed boundaries, and each bucket
+    contributes ``(p_cur - p_ref) * ln(p_cur / p_ref)`` (PSI > 0.2 is
+    the conventional "investigate" line).
+
+    Plan: the k-1 boundaries are exact reference percentiles (one
+    aggregate) folded into a literal CASE, so BOTH histogram passes are
+    map-only scans + one tiny bucket aggregate each — no join between
+    the releases until the k-row result. Laplace-smoothed counts keep
+    empty buckets finite, symmetrically on both sides.
+
+    Output: (bucket 1..k, p_ref, p_cur, psi_term), rounded to 6.
+    """
+    probs = [i / k for i in range(1, k)]
+    ref = load_table(spark, ref_dir, table).filter(F.col(col).isNotNull())
+    cur = load_table(spark, cur_dir, table).filter(F.col(col).isNotNull())
+    bounds = ref.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias(
+            "b"
+        )
+    ).collect()[0]["b"]
+
+    def bucket_of(c):
+        expr = F.lit(k)
+        for i in range(len(bounds) - 1, -1, -1):
+            expr = F.when(c <= F.lit(float(bounds[i])), F.lit(i + 1)).otherwise(
+                expr
+            )
+        return expr
+
+    def hist(df, name):
+        return (
+            df.select(bucket_of(F.col(col)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    h = hist(ref, "n_ref").join(hist(cur, "n_cur"), "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = h.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    ).collect()[0]
+    p_ref = (F.col("n_ref") + 1) / F.lit(float(tot["tr"] + k))
+    p_cur = (F.col("n_cur") + 1) / F.lit(float(tot["tc"] + k))
+    return h.select(
+        "bucket",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_term"
+        ),
+    )

@@ -1932,6 +1932,15 @@ _register(
 )
 
 _register(
+    "events_psi_drift",
+    lambda s, d: relational.psi_drift(s, "/root/testdata/sf0.001", d),
+    None,  # Population Stability Index vs the reference release
+    # (reference-quantile buckets folded to a literal CASE — both
+    # histogram passes map-only); DuckDB shared-boundary differential +
+    # planted-shift/identical-release gates in tests/test_psi_drift.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
