@@ -733,3 +733,54 @@ def psi_drift(
             "psi_term"
         ),
     )
+
+
+def skew_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    key: str = "user_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/aggregation skew diagnosis for a key column — the check you
+    run BEFORE a big keyed shuffle to decide between a plain hash join,
+    AQE skew splitting, and deterministic salting
+    (:func:`salted_revenue_by_status`): the ``top_k`` heaviest keys
+    with their share of all rows and their multiple of the mean key
+    size.
+
+    One partial-aggregated count + a TakeOrdered — diagnosing skew must
+    itself be skew-proof (a count aggregate is; a
+    ``collect_list``-style profile would not be). NULL keys are
+    profiled too (labelled) — null-key pileups are the most common
+    skew bomb in practice.
+
+    Output: (key_value string, n_rows, share, x_mean), ordered
+    heaviest-first; share/x_mean rounded to 6/2.
+    """
+    df = load_table(spark, sf_dir, table)
+    counts = df.groupBy(
+        F.coalesce(F.col(key).cast("string"), F.lit("<NULL>")).alias(
+            "key_value"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("total"), F.avg("n_rows").alias("mean_n")
+    ).collect()[0]
+    # floor(x*10^k + 0.5)/10^k instead of round(): Spark's round() on
+    # doubles goes through the shortest decimal repr (BigDecimal
+    # HALF_UP on "1.035"), DuckDB rounds the binary value — they
+    # disagree on repr-boundary values; floor of the shared binary
+    # quotient is bit-identical on both engines
+    share = F.col("n_rows") / F.lit(float(stats["total"]))
+    xmean = F.col("n_rows") / F.lit(float(stats["mean_n"]))
+    return (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+        .limit(top_k)
+        .select(
+            "key_value",
+            "n_rows",
+            (F.floor(share * 1e6 + 0.5) / 1e6).alias("share"),
+            (F.floor(xmean * 100 + 0.5) / 100).alias("x_mean"),
+        )
+    )

@@ -1941,6 +1941,14 @@ _register(
 )
 
 _register(
+    "events_skew_profile",
+    lambda s, d: relational.skew_profile(s, d),
+    None,  # heavy-key skew diagnosis (count-agg + TakeOrdered — itself
+    # skew-proof); DuckDB differential + share-sanity in
+    # tests/test_histogram_curriculum.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

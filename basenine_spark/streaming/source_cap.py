@@ -72,11 +72,24 @@ def source_cap_admit_stream(
     db: BasenineDB,
     cap: int = 50,
     query_name: str = "source_cap_admitted",
+    checkpoint: str | None = None,
+    sink_path: str | None = None,
 ):
     """Start the online domain-cap stream over a durable BasenineDB's
     log whose documents carry ``{"doc_id": …, "source": …}``; admitted
     documents land in the in-memory table ``query_name`` with their
-    admission rank. Returns the StreamingQuery."""
+    admission rank. Returns the StreamingQuery.
+
+    Pass a fixed ``checkpoint`` directory AND a ``sink_path`` to make
+    the stream RESUMABLE: the in-memory table sink is not
+    fault-tolerant (Spark refuses to recover it from a checkpoint), so
+    the resumable mode writes append-only Parquet instead; on restart
+    with the same checkpoint, Structured Streaming restores the
+    per-source admitted counts and the log offset, so a source that
+    filled its cap before a crash stays closed after — exactly-once
+    admission across restarts (pinned in pytest). The default
+    (memory sink, fresh timestamped checkpoint) matches the other
+    streaming twins' start-fresh behavior."""
     if db._log is None:
         raise ValueError(
             "source_cap_admit_stream requires a durable (path-backed) db"
@@ -100,13 +113,22 @@ def source_cap_admit_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+    ckpt = (
+        checkpoint
+        or f"{db._log.path}_srccap_ckpt_{int(time.time() * 1000)}"
+    )
+    if sink_path is not None:
+        return (
+            admitted.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink_path)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
     return (
         admitted.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
-        .option(
-            "checkpointLocation",
-            f"{db._log.path}_srccap_ckpt_{int(time.time() * 1000)}",
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )

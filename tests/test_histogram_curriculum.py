@@ -105,3 +105,42 @@ def test_curriculum_stage_and_seq_invariants(spark):
         assert sorted(seqs) == list(range(1, len(seqs) + 1))
     sizes = [len(v) for v in by_stage.values()]
     assert max(sizes) - min(sizes) <= 1
+
+
+# -- skew profile ----------------------------------------------------------
+
+
+def test_skew_profile_matches_duckdb(spark, duck):
+    sdf = relational.skew_profile(spark, SF, key="user_id", top_k=10)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        """
+        WITH counts AS (
+          SELECT coalesce(cast(user_id AS VARCHAR), '<NULL>') AS key_value,
+                 count(*) AS n_rows
+          FROM events GROUP BY 1
+        ), stats AS (
+          SELECT sum(n_rows)::DOUBLE AS total, avg(n_rows) AS mean_n
+          FROM counts
+        )
+        SELECT key_value, n_rows,
+               floor(n_rows / (SELECT total FROM stats) * 1e6 + 0.5) / 1e6
+                 AS share,
+               floor(n_rows / (SELECT mean_n FROM stats) * 100 + 0.5) / 100
+                 AS x_mean
+        FROM counts ORDER BY n_rows DESC, key_value ASC LIMIT 10
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) == 10
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_skew_profile_shares_sane(spark):
+    rows = relational.skew_profile(spark, SF, key="event_type", top_k=5).collect()
+    assert len(rows) == 5
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 0.01  # 5 types total
+    for r in rows:
+        assert r["x_mean"] > 0

@@ -71,3 +71,51 @@ def test_ranks_contiguous_per_source(spark, tmp_path):
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
     finally:
         sq.stop()
+
+
+def test_checkpoint_resume_preserves_cap_state(spark, tmp_path):
+    """Crash/restart contract: with a fixed checkpoint the restarted
+    stream restores per-source admitted counts and the log offset — a
+    source that filled its cap before the stop stays closed, ranks
+    continue, and already-processed batches are not re-emitted."""
+    db = BasenineDB(spark, path=str(tmp_path / "capstore3"))
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "admitted")
+
+    def _sink_rows(want, deadline_s=90):
+        deadline = time.time() + deadline_s
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:  # noqa: BLE001 — sink dir not created yet
+                rows = []
+            if len(rows) >= want:
+                break
+            time.sleep(0.5)
+        return rows
+
+    db.insert_json([_doc(i, "a") for i in range(3)] + [_doc(10, "b")])
+    sq = source_cap_admit_stream(db, cap=3, checkpoint=ckpt, sink_path=sink)
+    try:
+        rows = _sink_rows(4)
+        assert {(r["doc_id"], r["cap_rank"]) for r in rows} == {
+            (0, 1), (1, 2), (2, 3), (10, 1),
+        }
+    finally:
+        sq.stop()
+
+    # while the stream is DOWN: a would overflow, b gets two more
+    db.insert_json([_doc(20, "a"), _doc(21, "b"), _doc(22, "b")])
+    sq2 = source_cap_admit_stream(db, cap=3, checkpoint=ckpt, sink_path=sink)
+    try:
+        rows = _sink_rows(6)
+        got = {(r["doc_id"], r["source"], r["cap_rank"]) for r in rows}
+        # a was already full BEFORE the restart -> doc 20 dropped;
+        # b resumes at rank 2; first-run rows appear exactly once
+        assert got == {
+            (0, "a", 1), (1, "a", 2), (2, "a", 3), (10, "b", 1),
+            (21, "b", 2), (22, "b", 3),
+        }
+    finally:
+        sq2.stop()
