@@ -1049,3 +1049,47 @@ def cluster_best_quality(
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+def dedup_operating_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    t_min: float = 0.4,
+    grid: tuple = (0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    n: int = 3,
+) -> DataFrame:
+    """Threshold operating curve for near-dup removal: how many pairs
+    (and how many would-be-removed documents) each Jaccard threshold
+    yields — the tuning artifact you look at BEFORE committing a
+    threshold to a corpus, produced in ONE pair-generation run.
+
+    The exact PPJoin pass runs once at ``t_min`` (every pair above any
+    grid point is above ``t_min``, so one run covers the whole grid);
+    the per-threshold counts are then a broadcast-joined conditional
+    aggregate over the verified jaccard values. Cost = one
+    ``ngram_jaccard_pairs`` at the loosest threshold + an O(grid)
+    aggregate, instead of |grid| full passes.
+
+    Output: (threshold, n_pairs, n_docs_in_pairs), ascending.
+    """
+    if min(grid) < t_min:
+        raise ValueError("grid points must be >= t_min")
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=t_min).cache()
+    rows = []
+    for t in grid:
+        at_t = pairs.filter(F.col("jaccard") >= t)
+        agg = at_t.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(F.array("doc_a", "doc_b"))
+                    )
+                )
+            ).alias("n_docs"),
+        ).collect()[0]
+        rows.append((float(t), int(agg["n_pairs"]), int(agg["n_docs"])))
+    pairs.unpersist()
+    return spark.createDataFrame(
+        rows, "threshold double, n_pairs bigint, n_docs_in_pairs bigint"
+    )

@@ -12,6 +12,9 @@ driver.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
+                     # (PEP 563 is active in this file) via module globals
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -580,4 +583,57 @@ def bigram_surprisal(
         scored.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
         .limit(k)
         .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+    )
+
+
+def normalize_nfkc(
+    df: DataFrame,
+    col: str = "text",
+    out_col: str = "text_norm",
+    casefold: bool = True,
+) -> DataFrame:
+    """Unicode NFKC normalization (+ optional casefold): full-width
+    forms, ligatures, compatibility characters, and combining-mark
+    compositions collapse to canonical text — the preprocessing step
+    that makes hash-based dedup see "Ｈｅｌｌｏ" and "Hello", or "ﬁle"
+    and "file", as the same bytes. Scrapers emit these constantly;
+    without normalization every hash-keyed operator silently treats
+    them as distinct content.
+
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` (Spark has no
+    built-in NFKC); map-only, order-free, safe to push below any
+    dedup/fingerprint stage. NULL passes through as NULL.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfkc(texts: pd.Series) -> pd.Series:
+        def norm(t):
+            if t is None:
+                return None
+            out = unicodedata.normalize("NFKC", t)
+            return out.casefold() if casefold else out
+
+        return texts.map(norm, na_action="ignore")
+
+    return df.withColumn(out_col, nfkc(F.col(col)))
+
+
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NFKC+casefold normalized text — catches the
+    unicode-confusable duplicates byte-exact dedup misses. Same
+    (hash, min_id) group-by shape as ``exact_dedup``; the normalize
+    pass is the only Python stage and it is map-only."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    normed = normalize_nfkc(docs)
+    return (
+        normed.groupBy(F.md5("text_norm").alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
     )

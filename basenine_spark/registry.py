@@ -1956,6 +1956,22 @@ _register(
 )
 
 _register(
+    "text_normalized_dedup",
+    lambda s, d: text.normalized_dedup(s, d),
+    None,  # NFKC+casefold normalization then exact dedup — catches
+    # unicode-confusable duplicates; goldens + idempotence in
+    # tests/test_normalize_curve.py (no SQL twin: DuckDB lacks NFKC)
+)
+
+_register(
+    "dedup_operating_curve",
+    lambda s, d: dedup.dedup_operating_curve(s, d),
+    None,  # threshold tuning curve from ONE PPJoin pass at t_min;
+    # consistency vs the verified pair generator + monotonicity in
+    # tests/test_normalize_curve.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
