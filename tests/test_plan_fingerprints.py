@@ -23,6 +23,11 @@ def committed():
 
 
 def test_headline_plans_match_committed_fingerprints(spark, committed):
+    # earlier test modules may leave DataFrames cached (PPJoin's hsets
+    # etc.); Spark's CacheManager substitutes InMemoryTableScan into
+    # ANY later query with a matching logical subplan, which would make
+    # the fingerprints order-dependent — clear first
+    spark.catalog.clearCache()
     live = compute(spark)
     assert set(live) == set(committed), "headline list changed — regenerate"
     drift = {
