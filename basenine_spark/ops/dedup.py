@@ -1,4 +1,8 @@
-"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+"""Deduplication operators: exact / canonical / NFKC-normalized dedup,
+PPJoin exact n-gram Jaccard, MinHash-LSH, SimHash, min-label
+clustering, duplicated-substring spans (+ scrub + benchmark
+decontamination), asymmetric containment joins, and the threshold
+operating curve.
 
 Every near-dup variant is **bucketed by construction** — candidate pairs
 come from joining on a shared key (shingle / LSH band hash / SimHash
