@@ -335,3 +335,68 @@ def rolling_outliers(
             F.abs(zscore) >= z_threshold, F.lit(False)
         ).alias("is_outlier"),
     )
+
+
+def session_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session-scoped ordered funnel: the funnel of
+    :func:`event_funnel` evaluated WITHIN each gap-based session
+    (same boundary semantics as ``relational.sessionize`` — idle
+    strictly longer than the gap breaks the session). "Did they view,
+    click, and buy in one sitting" — the conversion metric product
+    analytics actually reports, where the user-lifetime funnel
+    over-counts.
+
+    Plan: the session id is pure window algebra (lag + running sum,
+    one user-keyed shuffle), then the same JVM ``aggregate`` fold as
+    the lifetime funnel runs per (user, session) group — no Python,
+    shuffle count identical to plain sessionization.
+
+    Output: (user_id, session_no, s1_ms, s2_ms, …), one row per
+    session, NULL where the session never reached the step.
+    """
+    from pyspark.sql import Window
+
+    n = len(steps)
+    if n < 1:
+        raise ValueError("need at least one funnel step")
+    events = load_table(spark, sf_dir, "events")
+    gap_ms = gap_minutes * 60_000
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    new_session = F.when(
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap_ms, 1
+    ).otherwise(0)
+    with_sid = events.withColumn(
+        "session_no",
+        F.sum(new_session).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ms", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    steps_sql = ", ".join("'%s'" % s.replace("'", "''") for s in steps)
+    fold = (
+        "aggregate("
+        "  sort_array(evs), cast(array() as array<bigint>),"
+        "  (acc, e) -> IF("
+        f"    size(acc) < {n}"
+        f"    AND e.event_type = element_at(array({steps_sql}), size(acc) + 1)"
+        "    AND (size(acc) = 0 OR e.ts_ms > element_at(acc, -1)),"
+        "    concat(acc, array(e.ts_ms)), acc))"
+    )
+    agg = with_sid.groupBy("user_id", "session_no").agg(
+        F.collect_list(F.struct("ts_ms", "event_type")).alias("evs")
+    )
+    out = agg.select("user_id", "session_no", F.expr(fold).alias("times"))
+    cols = [F.col("user_id"), F.col("session_no")]
+    for i in range(n):
+        cols.append(
+            F.when(F.size("times") > i, F.element_at("times", i + 1))
+            .cast("bigint")
+            .alias(f"s{i + 1}_ms")
+        )
+    return out.select(*cols)

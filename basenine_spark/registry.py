@@ -1972,6 +1972,14 @@ _register(
 )
 
 _register(
+    "events_session_funnel",
+    lambda s, d: timeseries.session_funnel(s, d),
+    None,  # funnel scoped to gap-based sessions (conversion within one
+    # sitting); DuckDB session-scoped chained-min differential +
+    # cross-session reset golden in tests/test_event_analytics.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

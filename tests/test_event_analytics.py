@@ -216,3 +216,71 @@ def test_rolling_outliers_flag_planted_spike(spark, tmp_path):
     assert spike["is_outlier"] and spike["zscore"] > 100
     for i in range(10):
         assert out[i]["zscore"] is None and not out[i]["is_outlier"]
+
+
+# -- session-scoped funnel -------------------------------------------------
+
+
+def test_session_funnel_matches_duckdb(spark, duck):
+    sdf = timeseries.session_funnel(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(
+        """
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+          FROM events
+        ), sid AS (
+          SELECT *, sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_no
+          FROM (
+            SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (
+                     PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ) > 1800000 THEN 1 ELSE 0 END AS new_s
+            FROM ev
+          )
+        ), s1 AS (
+          SELECT user_id, session_no, min(ts_ms) AS s1_ms
+          FROM sid WHERE event_type = 'view' GROUP BY 1, 2
+        ), s2 AS (
+          SELECT e.user_id, e.session_no, min(e.ts_ms) AS s2_ms
+          FROM sid e JOIN s1 USING (user_id, session_no)
+          WHERE e.event_type = 'click' AND e.ts_ms > s1.s1_ms
+          GROUP BY 1, 2
+        ), s3 AS (
+          SELECT e.user_id, e.session_no, min(e.ts_ms) AS s3_ms
+          FROM sid e JOIN s2 USING (user_id, session_no)
+          WHERE e.event_type = 'purchase' AND e.ts_ms > s2.s2_ms
+          GROUP BY 1, 2
+        )
+        SELECT u.user_id, u.session_no, s1_ms, s2_ms, s3_ms
+        FROM (SELECT DISTINCT user_id, session_no FROM sid) u
+        LEFT JOIN s1 USING (user_id, session_no)
+        LEFT JOIN s2 USING (user_id, session_no)
+        LEFT JOIN s3 USING (user_id, session_no)
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_session_funnel_resets_across_sessions(spark, tmp_path):
+    gap = 30 * 60  # seconds
+    rows = [
+        # session 0: full conversion
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # session 1 (after > gap idle): view+click only — the purchase
+        # of session 0 must NOT leak in
+        (1, 300 + gap + 100, "view"), (1, 300 + gap + 200, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["session_no"]: (r["s1_ms"], r["s2_ms"], r["s3_ms"])
+        for r in timeseries.session_funnel(spark, sf).collect()
+    }
+    assert got[0] == (100000, 200000, 300000)
+    assert got[1] == ((300 + gap + 100) * 1000, (300 + gap + 200) * 1000, None)
