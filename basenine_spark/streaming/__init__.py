@@ -7,6 +7,7 @@ from .anomaly import anomaly_stream  # noqa: F401
 from .asof import attribution_join_stream  # noqa: F401
 from .dedup import dedup_stream  # noqa: F401
 from .funnel import funnel_stream  # noqa: F401
+from .quality_monitor import quality_monitor_stream  # noqa: F401
 from .semdedup import semantic_admit_stream  # noqa: F401
 from .sessions import session_stream  # noqa: F401
 from .source_cap import source_cap_admit_stream  # noqa: F401
