@@ -485,3 +485,41 @@ def exact_n_sample(
         "source",
         F.row_number().over(w).cast("bigint").alias("sample_rank"),
     )
+
+
+def quality_percentile_by_source(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Cross-source quality calibration: each document's quality signal
+    (stopword ratio) re-expressed as its PERCENT RANK within its own
+    source — the normalization that makes "top 30% of each source"
+    mean the same thing for a clean wiki dump and a noisy crawl, where
+    a single global threshold would keep almost everything from one
+    and almost nothing from the other.
+
+    One source-keyed window; ``percent_rank`` over (ratio, doc_id) is
+    deterministic incl. ties, and the [0, 1] output is an exact
+    (rank-1)/(n-1) rational — engine-stable without rounding tricks
+    except the final display rounding.
+
+    Output: (doc_id, source, stop_ratio, q_pct), q_pct rounded 6.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    q = quality_score(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("stop_ratio").asc(), F.col("doc_id").asc()
+    )
+    return (
+        q.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "stop_ratio",
+            F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+        )
+    )

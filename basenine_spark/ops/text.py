@@ -637,3 +637,68 @@ def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("dup_cnt"),
         )
     )
+
+
+def phrase_search(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: str = "the quick brown",
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact token-phrase retrieval: every (doc_id, pos) where the
+    whitespace-token sequence of ``phrase`` occurs — grep over the
+    corpus, but as ONE keyed probe instead of a substring scan: the
+    phrase's rolling hash (same ``xxhash64`` chain as the substring-
+    dedup grams, computed driver-side in the plan as a literal) is
+    joined against the corpus's positional gram hashes, then candidates
+    are verified with an exact token-slice comparison (hash collisions
+    can't produce false positives).
+
+    Scale shape: the corpus side is the same positional-gram map-only
+    explode the dedup family uses; the probe is a single-value filter
+    on an 8-byte hash — pushdown-friendly, no shuffle at all (filter,
+    not join), and the verify touches only hash-matching rows.
+
+    Output: (doc_id, pos) of every occurrence, 1-based.
+    """
+    from .dedup import _gram_positions
+
+    toks = [t for t in phrase.split(" ") if t]
+    if not toks:
+        raise ValueError("empty phrase")
+    n = len(toks)
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
+    # the phrase's rolling hash, evaluated once by the engine on a
+    # literal array — bit-identical to the corpus-side chain
+    lit_toks = ", ".join("'%s'" % t.replace("'", "''") for t in toks)
+    roll = "slice(toks, 1, size(toks) - {nm1})".format(nm1=n - 1)
+    for j in range(1, n):
+        roll = (
+            f"zip_with({roll}, slice(toks, {j + 1}, size(toks) - {n - 1}), "
+            f"(x, y) -> xxhash64(x, y))"
+        )
+    probe = (
+        spark.range(1)
+        .select(
+            F.expr(
+                f"transform(array({lit_toks}), t -> xxhash64(t))"
+            ).alias("toks")
+        )
+        .select(F.expr(f"element_at({roll}, 1)").alias("h"))
+        .collect()[0]["h"]
+    )
+    grams = _gram_positions(docs, n)
+    cands = grams.filter(F.col("gram") == probe).select("doc_id", "pos")
+    # exact verify: token slice equality (collision-proof)
+    slices = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return (
+        cands.join(slices, "doc_id")
+        .filter(
+            F.expr(
+                f"slice(toks, pos, {n}) = array({lit_toks})"
+            )
+        )
+        .select("doc_id", "pos")
+    )

@@ -1980,6 +1980,22 @@ _register(
 )
 
 _register(
+    "sample_quality_percentile",
+    lambda s, d: sampling.quality_percentile_by_source(s, d),
+    None,  # cross-source quality calibration (percent_rank per source);
+    # DuckDB differential + full-range invariants in
+    # tests/test_percentile_phrase.py
+)
+
+_register(
+    "text_phrase_search",
+    lambda s, d: text.phrase_search(s, d, phrase="the quick"),
+    None,  # exact phrase retrieval via a single rolling-hash probe +
+    # collision-proof slice verify; DuckDB scan differential + planted
+    # occurrences in tests/test_percentile_phrase.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
