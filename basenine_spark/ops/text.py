@@ -702,3 +702,39 @@ def phrase_search(
         )
         .select("doc_id", "pos")
     )
+
+
+def winnow_overlap_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Plagiarism-candidate pairs from winnowing fingerprints
+    (Schleimer et al., SIGMOD'03 — the MOSS scheme): documents sharing
+    at least ``min_shared`` winnow fingerprints, with the shared count
+    as the overlap evidence. Winnowing guarantees any sufficiently
+    long shared run yields a shared fingerprint, so this is the
+    recall-bearing candidate stage of a plagiarism pipeline; the
+    substring-span operators are its precise localizer.
+
+    Plan: the fingerprint sets are the already-verified
+    :func:`winnow_fingerprints` explode; candidates come from a join
+    keyed on the fingerprint hash (never all-pairs) with a partial-agg
+    count per pair. Ultra-common fingerprints (boilerplate) fan out as
+    df² on their key alone — cap df exactly like the PPJoin stop-
+    shingle note if a crawl shows hot spots.
+
+    Output: (doc_a, doc_b, shared_fps), doc_a < doc_b.
+    """
+    fps = winnow_fingerprints(spark, sf_dir, k=k, w=w)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

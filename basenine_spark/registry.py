@@ -1996,6 +1996,14 @@ _register(
 )
 
 _register(
+    "text_winnow_overlap",
+    lambda s, d: text.winnow_overlap_pairs(s, d),
+    None,  # plagiarism-candidate pairs (MOSS winnowing scheme) — fp-keyed
+    # join, never all-pairs; first-principles DuckDB replay + planted
+    # shared-run golden in tests/test_percentile_phrase.py
+)
+
+_register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
     None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline

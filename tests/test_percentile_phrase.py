@@ -130,3 +130,68 @@ def test_phrase_search_matches_duckdb_scan(spark, duck):
 def test_phrase_search_empty_rejected(spark):
     with pytest.raises(ValueError):
         text.phrase_search(spark, SF, phrase="  ")
+
+
+# -- winnow overlap pairs --------------------------------------------------
+
+
+def test_winnow_overlap_matches_duckdb(spark, duck):
+    sdf = text.winnow_overlap_pairs(spark, SF, min_shared=2)
+    srows = [tuple(r) for r in sdf.collect()]
+    # replay from first principles: the winnow fingerprint set per doc
+    # (k=3 grams, window w=4, md5 min), then the pair join
+    cur = duck.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS l
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(l, pos, pos + 2), ' '))
+                   AS g
+          FROM (
+            SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS pos
+            FROM toks WHERE len(l) >= 6
+          )
+        ), wins AS (
+          SELECT DISTINCT doc_id,
+                 min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fp,
+                 pos
+          FROM grams
+        ), valid AS (
+          -- only windows fully inside the gram sequence: pos such that
+          -- pos + 3 <= n_grams
+          SELECT DISTINCT w.doc_id, w.fp
+          FROM wins w
+          JOIN (SELECT doc_id, len(l) - 2 AS n_grams FROM toks) n
+            USING (doc_id)
+          WHERE w.pos <= n.n_grams - 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS shared_fps
+        FROM valid a JOIN valid b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+        """
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)
+
+
+def test_winnow_overlap_planted_shared_run(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(15))
+    a = " ".join(f"a{i}" for i in range(10)) + " " + shared
+    b = shared + " " + " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(25))
+    sf = _write_docs(tmp_path, [a, b, c])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in text.winnow_overlap_pairs(spark, sf, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2  # long shared run
+    assert all(2 not in p for p in pairs)  # unrelated doc clean
