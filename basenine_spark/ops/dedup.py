@@ -948,7 +948,7 @@ def containment_pairs(
     sh_b = hsets.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    return (
+    result = (
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select(
@@ -962,6 +962,13 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    # materialize the (small, thresholded) pair set, then release the
+    # shingle cache — otherwise repeated invocations accumulate cached
+    # blocks in executor storage for the lifetime of the session (the
+    # checkpoint blocks are GC-managed by the ContextCleaner instead)
+    result = result.localCheckpoint(eager=True)
+    hsets.unpersist()
+    return result
 
 
 def containment_dedup(

@@ -8,10 +8,12 @@ edges-join-ranks shuffle + one dst-keyed aggregation per iteration,
 with per-round ``localCheckpoint`` lineage truncation (same plan-growth
 discipline as the label-propagation clustering loop — without it the
 logical plan nests one join deeper per iteration). Dangling mass
-(nodes with no out-edges) is redistributed uniformly each round via a
-single scalar aggregate. Nothing is ever collected except per-round
-scalars; at 1000 executors each iteration is two keyed shuffles over
-the (bounded, ~k x N) edge list.
+(nodes with no out-edges) is redistributed uniformly each round INSIDE
+the dataflow: the 1-row dangling-sum aggregate broadcast-cross-joins
+onto the rank update, so an iteration is exactly one job — the two
+keyed shuffles plus a scalar side-branch — with no driver-side
+``collect`` anywhere in the loop body. At 1000 executors each
+iteration is two keyed shuffles over the (bounded, ~k x N) edge list.
 """
 
 from __future__ import annotations
@@ -32,20 +34,25 @@ def pagerank(
     1 (rounded to 6 decimals in the output so accumulation order can't
     leak into comparisons)."""
     edges = edges.select("src", "dst")
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    has_out = out_deg.select(F.col("src").alias("node"), F.lit(True).alias("out_ok"))
+    # nodes tagged ONCE with whether they have out-edges — the dangling
+    # indicator rides along in the rank vector so the per-iteration
+    # dangling mass is a conditional aggregate, not a join
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .join(has_out, "node", "left")
+        .select("node", F.coalesce("out_ok", F.lit(False)).alias("out_ok"))
     ).cache()
     n_nodes = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # weighted edges: contribution fraction per out-edge
     wedges = edges.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     ).cache()
     wedges.count()  # materialize once; reused every iteration
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    has_out = out_deg.select(F.col("src").alias("node"))
+    ranks = nodes.select("node", "out_ok", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iters):
         contribs = (
             wedges.join(
@@ -54,18 +61,21 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass stays IN the dataflow: a 1-row aggregate
+        # broadcast-cross-joined onto the update, evaluated inside the
+        # same job as the checkpoint — no driver action in the loop
+        dangling = ranks.filter(~F.col("out_ok")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "out_ok",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.col("dm") / n_nodes
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )

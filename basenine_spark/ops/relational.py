@@ -634,31 +634,84 @@ def equi_depth_histogram(
     k: int = 10,
     table: str = "events",
     col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Exact equi-depth (equal-frequency) histogram of a numeric column
     — the statistic a cost-based optimizer stores per column and a
     skew diagnosis starts from (equal-WIDTH histograms hide heavy
     tails; equal-DEPTH buckets expose them as wide value ranges).
 
-    ``ntile(k)`` over the global value order assigns ranks; one
-    aggregation per bucket emits (lo, hi, count). Honest scale note:
-    an unpartitioned window ntile plans an ``Exchange SinglePartition``
-    — the whole column sorts through one task, which is fine up to
-    ~10^8 rows and is the price of EXACT equal-frequency semantics (the
-    oracle-checkable reference). At 100 TB use the one-pass map-side
-    sketch :func:`approx_value_quantiles` (same bucket boundaries
-    within sketch error, no global sort), or derive boundaries from it
-    and bucket by range comparison — both shapes already in this
-    module.
+    Semantics are exactly ``ntile(k)`` over the global (value, id)
+    order, but computed DISTRIBUTED — no whole-column single-partition
+    sort. The global rank is assembled from a two-pass range shuffle:
+
+    1. ``repartitionByRange`` on (value, id) puts disjoint, ordered
+       value ranges in separate partitions;
+    2. a window partitioned on ``spark_partition_id()`` sorts each
+       range locally (hash exchange on pid — every task sorts only its
+       own range);
+    3. per-partition row counts (a P-row aggregate) turn into rank
+       offsets via a cumulative window over those P rows — the only
+       single-partition exchange left in the plan holds P ≈ one row
+       per task, not the data;
+    4. global_rank = offset + local row_number, folded to a bucket by
+       integer ntile arithmetic (first N%k buckets take one extra row).
+
+    Per-task state is O(|range|) — balanced by the range partitioner —
+    so the plan survives a 100×  scale-up where the old unpartitioned
+    ``ntile`` died in one task. The approximate twin remains
+    :func:`approx_value_quantiles` (one map-side sketch pass, no
+    shuffle) when sketch-error boundaries are acceptable.
 
     Output: (bucket 1..k, lo, hi, n_rows), values rounded to 4.
     """
     from pyspark.sql import Window
 
     df = load_table(spark, sf_dir, table).filter(F.col(col).isNotNull())
-    w = Window.orderBy(F.col(col).asc(), F.col("event_id").asc())
+    num_parts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = df.select(
+        F.col(col).alias("v"), F.col(id_col).alias("tid")
+    ).repartitionByRange(num_parts, F.col("v").asc(), F.col("tid").asc())
+    # lazy localCheckpoint pins ONE materialized range partitioning that
+    # both branches (ranks and counts) read: RangePartitioner samples
+    # with an RDD-id-derived seed, so two physical executions of the
+    # exchange could pick different bounds and make counts-per-pid
+    # inconsistent with ranks-per-pid. Blocks are ContextCleaner-managed
+    # (no session-lifetime cache accumulation).
+    with_pid = ranged.withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("v").asc(), F.col("tid").asc()
+    )
+    local = with_pid.withColumn("rn", F.row_number().over(w_local).cast("bigint"))
+    # counts branch hangs off with_pid (NOT local) so the second pass
+    # over the data is a bare count-by-pid — map-side partial agg, no
+    # second window sort
+    counts = with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    r = F.col("off") + F.col("rn")
+    q = F.floor(F.col("n_total") / k).cast("bigint")
+    rem = (F.col("n_total") % k).cast("bigint")
+    # exact integer ntile: rank r -> bucket (first `rem` buckets hold
+    # q+1 rows, the rest q); ceil(a/b) as (a + b - 1) div b keeps the
+    # arithmetic in bigints (q = 0, i.e. N < k, degenerates to bucket=r
+    # exactly as ntile does)
+    big = (q + 1) * rem
+    bucket = F.when(r <= big, F.floor((r + q) / (q + 1))).otherwise(
+        rem + F.floor((r - big + q - 1) / F.greatest(q, F.lit(1)))
+    )
     return (
-        df.select(F.col(col).alias("v"), F.ntile(k).over(w).alias("bucket"))
+        local.join(F.broadcast(offsets), "pid")
+        .select("v", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.round(F.min("v"), 4).alias("lo"),

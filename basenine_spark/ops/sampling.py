@@ -392,11 +392,20 @@ def source_cap_twophase(
         .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("cap_rank") <= cap)
     )
+    # shortfall detection anchors on `counts` (every source), not on
+    # `kept`: a source whose pre-filter kept ZERO rows is absent from
+    # kept entirely and must still trigger the exact re-rank — the
+    # left join + coalesce(n_kept, 0) makes the zero-kept case visible
     shortfall = (
-        kept.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .join(F.broadcast(counts), "source")
-        .filter(F.col("n_kept") < F.least(F.lit(cap), F.col("n_src")))
+        counts.join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            < F.least(F.lit(cap), F.col("n_src"))
+        )
         .select("source")
     )
     exact_refill = (

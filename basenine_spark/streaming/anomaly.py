@@ -56,7 +56,9 @@ def _detect_fn(z_threshold: float, min_n: int):
         rows = []
         for pdf in pdfs:
             for eid, val in zip(pdf["event_id"], pdf["value"]):
-                if eid is not None and val is not None:
+                # Arrow renders null long/double as NaN, which passes an
+                # `is not None` check — pd.notna catches both shapes.
+                if pd.notna(eid) and pd.notna(val):
                     rows.append((int(eid), float(val)))
         if not rows:
             return
@@ -107,7 +109,15 @@ def anomaly_stream(
             ).alias("d")
         )
         .select("d.event_id", "d.event_type", "d.value")
-        .filter(F.col("event_type").isNotNull())
+        # all three fields null-filtered BEFORE the stateful stage: a
+        # null long/double crosses Arrow as NaN, so a worker-side
+        # `is not None` can't catch it — int(NaN) would kill the query
+        # and a NaN value would poison the Welford moments forever
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
     )
     out = ev.groupBy("event_type").applyInPandasWithState(
         _detect_fn(z_threshold, min_n),

@@ -54,7 +54,9 @@ def _funnel_fn(steps: tuple):
         events = []
         for pdf in pdfs:
             for ts, et in zip(pdf["ts_ms"], pdf["event_type"]):
-                if ts is not None and et is not None:
+                # null longs arrive as NaN through Arrow — pd.notna
+                # catches both None and NaN shapes
+                if pd.notna(ts) and et is not None:
                     events.append((int(ts), str(et)))
         if not events:
             return
@@ -99,7 +101,10 @@ def funnel_stream(
             ).alias("d")
         )
         .select("d.user_id", "d.ts_ms", "d.event_type")
-        .filter(F.col("user_id").isNotNull())
+        # ts_ms null-filtered upstream too: a null long crosses Arrow
+        # as NaN, passes `is not None`, and int(NaN) would terminate
+        # the streaming query on one malformed record
+        .filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
         _funnel_fn(tuple(steps)),
