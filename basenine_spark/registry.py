@@ -1480,19 +1480,94 @@ _register(
 _register(
     "text_bigram_surprisal",
     lambda s, d: text.bigram_surprisal(s, d),
-    None,  # DuckDB twin in test_ranking_clustering_ops (lag-pair LM replay)
+    # per-doc mean -ln p(cur|prev) under the corpus bigram LM, rounded
+    # before the top-k ranking; word-order discrimination golden in
+    # tests/test_ranking_clustering_ops.py
+    """
+    WITH toks AS (
+      SELECT doc_id, l AS toks FROM (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE text IS NOT NULL
+      )
+    ), pairs AS (
+      SELECT doc_id, toks[i.i] AS prev, toks[i.i + 1] AS cur
+      FROM toks, UNNEST(range(1, len(toks))) AS i(i)
+    ), big AS (
+      SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur
+    ), ctx AS (
+      SELECT prev, sum(c2) AS c1 FROM big GROUP BY prev
+    ), scored AS (
+      SELECT p.doc_id,
+             round(avg(-ln(b.c2 / CAST(x.c1 AS DOUBLE))), 4)
+               AS surprisal,
+             count(*) AS n_bigrams
+      FROM pairs p
+      JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+      JOIN ctx x ON p.prev = x.prev
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, surprisal, n_bigrams,
+           row_number() OVER (ORDER BY surprisal DESC, doc_id) AS rank
+    FROM scored ORDER BY surprisal DESC, doc_id LIMIT 100
+    """,
 )
 
 _register(
     "sample_splits",
     lambda s, d: sampling.split_assign(s, d),
-    None,  # DuckDB twin + growth-stability in test_sampling_clusters
+    # content-stable 90/5/5 split; growth-stability (sf0.001 ⊂ sf0.01
+    # label agreement) stays pinned in tests/test_sampling_clusters.py
+    """
+    SELECT doc_id, source,
+           CASE
+             WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x', CAST(floor(0.9 * 4294967296.0) AS BIGINT))
+               THEN 'train'
+             WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x', CAST(floor(0.95 * 4294967296.0) AS BIGINT))
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
 )
 
 _register(
     "sample_token_mixture",
     lambda s, d: sampling.token_mixture_sample(s, d),
-    None,  # DuckDB twin in test_sampling_clusters
+    # token-WEIGHTED mixture: per-source Bernoulli rate = token target /
+    # available token mass; token-mass sanity gates stay in
+    # tests/test_sampling_clusters.py
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), t AS (
+      SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS t_src
+      FROM d GROUP BY source
+    ), thr AS (
+      SELECT source,
+             CASE WHEN CAST(CASE source
+                    WHEN 'src0' THEN 10000.0
+                    WHEN 'src1' THEN 5000.0
+                    WHEN 'src2' THEN 2500.0
+                    ELSE 1250.0 END AS DOUBLE) / t_src >= 1 THEN 'g'
+                  ELSE printf('%08x', CAST(floor(
+                    CAST(CASE source
+                      WHEN 'src0' THEN 10000.0
+                      WHEN 'src1' THEN 5000.0
+                      WHEN 'src2' THEN 2500.0
+                      ELSE 1250.0 END AS DOUBLE) / t_src
+                    * CAST(4294967296.0 AS DOUBLE)) AS BIGINT))
+             END AS mix_thr
+      FROM t
+    )
+    SELECT d.doc_id, d.source, d.n_tokens
+    FROM d JOIN thr USING (source)
+    WHERE substring(md5('tokmix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < thr.mix_thr
+    """,
 )
 
 _register(
@@ -1506,7 +1581,28 @@ _register(
 _register(
     "pipeline_release_delta",
     lambda s, d: pipeline.release_delta(s, d),
-    None,  # DuckDB whole-composition replay in test_pipeline_ops
+    # nightly-ingest delta manifest: admission dedup (NOT EXISTS on the
+    # even-id corpus) → content-stable shard → per-shard aggregate
+    """
+    WITH d AS (
+      SELECT doc_id, source, text, md5(text) AS h,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT h FROM d WHERE doc_id % 2 = 0
+    ), admitted AS (
+      SELECT doc_id, source, n_tokens FROM d b
+      WHERE doc_id % 2 = 1
+        AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    )
+    SELECT (strpos('0123456789abcdef',
+              substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1))
+            - 1)::BIGINT AS shard_id,
+           count(*) AS n_new_docs,
+           sum(n_tokens)::BIGINT AS new_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM admitted GROUP BY 1
+    """,
 )
 
 _register(
@@ -1674,12 +1770,90 @@ _register(
     """,
 )
 
+# Shared CTE text for the substring-dedup family oracles (8-gram STRING
+# grams replaying the Spark side's rolling xxhash64 — agreement also
+# pins hash fidelity), same construction as the dedup_spans oracle and
+# tests/test_dedup_spans.py.
+_SPAN_GRAMS = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(l, pos, pos + 7), ' ') AS gram
+      FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS pos
+        FROM toks WHERE len(l) >= 8
+      )
+    )
+"""
+
+_SPAN_MERGE = """
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ), sp AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      FROM sp GROUP BY doc_id, span_id
+    )
+"""
+
+_SPAN_REBUILD = """
+    cover AS (
+      SELECT doc_id,
+             unnest(generate_series(span_start, span_end)) AS p
+      FROM spans
+    ), tokpos AS (
+      SELECT doc_id, l[i] AS tok, i FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM toks
+      )
+    )
+    SELECT t.doc_id,
+           coalesce(string_agg(tok, ' ' ORDER BY i)
+                      FILTER (WHERE c.p IS NULL), '') AS clean_text,
+           count(c.p) AS removed_tokens
+    FROM tokpos t
+    LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.i = c.p
+    GROUP BY t.doc_id
+"""
+
 _register(
     "text_decontaminate_spans",
     lambda s, d: dedup.decontaminate_spans(s, d),
-    None,  # span-level benchmark decontamination (broadcast bench-gram
-    # probe + interval merge + JVM rebuild); DuckDB replay + planted-leak
-    # golden in tests/test_dedup_spans.py
+    # span-level benchmark decontamination: grams shared with the
+    # 'src0' benchmark source are cut from every other document;
+    # planted-leak golden in tests/test_dedup_spans.py
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL AND source <> 'src0'
+    ), gsrc AS (
+      SELECT doc_id, source, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, source, pos,
+             array_to_string(list_slice(l, pos, pos + 7), ' ') AS gram
+      FROM (
+        SELECT doc_id, source, l,
+               unnest(generate_series(1, len(l) - 7)) AS pos
+        FROM gsrc WHERE len(l) >= 8
+      )
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ), hits AS (
+      SELECT doc_id, pos FROM grams
+      WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+    ), {_SPAN_MERGE.strip()}, {_SPAN_REBUILD.strip()}
+    """,
 )
 
 _register(
@@ -1814,21 +1988,57 @@ _register(
     # within one FFT bin (tests/test_wav_spectral.py)
 )
 
+# Promoted round 6: the greedy JVM fold is proven equal to the
+# INDEPENDENT chained-min CTE derivation (each step = min event time
+# strictly after the previous step's min) — the oracle is that other
+# derivation, not a replay of the fold. Strictly-after goldens stay in
+# tests/test_event_analytics.py.
 _register(
     "events_funnel_steps",
     lambda s, d: timeseries.event_funnel(s, d),
-    None,  # ordered funnel via a JVM fold over per-user sorted events;
-    # greedy-first-match proven equal to the chained-min CTE form by the
-    # DuckDB differential + strictly-after goldens in
-    # tests/test_event_analytics.py
+    """
+    WITH s1 AS (
+      SELECT user_id, min(epoch_ms(ts)) AS s1_ms
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS s2_ms
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.s1_ms
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS s3_ms
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.s2_ms
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id, s1_ms, s2_ms, s3_ms
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
 )
 
 _register(
     "events_cohort_retention",
     lambda s, d: timeseries.cohort_retention(s, d),
-    None,  # signup-week cohort retention triangle (epoch-week integer
-    # arithmetic, engine-independent); DuckDB differential + hand-built
-    # triangle in tests/test_event_analytics.py
+    # signup-week cohort retention triangle; epoch-week integer
+    # arithmetic is engine-independent. Hand-built triangle golden in
+    # tests/test_event_analytics.py.
+    """
+    WITH cohorts AS (
+      SELECT user_id, min(epoch_ms(ts) // 604800000) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+      FROM events
+    )
+    SELECT cohort_week, (week - cohort_week) AS week_offset,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM activity JOIN cohorts USING (user_id)
+    WHERE week >= cohort_week
+    GROUP BY cohort_week, week_offset
+    """,
 )
 
 _register(
@@ -1859,26 +2069,72 @@ _register(
 _register(
     "dedup_canonical",
     lambda s, d: dedup.canonical_dedup(s, d),
-    None,  # canonicalizing exact dedup (lowercase / digit-run / whitespace
-    # normalization, JVM regexp chain); DuckDB replay + templated-copy
-    # golden in tests/test_dedup_spans.py
+    # canonicalizing exact dedup (lowercase / digit-run / whitespace
+    # normalization, JVM regexp chain); templated-copy golden in
+    # tests/test_dedup_spans.py
+    r"""
+    SELECT md5(canon) AS canon_hash, min(doc_id) AS doc_id,
+           count(*)::BIGINT AS dup_cnt
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+               '[\s]+', ' ', 'g')) AS canon
+      FROM documents WHERE text IS NOT NULL
+    )
+    GROUP BY 1
+    """,
 )
 
 _register(
     "agg_equi_depth_histogram",
     lambda s, d: relational.equi_depth_histogram(s, d),
-    None,  # exact equal-frequency histogram (global ntile); DuckDB
-    # differential + depth/range invariants in
+    # exact equal-frequency histogram — Spark computes it as a
+    # DISTRIBUTED two-pass rank (range partition + per-partition
+    # offsets; no whole-column single-task sort), semantically equal to
+    # the oracle's global ntile; depth/range invariants in
     # tests/test_histogram_curriculum.py; approx twin =
     # agg_quantile_sketch
+    """
+    SELECT bucket, round(min(v), 4) AS lo, round(max(v), 4) AS hi,
+           count(*)::BIGINT AS n_rows
+    FROM (
+      SELECT value AS v,
+             ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY bucket
+    """,
 )
 
 _register(
     "pipeline_curriculum_order",
     lambda s, d: pipeline.curriculum_order(s, d),
-    None,  # quality-stratified reproducible schedule (ntile stages +
-    # seeded within-stage hash rank); DuckDB differential + stage/seq
-    # invariants in tests/test_histogram_curriculum.py
+    # quality-stratified reproducible schedule (ntile stages + seeded
+    # within-stage hash rank); stage/seq invariants in
+    # tests/test_histogram_curriculum.py
+    """
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('a', 'the')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+               AS stop_ratio
+      FROM documents WHERE text IS NOT NULL
+    ), staged AS (
+      SELECT doc_id,
+             ntile(4) OVER (ORDER BY stop_ratio DESC, doc_id) AS stage,
+             substring(md5('cur0:' || cast(doc_id AS VARCHAR)), 1, 32)
+               AS h
+      FROM q WHERE n_tokens > 0
+    )
+    SELECT doc_id, stage,
+           row_number() OVER (PARTITION BY stage ORDER BY h, doc_id)
+             AS seq
+    FROM staged
+    """,
 )
 
 _register(
@@ -1925,34 +2181,124 @@ _register(
 _register(
     "events_expectations",
     lambda s, d: expectations.events_expectations(s, d),
-    None,  # declarative data-quality gate (one conditional-agg pass +
-    # uniqueness); DuckDB differential + NULL-is-violation semantics in
+    # declarative data-quality gate: one conditional-agg pass +
+    # uniqueness; NULL-is-violation semantics pinned in
     # tests/test_expectations.py
+    r"""
+    WITH agg AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS r1,
+        sum(CASE WHEN epoch_ms(ts) > 0 THEN 0 ELSE 1 END) AS r2,
+        sum(CASE WHEN event_type IN
+              ('view','click','purchase','signup','error')
+            THEN 0 ELSE 1 END) AS r3,
+        sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS r4,
+        sum(CASE WHEN regexp_matches(props, '^\{.*\}$')
+            THEN 0 ELSE 1 END) AS r5,
+        count(event_id) - count(DISTINCT event_id) AS r6
+      FROM events
+    )
+    SELECT t.rule, agg.n::BIGINT AS n_rows, t.v::BIGINT AS n_violations,
+           t.v = 0 AS passed
+    FROM agg, LATERAL (VALUES
+      ('event_id_not_null', r1), ('ts_positive', r2),
+      ('event_type_known', r3), ('value_non_negative', r4),
+      ('props_json_shaped', r5), ('unique_event_id', r6)
+    ) AS t(rule, v)
+    """,
 )
 
 _register(
     "events_rolling_outliers",
     lambda s, d: timeseries.rolling_outliers(s, d),
-    None,  # leak-free trailing-window z-score anomaly detection;
-    # DuckDB differential + planted-spike/warm-up goldens in
-    # tests/test_event_analytics.py
+    # leak-free trailing-window z-score anomaly detection; planted-spike
+    # and warm-up goldens in tests/test_event_analytics.py
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value
+      FROM events WHERE value IS NOT NULL
+    ), scored AS (
+      SELECT event_id, event_type, ts_ms, value,
+        avg(value) OVER w AS m,
+        stddev_samp(value) OVER w AS sd,
+        count(value) OVER w AS c
+      FROM ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, ts_ms, value,
+           CASE WHEN c >= 10 AND sd > 0
+                THEN round((value - m) / sd, 4) END AS zscore,
+           coalesce(abs(CASE WHEN c >= 10 AND sd > 0
+                THEN round((value - m) / sd, 4) END) >= 3.0, false)
+             AS is_outlier
+    FROM scored
+    """,
 )
 
 _register(
     "events_psi_drift",
     lambda s, d: relational.psi_drift(s, "/root/testdata/sf0.001", d),
-    None,  # Population Stability Index vs the reference release
-    # (reference-quantile buckets folded to a literal CASE — both
-    # histogram passes map-only); DuckDB shared-boundary differential +
-    # planted-shift/identical-release gates in tests/test_psi_drift.py
+    # PSI vs the sf0.001 reference release. The oracle recomputes the
+    # reference equi-depth boundaries with quantile_cont (same type-7
+    # interpolation as Spark's percentile — cross-checked to 1e-9 in
+    # tests/test_psi_drift.py) and buckets by counting smaller bounds;
+    # the ref release is read by literal path since only the current
+    # release is view-registered.
+    """
+    WITH b AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM '/root/testdata/sf0.001/events.parquet'
+      WHERE value IS NOT NULL
+    ), r AS (
+      SELECT 1 + len(list_filter((SELECT bs FROM b), x -> value > x))
+               AS bucket, count(*) AS n_ref
+      FROM '/root/testdata/sf0.001/events.parquet'
+      WHERE value IS NOT NULL GROUP BY 1
+    ), c AS (
+      SELECT 1 + len(list_filter((SELECT bs FROM b), x -> value > x))
+               AS bucket, count(*) AS n_cur
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), j AS (
+      SELECT coalesce(r.bucket, c.bucket) AS bucket,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM r FULL JOIN c ON r.bucket = c.bucket
+    ), t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT bucket,
+           round((n_ref + 1) / ((SELECT tr FROM t) + 10), 6) AS p_ref,
+           round((n_cur + 1) / ((SELECT tc FROM t) + 10), 6) AS p_cur,
+           round(((n_cur + 1) / ((SELECT tc FROM t) + 10)
+                  - (n_ref + 1) / ((SELECT tr FROM t) + 10))
+                 * ln(((n_cur + 1) / ((SELECT tc FROM t) + 10))
+                      / ((n_ref + 1) / ((SELECT tr FROM t) + 10))), 6)
+             AS psi_term
+    FROM j
+    """,
 )
 
 _register(
     "events_skew_profile",
     lambda s, d: relational.skew_profile(s, d),
-    None,  # heavy-key skew diagnosis (count-agg + TakeOrdered — itself
-    # skew-proof); DuckDB differential + share-sanity in
-    # tests/test_histogram_curriculum.py
+    # heavy-key skew diagnosis (count-agg + TakeOrdered — itself
+    # skew-proof); ratios use the engine-stable floor(x*10^k + 0.5)
+    # rounding on both sides (registry header caveat)
+    """
+    WITH counts AS (
+      SELECT coalesce(cast(user_id AS VARCHAR), '<NULL>') AS key_value,
+             count(*) AS n_rows
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT sum(n_rows)::DOUBLE AS total, avg(n_rows) AS mean_n
+      FROM counts
+    )
+    SELECT key_value, n_rows,
+           floor(n_rows / (SELECT total FROM stats) * 1e6 + 0.5) / 1e6
+             AS share,
+           floor(n_rows / (SELECT mean_n FROM stats) * 100 + 0.5) / 100
+             AS x_mean
+    FROM counts ORDER BY n_rows DESC, key_value ASC LIMIT 10
+    """,
 )
 
 _register(
@@ -1974,40 +2320,148 @@ _register(
 _register(
     "events_session_funnel",
     lambda s, d: timeseries.session_funnel(s, d),
-    None,  # funnel scoped to gap-based sessions (conversion within one
-    # sitting); DuckDB session-scoped chained-min differential +
-    # cross-session reset golden in tests/test_event_analytics.py
+    # funnel scoped to gap-based sessions (conversion within one
+    # sitting); independent session-scoped chained-min derivation —
+    # cross-session reset golden in tests/test_event_analytics.py.
+    # This entry also re-verifies the 30-min sessionization engine that
+    # the demoted sessionize_gap pinned (same lag/cumsum construction).
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      FROM events
+    ), sid AS (
+      SELECT *, sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM (
+        SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (
+                 PARTITION BY user_id ORDER BY ts_ms, event_id
+               ) > 1800000 THEN 1 ELSE 0 END AS new_s
+        FROM ev
+      )
+    ), s1 AS (
+      SELECT user_id, session_no, min(ts_ms) AS s1_ms
+      FROM sid WHERE event_type = 'view' GROUP BY 1, 2
+    ), s2 AS (
+      SELECT e.user_id, e.session_no, min(e.ts_ms) AS s2_ms
+      FROM sid e JOIN s1 USING (user_id, session_no)
+      WHERE e.event_type = 'click' AND e.ts_ms > s1.s1_ms
+      GROUP BY 1, 2
+    ), s3 AS (
+      SELECT e.user_id, e.session_no, min(e.ts_ms) AS s3_ms
+      FROM sid e JOIN s2 USING (user_id, session_no)
+      WHERE e.event_type = 'purchase' AND e.ts_ms > s2.s2_ms
+      GROUP BY 1, 2
+    )
+    SELECT u.user_id, u.session_no, s1_ms, s2_ms, s3_ms
+    FROM (SELECT DISTINCT user_id, session_no FROM sid) u
+    LEFT JOIN s1 USING (user_id, session_no)
+    LEFT JOIN s2 USING (user_id, session_no)
+    LEFT JOIN s3 USING (user_id, session_no)
+    """,
 )
 
 _register(
     "sample_quality_percentile",
     lambda s, d: sampling.quality_percentile_by_source(s, d),
-    None,  # cross-source quality calibration (percent_rank per source);
-    # DuckDB differential + full-range invariants in
-    # tests/test_percentile_phrase.py
+    # cross-source quality calibration (percent_rank per source);
+    # full-range invariants in tests/test_percentile_phrase.py
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+             round(
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('a', 'the')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+               AS stop_ratio,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, stop_ratio,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY stop_ratio, doc_id
+           ), 6) AS q_pct
+    FROM q WHERE n_tokens > 0
+    """,
 )
 
 _register(
     "text_phrase_search",
-    lambda s, d: text.phrase_search(s, d, phrase="the quick"),
-    None,  # exact phrase retrieval via a single rolling-hash probe +
-    # collision-proof slice verify; DuckDB scan differential + planted
-    # occurrences in tests/test_percentile_phrase.py
+    # phrase chosen to actually OCCUR in the synthetic corpus (dozens
+    # of hits at sf0.01) so the oracle match is non-vacuous
+    lambda s, d: text.phrase_search(s, d, phrase="part filter"),
+    # exact phrase retrieval via a single rolling-hash probe +
+    # collision-proof slice verify; the oracle is the naive positional
+    # scan for the same 2-token phrase — planted-occurrence goldens in
+    # tests/test_percentile_phrase.py
+    """
+    SELECT doc_id, pos FROM (
+      SELECT doc_id,
+             unnest(generate_series(1, len(l) - 1)) AS pos, l
+      FROM (SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents WHERE text IS NOT NULL)
+    ) WHERE l[pos] = 'part' AND l[pos + 1] = 'filter'
+    """,
 )
 
 _register(
     "text_winnow_overlap",
     lambda s, d: text.winnow_overlap_pairs(s, d),
-    None,  # plagiarism-candidate pairs (MOSS winnowing scheme) — fp-keyed
-    # join, never all-pairs; first-principles DuckDB replay + planted
-    # shared-run golden in tests/test_percentile_phrase.py
+    # plagiarism-candidate pairs (MOSS winnowing scheme) — fp-keyed
+    # join, never all-pairs; the oracle rebuilds the winnow fingerprint
+    # sets from first principles (k=3 grams, window w=4, md5 min);
+    # planted shared-run golden in tests/test_percentile_phrase.py
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(l, pos, pos + 2), ' '))
+               AS g
+      FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS pos
+        FROM toks WHERE len(l) >= 6
+      )
+    ), wins AS (
+      SELECT DISTINCT doc_id,
+             min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fp,
+             pos
+      FROM grams
+    ), valid AS (
+      SELECT DISTINCT w.doc_id, w.fp
+      FROM wins w
+      JOIN (SELECT doc_id, len(l) - 2 AS n_grams FROM toks) n
+        USING (doc_id)
+      WHERE w.pos <= n.n_grams - 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS shared_fps
+    FROM valid a JOIN valid b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
 )
 
 _register(
     "dedup_scrub_spans",
     lambda s, d: dedup.scrub_duplicate_spans(s, d),
-    None,  # keep-one-occurrence substring scrub; DuckDB whole-pipeline
-    # replay (clean_text + removed_tokens) in tests/test_dedup_spans.py
+    # keep-one-occurrence substring scrub: occurrence #1 of each
+    # duplicated gram survives (row_number >= 2 marks the scrubbed
+    # positions), spans merged then token stream rebuilt
+    f"""
+    WITH {_SPAN_GRAMS.strip()}, rn AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ), hits AS (
+      SELECT doc_id, pos FROM rn WHERE rn >= 2
+    ), {_SPAN_MERGE.strip()}, {_SPAN_REBUILD.strip()}
+    """,
 )
 
 # ---------------------------------------------------------------------------
@@ -2028,67 +2482,101 @@ _PROMOTED = [
     "dedup_ngram_jaccard",
     "ann_topk",
     "multimodal_meta",
-    "text_winnow_fingerprints",
-    "text_lang_profile",
-    # text_regex_tokens + text_tokens_by_source: demoted in round 5 to
-    # fund text_bm25_topk + text_unigram_surprisal (both green r2-r4;
-    # family held by text_vocab_topk + text_quality)
+    # text_winnow_fingerprints / text_lang_profile / text_repetition /
+    # text_contamination / join_asof_clicks / embedding_quantize /
+    # sample_mixture / pipeline_epoch_order: demoted round 6 (each
+    # green r5 and earlier) to fund the 19 rows-only → oracle
+    # promotions; several are replaced by their strictly-richer twins
+    # (winnow_fingerprints → winnow_overlap, contamination →
+    # decontaminate_spans, mixture → token_mixture, epoch_order →
+    # curriculum_order, asof_clicks family held by join_asof_tolerance)
     "dedup_clusters",
-    "text_repetition",
     "pii_scrub_events",
-    "text_contamination",
     # round-3 additions: time-series + cube/pivot/interval-join surface
-    "join_asof_clicks",
     "window_range_count",
     "ts_gap_fill_hourly",
     "agg_cube_orders",
-    # pivot_segment_status: demoted in round 5 to fund
-    # pipeline_epoch_order (green r3+r4; cube keeps the grouping-sets
-    # family in-window)
     "join_length_bands",
     "pipeline_curate",
-    # pipeline_pack: demoted late round 5 (green r3+r4) to fund the
-    # new-family promotions below
-    "embedding_quantize",
     # round-4 additions: skew-salted join, shard-export manifest,
-    # mixture sampling, quality-quantile filtering
+    # quality-quantile filtering
     "join_salted_skew",
     "pipeline_shards",
-    "sample_mixture",
     "sample_quality_topk",
     "profile_orders",
     "pipeline_release",
-    # round-5 promotions: the four oracle-backed round-4 additions that
-    # landed below the 50-entry cut and therefore never received a
-    # driver hash check (VERDICT r4 #1); slots freed by removing the
-    # pipeline_funnel promote/demote contradiction and demoting three
-    # multi-round-green entries whose families keep in-window survivors
     "dedup_incremental",
     "text_vocab_topk",
     "text_quality_flags",
     "join_asof_tolerance",
     # round-5 additions: BM25 relevance ranking + unigram surprisal
-    # (new oracle-backed entries go in-window by construction; slots
-    # funded by demoting text_tokens_by_source and text_regex_tokens,
-    # whose token-counting family stays held by text_vocab_topk +
-    # text_quality)
     "text_bm25_topk",
     "text_unigram_surprisal",
-    # reproducible epoch ordering (slot funded by demoting
-    # pivot_segment_status — grouping-sets machinery stays held
-    # in-window by agg_cube_orders)
-    "pipeline_epoch_order",
-    # round-5 late additions: the substring-dedup / chunking / domain-cap
-    # / balanced-release families are NEW — no in-window survivor exists,
-    # so their SQL-replayable members take window slots (slots funded by
-    # demoting four multi-round-green entries listed in _DEMOTED)
+    # round-5 late additions: substring-dedup / chunking / domain-cap /
+    # balanced-release families
     "dedup_spans",
     "text_chunks",
     "sample_source_cap",
     "pipeline_release_balanced",
+    # round-6 promotions: every exactly-checkable entry that was
+    # rows-only to the driver (VERDICT r5 #1) — the pytest DuckDB
+    # replays moved into ORACLES. Slots funded by demoting 19
+    # multi-round-green entries (11 BFL/engine-core entries whose
+    # semantics the 362-row golden corpus + wire-protocol goldens +
+    # compiler-vs-pyeval fuzz pin, and the 8 extension entries noted
+    # above).
+    "events_funnel_steps",
+    "events_session_funnel",
+    "events_cohort_retention",
+    "events_rolling_outliers",
+    "events_expectations",
+    "events_psi_drift",
+    "events_skew_profile",
+    "sample_splits",
+    "sample_token_mixture",
+    "sample_quality_percentile",
+    "pipeline_release_delta",
+    "pipeline_curriculum_order",
+    "dedup_scrub_spans",
+    "text_decontaminate_spans",
+    "text_bigram_surprisal",
+    "dedup_canonical",
+    "text_phrase_search",
+    "text_winnow_overlap",
+    "agg_equi_depth_histogram",
 ]
 
 _DEMOTED = [
+    # round-6 demotions funding the 19 rows-only → oracle promotions.
+    # Every name below is green in CORRECTNESS_r05.json (the full
+    # window was 50/50) and in earlier rounds; the BFL/engine names are
+    # additionally pinned by the 362-row golden corpus, the wire-
+    # protocol golden tables over real sockets, and compiler-vs-pyeval
+    # differential fuzzing. Families keep in-window survivors:
+    "bfl_and_or",  # boolean structure: corpus + in-window BFL M-mode entries
+    "bfl_regex_match",  # P-ops pinned by corpus; query_limit_extract in-window
+    "bfl_json_num_cmp",  # json() family: corpus + redact_row_backend in-window
+    "bfl_wildcard_existential",  # array semantics pinned by corpus + fuzz
+    "bfl_json_base64_probe",  # F9 probe pinned by corpus
+    "bfl_xml_path",  # F10 pinned by corpus
+    "single_lookup",  # M2 point lookup: wire goldens re-verify framing
+    "query_left_off",  # leftOff paging: fetch_backward in-window + wire table
+    "recursive_descent",  # descent pinned by corpus + redact entries
+    "macro_expansion_query",  # R1 pinned by wire /macro goldens + pytest
+    "sessionize_gap",  # 30-min sessionization engine re-verified INSIDE
+    # the in-window events_session_funnel (same lag/cumsum construction)
+    "text_winnow_fingerprints",  # winnow scheme re-verified inside
+    # text_winnow_overlap (fingerprints + pair join)
+    "text_contamination",  # gram-overlap contamination superseded
+    # in-window by span-level text_decontaminate_spans + dedup_spans
+    "join_asof_clicks",  # as-of family held by join_asof_tolerance
+    "text_lang_profile",  # text-stats family held by text_quality_flags
+    "text_repetition",  # bigram machinery held by text_bigram_surprisal
+    "embedding_quantize",  # embeddings family held by ann_topk
+    "sample_mixture",  # doc-weighted mixture: token-weighted twin
+    # sample_token_mixture in-window; sample_quality_topk also in-window
+    "pipeline_epoch_order",  # seeded-hash ordering re-verified inside
+    # pipeline_curriculum_order (same hash-rank construction + stages)
     # rows-only entries (genuinely approximate / parse-only): an oracle
     # row beats a rows-only row when the driver truncates the list;
     # each of these is pinned by pytest (incl. the LSH recall gate)

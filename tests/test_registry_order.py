@@ -70,49 +70,62 @@ def test_extension_surface_inside_window():
         "dedup_ngram_jaccard",
         "ann_topk",
         "multimodal_meta",
-        "text_winnow_fingerprints",
-        "text_lang_profile",
-        # text_regex_tokens + text_tokens_by_source demoted in round 5
-        # (both green r2-r4) to fund the bm25/surprisal promotions
+        # round-6 demotions (each multi-round green; family keeps an
+        # in-window survivor, several replaced by strictly-richer
+        # twins): text_winnow_fingerprints → text_winnow_overlap,
+        # text_contamination → text_decontaminate_spans,
+        # sample_mixture → sample_token_mixture, pipeline_epoch_order →
+        # pipeline_curriculum_order, sessionize_gap →
+        # events_session_funnel, join_asof_clicks held by
+        # join_asof_tolerance, text_lang_profile by text_quality_flags,
+        # text_repetition by text_bigram_surprisal, embedding_quantize
+        # by ann_topk
         "dedup_clusters",
-        "text_repetition",
         "pii_scrub_events",
-        "text_contamination",
-        "join_asof_clicks",
         "window_range_count",
         "ts_gap_fill_hourly",
         "agg_cube_orders",
-        # pivot_segment_status demoted in round 5 (green r3+r4) to
-        # fund pipeline_epoch_order
         "join_length_bands",
         "pipeline_curate",
-        "embedding_quantize",
         # round 4: scale patterns + profiling + composed release
         "join_salted_skew",
         "pipeline_shards",
-        "sample_mixture",
         "sample_quality_topk",
         "profile_orders",
         "pipeline_release",
-        # round 5: the four entries round 4 registered below the cut
         "dedup_incremental",
         "text_vocab_topk",
         "text_quality_flags",
         "join_asof_tolerance",
-        # round 5: BM25 relevance ranking + unigram surprisal +
-        # reproducible epoch ordering
+        # round 5: BM25 relevance ranking + unigram surprisal
         "text_bm25_topk",
         "text_unigram_surprisal",
-        "pipeline_epoch_order",
-        # round 5 late: NEW operator families (substring dedup,
-        # chunking, domain caps, balanced release) — SQL-replayable
-        # members take window slots; funded by demoting pipeline_pack,
-        # anti_join_customers, bfl_time_arith_fold, agg_pricing_summary
-        # (all multi-round green, families keep in-window survivors)
+        # round 5 late: substring dedup, chunking, domain caps,
+        # balanced release
         "dedup_spans",
         "text_chunks",
         "sample_source_cap",
         "pipeline_release_balanced",
+        # round 6: the 19 rows-only → oracle promotions (VERDICT r5 #1)
+        "events_funnel_steps",
+        "events_session_funnel",
+        "events_cohort_retention",
+        "events_rolling_outliers",
+        "events_expectations",
+        "events_psi_drift",
+        "events_skew_profile",
+        "sample_splits",
+        "sample_token_mixture",
+        "sample_quality_percentile",
+        "pipeline_release_delta",
+        "pipeline_curriculum_order",
+        "dedup_scrub_spans",
+        "text_decontaminate_spans",
+        "text_bigram_surprisal",
+        "dedup_canonical",
+        "text_phrase_search",
+        "text_winnow_overlap",
+        "agg_equi_depth_histogram",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
