@@ -1,15 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Third-party decode libraries (PIL/cv2/soundfile) are not in this
-container, so the generic ``decode_features(mode="real")`` hook stays a
-documented stub — but two real container formats ARE decoded with the
-standard library alone: RIFF/WAVE PCM audio (``wav_features``) and
-uncompressed 24-bit BMP images (``bmp_stats``/``bmp_resize``), with
-executor-side payload synthesis (``synth_media_table``) so the full
-decode → feature-extract → resize pipeline runs on genuine media bytes
-at any scale.  The Spark-side plumbing is shared: binary columns, typed
-metadata structs, Arrow-batched ``mapInPandas`` decoder signatures, and
-JVM-side frame sampling via ``substring`` over binary.
+container, but THREE real container formats are decoded with the
+standard library alone: RIFF/WAVE PCM audio (``wav_features``),
+uncompressed 24-bit BMP images, and 8-bit PNG (zlib inflate + the five
+spec filters, ``_decode_png``) — so ``decode_features(mode="real")``
+and ``resize_payload(mode="image")`` are real codec paths, not stubs,
+with executor-side payload synthesis (``synth_media_table``) so the
+full decode → feature-extract → resize pipeline runs on genuine media
+bytes at any scale.  The Spark-side plumbing is shared: binary columns,
+typed metadata structs, Arrow-batched ``mapInPandas`` decoder
+signatures, and JVM-side frame sampling via ``substring`` over binary.
 
 Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
 decode is a map-only ``mapInPandas`` — embarrassingly parallel, batch
@@ -82,20 +83,48 @@ def decode_features(
     ``mode="stub"`` emits deterministic fake features (length + a stable
     checksum of the bytes) so the distributed plumbing — schema, batch
     shape, partition parallelism — is fully exercised. ``mode="real"``
-    raises ``NotImplementedError``: plug a real image/audio decoder into
-    ``_decode_one`` when the libraries exist.
+    container-dispatches to the stdlib codecs (BMP / PNG via
+    :func:`_decode_image`, RIFF/WAVE via :func:`_decode_wav`) and emits
+    physically meaningful features: [width, height, mean_r, mean_g] for
+    images, [n_samples, sample_rate, 1000*RMS, zero-crossings] for
+    audio, [n_bytes, 0, 0, 0] for undecodable payloads.
     """
+    if mode not in ("stub", "real"):
+        raise ValueError(f"unknown decode mode: {mode!r}")
     schema = "doc_id bigint, n_bytes bigint, checksum bigint, feature array<double>"
 
     def _decode_one(payload: bytes) -> tuple[int, list[float]]:
-        if mode == "real":
-            raise NotImplementedError(
-                "real media decode requires image/audio libraries not present "
-                "in this container — stub mode exercises the full Spark path"
-            )
         import zlib
 
         crc = zlib.crc32(payload)
+        if mode == "real":
+            img = _decode_image(payload)
+            if img is not None:
+                m = img.reshape(-1, 3).mean(axis=0)
+                return crc, [
+                    float(img.shape[1]),
+                    float(img.shape[0]),
+                    round(float(m[0]), 4),
+                    round(float(m[1]), 4),
+                ]
+            wav = _decode_wav(payload)
+            if wav is not None:
+                import numpy as np
+
+                sr, _nch, x = wav  # samples already float64 in [-1, 1]
+                rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+                zc = (
+                    int(np.count_nonzero(np.diff(np.signbit(x))))
+                    if x.size > 1
+                    else 0
+                )
+                return crc, [
+                    float(x.size),
+                    float(sr),
+                    round(rms * 1000.0, 4),
+                    float(zc),
+                ]
+            return crc, [float(len(payload)), 0.0, 0.0, 0.0]
         # deterministic fake 4-dim feature derived from the bytes
         feat = [
             float(len(payload)),
@@ -172,20 +201,16 @@ def resize_payload(
     (numpy slice over Arrow batches) — the raw-bytes analog of
     image/audio downsampling, real and testable without codecs.
 
-    ``mode="image"`` raises ``NotImplementedError``: a real deployment
-    plugs ``cv2.resize``/``PIL`` into the same ``mapInPandas``
-    signature — schema, batching, and parallelism are identical, only
-    the per-payload function changes.  The check runs driver-side,
-    before any plan is built, so the unsupported mode fails immediately
-    instead of surfacing as an executor task failure (or not at all on
-    an empty input).
+    ``mode="image"`` is a REAL image resize: the payload is decoded as
+    a BMP or PNG container (stdlib codecs, :func:`_decode_image`),
+    nearest-neighbor downsampled by ``factor``, and re-encoded in its
+    original container format. Undecodable payloads pass through
+    unchanged (a resize stage must not corrupt the non-image rows of a
+    mixed-media column). A cv2/PIL deployment would swap only the
+    per-payload function — schema, batching, and parallelism are
+    identical.
     """
-    if mode == "image":
-        raise NotImplementedError(
-            "image resize requires codec libraries not present in this "
-            "container — decimate mode exercises the same Spark path"
-        )
-    if mode != "decimate":
+    if mode not in ("decimate", "image"):
         raise ValueError(f"unknown resize mode: {mode!r}")
     schema = "doc_id bigint, payload binary, n_bytes bigint"
 
@@ -196,10 +221,21 @@ def resize_payload(
         for pdf in batches:
             out = {"doc_id": [], "payload": [], "n_bytes": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = np.frombuffer(
-                    bytes(payload) if payload is not None else b"", dtype=np.uint8
-                )
-                small = data[::factor].tobytes()
+                data = bytes(payload) if payload is not None else b""
+                if mode == "image":
+                    img = _decode_image(data)
+                    if img is None:
+                        small = data  # non-images pass through untouched
+                    else:
+                        shrunk = img[::factor, ::factor]
+                        small = (
+                            encode_bmp(shrunk)
+                            if data[:2] == b"BM"
+                            else encode_png(shrunk)
+                        )
+                else:
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    small = arr[::factor].tobytes()
                 out["doc_id"].append(doc_id)
                 out["payload"].append(small)
                 out["n_bytes"].append(len(small))
@@ -365,9 +401,151 @@ def _decode_bmp(payload: bytes):
     return arr[::-1] if flip else arr
 
 
+def encode_png(pixels) -> bytes:
+    """8-bit RGB PNG encoder (zlib + struct, no codec libraries):
+    signature, IHDR (color type 2, no interlace), one IDAT with filter
+    type 0 per scanline, IEND. ``pixels`` is an (h, w, 3) uint8 RGB
+    array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes):
+    """(h, w, 3) uint8 RGB array, or None if not a supported PNG.
+
+    Pure-stdlib inflate + unfilter: parses the chunk stream, requires
+    bit depth 8 / no interlace, supports color types 0 (gray),
+    2 (RGB), 4 (gray+alpha) and 6 (RGBA) — alpha is dropped, gray is
+    broadcast to RGB — and implements all five scanline filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9). Row recurrences are
+    sequential by construction; within a row the arithmetic is numpy."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if (
+        channels is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w == 0
+        or h == 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + up) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up[x]) >> 1
+                else:
+                    ul = int(up[x - bpp]) if x >= bpp else 0
+                    p = left + up[x] - ul
+                    pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up[x] if pb <= pc else ul)
+                    )
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    img = out.reshape(h, w, channels)
+    if ctype == 2:
+        return img
+    if ctype == 6:
+        return img[:, :, :3]
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    return np.repeat(img[:, :, :1], 3, axis=2)  # gray+alpha
+
+
+def _decode_image(payload: bytes):
+    """Container-dispatching image decode: uncompressed 24-bit BMP or
+    8-bit PNG → (h, w, 3) uint8 RGB, else None. The two stdlib codecs
+    share this entry so every image operator (stats, resize, pHash,
+    near-dup) accepts both formats transparently."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    return None
+
+
 def bmp_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL image decode + stats: width/height + per-channel means of
-    each 24-bit BMP payload (``ok=false`` for non-BMP bytes)."""
+    each 24-bit BMP or 8-bit PNG payload (container-dispatched via
+    :func:`_decode_image`; ``ok=false`` for undecodable bytes). The
+    name predates the PNG codec — :data:`image_stats` is the
+    format-neutral alias."""
     schema = (
         f"{id_col} bigint, ok boolean, width int, height int, "
         "mean_r double, mean_g double, mean_b double"
@@ -379,7 +557,7 @@ def bmp_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
-                img = _decode_bmp(bytes(payload) if payload is not None else b"")
+                img = _decode_image(bytes(payload) if payload is not None else b"")
                 if img is None:
                     rows.append((rid, False, 0, 0, 0.0, 0.0, 0.0))
                 else:
@@ -395,6 +573,9 @@ def bmp_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+image_stats = bmp_stats  # format-neutral alias (decodes BMP and PNG)
 
 
 def bmp_resize(df: DataFrame, factor: int = 2, id_col: str = "doc_id") -> DataFrame:
@@ -426,9 +607,11 @@ def bmp_resize(df: DataFrame, factor: int = 2, id_col: str = "doc_id") -> DataFr
 def synth_media_table(spark: SparkSession, sf_dir: str, modulo: int = 3) -> DataFrame:
     """Deterministic mixed-media table over the documents ids: every
     ``modulo``-th doc carries a synthesized WAV (sine whose frequency
-    and length derive from the id), the next a 24-bit BMP gradient, the
-    rest raw text bytes — generated executor-side (no driver payloads),
-    so the decode entries exercise real container bytes at any scale."""
+    and length derive from the id), the next an image gradient —
+    alternating between a 24-bit BMP and an 8-bit PNG container so both
+    stdlib codecs run on every batch — the rest raw text bytes.
+    Generated executor-side (no driver payloads), so the decode entries
+    exercise real container bytes at any scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     schema = "doc_id bigint, media_type string, payload binary"
 
@@ -459,7 +642,10 @@ def synth_media_table(spark: SparkSession, sf_dir: str, modulo: int = 3) -> Data
                         ],
                         axis=2,
                     ).astype(np.uint8)
-                    rows.append((did, "image/bmp", encode_bmp(px)))
+                    if (did // modulo) % 2 == 0:
+                        rows.append((did, "image/bmp", encode_bmp(px)))
+                    else:
+                        rows.append((did, "image/png", encode_png(px)))
                 else:
                     rows.append(
                         (did, "text/plain", str(did).encode() * 4)
@@ -478,28 +664,27 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual container formats, no stubs."""
     media = synth_media_table(spark, sf_dir)
     wav = wav_features(media.filter(F.col("media_type") == "audio/wav"))
-    bmp = bmp_stats(media.filter(F.col("media_type") == "image/bmp"))
-    return (
-        wav.select(
-            "doc_id",
-            F.lit("audio/wav").alias("media_type"),
-            "ok",
-            F.col("duration_ms").alias("f1"),
-            F.col("rms").alias("f2"),
-            F.col("zcr").alias("f3"),
-        )
-        .unionByName(
-            bmp.select(
+    out = wav.select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        "ok",
+        F.col("duration_ms").alias("f1"),
+        F.col("rms").alias("f2"),
+        F.col("zcr").alias("f3"),
+    )
+    for mtype in ("image/bmp", "image/png"):
+        stats = image_stats(media.filter(F.col("media_type") == mtype))
+        out = out.unionByName(
+            stats.select(
                 "doc_id",
-                F.lit("image/bmp").alias("media_type"),
+                F.lit(mtype).alias("media_type"),
                 "ok",
                 F.col("width").cast("double").alias("f1"),
                 F.col("mean_r").alias("f2"),
                 F.col("mean_g").alias("f3"),
             )
         )
-        .orderBy("doc_id")
-    )
+    return out.orderBy("doc_id")
 
 
 # -- perceptual hashing / image near-dup ------------------------------------
@@ -529,8 +714,10 @@ def _phash_from_img(img) -> int:
 
 
 def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL perceptual hash over BMP payloads: (id, ok, phash bigint).
-    Map-only ``mapInPandas``; non-BMP payloads come back ok=false."""
+    """REAL perceptual hash over BMP or PNG payloads (the pHash is
+    computed on decoded RGB pixels, so the same image in either
+    container hashes identically): (id, ok, phash bigint). Map-only
+    ``mapInPandas``; undecodable payloads come back ok=false."""
     schema = f"{id_col} bigint, ok boolean, phash bigint"
 
     def run(batches: Iterator) -> Iterator:
@@ -539,7 +726,7 @@ def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
-                img = _decode_bmp(bytes(payload) if payload is not None else b"")
+                img = _decode_image(bytes(payload) if payload is not None else b"")
                 if img is None:
                     rows.append((rid, False, 0))
                 else:
@@ -572,7 +759,7 @@ def image_near_dup(
     """
     if media is None:
         media = synth_media_table(spark, sf_dir)
-    imgs = media.filter(F.col("media_type") == "image/bmp")
+    imgs = media.filter(F.col("media_type").startswith("image/"))
     hashes = image_phash(imgs).filter(F.col("ok")).select("doc_id", "phash")
     return hamming_near_dup(hashes, "phash", max_hamming)
 

@@ -47,16 +47,24 @@ def planted(spark):
     rng = np.random.default_rng(7)
     rows = []
     did = 0
+
+    def _enc(i, img):
+        # alternate containers so the near-dup parity covers BMP-BMP,
+        # PNG-PNG AND cross-format pairs (the hash is pixel-space)
+        if i % 2 == 0:
+            return "image/bmp", multimodal.encode_bmp(img)
+        return "image/png", multimodal.encode_png(img)
+
     for b in range(3):
         base = _textured(rng, 48 + b * 8, 40 + b * 8)
         for copy in range(3):
             img = base if copy == 0 else _noise(base, rng)
-            rows.append((did, "image/bmp", multimodal.encode_bmp(img)))
+            rows.append((did, *_enc(did, img)))
             did += 1
     for b in range(6):
         rng2 = np.random.default_rng(100 + b)
         img = rng2.integers(0, 256, (24 + b, 30 + b, 3)).astype(np.uint8)
-        rows.append((did, "image/bmp", multimodal.encode_bmp(img)))
+        rows.append((did, *_enc(did, img)))
         did += 1
     return spark.createDataFrame(
         rows, "doc_id long, media_type string, payload binary"
@@ -114,6 +122,122 @@ def test_planted_copies_found(spark, planted):
         for i in range(3):
             for j in range(i + 1, 3):
                 assert (ids[i], ids[j]) in pairs
+
+
+# -- PNG codec goldens ------------------------------------------------------
+
+
+def test_png_roundtrip_byte_exact():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+    dec = multimodal._decode_png(multimodal.encode_png(px))
+    assert dec is not None and (dec == px).all()
+
+
+def test_png_all_filter_types_decoded():
+    """The decoder must invert every scanline filter of the PNG spec
+    (§9): build an image whose rows are forward-filtered with types
+    0..4 and check pixel-exact recovery."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    h, w, bpp = 5, 9, 3
+    px = rng.integers(0, 256, (h, w, bpp)).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        ftype = y % 5
+        filt = np.empty_like(line)
+        for x in range(len(line)):
+            left = int(line[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    dec = multimodal._decode_png(png)
+    assert dec is not None and (dec == px).all()
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    def make(ctype, channels, data):
+        h = len(data)
+        w = len(data[0]) // channels
+        raw = b"".join(b"\x00" + bytes(row) for row in data)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = make(0, 1, [[10, 20], [30, 40]])
+    dg = multimodal._decode_png(gray)
+    assert dg.shape == (2, 2, 3) and (dg[0, 0] == [10, 10, 10]).all()
+    rgba = make(6, 4, [[1, 2, 3, 255, 4, 5, 6, 128]])
+    da = multimodal._decode_png(rgba)
+    assert da.shape == (1, 2, 3)
+    assert (da[0, 0] == [1, 2, 3]).all() and (da[0, 1] == [4, 5, 6]).all()
+
+
+def test_png_bmp_phash_identical_for_same_pixels(spark):
+    rng = np.random.default_rng(5)
+    px = _textured(rng, 48, 40)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(multimodal.encode_bmp(px))),
+            (1, bytearray(multimodal.encode_png(px))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["phash"] for r in multimodal.image_phash(df).collect()}
+    assert got[0] == got[1]
+
+
+def test_png_truncated_and_corrupt_rejected():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = multimodal.encode_png(px)
+    assert multimodal._decode_png(good[: len(good) // 2]) is None
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # corrupt inside the IDAT zlib stream
+    assert multimodal._decode_png(bytes(bad)) is None
 
 
 def test_non_bmp_payloads_flagged(spark):

@@ -43,10 +43,38 @@ def test_decode_stub_checksum_matches_python(spark):
     assert got == expect
 
 
-def test_decode_real_mode_raises(spark):
-    t = _payloads(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        multimodal.decode_features(t, mode="real").collect()
+def test_decode_real_mode_dispatches_codecs(spark):
+    """mode='real' is a real codec path now (round-6): BMP/PNG/WAV
+    payloads produce physically meaningful features, text payloads
+    degrade to [n_bytes, 0, 0, 0]."""
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # solid red
+    wav = multimodal.encode_wav(0.5 * np.sin(np.arange(800) / 8), 8000)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_bmp(px))),
+            (2, bytearray(multimodal.encode_png(px))),
+            (3, bytearray(wav)),
+            (4, bytearray(b"just text")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: list(r["feature"])
+        for r in multimodal.decode_features(df, mode="real").collect()
+    }
+    # both image containers decode to the same pixels → same features
+    assert got[1] == [4.0, 4.0, 200.0, 0.0]
+    assert got[2] == got[1]
+    assert got[3][0] == 800.0 and got[3][1] == 8000.0 and got[3][2] > 0
+    assert got[4] == [9.0, 0.0, 0.0, 0.0]
+
+
+def test_decode_unknown_mode_raises(spark):
+    with pytest.raises(ValueError, match="unknown decode mode"):
+        multimodal.decode_features(_payloads(spark, n=1), mode="nope")
 
 
 def test_byte_histogram_matches_python(spark):
@@ -79,15 +107,32 @@ def test_resize_decimates(spark):
         assert small[r["doc_id"]] == data[::4]
 
 
-def test_resize_image_mode_raises(spark):
-    # driver-side, before any plan/job: NotImplementedError directly,
-    # not a wrapped executor PythonException — and it raises even on
-    # an empty input (ADVICE r4)
-    t = _payloads(spark, n=2)
-    with pytest.raises(NotImplementedError, match="image resize"):
-        multimodal.resize_payload(t, mode="image")
-    with pytest.raises(NotImplementedError, match="image resize"):
-        multimodal.resize_payload(t.limit(0), mode="image")
+def test_resize_image_mode_real(spark):
+    """mode='image' decodes BMP/PNG, nearest-neighbor downsamples, and
+    re-encodes in the ORIGINAL container; non-images pass through."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    px = np.stack([xx * 30, yy * 30, xx * 0 + 9], axis=2).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_bmp(px))),
+            (2, bytearray(multimodal.encode_png(px))),
+            (3, bytearray(b"not an image")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.resize_payload(df, factor=2, mode="image").collect()
+    }
+    bmp_small = multimodal._decode_bmp(got[1])
+    png_small = multimodal._decode_png(got[2])
+    assert got[1][:2] == b"BM" and got[2][:8] == b"\x89PNG\r\n\x1a\n"
+    assert bmp_small.shape == png_small.shape == (4, 4, 3)
+    assert (bmp_small == px[::2, ::2]).all()
+    assert (png_small == px[::2, ::2]).all()
+    assert got[3] == b"not an image"  # pass-through, not dropped
 
 
 def test_resize_unknown_mode_raises(spark):
@@ -219,4 +264,4 @@ def test_media_decode_features_end_to_end(spark):
     assert len(a) > 0
     assert all(r["ok"] for r in a)
     kinds = {r["media_type"] for r in a}
-    assert kinds == {"audio/wav", "image/bmp"}
+    assert kinds == {"audio/wav", "image/bmp", "image/png"}
