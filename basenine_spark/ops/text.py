@@ -444,7 +444,11 @@ def bm25_topk(
 
 
 def unigram_surprisal(
-    spark: SparkSession, sf_dir: str, k: int = 100, min_count: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 100,
+    min_count: int = 1,
+    top_v: int | None = None,
 ) -> DataFrame:
     """Corpus-relative unigram surprisal: per-document mean negative
     log-probability of its tokens under the corpus's own unigram
@@ -462,15 +466,29 @@ def unigram_surprisal(
     rounded before the top-k ranking (engine-stable rank order, ties by
     doc_id), and the top-k itself is a TakeOrdered.
 
-    ``min_count`` is the crawl-scale vocabulary cap (TUNING.md): tokens
-    below the count floor are dropped from the probability table — they
-    score as if they occurred exactly ``min_count - 0.5`` times (a
-    fixed out-of-vocabulary surprisal, still relative to the same total
-    mass), so the broadcastable table holds only the head vocabulary
-    while rare-token-dense documents still rank at the top.  The
-    default (1) keeps the exact distribution — the oracle-verified
-    semantics.
+    **The bounded+broadcast form is the documented 100 TB default.**
+    ``min_count`` (count floor) and/or ``top_v`` (vocabulary-size cap,
+    rarest-dropped-first) bound the probability table, which is then
+    EXPLICITLY ``F.broadcast`` into the scoring join — the corpus side
+    stays map-only (broadcast hash join, no token-keyed shuffle of the
+    token stream; the only stream shuffle left is the doc-keyed partial
+    aggregation).  OOV pricing is CALIBRATED, not a floor heuristic:
+    under ``top_v`` every out-of-vocabulary token scores the MEAN
+    probability of the dropped tail (the dropped mass shared uniformly
+    over the dropped types — exact when the tail is one token or
+    uniform, e.g. crawl singletons), still relative to the UNCAPPED
+    total mass; under ``min_count`` alone the classic ``min_count−0.5``
+    price applies.  Rare-token-dense documents therefore keep both
+    their ranking AND approximately their exact scores.  The exact form
+    (``min_count=1, top_v=None``) shuffles the stream on the token key
+    against the unbounded vocab — it exists as the oracle-verified
+    baseline the bounded form is differentially gated against (>=95 %
+    top-k agreement in pytest), not as the form to run at crawl scale.
     """
+    import math
+
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -478,16 +496,36 @@ def unigram_surprisal(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    if min_count > 1:
+    w = Window.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
+    if min_count > 1 or top_v is not None:
         # total mass BEFORE the cap (probabilities stay calibrated),
-        # vocabulary AFTER it (the table that ships to executors)
-        total = uni.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
-        uni = uni.filter(F.col("cnt") >= min_count)
-        oov = -float(
-            __import__("math").log((min_count - 0.5) / float(total))
-        )
+        # vocabulary AFTER it (the head table that ships to executors)
+        pre = uni.agg(
+            F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        total, vocab_n = pre["t"], pre["n"]
+        if min_count > 1:
+            uni = uni.filter(F.col("cnt") >= min_count)
+        if top_v is not None:
+            uni = uni.orderBy(
+                F.col("cnt").desc(), F.col("token").asc()
+            ).limit(top_v)
+            kept = uni.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            dropped_mass = total - kept["m"]
+            dropped_n = vocab_n - kept["n"]
+            if dropped_n > 0:
+                # mean dropped-token probability — calibrated OOV price
+                oov_cnt = dropped_mass / float(dropped_n)
+            else:
+                oov_cnt = max(min_count - 0.5, 0.5)  # OOV never fires
+        else:
+            oov_cnt = min_count - 0.5
+        oov = -math.log(oov_cnt / float(total))
         scored = (
-            toks.join(uni, "token", "left")
+            toks.join(F.broadcast(uni), "token", "left")
             .groupBy("doc_id")
             .agg(
                 F.round(
@@ -503,9 +541,6 @@ def unigram_surprisal(
                 F.count(F.lit(1)).alias("n_tokens"),
             )
         )
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
         return (
             scored.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
             .limit(k)
@@ -522,9 +557,6 @@ def unigram_surprisal(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
     return (
         scored.orderBy(F.col("surprisal").desc(), F.col("doc_id").asc())
         .limit(k)
@@ -533,7 +565,7 @@ def unigram_surprisal(
 
 
 def bigram_surprisal(
-    spark: SparkSession, sf_dir: str, k: int = 100
+    spark: SparkSession, sf_dir: str, k: int = 100, top_v: int | None = None
 ) -> DataFrame:
     """Bigram conditional surprisal: per-document mean of
     ``-ln p(w_i | w_{i-1})`` under the corpus's own bigram counts
@@ -549,6 +581,19 @@ def bigram_surprisal(
     broadcasts when the tables fit (AQE decides) and the top-k is a
     TakeOrdered.  Scores are rounded before ranking; documents with
     fewer than two tokens have no bigrams and drop out.
+
+    **The ``top_v`` class-LM form is the documented 100 TB default**:
+    every token outside the top-``top_v`` unigram vocabulary maps to a
+    single ``<unk>`` class via a BROADCAST membership join (map-only —
+    the token stream is never shuffled on the token key), and the
+    bigram LM is computed EXACTLY over the mapped stream.  The bigram
+    and context tables are then bounded by (V+1)^2 / (V+1) instead of
+    the open vocabulary, which is what makes the pair-keyed scoring
+    join broadcastable at crawl scale.  This is the standard
+    class-based LM construction — calibrated (probabilities sum to 1
+    over the mapped alphabet), not a heuristic OOV patch.  The exact
+    form (``top_v=None``) is the oracle-verified baseline the bounded
+    form is differentially gated against in pytest.
     """
     from pyspark.sql import Window
 
@@ -559,6 +604,22 @@ def bigram_surprisal(
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
     )
+    if top_v is not None:
+        vocab = (
+            toks.filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(top_v)
+            .select("token", F.lit(True).alias("in_v"))
+        )
+        toks = toks.join(F.broadcast(vocab), "token", "left").select(
+            "doc_id",
+            "pos",
+            F.when(F.col("in_v"), F.col("token"))
+            .otherwise(F.lit("\x00unk"))
+            .alias("token"),
+        )
     w = Window.partitionBy("doc_id").orderBy("pos")
     pairs = (
         toks.withColumn("prev", F.lag("token").over(w))

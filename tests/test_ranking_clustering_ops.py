@@ -276,6 +276,132 @@ def test_surprisal_min_count_caps_vocab_keeps_ranking_sane(spark, tmp_path):
     assert capped[0]["surprisal"] == round(-math.log((2 - 0.5) / total), 4)
 
 
+def _zipf_docs(tmp_path, name="zipf"):
+    """Planted Zipf corpus: a 20-token head carrying >99 % of the
+    token mass plus a long tail of singleton tokens — the vocabulary
+    shape the top_v cap is designed for (the driver's synthetic corpus
+    is uniform-31-token, where ANY cap removes head mass)."""
+    import random
+
+    rng = random.Random(13)
+    head = [f"h{i}" for i in range(20)]
+    texts = []
+    for d in range(120):
+        n = 60
+        toks = [head[min(int(rng.paretovariate(1.1)) % 20, 19)] for _ in range(n)]
+        if d % 10 == 0:  # every 10th doc is rare-dense (the review queue)
+            toks[:12] = [f"tail{d}_{j}" for j in range(12)]
+        texts.append(" ".join(toks))
+    docs = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_surprisal_topv_broadcast_default_agrees_with_exact(spark, tmp_path):
+    """The documented 100 TB default (top_v head vocabulary + forced
+    broadcast join) against the exact oracle baseline: on a corpus with
+    a genuine Zipf tail, capping to the head keeps >=95 % top-k
+    agreement, and the plan shows the broadcast (the corpus token
+    stream is never shuffled on the token key)."""
+    sf = _zipf_docs(tmp_path)
+    exact = [r["doc_id"] for r in text.unigram_surprisal(spark, sf, k=40).collect()]
+    bdf = text.unigram_surprisal(spark, sf, k=40, top_v=20)
+    bounded = [r["doc_id"] for r in bdf.collect()]
+    agree = len(set(exact) & set(bounded)) / len(exact)
+    assert agree >= 0.95, f"top-k agreement {agree}"
+    # every rare-dense planted doc surfaces in both
+    planted = {d for d in range(120) if d % 10 == 0}
+    assert planted <= set(exact) and planted <= set(bounded)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bdf.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_surprisal_topv_mass_rule_on_driver_corpus(spark):
+    """At sf0.01 the sizing rule ('cap to the head carrying >=99 % of
+    token mass') selects the full 31-token vocabulary — uniform corpora
+    have no tail to cut — and the bounded form then agrees with the
+    exact form exactly. The rule, not a fixed V, is the contract."""
+    sf = "/root/testdata/sf0.01"
+    counts = sorted(
+        (
+            r["cnt"]
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .selectExpr("explode(split(text, ' ')) AS token")
+            .where("token <> '' AND token IS NOT NULL")
+            .groupBy("token")
+            .count()
+            .withColumnRenamed("count", "cnt")
+            .collect()
+        ),
+        reverse=True,
+    )
+    total = sum(counts)
+    acc, v = 0, 0
+    for c in counts:
+        acc += c
+        v += 1
+        if acc >= 0.99 * total:
+            break
+    exact = [r["doc_id"] for r in text.unigram_surprisal(spark, sf, k=100).collect()]
+    bounded = [
+        r["doc_id"]
+        for r in text.unigram_surprisal(spark, sf, k=100, top_v=v).collect()
+    ]
+    agree = len(set(exact) & set(bounded)) / len(exact)
+    assert agree >= 0.95, f"mass-rule V={v}, agreement {agree}"
+
+
+def test_bigram_topv_unk_mapping_keeps_order_signal(spark, tmp_path):
+    """The class-LM bounded bigram still sees word order: a shuffled
+    copy of an in-order doc out-surprises it under top_v too, and the
+    bounded plan broadcasts the vocabulary membership join."""
+    common = ("the cat sat on the mat and the dog ran to the cat " * 6).split()
+    texts = [" ".join(common)] * 8
+    texts.append(" ".join(common))  # in-order twin
+    shuffled = list(common)
+    import random
+
+    random.Random(5).shuffle(shuffled)
+    texts.append(" ".join(shuffled))  # same multiset, scrambled
+    docs = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "ord"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    bdf = text.bigram_surprisal(spark, str(d), k=20, top_v=8)
+    rows = {r["doc_id"]: r["surprisal"] for r in bdf.collect()}
+    assert rows[len(texts) - 1] > rows[len(texts) - 2]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bdf.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
 # -- bigram surprisal --------------------------------------------------
 
 
