@@ -619,19 +619,25 @@ class BasenineDB:
         """/query (M1) as a bounded scan: records after ``left_off``
         matching the filter, in id order, honoring ``limit(N)``.  The
         unbounded tail-follow variant is
-        :func:`basenine_spark.streaming.tail.tail`."""
+        :func:`basenine_spark.streaming.tail.tail`.
+
+        ``left_off`` zero-forms follow the reference's wire parsing
+        (``native.go:1158-1176``): the INT 0 / None / empty string mean
+        "from the beginning", while the STRING ``"0"`` is a real resume
+        token — records strictly after seq 0 (the reference applies its
+        +1 increment to any non-empty string, including "0")."""
         q = self._prepare(query)
         if self._log is not None:
             # resume offset as a physical seq predicate → file pruning
             min_seq = None
             if left_off == "latest":  # T2 (native.go:1158-1176)
                 min_seq = max(self._log.total_written - 1, 0)
-            elif left_off not in (0, "0", None, ""):
+            elif left_off not in (0, None, ""):
                 min_seq = int(left_off) + 1
             df = self._typed_view(min_seq=min_seq)
         else:
             df = self.dataframe()
-            if left_off not in (0, "0", None, ""):
+            if left_off not in (0, None, ""):
                 if left_off == "latest":
                     if not self._mounted and self._insert_counter > 0:
                         # O(1): derived from the running counter, not a
@@ -680,7 +686,7 @@ class BasenineDB:
                 - 1,
                 0,
             )
-        elif left_off in (0, "0", None, ""):
+        elif left_off in (0, None, ""):
             start = 0
         else:
             start = int(left_off) + 1

@@ -166,9 +166,20 @@ class BasenineServer:
         host: str = "127.0.0.1",
         port: int = 0,
         poll_interval: float = 0.15,
+        compat_left_off: bool = False,
     ):
+        """``compat_left_off=True`` reproduces the reference's QUERY-mode
+        token arithmetic verbatim: the metadata ``leftOff`` is minted as
+        the delivered record's index **plus one** (``native.go:392``
+        increment against a token from ``native.go:497-505``), so a
+        token-replaying reference client sees identical paging —
+        including the reference's one-record skip on resume.  The
+        default (False) mints the delivered id itself, which resumes
+        with no skip (strictly better, but observably different to a
+        client that replays tokens byte-for-byte)."""
         self.db = db
         self.poll_interval = poll_interval
+        self.compat_left_off = compat_left_off
         self._listener = socket.create_server((host, port))
         self.host, self.port = self._listener.getsockname()[:2]
         self._insert_lock = threading.Lock()
@@ -412,15 +423,22 @@ class BasenineServer:
                 # numberOfWritten is cumulative across the whole stream
                 # (native.go:495-505), not per re-scan
                 frame.number_of_written += poll_base
+                # the server's own follow-resume always tracks the
+                # DELIVERED seq; compat mode changes only the token on
+                # the wire (the reference's index+1 mint), never the
+                # internal arithmetic
+                try:
+                    seq = int(frame.left_off)
+                    last_seq = max(last_seq, seq)
+                    if self.compat_left_off:
+                        frame.left_off = index_to_id(seq + 1)
+                except ValueError:
+                    pass
                 if not self._send(
                     conn, f"{CMD_METADATA} {frame.to_json()}"
                 ):
                     return
                 written += 1
-                try:
-                    last_seq = max(last_seq, int(frame.left_off))
-                except ValueError:
-                    pass
             if mounted or (limit > 0 and written >= limit):
                 # stream done (limit hit, or a mounted table has no
                 # follow semantics); the connection stays open until

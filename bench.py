@@ -263,27 +263,96 @@ def main() -> int:
         for name in SLOPE:
             probe[name] = timed(SPARK_QUERIES[name], scaled)[0]
 
+    # -- 10× documents probe (VERDICT r5 #8) ------------------------------
+    # The gram-heavy families' 100 TB risk lives in DOCUMENT volume, and
+    # the 2× probe above under-measures it. Two deterministic 10×
+    # replicas:
+    #  * MUTATED (per-replica token suffix): replicas share no grams, so
+    #    the corpus grows 10× at the ORIGINAL near-dup rate — the honest
+    #    slope for the dedup family (plain copies would make every doc a
+    #    10-way near-dup and measure the pathological all-dup case, not
+    #    growth).
+    #  * PLAIN copies for the token-keyed rankers (BM25/surprisal/BPE):
+    #    counts scale 10×, vocabulary stays fixed — exactly how a bigger
+    #    crawl looks to a frequency aggregate (and the probe terms must
+    #    keep existing).
+    DOCS10_MUTATED = [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_spans",
+        "sample_source_cap",
+    ]
+    DOCS10_PLAIN = [
+        "text_bm25_topk",
+        "text_unigram_surprisal",
+        "bpe_merges",
+    ]
+    probe10: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as scaled10:
+        t0 = time.perf_counter()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = docs.count()
+        rep = docs.crossJoin(
+            spark.range(10).select(F.col("id").alias("rep"))
+        ).withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
+        mut_text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("~"), F.col("rep").cast("string")),
+            ),
+            " ",
+        )
+        (
+            rep.withColumn("text", mut_text)
+            .drop("rep")
+            .repartition(int(CPUS))
+            .write.parquet(f"{scaled10}/mut/documents.parquet")
+        )
+        (
+            rep.drop("rep")
+            .repartition(int(CPUS))
+            .write.parquet(f"{scaled10}/plain/documents.parquet")
+        )
+        build10_sec = round(time.perf_counter() - t0, 3)
+        for name in DOCS10_MUTATED:
+            probe10[name] = timed(SPARK_QUERIES[name], f"{scaled10}/mut")[0]
+        for name in DOCS10_PLAIN:
+            probe10[name] = timed(SPARK_QUERIES[name], f"{scaled10}/plain")[0]
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_stats": stats,
-                "sf": sf,
-                "scale_probe": {
-                    "events_factor": 10,
-                    "documents_factor": 2,
-                    "build_sec": build_sec,
-                    "queries": probe,
-                },
-            }
-        )
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_stats": stats,
+        "sf": sf,
+        "scale_probe": {
+            "events_factor": 10,
+            "documents_factor": 2,
+            "build_sec": build_sec,
+            "queries": probe,
+        },
+        "scale_probe_docs10": {
+            "documents_factor": 10,
+            "build_sec": build10_sec,
+            "mutated": DOCS10_MUTATED,
+            "plain": DOCS10_PLAIN,
+            "queries": probe10,
+        },
+    }
+    # self-contained artifact: the driver's BENCH_r{N}.json keeps only a
+    # stdout tail, which has truncated the leading timings in past
+    # rounds (VERDICT r5 #4) — persist the full dict in-repo too
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
     )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(result))
     return 0
 
 

@@ -119,6 +119,92 @@ def test_query_mode_golden(served100, query, expected, left_off):
     assert got == expected
 
 
+@pytest.fixture(scope="module")
+def served100_compat(spark, tmp_path_factory):
+    """Same 100-insert store behind a server in reference leftOff
+    compat mode (token = delivered index + 1, native.go:392,497-505)."""
+    db = BasenineDB(
+        spark, path=str(tmp_path_factory.mktemp("wire_compat") / "store")
+    )
+    db.insert_json([PAYLOAD] * 100)
+    server = BasenineServer(
+        db, poll_interval=0.05, compat_left_off=True
+    ).start()
+    yield db, server
+    server.stop()
+
+
+@pytest.mark.parametrize("query,expected,left_off", QUERY_CASES)
+def test_query_mode_golden_compat_tokens(
+    served100_compat, query, expected, left_off
+):
+    """The server_test.go:123-206 table again, in compat mode: records
+    and paging identical, but every minted metadata leftOff is the
+    delivered index PLUS ONE — the reference's token arithmetic."""
+    _, server = served100_compat
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query(str(left_off) if left_off else "", query)
+        start = left_off + 1 if left_off else 0
+        got = 0
+        index = start
+        while got < expected:
+            frame = next(frames)
+            if frame.metadata is not None:
+                # previous delivered index is (index - 1); the compat
+                # token is that plus one == index
+                assert frame.metadata["leftOff"] == index_to_id(index)
+                continue
+            assert _doc(frame.record)["id"] == index_to_id(index)
+            index += 1
+            got += 1
+    assert got == expected
+
+
+def _first_record_after_token(server, token: str) -> str:
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query(token, 'brand.name == "Chevrolet"')
+        for frame in frames:
+            if frame.record is not None:
+                return _doc(frame.record)["id"]
+    raise AssertionError("no record")
+
+
+def _token_after_first_record(server) -> str:
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query("", 'brand.name == "Chevrolet"')
+        seen_record = False
+        for frame in frames:
+            if frame.record is not None:
+                seen_record = True
+            elif seen_record and frame.metadata is not None:
+                return frame.metadata["leftOff"]
+    raise AssertionError("no metadata")
+
+
+def test_token_replay_compat_skips_one_like_reference(
+    served100, served100_compat
+):
+    """THE observable wire difference, pinned in both modes: a client
+    that replays the minted token back into /query sees — default
+    mode: the very next record (no skip); compat mode: one record
+    skipped, exactly the reference's +1 mint / +1 resume behavior."""
+    _, default_server = served100
+    _, compat_server = served100_compat
+    # default: token after record 0 is "…0"; replay resumes at 1
+    t0 = _token_after_first_record(default_server)
+    assert t0 == index_to_id(0)
+    assert _first_record_after_token(default_server, str(int(t0))) == (
+        index_to_id(1)
+    )
+    # compat: token after record 0 is "…1"; replay resumes at 2 —
+    # record 1 is skipped, as a reference server would
+    t1 = _token_after_first_record(compat_server)
+    assert t1 == index_to_id(1)
+    assert _first_record_after_token(compat_server, str(int(t1))) == (
+        index_to_id(2)
+    )
+
+
 def test_query_mode_follow_streams_new_inserts(served):
     """The QUERY connection is live: records inserted after the
     snapshot keep streaming (native.go:520-522 fsnotify resume)."""
