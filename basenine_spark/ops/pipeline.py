@@ -567,6 +567,61 @@ def read_webdataset_shards(spark: SparkSession, src: str) -> DataFrame:
     )
 
 
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the "datasheets for datasets"
+    summary a release ships with: document / token / character volume,
+    language spread, and the exact-duplicate footprint (documents whose
+    content hash appears more than once ANYWHERE in the corpus, so
+    cross-source mirror pollution is visible in every source it
+    touches, not just the one holding the canonical copy).
+
+    Plan: one map-only pass derives (source, lang, tokens, chars,
+    md5); the duplicate flag is a hash-keyed partial-agg + window (the
+    exact_dedup shuffle shape); the rollup is one source-keyed agg.
+    Every stage partial-aggregates, nothing driver-side.
+
+    Output: (source, n_docs, n_tokens, n_chars, n_langs, n_dup_docs,
+    dup_ratio) — one row per source, ratio rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("h"),
+    )
+    flagged = base.withColumn(
+        "dup", F.count(F.lit(1)).over(Window.partitionBy("h")) > 1
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental release manifest: the per-shard delta a nightly
     ingest publishes — which shards received how many genuinely-new

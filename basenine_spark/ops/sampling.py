@@ -496,6 +496,91 @@ def exact_n_sample(
     )
 
 
+def exact_stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    total_n: int = 100,
+    salt: str = "strat",
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """EXACTLY-``total_n`` stratified sample with largest-remainder
+    apportionment: each source's quota is its proportional share of
+    ``total_n``, floored, with the leftover seats handed to the largest
+    fractional remainders (ties by source name) — the Hamilton method,
+    the standard way to build a fixed-size eval set whose composition
+    mirrors the corpus.  Rate-based stratified sampling
+    (:func:`stratified_sample`) only hits the target IN EXPECTATION;
+    eval sets need the count exact.
+
+    Everything is INTEGER arithmetic (``(total_n * n_k) div/mod
+    n_total``) so the apportionment is engine-stable bit-for-bit, and
+    within each source the quota picks the smallest content-stable
+    hashes (ties by doc_id) — reproducible on any engine, stable under
+    re-runs.
+
+    Plan: one tiny count aggregate (|sources| rows — the remainder
+    window runs on that table, not the corpus), broadcast of the quota
+    table, one source-keyed rank window over the corpus.  Same shuffle
+    budget as :func:`source_cap`; the two-phase O(quota)-state
+    refinement documented there applies verbatim for mega-sources.
+
+    Requires ``total_n <= |corpus|``; per-source quotas are capped at
+    the stratum size for safety.  Output: (doc_id, source, strat_rank),
+    exactly ``total_n`` rows, strat_rank in [1, quota_source].
+    """
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source")
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # integer apportionment over the |sources|-row table
+    sized = counts.select(
+        "source",
+        "n_src",
+        F.sum("n_src").over(w_all).alias("n_total"),
+    ).select(
+        "source",
+        "n_src",
+        # integer div/mod keep the apportionment bit-exact — a double
+        # quotient could truncate 2.9999999999999996 to 2
+        F.expr(f"({total_n} * n_src) div n_total").alias("floor_q"),
+        F.expr(f"({total_n} * n_src) % n_total").alias("rem"),
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    w_seats = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quotas = sized.select(
+        "source",
+        "n_src",
+        "floor_q",
+        F.row_number().over(w_rem).alias("rem_rank"),
+        (F.lit(total_n) - F.sum("floor_q").over(w_seats)).alias("seats"),
+    ).select(
+        "source",
+        F.least(
+            F.col("floor_q")
+            + F.when(F.col("rem_rank") <= F.col("seats"), 1).otherwise(0),
+            F.col("n_src"),
+        ).alias("quota"),
+    )
+    h = _bucket(salt, F.col("doc_id"))
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        base.select("doc_id", "source", h.alias("h"))
+        .withColumn("strat_rank", F.row_number().over(w_rank).cast("bigint"))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("strat_rank") <= F.col("quota"))
+        .select("doc_id", "source", "strat_rank")
+    )
+
+
 def quality_percentile_by_source(
     spark: SparkSession,
     sf_dir: str,

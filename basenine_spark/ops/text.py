@@ -647,6 +647,72 @@ def bigram_surprisal(
     )
 
 
+def boilerplate_ratio(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    min_df: int = 2,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Within-corpus boilerplate mass per document: the fraction of a
+    document's positional ``n``-gram occurrences whose gram appears in
+    at least ``min_df`` places corpus-wide — navigation chrome, cookie
+    banners, license headers, and template scaffolding light up here
+    long before they qualify as document-level near-dups.  This is the
+    WITHIN-corpus complement of :func:`contamination` (which probes an
+    external benchmark set): C4 drops lines this signal flags, and a
+    per-source average of it is the classic scraped-site triage stat.
+
+    Plan shape: positional grams are a map-only explode (~1 row per
+    corpus token, the same volume as the substring-dedup gram pass);
+    the df table is one partial-agg shuffle on the gram key; the flag
+    join is gram-keyed and the per-doc rollup is a doc-keyed partial
+    agg.  At crawl scale the refinement (same shape as the surprisal
+    default) is to TakeOrdered the top-K boilerplate grams (df >=
+    min_df is a tiny head at real min_df values like 100+) and
+    broadcast-probe them, keeping the corpus side map-only; the exact
+    form here is the oracle baseline.
+
+    Output: (doc_id, n_grams, n_boiler, boiler_ratio) for every doc
+    with at least ``n`` tokens; ratio rounded to 6.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler") / F.col("n_grams").cast("double"), 6
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
 def normalize_nfkc(
     df: DataFrame,
     col: str = "text",

@@ -2465,6 +2465,106 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
+# Round-6 additions: boilerplate mass, exact stratified eval sets,
+# corpus datasheet
+# ---------------------------------------------------------------------------
+
+_register(
+    "text_boilerplate",
+    lambda s, d: text.boilerplate_ratio(s, d),
+    # within-corpus boilerplate mass: fraction of each doc's positional
+    # 5-gram occurrences whose gram repeats (df >= 2) corpus-wide —
+    # the C4 template/chrome signal; planted goldens in
+    # tests/test_round6_ops.py
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(l, pos, pos + 4), ' ') AS gram
+      FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS pos
+        FROM toks WHERE len(l) >= 5
+      )
+    ), dfreq AS (
+      SELECT gram, count(*) AS df FROM grams GROUP BY gram
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS boiler_ratio
+    FROM grams JOIN dfreq USING (gram) GROUP BY doc_id
+    """,
+)
+
+_register(
+    "sample_exact_stratified",
+    lambda s, d: sampling.exact_stratified_sample(s, d),
+    # EXACTLY-100 stratified eval set via largest-remainder (Hamilton)
+    # apportionment — all-integer quota math, content-stable per-source
+    # hash rank; hand-apportionment goldens in tests/test_round6_ops.py
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ), tot AS (SELECT sum(n_src) AS n_total FROM counts),
+    sized AS (
+      SELECT source, n_src,
+             (100 * n_src) // (SELECT n_total FROM tot) AS floor_q,
+             (100 * n_src) % (SELECT n_total FROM tot) AS rem
+      FROM counts
+    ), seats AS (SELECT 100 - sum(floor_q) AS r FROM sized),
+    quotas AS (
+      SELECT source,
+             least(floor_q + CASE WHEN row_number() OVER
+                     (ORDER BY rem DESC, source ASC)
+                     <= (SELECT r FROM seats) THEN 1 ELSE 0 END,
+                   n_src) AS quota
+      FROM sized
+    ), ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5('strat' || cast(doc_id AS VARCHAR)),
+                                  1, 8),
+                        doc_id
+             ) AS strat_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.strat_rank
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.strat_rank <= q.quota
+    """,
+)
+
+_register(
+    "pipeline_datasheet",
+    lambda s, d: pipeline.corpus_datasheet(s, d),
+    # per-source release datasheet incl. the CROSS-source exact-dup
+    # footprint (hash counted corpus-wide, flagged in every source it
+    # touches); cross-source golden in tests/test_round6_ops.py
+    """
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len(string_split(text, ' '))::BIGINT AS n_toks,
+             n_chars::BIGINT AS n_chars, md5(text) AS h
+      FROM documents WHERE text IS NOT NULL
+    ), dup AS (
+      SELECT h FROM base GROUP BY h HAVING count(*) > 1
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           sum(n_chars)::BIGINT AS n_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_docs,
+           round(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS dup_ratio
+    FROM base GROUP BY source
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
 #
@@ -2493,19 +2593,17 @@ _PROMOTED = [
     "dedup_clusters",
     "pii_scrub_events",
     # round-3 additions: time-series + cube/pivot/interval-join surface
-    "window_range_count",
+    # (window_range_count / sample_quality_topk / dedup_incremental
+    # demoted late round 6 — see _DEMOTED notes)
     "ts_gap_fill_hourly",
     "agg_cube_orders",
     "join_length_bands",
     "pipeline_curate",
-    # round-4 additions: skew-salted join, shard-export manifest,
-    # quality-quantile filtering
+    # round-4 additions: skew-salted join, shard-export manifest
     "join_salted_skew",
     "pipeline_shards",
-    "sample_quality_topk",
     "profile_orders",
     "pipeline_release",
-    "dedup_incremental",
     "text_vocab_topk",
     "text_quality_flags",
     "join_asof_tolerance",
@@ -2544,6 +2642,14 @@ _PROMOTED = [
     "text_phrase_search",
     "text_winnow_overlap",
     "agg_equi_depth_histogram",
+    # round-6 late additions: boilerplate mass / exact stratified eval
+    # set / corpus datasheet — NEW capabilities, so their oracles take
+    # window slots (funded by demoting window_range_count,
+    # sample_quality_topk, dedup_incremental — all multi-round green,
+    # families held per the _DEMOTED notes)
+    "text_boilerplate",
+    "sample_exact_stratified",
+    "pipeline_datasheet",
 ]
 
 _DEMOTED = [
@@ -2577,6 +2683,14 @@ _DEMOTED = [
     # sample_token_mixture in-window; sample_quality_topk also in-window
     "pipeline_epoch_order",  # seeded-hash ordering re-verified inside
     # pipeline_curriculum_order (same hash-rank construction + stages)
+    # round-6 late demotions funding the three new-capability
+    # promotions (each green r2-r5 or r5; family survivors noted):
+    "window_range_count",  # trailing-window family held in-window by
+    # events_rolling_outliers (ROWS frame + z-score) + session funnels
+    "sample_quality_topk",  # quality-quantile family held by
+    # sample_quality_percentile (percent_rank) + sample_exact_stratified
+    "dedup_incremental",  # admission dedup re-verified INSIDE the
+    # in-window pipeline_release_delta composition (same NOT EXISTS)
     # rows-only entries (genuinely approximate / parse-only): an oracle
     # row beats a rows-only row when the driver truncates the list;
     # each of these is pinned by pytest (incl. the LSH recall gate)

@@ -82,7 +82,11 @@ def test_extension_surface_inside_window():
         # by ann_topk
         "dedup_clusters",
         "pii_scrub_events",
-        "window_range_count",
+        # window_range_count / sample_quality_topk / dedup_incremental:
+        # demoted late round 6 to fund text_boilerplate /
+        # sample_exact_stratified / pipeline_datasheet (families held by
+        # events_rolling_outliers, sample_quality_percentile, and
+        # pipeline_release_delta respectively)
         "ts_gap_fill_hourly",
         "agg_cube_orders",
         "join_length_bands",
@@ -90,10 +94,8 @@ def test_extension_surface_inside_window():
         # round 4: scale patterns + profiling + composed release
         "join_salted_skew",
         "pipeline_shards",
-        "sample_quality_topk",
         "profile_orders",
         "pipeline_release",
-        "dedup_incremental",
         "text_vocab_topk",
         "text_quality_flags",
         "join_asof_tolerance",
@@ -126,6 +128,11 @@ def test_extension_surface_inside_window():
         "text_phrase_search",
         "text_winnow_overlap",
         "agg_equi_depth_histogram",
+        # round 6 late: boilerplate mass, exact stratified eval set,
+        # corpus datasheet
+        "text_boilerplate",
+        "sample_exact_stratified",
+        "pipeline_datasheet",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -1,0 +1,151 @@
+"""Round-6 extension operators: within-corpus boilerplate mass,
+largest-remainder exact stratified sampling, and the per-source corpus
+datasheet — planted goldens + structural invariants (the driver oracle
+carries the DuckDB differential at sf0.01)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from basenine_spark.ops import pipeline, sampling, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, rows, name="sf"):
+    """rows: (doc_id, text, source) triples (lang defaults 'en')."""
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(
+                    [r[3] if len(r) > 3 else "en" for r in rows]
+                ),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+# -- boilerplate ratio ------------------------------------------------------
+
+
+def test_boilerplate_flags_shared_template(spark, tmp_path):
+    footer = "all rights reserved click here to subscribe now"  # 8 toks
+    a = "alpha beta gamma delta epsilon zeta " + footer
+    b = "one two three four five six seven " + footer
+    c = "unique tokens only nothing shared here at all ok"
+    sf = _write_docs(tmp_path, [(0, a, "s"), (1, b, "s"), (2, c, "s")])
+    rows = {
+        r["doc_id"]: r
+        for r in text.boilerplate_ratio(spark, sf, n=5, min_df=2).collect()
+    }
+    # the shared footer produces repeated 5-grams in docs 0 and 1
+    assert rows[0]["n_boiler"] > 0 and rows[1]["n_boiler"] > 0
+    assert rows[2]["n_boiler"] == 0 and rows[2]["boiler_ratio"] == 0.0
+    # the footer holds 4 five-grams; both docs flag exactly those
+    assert rows[0]["n_boiler"] == rows[1]["n_boiler"] == 4
+    for r in rows.values():
+        assert 0.0 <= r["boiler_ratio"] <= 1.0
+        assert r["n_boiler"] <= r["n_grams"]
+
+
+def test_boilerplate_short_docs_drop_out(spark, tmp_path):
+    sf = _write_docs(tmp_path, [(0, "too short", "s"), (1, "a b c d e", "s")])
+    rows = {r["doc_id"] for r in text.boilerplate_ratio(spark, sf).collect()}
+    assert rows == {1}  # only the 5-token doc has a 5-gram
+
+
+# -- exact stratified sample ------------------------------------------------
+
+
+def test_exact_stratified_hand_apportionment(spark, tmp_path):
+    # 7 / 5 / 3 docs, total_n=10 over 15: shares 4.67 / 3.33 / 2.0 →
+    # floors 4/3/2 (9 seats), remainders 2/3 of 10/15ths: srcA rem
+    # 70%15=10, srcB 50%15=5, srcC 30%15=0 → the leftover seat goes to
+    # srcA ⇒ quotas 5/3/2
+    rows = []
+    did = 0
+    for src, cnt in (("srcA", 7), ("srcB", 5), ("srcC", 3)):
+        for _ in range(cnt):
+            rows.append((did, f"doc {did} text", src))
+            did += 1
+    sf = _write_docs(tmp_path, rows)
+    out = sampling.exact_stratified_sample(spark, sf, total_n=10).collect()
+    assert len(out) == 10
+    from collections import Counter
+
+    got = Counter(r["source"] for r in out)
+    assert got == {"srcA": 5, "srcB": 3, "srcC": 2}
+    # ranks contiguous per source
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["strat_rank"])
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_exact_stratified_exact_total_and_stability(spark):
+    out1 = sampling.exact_stratified_sample(spark, SF, total_n=20).collect()
+    out2 = sampling.exact_stratified_sample(spark, SF, total_n=20).collect()
+    assert len(out1) == 20
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # quota never exceeds the stratum
+    from collections import Counter
+
+    import pyarrow.parquet as pq_mod
+
+    sizes = Counter(
+        pq_mod.read_table(f"{SF}/documents.parquet").column("source").to_pylist()
+    )
+    got = Counter(r["source"] for r in out1)
+    assert all(got[s] <= sizes[s] for s in got)
+
+
+def test_exact_stratified_quota_caps_at_stratum(spark, tmp_path):
+    # srcB has only 1 doc; total_n = 5 over 6 docs would apportion it
+    # ~0.83 → floor 0 + remainder seat = 1 ≤ stratum size. srcA gets 4.
+    rows = [(i, f"text {i}", "srcA") for i in range(5)] + [(9, "only", "srcB")]
+    sf = _write_docs(tmp_path, rows)
+    out = sampling.exact_stratified_sample(spark, sf, total_n=5).collect()
+    assert len(out) == 5
+    from collections import Counter
+
+    assert Counter(r["source"] for r in out) == {"srcA": 4, "srcB": 1}
+
+
+# -- corpus datasheet -------------------------------------------------------
+
+
+def test_datasheet_cross_source_dup_visible_in_both(spark, tmp_path):
+    mirror = "identical mirrored article body text"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, mirror, "web", "en"),
+            (1, mirror, "forum", "en"),  # cross-source exact mirror
+            (2, "unique forum post", "forum", "de"),
+        ],
+    )
+    rows = {r["source"]: r for r in pipeline.corpus_datasheet(spark, sf).collect()}
+    # the mirror counts as a dup in BOTH sources
+    assert rows["web"]["n_dup_docs"] == 1 and rows["web"]["dup_ratio"] == 1.0
+    assert rows["forum"]["n_dup_docs"] == 1 and rows["forum"]["dup_ratio"] == 0.5
+    assert rows["forum"]["n_langs"] == 2
+    assert rows["web"]["n_docs"] == 1 and rows["forum"]["n_docs"] == 2
+    assert rows["forum"]["n_tokens"] == 5 + 3
+
+
+def test_datasheet_totals_match_corpus(spark):
+    rows = pipeline.corpus_datasheet(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.filter("text IS NOT NULL").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert all(r["n_dup_docs"] <= r["n_docs"] for r in rows)
