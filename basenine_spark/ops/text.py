@@ -664,14 +664,17 @@ def boilerplate_ratio(
     per-source average of it is the classic scraped-site triage stat.
 
     Plan shape: positional grams are a map-only explode (~1 row per
-    corpus token, the same volume as the substring-dedup gram pass);
-    the df table is one partial-agg shuffle on the gram key; the flag
-    join is gram-keyed and the per-doc rollup is a doc-keyed partial
-    agg.  At crawl scale the refinement (same shape as the surprisal
-    default) is to TakeOrdered the top-K boilerplate grams (df >=
-    min_df is a tiny head at real min_df values like 100+) and
-    broadcast-probe them, keeping the corpus side map-only; the exact
-    form here is the oracle baseline.
+    corpus token, the same volume as the substring-dedup gram pass),
+    immediately ``xxhash64``-folded so the df shuffle moves 8-byte
+    keys, not 5-token strings (the substring-dedup trick — a 64-bit
+    collision would merge two grams, with the driver's DuckDB
+    string-gram oracle as the fidelity pin); the df table is one
+    partial-agg shuffle on the hash, the flag join is hash-keyed, and
+    the per-doc rollup is a doc-keyed partial agg.  At crawl scale the
+    refinement (same shape as the surprisal default) is to TakeOrdered
+    the top-K boilerplate grams (df >= min_df is a tiny head at real
+    min_df values like 100+) and broadcast-probe them, keeping the
+    corpus side map-only; the exact form here is the oracle baseline.
 
     Output: (doc_id, n_grams, n_boiler, boiler_ratio) for every doc
     with at least ``n`` tokens; ratio rounded to 6.
@@ -687,9 +690,9 @@ def boilerplate_ratio(
                 F.size(toks) >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size(toks) - n + 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("gram"),
     )
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))

@@ -65,6 +65,16 @@ HEADLINE = [
     "text_chunks",
     "sample_source_cap",
     "pipeline_release_balanced",
+    # round-6 additions: newly-promoted event analytics, the
+    # distributed exact histogram, keep-one substring scrub, and the
+    # three new capabilities (boilerplate mass, exact stratified eval
+    # set, corpus datasheet)
+    "events_funnel_steps",
+    "agg_equi_depth_histogram",
+    "dedup_scrub_spans",
+    "text_boilerplate",
+    "sample_exact_stratified",
+    "pipeline_datasheet",
 ]
 
 
