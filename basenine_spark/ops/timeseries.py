@@ -400,3 +400,107 @@ def session_funnel(
             .alias(f"s{i + 1}_ms")
         )
     return out.select(*cols)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    grid_ms: int,
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+) -> DataFrame:
+    """Generic interval-overlap JOIN without a cartesian stage: every
+    pair (row of ``a``, row of ``b``) whose [start, end] intervals
+    overlap (touching counts).  This is the primitive behind
+    impression-vs-session attribution, incident-vs-deploy correlation,
+    and any "what was active while X was active" question — and the
+    naive formulation is a ``BroadcastNestedLoopJoin``/cartesian with a
+    range predicate, which dies the moment neither side broadcasts.
+
+    Plan shape (standard spatial-grid decomposition): each interval
+    explodes to the ``grid_ms``-wide cells it covers (map-only
+    Generate), candidates join EQUI on the cell id, duplicates from
+    intervals sharing several cells collapse with dropDuplicates, and
+    the exact predicate ``a.start <= b.end AND b.start <= a.end``
+    verifies candidates only.  Candidate volume is Σ_cell |A_cell| ×
+    |B_cell| — pick ``grid_ms`` near the typical interval length so
+    each interval covers O(1) cells; a skewed hot cell is an AQE
+    skew-join case, same as any equi join.  Long-tail intervals
+    spanning many cells cost extra candidate rows, not correctness.
+
+    Inputs keep all their columns; output = a's columns + b's columns +
+    ``overlap_ms`` (min(end) − max(start), ≥ 0).  Column names must not
+    collide across the two sides.
+    """
+    if grid_ms <= 0:
+        raise ValueError("grid_ms must be positive")
+
+    def cells(df, start, end):
+        return df.withColumn(
+            "_cell",
+            F.explode(
+                F.sequence(
+                    (F.col(start) / grid_ms).cast("bigint"),
+                    (F.col(end) / grid_ms).cast("bigint"),
+                )
+            ),
+        )
+
+    ca = cells(a, a_start, a_end)
+    cb = cells(b, b_start, b_end)
+    cand = (
+        ca.join(cb, "_cell")
+        .drop("_cell")
+        .dropDuplicates(a.columns + b.columns)
+    )
+    return cand.filter(
+        (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+    ).withColumn(
+        "overlap_ms",
+        F.least(F.col(a_end), F.col(b_end))
+        - F.greatest(F.col(a_start), F.col(b_start)),
+    )
+
+
+def session_error_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    pad_ms: int = 300_000,
+    grid_ms: int = 1_800_000,
+) -> DataFrame:
+    """Which user sessions were exposed to a (system-wide) error
+    window?  Sessions come from the 30-minute gap sessionization;
+    every error event opens a ±``pad_ms`` incident window; the
+    interval-overlap join pairs them ACROSS users — deliberately not an
+    equi join on user_id, because an incident affects everyone online
+    during it.  The classic blast-radius query.
+
+    Output: (user_id, session_no, session_start_ms, session_end_ms,
+    error_event_id, err_start_ms, err_end_ms, overlap_ms), one row per
+    exposed (session, incident) pair.
+    """
+    from .relational import sessionize
+
+    sessions = sessionize(spark, sf_dir).select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        F.col("session_start_ms").alias("session_start_ms"),
+        F.col("session_end_ms").alias("session_end_ms"),
+    )
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        (F.col("ts_ms") - pad_ms).alias("err_start_ms"),
+        (F.col("ts_ms") + pad_ms).alias("err_end_ms"),
+    )
+    return interval_overlap_join(
+        sessions,
+        errors,
+        grid_ms,
+        a_start="session_start_ms",
+        a_end="session_end_ms",
+        b_start="err_start_ms",
+        b_end="err_end_ms",
+    )

@@ -2564,6 +2564,50 @@ _register(
     """,
 )
 
+_register(
+    "join_interval_overlap",
+    lambda s, d: timeseries.session_error_overlap(s, d),
+    # interval-overlap join WITHOUT a cartesian stage (grid-cell equi
+    # candidates + exact verify): sessions x (±5 min error windows),
+    # deliberately cross-user; the oracle is DuckDB's native non-equi
+    # range join over the same session/interval derivations.
+    # brute-force parity + no-cartesian plan gates in
+    # tests/test_round6_ops.py
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+    ), flagged AS (
+      SELECT user_id, ts_ms, event_id,
+             CASE WHEN ts_ms - lag(ts_ms) OVER
+                    (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS f
+      FROM e
+    ), sid AS (
+      SELECT user_id, ts_ms,
+             CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_no,
+             MIN(ts_ms) AS session_start_ms,
+             MAX(ts_ms) AS session_end_ms
+      FROM sid GROUP BY 1, 2
+    ), errors AS (
+      SELECT event_id AS error_event_id,
+             epoch_ms(ts) - 300000 AS err_start_ms,
+             epoch_ms(ts) + 300000 AS err_end_ms
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.session_no, s.session_start_ms, s.session_end_ms,
+           e.error_event_id, e.err_start_ms, e.err_end_ms,
+           least(s.session_end_ms, e.err_end_ms)
+             - greatest(s.session_start_ms, e.err_start_ms) AS overlap_ms
+    FROM sessions s JOIN errors e
+      ON s.session_start_ms <= e.err_end_ms
+     AND e.err_start_ms <= s.session_end_ms
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -2581,7 +2625,8 @@ _PROMOTED = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "ann_topk",
-    "multimodal_meta",
+    # multimodal_meta: demoted late round 6 (green r2-r5) to fund
+    # join_interval_overlap — see _DEMOTED notes
     # text_winnow_fingerprints / text_lang_profile / text_repetition /
     # text_contamination / join_asof_clicks / embedding_quantize /
     # sample_mixture / pipeline_epoch_order: demoted round 6 (each
@@ -2650,6 +2695,11 @@ _PROMOTED = [
     "text_boilerplate",
     "sample_exact_stratified",
     "pipeline_datasheet",
+    # cross-entity interval-overlap join (grid-bucketed, no cartesian):
+    # a NEW join capability — slot funded by demoting multimodal_meta
+    # (green r2-r5; the multimodal family is pinned by the real-decode
+    # pytest surface incl. PNG/pHash/spectral/fingerprint gates)
+    "join_interval_overlap",
 ]
 
 _DEMOTED = [
@@ -2691,6 +2741,10 @@ _DEMOTED = [
     # sample_quality_percentile (percent_rank) + sample_exact_stratified
     "dedup_incremental",  # admission dedup re-verified INSIDE the
     # in-window pipeline_release_delta composition (same NOT EXISTS)
+    "multimodal_meta",  # trivial typed-metadata projection, green
+    # r2-r5; the multimodal family's real coverage is the decode/pHash/
+    # spectral/fingerprint pytest surface (slot funds
+    # join_interval_overlap)
     # rows-only entries (genuinely approximate / parse-only): an oracle
     # row beats a rows-only row when the driver truncates the list;
     # each of these is pinned by pytest (incl. the LSH recall gate)

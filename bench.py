@@ -75,6 +75,7 @@ HEADLINE = [
     "text_boilerplate",
     "sample_exact_stratified",
     "pipeline_datasheet",
+    "join_interval_overlap",
 ]
 
 

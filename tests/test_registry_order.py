@@ -69,7 +69,8 @@ def test_extension_surface_inside_window():
         "dedup_exact",
         "dedup_ngram_jaccard",
         "ann_topk",
-        "multimodal_meta",
+        # multimodal_meta demoted late round 6 (family pinned by the
+        # real-decode pytest surface) to fund join_interval_overlap
         # round-6 demotions (each multi-round green; family keeps an
         # in-window survivor, several replaced by strictly-richer
         # twins): text_winnow_fingerprints → text_winnow_overlap,
@@ -129,10 +130,11 @@ def test_extension_surface_inside_window():
         "text_winnow_overlap",
         "agg_equi_depth_histogram",
         # round 6 late: boilerplate mass, exact stratified eval set,
-        # corpus datasheet
+        # corpus datasheet, interval-overlap join
         "text_boilerplate",
         "sample_exact_stratified",
         "pipeline_datasheet",
+        "join_interval_overlap",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -149,3 +149,87 @@ def test_datasheet_totals_match_corpus(spark):
     n = docs.filter("text IS NOT NULL").count()
     assert sum(r["n_docs"] for r in rows) == n
     assert all(r["n_dup_docs"] <= r["n_docs"] for r in rows)
+
+
+# -- interval overlap join --------------------------------------------------
+
+
+def test_interval_overlap_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from basenine_spark.ops import timeseries
+
+    out = timeseries.session_error_overlap(spark, SF)
+    got = sorted(tuple(r) for r in out.collect())
+    # brute force: plain cross join + range predicate over the SAME
+    # session/error derivations
+    from basenine_spark.ops.relational import sessionize
+    from basenine_spark.sources.tables import load_table
+
+    sessions = sessionize(spark, SF).select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "session_start_ms",
+        "session_end_ms",
+    )
+    errors = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            (F.col("ts_ms") - 300_000).alias("err_start_ms"),
+            (F.col("ts_ms") + 300_000).alias("err_end_ms"),
+        )
+    )
+    brute = (
+        sessions.crossJoin(errors)
+        .filter(
+            (F.col("session_start_ms") <= F.col("err_end_ms"))
+            & (F.col("err_start_ms") <= F.col("session_end_ms"))
+        )
+        .withColumn(
+            "overlap_ms",
+            F.least("session_end_ms", "err_end_ms")
+            - F.greatest("session_start_ms", "err_start_ms"),
+        )
+    )
+    expect = sorted(tuple(r) for r in brute.collect())
+    assert len(got) > 0
+    assert got == expect
+
+
+def test_interval_overlap_no_cartesian_in_plan(spark):
+    import contextlib
+    import io
+
+    from basenine_spark.ops import timeseries
+
+    df = timeseries.session_error_overlap(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for r in df.limit(50).collect():
+        assert r["overlap_ms"] >= 0
+
+
+def test_interval_overlap_generic_goldens(spark):
+    from basenine_spark.ops.timeseries import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 300), (3, 500, 900)],
+        "a_id long, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [(10, 90, 210), (11, 300, 300), (12, 1000, 1100)],
+        "b_id long, b_start long, b_end long",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_ms"]
+        for r in interval_overlap_join(a, b, grid_ms=100).collect()
+    }
+    # 10 overlaps intervals 1 (tail) and 2 (head); 11 touches 2's end
+    # exactly (touching counts, overlap 0); 12 overlaps nothing
+    assert got == {(1, 10): 10, (2, 10): 10, (2, 11): 0}
