@@ -1,0 +1,106 @@
+"""Streaming incident-exposure join — the online twin of
+:func:`basenine_spark.ops.timeseries.session_error_overlap`'s
+blast-radius semantics: as error events stream in, every activity
+event inside the incident's ±pad window is emitted as an exposed
+(error, activity) pair — deliberately CROSS-user, because an incident
+affects everyone online during it.
+
+The hard part is that "overlap in time, any user" has NO natural
+equi-join key, and Spark's stream-stream join state only stays bounded
+when there is one.  The batch operator's grid decomposition carries
+over verbatim: the ERROR side explodes to the ``grid``-wide time cells
+its ±pad window covers (a handful of rows per incident), the activity
+side maps to its single cell, and the join is EQUI on the cell id plus
+the exact time-range predicate.  Because only the error side explodes,
+each (error, activity) pair can match on exactly one cell — the
+activity's own — so no post-join dedup is needed.  Watermarks on both
+sides + the range condition let Spark evict state older than
+``pad + watermark``: state is O(arrival rate × pad), not O(stream
+length).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ..engine.db import BasenineDB
+
+
+def incident_exposure_stream(
+    db: BasenineDB,
+    pad_minutes: int = 5,
+    grid_minutes: int = 10,
+    watermark: str = "10 minutes",
+    query_name: str = "incident_exposure",
+):
+    """Start the errors ⋈ activity exposure join; exposed pairs land in
+    the in-memory table ``query_name`` as (error_id, error_ms, act_id,
+    act_user, act_ms).  Returns the StreamingQuery."""
+    if db._log is None:
+        raise ValueError("incident_exposure_stream requires a durable db")
+    from ..engine.log import LOG_SCHEMA
+
+    pad_ms = pad_minutes * 60_000
+    grid_ms = grid_minutes * 60_000
+
+    def raw(alias: str):
+        stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+        return stream.select(
+            F.get_json_object("value", "$.event_type").alias("et"),
+            F.get_json_object("value", "$.user").alias(f"{alias}_user"),
+            F.get_json_object("value", "$.ts_ms").cast("long").alias(
+                f"{alias}_ms"
+            ),
+            F.get_json_object("value", "$.id").alias(f"{alias}_id"),
+        )
+
+    errors = (
+        raw("error")
+        .filter(F.col("et") == "error")
+        .drop("et", "error_user")
+        .withColumn(
+            "error_time", F.timestamp_millis(F.col("error_ms"))
+        )
+        .withWatermark("error_time", watermark)
+        # the incident window [ms-pad, ms+pad] explodes to its grid
+        # cells — the only side that fans out, so pairs are unique by
+        # construction (an activity row owns exactly one cell)
+        .withColumn(
+            "err_cell",
+            F.explode(
+                F.sequence(
+                    ((F.col("error_ms") - pad_ms) / grid_ms).cast("bigint"),
+                    ((F.col("error_ms") + pad_ms) / grid_ms).cast("bigint"),
+                )
+            ),
+        )
+    )
+    activity = (
+        raw("act")
+        .filter(F.col("et") != "error")
+        .drop("et")
+        .withColumn("act_time", F.timestamp_millis(F.col("act_ms")))
+        .withWatermark("act_time", watermark)
+        .withColumn("act_cell", (F.col("act_ms") / grid_ms).cast("bigint"))
+    )
+    pairs = errors.join(
+        activity,
+        F.expr(
+            "err_cell = act_cell AND "
+            f"act_time BETWEEN error_time - INTERVAL {pad_minutes} MINUTES "
+            f"AND error_time + INTERVAL {pad_minutes} MINUTES"
+        ),
+    )
+    return (
+        pairs.select("error_id", "error_ms", "act_id", "act_user", "act_ms")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            f"{db._log.path}_exposure_ckpt_{int(time.time() * 1000)}",
+        )
+        .start()
+    )

@@ -245,6 +245,11 @@ def main() -> int:
         # gram becomes duplicated) — the probe watches that worst case
         "dedup_spans",
         "sample_source_cap",
+        # interval-overlap join at 10× events: candidate volume is
+        # Σ_cell |sessions_cell| × |errors_cell| — both sides densify
+        # in the SAME wall-clock range, so this watches the grid
+        # join's quadratic-per-cell worst case
+        "join_interval_overlap",
     ]
     probe: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled:

@@ -233,3 +233,84 @@ def test_interval_overlap_generic_goldens(spark):
     # 10 overlaps intervals 1 (tail) and 2 (head); 11 touches 2's end
     # exactly (touching counts, overlap 0); 12 overlaps nothing
     assert got == {(1, 10): 10, (2, 10): 10, (2, 11): 0}
+
+
+# -- property-based gates (hypothesis; driver-side reference models) --------
+
+
+def test_interval_overlap_property_random_intervals(spark):
+    """Random interval sets x random grid widths: the grid-bucketed
+    join must equal the quadratic reference EXACTLY — candidate cells
+    are an optimization, never a semantics change."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from basenine_spark.ops.timeseries import interval_overlap_join
+
+    interval = st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=500),
+    ).map(lambda t: (min(t), max(t)))
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(interval, min_size=1, max_size=8),
+        st.lists(interval, min_size=1, max_size=8),
+        st.sampled_from([7, 50, 128, 1000]),
+    )
+    def check(ai, bi, grid):
+        a = spark.createDataFrame(
+            [(i, s, e) for i, (s, e) in enumerate(ai)],
+            "a_id long, a_start long, a_end long",
+        )
+        b = spark.createDataFrame(
+            [(i, s, e) for i, (s, e) in enumerate(bi)],
+            "b_id long, b_start long, b_end long",
+        )
+        got = {
+            (r["a_id"], r["b_id"], r["overlap_ms"])
+            for r in interval_overlap_join(a, b, grid_ms=grid).collect()
+        }
+        expect = {
+            (i, j, min(e1, e2) - max(s1, s2))
+            for i, (s1, e1) in enumerate(ai)
+            for j, (s2, e2) in enumerate(bi)
+            if s1 <= e2 and s2 <= e1
+        }
+        assert got == expect
+
+    check()
+
+
+def test_apportionment_property_matches_reference():
+    """Pure property (no Spark): the integer largest-remainder math the
+    operator and its oracle both implement, against a driver-side
+    Hamilton reference — quotas sum to min(total_n, N), stay within
+    floor/floor+1, and never exceed the stratum."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=60),
+    )
+    def check(sizes, total_n):
+        n_total = sum(sizes)
+        total_n = min(total_n, n_total)  # operator precondition
+        floors = [(total_n * s) // n_total for s in sizes]
+        rems = [(total_n * s) % n_total for s in sizes]
+        seats = total_n - sum(floors)
+        order = sorted(
+            range(len(sizes)), key=lambda i: (-rems[i], str(i))
+        )
+        quotas = list(floors)
+        for i in order[:seats]:
+            quotas[i] += 1
+        quotas = [min(q, s) for q, s in zip(quotas, sizes)]
+        assert sum(quotas) == total_n  # cap never binds: q <= floor+1 <= s
+        for q, f, s in zip(quotas, floors, sizes):
+            assert f <= q <= f + 1 <= s + 1
+            assert q <= s
+
+    check()
