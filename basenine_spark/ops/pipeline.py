@@ -567,6 +567,52 @@ def read_webdataset_shards(spark: SparkSession, src: str) -> DataFrame:
     )
 
 
+def pack_balanced(
+    spark: SparkSession, sf_dir: str, n_bins: int = 16
+) -> DataFrame:
+    """Token-balanced packing into a FIXED number of bins — the
+    distributed-training shard layout where every worker should chew
+    the same token mass (a skewed shard is a straggler every epoch).
+    Classic LPT-family heuristic, made order-deterministic: rank
+    documents by token count DESCENDING (ties by doc_id) and deal them
+    serpentine (boustrophedon) — round r left-to-right, round r+1
+    right-to-left — so each bin receives one doc per round and the
+    big-doc rounds alternate which bins get the larger ends.  All
+    integer arithmetic on the global rank: ``round = (rank-1) div n``,
+    ``pos = (rank-1) mod n``, ``bin = pos`` on even rounds else
+    ``n-1-pos`` — bit-identical on any engine.
+
+    Versus :func:`pack_sequences` (sequential token-budget bins, bin
+    COUNT grows with the corpus): here the bin count is fixed and the
+    OBJECTIVE is balance.  The global rank is one
+    ``row_number`` over (n_tokens, doc_id) — a full-corpus window, so
+    at 100 TB the rank comes from the same distributed two-pass
+    range-partition construction as ``equi_depth_histogram`` (the
+    assignment math is rank-only, so the substitution is mechanical);
+    at registry scale the single window is the oracle baseline.
+
+    Output: (doc_id, n_tokens, rank, bin_id), bin_id in [0, n_bins).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    ranked = sized.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    r0 = F.col("rank") - 1
+    rnd = (r0 / n_bins).cast("bigint")
+    pos = r0 % n_bins
+    bin_id = F.when(rnd % 2 == 0, pos).otherwise(n_bins - 1 - pos)
+    return ranked.select(
+        "doc_id", "n_tokens", "rank", bin_id.cast("int").alias("bin_id")
+    )
+
+
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datasheet — the "datasheets for datasets"
     summary a release ships with: document / token / character volume,

@@ -2608,6 +2608,29 @@ _register(
     """,
 )
 
+_register(
+    "pipeline_pack_balanced",
+    lambda s, d: pipeline.pack_balanced(s, d),
+    # token-balanced fixed-bin packing (LPT-serpentine): rank by token
+    # count desc, deal boustrophedon — integer rank math, engine-exact.
+    # balance-quality gates in tests/test_round6_ops.py
+    """
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+      FROM sized
+    )
+    SELECT doc_id, n_tokens, rank,
+           CAST(CASE WHEN ((rank - 1) // 16) % 2 = 0
+                     THEN (rank - 1) % 16
+                     ELSE 15 - ((rank - 1) % 16) END AS INT) AS bin_id
+    FROM ranked
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -2649,7 +2672,7 @@ _PROMOTED = [
     "pipeline_shards",
     "profile_orders",
     "pipeline_release",
-    "text_vocab_topk",
+    # text_vocab_topk demoted late round 6 — see _DEMOTED notes
     "text_quality_flags",
     "join_asof_tolerance",
     # round-5 additions: BM25 relevance ranking + unigram surprisal
@@ -2700,6 +2723,10 @@ _PROMOTED = [
     # (green r2-r5; the multimodal family is pinned by the real-decode
     # pytest surface incl. PNG/pHash/spectral/fingerprint gates)
     "join_interval_overlap",
+    # token-balanced fixed-bin packing (LPT-serpentine) — slot funded
+    # by demoting text_vocab_topk (green r4+r5; the token-count family
+    # keeps text_quality_flags / bm25 / surprisal in-window)
+    "pipeline_pack_balanced",
 ]
 
 _DEMOTED = [
@@ -2745,6 +2772,9 @@ _DEMOTED = [
     # r2-r5; the multimodal family's real coverage is the decode/pHash/
     # spectral/fingerprint pytest surface (slot funds
     # join_interval_overlap)
+    "text_vocab_topk",  # top-k vocabulary, green r4+r5; token-count
+    # family held in-window by text_quality_flags/bm25/surprisal (slot
+    # funds pipeline_pack_balanced)
     # rows-only entries (genuinely approximate / parse-only): an oracle
     # row beats a rows-only row when the driver truncates the list;
     # each of these is pinned by pytest (incl. the LSH recall gate)

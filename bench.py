@@ -76,6 +76,7 @@ HEADLINE = [
     "sample_exact_stratified",
     "pipeline_datasheet",
     "join_interval_overlap",
+    "pipeline_pack_balanced",
 ]
 
 

@@ -97,7 +97,8 @@ def test_extension_surface_inside_window():
         "pipeline_shards",
         "profile_orders",
         "pipeline_release",
-        "text_vocab_topk",
+        # text_vocab_topk demoted late round 6 (token-count family held
+        # by quality_flags/bm25/surprisal) funding pipeline_pack_balanced
         "text_quality_flags",
         "join_asof_tolerance",
         # round 5: BM25 relevance ranking + unigram surprisal
@@ -135,6 +136,7 @@ def test_extension_surface_inside_window():
         "sample_exact_stratified",
         "pipeline_datasheet",
         "join_interval_overlap",
+        "pipeline_pack_balanced",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

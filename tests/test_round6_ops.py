@@ -314,3 +314,60 @@ def test_apportionment_property_matches_reference():
             assert q <= s
 
     check()
+
+
+# -- balanced packing -------------------------------------------------------
+
+
+def test_pack_balanced_serpentine_assignment_and_balance(spark):
+    from basenine_spark.ops.pipeline import pack_balanced
+
+    rows = pack_balanced(spark, SF, n_bins=4).collect()
+    # serpentine math: rank r -> round/pos -> bin
+    for r in rows:
+        r0 = r["rank"] - 1
+        rnd, pos = divmod(r0, 4)
+        expect = pos if rnd % 2 == 0 else 3 - pos
+        assert r["bin_id"] == expect
+    # every bin holds n/4 +- 1 docs, and token mass is near-balanced —
+    # serpentine LPT keeps the spread far below one max-doc size
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    count = defaultdict(int)
+    for r in rows:
+        mass[r["bin_id"]] += r["n_tokens"]
+        count[r["bin_id"]] += 1
+    assert set(mass) == {0, 1, 2, 3}
+    assert max(count.values()) - min(count.values()) <= 1
+    biggest = max(r["n_tokens"] for r in rows)
+    assert max(mass.values()) - min(mass.values()) <= biggest
+
+
+def test_pack_balanced_beats_naive_modulo(spark):
+    """The serpentine deal must balance token mass at least as well as
+    the naive doc_id % n_bins assignment on the same corpus."""
+    from collections import defaultdict
+
+    from basenine_spark.ops.pipeline import pack_balanced
+    from basenine_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    n = 8
+    rows = pack_balanced(spark, SF, n_bins=n).collect()
+    serp = defaultdict(int)
+    for r in rows:
+        serp[r["bin_id"]] += r["n_tokens"]
+    naive = defaultdict(int)
+    for r in (
+        load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") % n).alias("b"),
+            F.size(F.split("text", " ")).alias("t"),
+        )
+        .collect()
+    ):
+        naive[r["b"]] += r["t"]
+    spread = lambda m: max(m.values()) - min(m.values())  # noqa: E731
+    assert spread(serp) <= spread(naive)
