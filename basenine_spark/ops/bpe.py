@@ -180,3 +180,62 @@ def bpe_token_counts(
         .alias("n_words"),
         n_tokens(F.col("text")).alias("n_bpe_tokens"),
     )
+
+
+def tokenizer_fertility(
+    spark: SparkSession,
+    sf_dir: str,
+    num_merges: int = 64,
+    top_v: int = 20000,
+) -> DataFrame:
+    """Per-source tokenizer fertility under the corpus-trained BPE
+    vocabulary: subword tokens per whitespace word and UTF-8 bytes per
+    subword token — the standard "how well does the tokenizer fit this
+    source" diagnostic.  A source whose fertility is far above the
+    corpus mean (code, other-language text, noise) pays its token
+    budget inefficiently and distorts mixture weights that were sized
+    in tokens; this is the table that catches it before training.
+
+    Plan: one per-doc encode pass (:func:`bpe_token_counts`'s Arrow
+    path, merges broadcast) joined back to (source, bytes) map-only,
+    then a source-keyed partial aggregate.  Ratios use the
+    engine-stable ``floor(x*10^k + 0.5)`` rounding.
+
+    Output: (source, n_docs, n_words, n_bpe_tokens, n_bytes,
+    fertility = tokens/word, bytes_per_token), rounded to 4.
+    """
+    counts = bpe_token_counts(spark, sf_dir, num_merges, top_v)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        "source",
+        F.octet_length(F.col("text")).cast("bigint").alias("n_bytes"),
+    )
+
+    def _stable_round(col, k):
+        return F.floor(col * (10 ** k) + F.lit(0.5)) / (10 ** k)
+
+    return (
+        counts.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_bytes",
+            _stable_round(
+                F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 4
+            ).alias("fertility"),
+            _stable_round(
+                F.col("n_bytes") / F.col("n_bpe_tokens").cast("double"), 4
+            ).alias("bytes_per_token"),
+        )
+    )

@@ -1872,6 +1872,15 @@ _register(
 )
 
 _register(
+    "text_tokenizer_fertility",
+    lambda s, d: bpe.tokenizer_fertility(s, d, num_merges=32),
+    None,  # per-source BPE fertility (tokens/word, bytes/token) —
+    # composition of the BPE encode pass; the trainer's driver loop
+    # keeps this rows-only; bound/merge-monotonicity/consistency gates
+    # in tests/test_bpe.py
+)
+
+_register(
     "text_quality_model",
     lambda s, d: quality_model.quality_model_scores(s, d),
     None,  # weak-label quality classifier (HashingTF + distributed

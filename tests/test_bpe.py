@@ -153,3 +153,41 @@ def test_word_frequencies_match_duckdb(spark):
     ).fetchall()
     con.close()
     assert srows == [(w, int(f)) for w, f in drows]
+
+
+def test_tokenizer_fertility_bounds_and_consistency(spark):
+    """Fertility >= 1 (a word is at least one subword), decreases (or
+    holds) as merges grow, and the per-source sums reconcile with the
+    per-doc encode pass."""
+    from collections import defaultdict
+
+    from basenine_spark.ops.bpe import bpe_token_counts, tokenizer_fertility
+    from basenine_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = tokenizer_fertility(spark, sf, num_merges=16).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert r["bytes_per_token"] > 0
+        assert r["n_bpe_tokens"] >= r["n_words"] > 0
+    # more merges => fewer (or equal) subword tokens per source
+    more = {
+        r["source"]: r["n_bpe_tokens"]
+        for r in tokenizer_fertility(spark, sf, num_merges=48).collect()
+    }
+    for r in rows:
+        assert more[r["source"]] <= r["n_bpe_tokens"]
+    # reconciliation against the per-doc pass
+    per_doc = defaultdict(int)
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+        .collect()
+    }
+    for r in bpe_token_counts(spark, sf, num_merges=16).collect():
+        per_doc[src[r["doc_id"]]] += r["n_bpe_tokens"]
+    assert {r["source"]: r["n_bpe_tokens"] for r in rows} == dict(per_doc)
