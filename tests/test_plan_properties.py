@@ -137,3 +137,47 @@ def test_surprisal_partial_aggregates_and_takes_ordered(spark):
     plan = _plan(text.unigram_surprisal(spark, SF))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# -- round-6 operators ------------------------------------------------------
+
+
+def test_boilerplate_pushes_notnull_and_partial_aggregates(spark):
+    from basenine_spark.ops import text as text_ops
+
+    plan = _plan(text_ops.boilerplate_ratio(spark, SF))
+    # text IS NOT NULL reaches the parquet scan
+    assert "PushedFilters" in plan and "IsNotNull(text)" in plan
+    # the df count and per-doc rollup both partial-aggregate
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_datasheet_single_scan_shape(spark):
+    from basenine_spark.ops import pipeline as pipe_ops
+
+    plan = _plan(pipe_ops.corpus_datasheet(spark, SF))
+    assert "IsNotNull(text)" in plan
+    assert "CartesianProduct" not in plan
+    # the dup flag is a window over the hash key, not a self-join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_exact_stratified_broadcasts_quotas(spark):
+    from basenine_spark.ops import sampling as samp_ops
+
+    plan = _plan(samp_ops.exact_stratified_sample(spark, SF))
+    # the |sources|-row quota table broadcasts; the corpus is ranked
+    # with ONE source-keyed window
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_balanced_is_rank_plus_map(spark):
+    from basenine_spark.ops import pipeline as pipe_ops
+
+    plan = _plan(pipe_ops.pack_balanced(spark, SF))
+    # no join at all — the serpentine math is pure projection over the
+    # global rank
+    for node in ("Join", "CartesianProduct", "Generate"):
+        assert node not in plan, node
