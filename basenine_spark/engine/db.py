@@ -615,7 +615,12 @@ class BasenineDB:
         self._known_keys |= set(sample.fieldNames())
         self._save_state()
 
-    def query(self, query: str = "", left_off: int | str = 0) -> DataFrame:
+    def query(
+        self,
+        query: str = "",
+        left_off: int | str = 0,
+        as_of: int | None = None,
+    ) -> DataFrame:
         """/query (M1) as a bounded scan: records after ``left_off``
         matching the filter, in id order, honoring ``limit(N)``.  The
         unbounded tail-follow variant is
@@ -625,7 +630,16 @@ class BasenineDB:
         (``native.go:1158-1176``): the INT 0 / None / empty string mean
         "from the beginning", while the STRING ``"0"`` is a real resume
         token — records strictly after seq 0 (the reference applies its
-        +1 increment to any non-empty string, including "0")."""
+        +1 increment to any non-empty string, including "0").
+
+        ``as_of`` is a SNAPSHOT read: only records with seq <=
+        ``as_of`` are visible — the append-only log makes any past
+        corpus state reproducible byte-for-byte (audits, debugging a
+        model trained against an earlier release).  In durable mode
+        the bound is a physical ``seq`` predicate, so parquet min/max
+        stats prune every file appended after the snapshot; retention
+        truncation still applies (records rotated out are gone —
+        snapshots reach back only to the retention horizon)."""
         q = self._prepare(query)
         if self._log is not None:
             # resume offset as a physical seq predicate → file pruning
@@ -634,9 +648,14 @@ class BasenineDB:
                 min_seq = max(self._log.total_written - 1, 0)
             elif left_off not in (0, None, ""):
                 min_seq = int(left_off) + 1
-            df = self._typed_view(min_seq=min_seq)
+            df = self._typed_view(min_seq=min_seq, max_seq=as_of)
         else:
             df = self.dataframe()
+            if as_of is not None:
+                # mounted tables carry natural ids (compare raw);
+                # insert-built stores use the 24-digit sequence form
+                bound = as_of if self._mounted else index_to_id(as_of)
+                df = df.filter(F.col(self.id_col) <= F.lit(bound))
             if left_off not in (0, None, ""):
                 if left_off == "latest":
                     if not self._mounted and self._insert_counter > 0:

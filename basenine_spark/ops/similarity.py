@@ -937,3 +937,193 @@ def contrastive_triplets(
             F.round(cosine(F.col("e_a"), F.col("e_n")), 4).alias("neg_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: build once, query many (the production ANN
+# lifecycle — the index outlives the session that trained it)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_train(corpus, cells: int, m: int, codes: int, iters: int,
+                 sample_rows: int):
+    """(Cn, B): normalized coarse centroids (cells × dim) and residual
+    PQ codebooks (m × codes × dim/m) — the exact training recipe of
+    :func:`ann_topk_ivfpq` (bounded sample, deterministic)."""
+    import numpy as np
+
+    C = _kmeans_centroids(corpus, "embedding", cells, iters)
+    sample = corpus.orderBy("vec_id").limit(sample_rows).collect()
+    S = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True) + 1e-12
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    cell_of_s = ((S[:, None, :] - Cn[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    B = _pq_train(S - Cn[cell_of_s], m, codes, iters)
+    return Cn, B
+
+
+def _ivfpq_encode_udf(Cn, B, m: int):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    d = Cn.shape[1] // m
+
+    @pandas_udf("struct<cell:int, code:array<int>>")
+    def encode(embs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        cell = ((mat[:, None, :] - Cn[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        R = mat - Cn[cell]
+        out = np.empty((mat.shape[0], m), dtype="int32")
+        for s in range(m):
+            X = R[:, s * d : (s + 1) * d]
+            dist = ((X[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = dist.argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype("int32"), "code": list(out)})
+
+    return encode
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    exclude_below: int = 10,
+    cells: int = IVF_CELLS,
+    m: int = 32,
+    codes: int = 64,
+    iters: int = IVF_ITERS,
+    sample_rows: int = 2048,
+) -> None:
+    """Build and PERSIST an IVF-PQ index: ``{path}/coded`` holds the
+    inverted lists (neighbor_id, cell, code — ~m bytes per vector
+    instead of the raw embedding), ``{path}/meta`` the centroids,
+    codebooks and parameters as tiny parquet tables.  The index
+    outlives the Spark session — :func:`query_ivfpq_index` serves
+    queries against it with no retraining, which is the production ANN
+    lifecycle (one expensive build, many cheap query batches).
+
+    ``exclude_below`` mirrors the registry's query/corpus split so the
+    persisted form can be parity-checked against the in-session
+    :func:`ann_topk_ivfpq`.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= exclude_below)
+    Cn, B = _ivfpq_train(corpus, cells, m, codes, iters, sample_rows)
+    encode = _ivfpq_encode_udf(Cn, B, m)
+    (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            encode(F.col("embedding")).alias("e"),
+        )
+        .select("neighbor_id", "e.cell", "e.code")
+        .write.mode("overwrite")
+        .parquet(f"{path}/coded")
+    )
+    rows = [("param", -1, -1, [float(m), float(codes), float(cells)])]
+    rows += [
+        ("centroid", int(i), -1, [float(x) for x in Cn[i]])
+        for i in range(Cn.shape[0])
+    ]
+    rows += [
+        ("codebook", int(s), int(j), [float(x) for x in B[s][j]])
+        for s in range(len(B))
+        for j in range(B[s].shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "kind string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Serve ANN queries against a PERSISTED IVF-PQ index (built by
+    :func:`build_ivfpq_index`): the meta tables (centroids + codebooks
+    — bounded by construction) load driver-side and broadcast inside
+    the ADC UDF; the inverted-list scan is one map-only Arrow pass over
+    ``{path}/coded``.  ``queries`` is (vec_id, embedding) — collected
+    (a query batch is small by definition).
+
+    Output: (query_id, neighbor_id, rank, sim) — identical scoring to
+    :func:`ann_topk_ivfpq` under the same parameters (pinned in
+    pytest).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    params = next(r for r in meta if r["kind"] == "param")["vec"]
+    m, codes = int(params[0]), int(params[1])
+    Cn = np.array(
+        [
+            r["vec"]
+            for r in sorted(
+                (r for r in meta if r["kind"] == "centroid"),
+                key=lambda r: r["i"],
+            )
+        ],
+        dtype=np.float64,
+    )
+    cb = sorted(
+        (r for r in meta if r["kind"] == "codebook"),
+        key=lambda r: (r["i"], r["j"]),
+    )
+    d = Cn.shape[1] // m
+    B = np.array([r["vec"] for r in cb], dtype=np.float64).reshape(
+        m, codes, d
+    )
+
+    q_rows = queries.orderBy("vec_id").collect()
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12
+    qd = ((Q[:, None, :] - Cn[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]
+    q_dot_c = Q @ Cn.T
+    LUT = np.einsum("qsd,sjd->qsj", Q.reshape(len(Q), m, d), B)
+    cell_queries: dict = {}
+    for qi in range(len(Q)):
+        for c in probes[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
+
+    @pandas_udf("array<struct<q_idx:int, sim:double>>")
+    def adc(cell_col: pd.Series, code_col: pd.Series) -> pd.Series:
+        cells_np = cell_col.to_numpy().astype("int64")
+        codes_np = np.stack(code_col.to_numpy()).astype("int64")
+        out: list = [[] for _ in range(len(cells_np))]
+        for c in np.unique(cells_np):
+            qs = cell_queries.get(int(c))
+            if not qs:
+                continue
+            rows = np.nonzero(cells_np == c)[0]
+            gathered = np.take_along_axis(
+                LUT[qs], codes_np[rows].T[None, :, :], axis=2
+            )
+            sims = np.round(
+                q_dot_c[np.asarray(qs), c][:, None] + gathered.sum(axis=1), 4
+            )
+            for iq, qi in enumerate(qs):
+                row_sims = sims[iq]
+                for ir, r in enumerate(rows):
+                    out[r].append({"q_idx": qi, "sim": float(row_sims[ir])})
+        return pd.Series(out)
+
+    coded = spark.read.parquet(f"{path}/coded")
+    scored = coded.select(
+        "neighbor_id",
+        F.explode(adc(F.col("cell"), F.col("code"))).alias("h"),
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(i) for i in q_ids]), F.col("h.q_idx") + 1
+        ).alias("query_id"),
+        "neighbor_id",
+        F.col("h.sim").alias("sim"),
+    )
+    return _rank_topk(scored, k)

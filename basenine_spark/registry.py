@@ -1398,6 +1398,45 @@ _register(
     None,  # composed IVF + residual-PQ index; recall floor pinned in pytest
 )
 
+
+def _ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index lifecycle end-to-end: build → write inverted
+    lists + meta → load → serve — exact parity with the in-session
+    IVF-PQ scoring is pinned in tests/test_similarity_ops.py."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bn_ivfpq_")
+    try:
+        similarity.build_ivfpq_index(spark, sf_dir, f"{tmp}/idx")
+        q = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 10
+        )
+        rows = [
+            (
+                int(r["query_id"]),
+                int(r["neighbor_id"]),
+                int(r["rank"]),
+                float(r["sim"]),
+            )
+            for r in similarity.query_ivfpq_index(
+                spark, f"{tmp}/idx", q
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank bigint, sim double"
+    )
+
+
+_register(
+    "ann_index_persisted",
+    _ann_index_persisted,
+    None,  # approximate by design (IVF-PQ recall); build→persist→serve
+    # parity with ann_topk_ivfpq pinned exactly in pytest
+)
+
 _register(
     "multimodal_features",
     lambda s, d: multimodal.byte_histogram_features(

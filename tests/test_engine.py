@@ -181,3 +181,39 @@ def test_deeply_nested_and_large_records(spark):
     doc = _json.loads(rows[0]["value"]) if "value" in rows[0].__fields__ else None
     if doc is not None:
         assert doc["secret"] == "[REDACTED]" and len(doc["payload"]) == 1_000_000
+
+
+def test_query_as_of_snapshot_durable(spark, tmp_path):
+    """Snapshot reads: as_of pins the visible corpus to a past seq —
+    later appends are invisible, and the bound is a physical seq
+    predicate (parquet file pruning)."""
+    import json as _json
+
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark, path=str(tmp_path / "store"))
+    db.insert_json([_json.dumps({"n": i}) for i in range(10)])
+    snap = 9  # last seq of the first batch
+    db.insert_json([_json.dumps({"n": i}) for i in range(10, 20)])
+    full = db.query("").count()
+    old = db.query("", as_of=snap)
+    assert full == 20 and old.count() == 10
+    assert {r["n"] for r in old.collect()} == set(range(10))
+    # snapshot + filter + left_off compose
+    assert db.query("n > 3", as_of=snap).count() == 6
+    assert db.query("n > 3", left_off=5, as_of=snap).count() == 4
+    # the plan carries the physical seq upper bound for pruning
+    plan = old._jdf.queryExecution().executedPlan().toString()
+    assert "seq" in plan and "LessThanOrEqual" in plan
+
+
+def test_query_as_of_snapshot_in_memory(spark):
+    import json as _json
+
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark)
+    db.insert_json([_json.dumps({"n": i}) for i in range(6)])
+    db.insert_json([_json.dumps({"n": i}) for i in range(6, 12)])
+    assert db.query("", as_of=5).count() == 6
+    assert db.query("").count() == 12

@@ -132,3 +132,66 @@ def test_ann_ivfpq_recall_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.55, f"IVF-PQ recall collapsed: {recall}"
+
+
+# -- persisted IVF-PQ index -------------------------------------------------
+
+
+def test_persisted_index_parity_with_in_session(spark, tmp_path):
+    """build → persist → load → query must score IDENTICALLY to the
+    in-session ann_topk_ivfpq under the same parameters — the index
+    outliving its builder is the production lifecycle."""
+    from pyspark.sql import functions as F
+
+    from basenine_spark.ops import similarity
+    from basenine_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivfpq_index")
+    similarity.build_ivfpq_index(spark, sf, idx)
+    queries = load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") < 10
+    )
+    served = sorted(
+        tuple(r)
+        for r in similarity.query_ivfpq_index(spark, idx, queries).collect()
+    )
+    direct = sorted(
+        tuple(r) for r in similarity.ann_topk_ivfpq(spark, sf).collect()
+    )
+    assert len(served) > 0
+    assert served == direct
+    # the persisted inverted lists are codes, not raw vectors
+    coded = spark.read.parquet(f"{idx}/coded")
+    assert set(coded.columns) == {"neighbor_id", "cell", "code"}
+
+
+def test_persisted_index_survives_new_session_semantics(spark, tmp_path):
+    """Querying twice (as a restarted server would) is deterministic
+    and needs no retraining — no embeddings table access at all."""
+    from pyspark.sql import functions as F
+
+    from basenine_spark.ops import similarity
+    from basenine_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivfpq_index2")
+    similarity.build_ivfpq_index(spark, sf, idx)
+    queries = load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") < 5
+    )
+    a = sorted(
+        tuple(r)
+        for r in similarity.query_ivfpq_index(
+            spark, idx, queries, k=3, nprobe=4
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in similarity.query_ivfpq_index(
+            spark, idx, queries, k=3, nprobe=4
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    for _, _, rank, _ in a:
+        assert 1 <= rank <= 3
