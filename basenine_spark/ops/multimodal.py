@@ -958,3 +958,65 @@ def audio_near_dup(
         audio_fingerprint(wavs).filter(F.col("ok")).select("doc_id", "afp")
     )
     return hamming_near_dup(hashes, "afp", max_hamming)
+
+
+def asset_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    image_hamming: int = 6,
+    audio_hamming: int = 6,
+    media: DataFrame | None = None,
+) -> DataFrame:
+    """Unified multimodal asset dedup: ONE near-dup report over a
+    mixed-media column, routing each modality to its right fingerprint
+    — exact content hash for text payloads (byte-identical dup), DCT
+    pHash for images (BMP or PNG), spectral-shape fingerprint for
+    audio — and labeling every pair with the modality that matched.
+    This is the curation view a multimodal corpus actually needs:
+    "show me duplicate ASSETS", not three per-format reports.
+
+    Pairs never cross modalities (a text hash and a pHash share no
+    space); within each modality the plan is the family's own bucketed
+    join — (hash, min_id) group-by for text, the pigeonhole-exact
+    banded Hamming join for image/audio — so the union inherits every
+    per-modality scale property.  Output: (doc_id_a, doc_id_b,
+    modality, distance) with distance 0 for exact text dups.
+    """
+    if media is None:
+        media = synth_media_table(spark, sf_dir)
+    # text: exact payload-hash dup pairs (adjacent in the sorted group
+    # — pairs via self-join on the hash, smaller id first)
+    texts = media.filter(F.col("media_type") == "text/plain").select(
+        "doc_id", F.md5(F.col("payload")).alias("h")
+    )
+    a, b = texts.alias("a"), texts.alias("b")
+    text_pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.lit("text").alias("modality"),
+            F.lit(0).alias("distance"),
+        )
+    )
+    img_pairs = image_near_dup(
+        spark, sf_dir, max_hamming=image_hamming, media=media
+    ).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.lit("image").alias("modality"),
+        F.col("hamming").alias("distance"),
+    )
+    audio_pairs = audio_near_dup(
+        spark, sf_dir, max_hamming=audio_hamming, media=media
+    ).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.lit("audio").alias("modality"),
+        F.col("hamming").alias("distance"),
+    )
+    return text_pairs.unionByName(img_pairs).unionByName(audio_pairs)

@@ -2115,6 +2115,14 @@ _register(
 )
 
 _register(
+    "multimodal_asset_dedup",
+    lambda s, d: multimodal.asset_near_dup(s, d),
+    None,  # unified modality-routed near-dup report (text hash / image
+    # pHash / audio fingerprint, labeled, never cross-modality); planted
+    # mixed-media golden in tests/test_image_phash.py
+)
+
+_register(
     "dedup_canonical",
     lambda s, d: dedup.canonical_dedup(s, d),
     # canonicalizing exact dedup (lowercase / digit-run / whitespace

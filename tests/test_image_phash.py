@@ -259,3 +259,56 @@ def test_synth_table_entry_runs(spark):
     for r in out:
         assert r["doc_id_a"] < r["doc_id_b"]
         assert 0 <= r["hamming"] <= 6
+
+
+# -- unified asset dedup ----------------------------------------------------
+
+
+def test_asset_near_dup_routes_modalities(spark, tmp_path):
+    """One report over a mixed-media table: exact text dups, pHash
+    image pairs, fingerprint audio pairs — each labeled, never
+    crossing modalities."""
+    rng = np.random.default_rng(9)
+    img = _textured(rng, 48, 40)
+    t = np.arange(1600) / 8000.0
+    wav = multimodal.encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), 8000)
+    rows = [
+        (0, "text/plain", b"same text bytes"),
+        (1, "text/plain", b"same text bytes"),       # exact text dup
+        (2, "text/plain", b"different"),
+        (3, "image/bmp", multimodal.encode_bmp(img)),
+        (4, "image/png", multimodal.encode_png(_noise(img, rng))),  # near-dup
+        (5, "audio/wav", wav),
+        (6, "audio/wav", wav),                        # identical audio
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): (r["modality"], r["distance"])
+        for r in multimodal.asset_near_dup(
+            spark, SF, media=media
+        ).collect()
+    }
+    assert pairs[(0, 1)] == ("text", 0)
+    assert (0, 2) not in pairs
+    assert (3, 4) in pairs and pairs[(3, 4)][0] == "image"
+    assert pairs[(5, 6)] == ("audio", 0)
+    # no cross-modality pair exists
+    kinds = {k: v[0] for k, v in pairs.items()}
+    by_id = {0: "t", 1: "t", 2: "t", 3: "i", 4: "i", 5: "a", 6: "a"}
+    for (a, b), m in kinds.items():
+        assert by_id[a] == by_id[b]
+
+
+def test_asset_near_dup_on_synth_table(spark):
+    out = multimodal.asset_near_dup(spark, SF).collect()
+    mods = {r["modality"] for r in out}
+    for r in out:
+        assert r["doc_id_a"] < r["doc_id_b"]
+        assert r["distance"] >= 0
+    # the synth images are all-distinct gradients (no near-pairs at
+    # this hamming), but the sine-audio family collides by design —
+    # at least one modality reports and none is mislabeled
+    assert mods <= {"text", "image", "audio"}
+    assert "audio" in mods
