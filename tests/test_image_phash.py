@@ -312,3 +312,53 @@ def test_asset_near_dup_on_synth_table(spark):
     # at least one modality reports and none is mislabeled
     assert mods <= {"text", "image", "audio"}
     assert "audio" in mods
+
+
+def test_png_roundtrip_property_random_shapes():
+    """Hypothesis property: encode→decode is pixel-exact for any RGB
+    image shape (incl. 1×1 and skinny rows/columns)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        dec = multimodal._decode_png(multimodal.encode_png(px))
+        assert dec is not None and dec.shape == (h, w, 3)
+        assert (dec == px).all()
+
+    check()
+
+
+def test_png_decoder_never_crashes_on_mutations():
+    """Robustness property: random byte mutations of a valid PNG must
+    yield either a correct decode or None — never an exception (a
+    corrupt payload at scale must degrade to a flagged row)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(2)
+    base = multimodal.encode_png(
+        rng.integers(0, 256, (6, 7, 3)).astype(np.uint8)
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+    )
+    def check(pos, val):
+        mutated = bytearray(base)
+        mutated[pos] = val
+        out = multimodal._decode_png(bytes(mutated))
+        assert out is None or (
+            hasattr(out, "shape") and out.shape[2] == 3
+        )
+
+    check()
