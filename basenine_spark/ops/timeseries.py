@@ -438,12 +438,15 @@ def interval_overlap_join(
         raise ValueError("grid_ms must be positive")
 
     def cells(df, start, end):
+        # true floor division: cast("bigint") truncates toward zero,
+        # which mis-cells NEGATIVE bounds (-1 // 100 is -1, not 0) —
+        # intervals straddling zero would silently miss pairs
         return df.withColumn(
             "_cell",
             F.explode(
                 F.sequence(
-                    (F.col(start) / grid_ms).cast("bigint"),
-                    (F.col(end) / grid_ms).cast("bigint"),
+                    F.floor(F.col(start) / grid_ms).cast("bigint"),
+                    F.floor(F.col(end) / grid_ms).cast("bigint"),
                 )
             ),
         )

@@ -67,12 +67,19 @@ def incident_exposure_stream(
         # the incident window [ms-pad, ms+pad] explodes to its grid
         # cells — the only side that fans out, so pairs are unique by
         # construction (an activity row owns exactly one cell)
+        # F.floor (not a bare bigint cast): epoch millis are positive
+        # in practice, but a truncating cast would mis-cell negative
+        # bounds — keep the batch operator's exact floor semantics
         .withColumn(
             "err_cell",
             F.explode(
                 F.sequence(
-                    ((F.col("error_ms") - pad_ms) / grid_ms).cast("bigint"),
-                    ((F.col("error_ms") + pad_ms) / grid_ms).cast("bigint"),
+                    F.floor((F.col("error_ms") - pad_ms) / grid_ms).cast(
+                        "bigint"
+                    ),
+                    F.floor((F.col("error_ms") + pad_ms) / grid_ms).cast(
+                        "bigint"
+                    ),
                 )
             ),
         )
@@ -83,7 +90,9 @@ def incident_exposure_stream(
         .drop("et")
         .withColumn("act_time", F.timestamp_millis(F.col("act_ms")))
         .withWatermark("act_time", watermark)
-        .withColumn("act_cell", (F.col("act_ms") / grid_ms).cast("bigint"))
+        .withColumn(
+            "act_cell", F.floor(F.col("act_ms") / grid_ms).cast("bigint")
+        )
     )
     pairs = errors.join(
         activity,

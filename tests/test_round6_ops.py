@@ -247,9 +247,11 @@ def test_interval_overlap_property_random_intervals(spark):
 
     from basenine_spark.ops.timeseries import interval_overlap_join
 
+    # NEGATIVE bounds included: a truncating cast (instead of floor)
+    # mis-cells intervals straddling zero — round-6 fix, pinned here
     interval = st.tuples(
-        st.integers(min_value=0, max_value=500),
-        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=-400, max_value=500),
+        st.integers(min_value=-400, max_value=500),
     ).map(lambda t: (min(t), max(t)))
 
     @settings(max_examples=12, deadline=None)
