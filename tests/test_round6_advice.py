@@ -150,3 +150,35 @@ def test_equi_depth_distributed_plan_and_tiebreak_param(spark):
     plan = buf.getvalue()
     assert "windowspecdefinition(pid#" in plan
     assert "ntile" not in plan
+
+
+def test_equi_depth_fewer_rows_than_buckets(spark, tmp_path):
+    """N < k degenerates exactly like ntile: N singleton buckets 1..N
+    (the integer arithmetic's q=0 branch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from basenine_spark.ops import relational
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array([1000 * i for i in range(5)], pa.timestamp("ms")),
+                "user_id": pa.array([0] * 5, pa.int64()),
+                "event_type": pa.array(["view"] * 5),
+                "value": pa.array([5.0, 1.0, 3.0, 2.0, 4.0], pa.float64()),
+                "props": pa.array(["{}"] * 5),
+            }
+        ),
+        d / "events.parquet",
+    )
+    rows = sorted(
+        relational.equi_depth_histogram(spark, str(d), k=8).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r["n_rows"] == 1 for r in rows)
+    assert [r["lo"] for r in rows] == [1.0, 2.0, 3.0, 4.0, 5.0]
