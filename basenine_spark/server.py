@@ -447,8 +447,13 @@ class BasenineServer:
                     self._stop.wait(self.poll_interval)
                 return
             # resume after everything scanned this round: the next poll's
-            # seq predicate prunes all files already served
-            left_off = max(snapshot_total - 1, last_seq, 0)
+            # seq predicate prunes all files already served. STRING form
+            # deliberately: query() reads the int 0 as "from the
+            # beginning" but the string "0" as a real resume token, so a
+            # single-record store must hand back "0" — the int re-served
+            # seq 0 on every poll (round-6 fix, pinned in
+            # test_wire_protocol.py)
+            left_off = str(max(snapshot_total - 1, last_seq, 0))
             self._stop.wait(self.poll_interval)
 
     def _serve_single(self, conn: socket.socket, reader: _LineReader) -> None:

@@ -557,3 +557,25 @@ def test_server_survives_garbage_connections(served100):
     # the server still answers a clean golden request
     line = bn.single(server.host, server.port, 42)
     assert json.loads(line)["id"] == index_to_id(42)
+
+
+def test_follow_single_record_not_redelivered(served):
+    """Follow-mode poll resume after a ONE-record store: the resume
+    token must be the strictly-after string form — the int 0 meant
+    "from the beginning" and re-served seq 0 every poll (round-6 fix)."""
+    import time
+
+    db, server = served
+    db.insert_json(['{"n": 1}'])
+    got = []
+    with bn.BasenineClient(server.host, server.port) as c:
+        frames = c.query("", "")
+        t0 = time.time()
+        while time.time() - t0 < 2.0:
+            try:
+                frame = next(frames)
+            except TimeoutError:
+                continue  # idle follow stream — exactly what we want
+            if frame.record is not None:
+                got.append(frame.record)
+    assert len(got) == 1, f"single record delivered {len(got)} times"
