@@ -67,7 +67,11 @@ class TailQuery:
 
         if left_off == "latest":  # T2 (native.go:1158-1176)
             self.min_seq = max(db._log.total_written - 1, 0)
-        elif left_off in (0, "0", None, ""):
+        elif left_off in (0, None, ""):
+            # int 0 / None / "" = from the beginning; the STRING "0" is
+            # a real resume token (strictly after seq 0) — same
+            # zero-form parsing as BasenineDB.query (native.go:1158-1176
+            # applies its +1 to any non-empty string, including "0")
             self.min_seq = 0
         else:
             self.min_seq = int(left_off) + 1
