@@ -617,3 +617,65 @@ def quality_percentile_by_source(
             F.round(F.percent_rank().over(w), 6).alias("q_pct"),
         )
     )
+
+
+def effective_token_mass(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup-aware token accounting per source — the number mixture
+    weights should actually target: raw token mass counts every copy
+    of a duplicated document, so a dup-heavy source silently overstates
+    its contribution and the sampled mixture under-delivers unique
+    content.  EFFECTIVE mass counts only exact-dedup survivors
+    (min-doc_id canonical per content hash, corpus-wide — a mirror
+    duplicated across sources credits only the source holding the
+    canonical copy, exactly how a dedup-then-sample pipeline behaves).
+
+    Plan: one map-only (source, tokens, md5) derivation; the survivor
+    set is the same (hash, min_id) partial-agg shuffle as
+    ``exact_dedup``; one broadcast-friendly semi join back; one
+    source-keyed rollup.  The efficiency ratio uses the engine-stable
+    floor rounding.
+
+    Output: (source, n_docs, tokens_raw, tokens_effective,
+    efficiency = effective/raw, rounded to 6).
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    survivors = base.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    eff = base.join(survivors, ["h", "doc_id"], "left_semi")
+    raw = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("tokens_raw"),
+    )
+    kept = eff.groupBy("source").agg(
+        F.sum("n_toks").alias("tokens_effective")
+    )
+    return (
+        raw.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "tokens_raw",
+            F.coalesce("tokens_effective", F.lit(0)).alias(
+                "tokens_effective"
+            ),
+            (
+                F.floor(
+                    F.coalesce("tokens_effective", F.lit(0))
+                    / F.col("tokens_raw").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("efficiency"),
+        )
+    )

@@ -2665,6 +2665,40 @@ _register(
 )
 
 _register(
+    "sample_effective_mass",
+    lambda s, d: sampling.effective_token_mass(s, d),
+    # dedup-aware per-source token accounting: EFFECTIVE mass counts
+    # only exact-dedup canonical survivors (min-doc_id per corpus-wide
+    # content hash) — the number mixture weights should target;
+    # cross-source mirror golden in tests/test_round6_ops.py
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_toks,
+             md5(text) AS h
+      FROM documents WHERE text IS NOT NULL
+    ), surv AS (
+      SELECT h, min(doc_id) AS doc_id FROM base GROUP BY h
+    ), eff AS (
+      SELECT b.source, b.n_toks
+      FROM base b JOIN surv s ON b.h = s.h AND b.doc_id = s.doc_id
+    ), raw AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_toks)::BIGINT AS tokens_raw
+      FROM base GROUP BY source
+    ), kept AS (
+      SELECT source, sum(n_toks)::BIGINT AS tokens_effective
+      FROM eff GROUP BY source
+    )
+    SELECT r.source, r.n_docs, r.tokens_raw,
+           coalesce(k.tokens_effective, 0) AS tokens_effective,
+           floor(coalesce(k.tokens_effective, 0)
+                 / r.tokens_raw::DOUBLE * 1e6 + 0.5) / 1e6 AS efficiency
+    FROM raw r LEFT JOIN kept k USING (source)
+    """,
+)
+
+_register(
     "pipeline_pack_balanced",
     lambda s, d: pipeline.pack_balanced(s, d),
     # token-balanced fixed-bin packing (LPT-serpentine): rank by token
@@ -2726,7 +2760,7 @@ _PROMOTED = [
     # round-4 additions: skew-salted join, shard-export manifest
     "join_salted_skew",
     "pipeline_shards",
-    "profile_orders",
+    # profile_orders demoted late round 6 — see _DEMOTED notes
     "pipeline_release",
     # text_vocab_topk demoted late round 6 — see _DEMOTED notes
     "text_quality_flags",
@@ -2783,6 +2817,11 @@ _PROMOTED = [
     # by demoting text_vocab_topk (green r4+r5; the token-count family
     # keeps text_quality_flags / bm25 / surprisal in-window)
     "pipeline_pack_balanced",
+    # dedup-aware effective token mass — slot funded by demoting
+    # profile_orders (green r4+r5; the profiling family is held
+    # in-window by pipeline_datasheet + events_expectations +
+    # events_skew_profile)
+    "sample_effective_mass",
 ]
 
 _DEMOTED = [
@@ -2831,6 +2870,9 @@ _DEMOTED = [
     "text_vocab_topk",  # top-k vocabulary, green r4+r5; token-count
     # family held in-window by text_quality_flags/bm25/surprisal (slot
     # funds pipeline_pack_balanced)
+    "profile_orders",  # per-column profiler, green r4+r5; profiling
+    # family held in-window by pipeline_datasheet + events_expectations
+    # + events_skew_profile (slot funds sample_effective_mass)
     # rows-only entries (genuinely approximate / parse-only): an oracle
     # row beats a rows-only row when the driver truncates the list;
     # each of these is pinned by pytest (incl. the LSH recall gate)

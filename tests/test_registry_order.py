@@ -95,7 +95,8 @@ def test_extension_surface_inside_window():
         # round 4: scale patterns + profiling + composed release
         "join_salted_skew",
         "pipeline_shards",
-        "profile_orders",
+        # profile_orders demoted late round 6 (profiling family held by
+        # pipeline_datasheet/expectations/skew) funding sample_effective_mass
         "pipeline_release",
         # text_vocab_topk demoted late round 6 (token-count family held
         # by quality_flags/bm25/surprisal) funding pipeline_pack_balanced
@@ -137,6 +138,7 @@ def test_extension_surface_inside_window():
         "pipeline_datasheet",
         "join_interval_overlap",
         "pipeline_pack_balanced",
+        "sample_effective_mass",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -373,3 +373,41 @@ def test_pack_balanced_beats_naive_modulo(spark):
         naive[r["b"]] += r["t"]
     spread = lambda m: max(m.values()) - min(m.values())  # noqa: E731
     assert spread(serp) <= spread(naive)
+
+
+# -- effective token mass ---------------------------------------------------
+
+
+def test_effective_mass_cross_source_mirror_credit(spark, tmp_path):
+    """A document mirrored across sources credits its EFFECTIVE tokens
+    only to the source holding the canonical (min doc_id) copy —
+    exactly how a dedup-then-sample pipeline behaves."""
+    mirror = "five words of mirrored body"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, mirror, "web"),          # canonical copy (min doc_id)
+            (5, mirror, "forum"),        # mirror: raw yes, effective no
+            (7, "unique forum words here", "forum"),
+        ],
+    )
+    rows = {
+        r["source"]: r
+        for r in __import__(
+            "basenine_spark.ops.sampling", fromlist=["sampling"]
+        ).effective_token_mass(spark, sf).collect()
+    }
+    assert rows["web"]["tokens_raw"] == 5
+    assert rows["web"]["tokens_effective"] == 5
+    assert rows["web"]["efficiency"] == 1.0
+    assert rows["forum"]["tokens_raw"] == 9
+    assert rows["forum"]["tokens_effective"] == 4  # only the unique doc
+    assert rows["forum"]["efficiency"] == round(4 / 9, 6)
+
+
+def test_effective_mass_never_exceeds_raw(spark):
+    from basenine_spark.ops.sampling import effective_token_mass
+
+    for r in effective_token_mass(spark, SF).collect():
+        assert 0 <= r["tokens_effective"] <= r["tokens_raw"]
+        assert 0.0 <= r["efficiency"] <= 1.0
