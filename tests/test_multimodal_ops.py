@@ -265,3 +265,59 @@ def test_media_decode_features_end_to_end(spark):
     assert all(r["ok"] for r in a)
     kinds = {r["media_type"] for r in a}
     assert kinds == {"audio/wav", "image/bmp", "image/png"}
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: encode_wav → _decode_wav recovers samples within
+    PCM16 quantization for any length/rate/amplitude."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=400),
+        st.sampled_from([8000, 16000, 44100]),
+        st.floats(min_value=0.01, max_value=0.99),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(n, sr, amp, seed):
+        rng = np.random.default_rng(seed)
+        x = (amp * (2 * rng.random(n) - 1)).astype(np.float64)
+        dec = multimodal._decode_wav(multimodal.encode_wav(x, sr))
+        assert dec is not None
+        got_sr, nch, y = dec
+        assert got_sr == sr and nch == 1 and len(y) == n
+        # encoder scales by 32767, decoder by 32768: worst case is
+        # one quantization step plus the |x|/32768 scale mismatch
+        assert np.abs(y - x).max() <= 2.5 / 32768
+
+    check()
+
+
+def test_real_decode_never_crashes_on_random_bytes():
+    """decode_features(mode='real')'s per-payload dispatcher must
+    degrade to the byte-fallback row on arbitrary junk — never raise
+    (one corrupt payload must not kill a 100 TB decode pass)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=300))
+    def check(payload):
+        # drive the worker-level decode exactly as the Arrow pass does
+        import zlib
+
+        crc = zlib.crc32(payload)
+        img = multimodal._decode_image(payload)
+        wav = multimodal._decode_wav(payload)
+        # whichever decoder claims it must produce a well-formed result
+        if img is not None:
+            assert img.ndim == 3 and img.shape[2] == 3
+        if wav is not None:
+            sr, nch, x = wav
+            assert sr > 0 and nch >= 1
+        assert crc >= 0
+
+    check()
