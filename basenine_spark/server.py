@@ -42,12 +42,17 @@ per-connection state is one integer (the resume seq) — connections
 are stateless against the storage, so the server can be replicated
 behind a TCP balancer with a shared log directory.
 
-Known divergence (strictly better, pinned in tests): the reference's
-QUERY-mode metadata ``leftOff`` token is the candidate index **plus
-one** and its resume path adds one again (``native.go:392`` increment
-1 after a token minted at ``native.go:497-505``), so a reference
-client that feeds the token back skips one record; our token is the
-delivered record's own id and resume starts just after it — no skip.
+Known divergence (strictly better by default, pinned in tests): the
+reference's QUERY-mode metadata ``leftOff`` token is the candidate
+index **plus one** and its resume path adds one again
+(``native.go:392`` increment 1 after a token minted at
+``native.go:497-505``), so a reference client that feeds the token
+back skips one record; our default token is the delivered record's own
+id and resume starts just after it — no skip.  A client that replays
+tokens byte-for-byte and depends on the reference's arithmetic can opt
+into it with ``BasenineServer(compat_left_off=True)``, which mints the
+index+1 token verbatim (both modes golden-tested, including the
+replay-skip differential).
 """
 
 from __future__ import annotations
