@@ -754,9 +754,22 @@ def _quote(name: str) -> str:
 
 def b64_probe(col: Column) -> Column:
     """Go base64.StdEncoding probe (eval.go:362-365): strict alphabet +
-    padding, decoded text replaces the original on success."""
+    padding, decoded text replaces the original on success.
+
+    A successful decode can yield bytes that are NOT valid UTF-8 (e.g.
+    the 4-char input "null" — the nil stringification itself — is valid
+    base64). The reference feeds those garbage bytes to oj/mxj, whose
+    parse fails → probe miss. Spark's UTF8String tolerates the garbage
+    but the Arrow transfer into any downstream pandas UDF does not
+    ("Wrapping … failed" aborts the job), so invalid-UTF8 decodes are
+    replaced with a one-byte control string that no JSON/XML parser
+    accepts — same miss semantics, no poison bytes on the wire."""
     looks_b64 = col.rlike("^[A-Za-z0-9+/]*={0,2}$") & (F.length(col) % 4 == 0)
-    return F.when(looks_b64, F.unbase64(col).cast("string")).otherwise(col)
+    decoded = F.unbase64(col).cast("string")
+    return F.when(
+        looks_b64,
+        F.when(F.is_valid_utf8(decoded), decoded).otherwise(F.lit("\x00")),
+    ).otherwise(col)
 
 
 def _gjo_path(segments: List[Any]) -> Optional[str]:
@@ -861,7 +874,21 @@ def _compile_docfunc(path: Path, resolver: _PathResolver) -> Val:
     xp = _xpath(path.inner)
     if xp is None:
         raise UnsupportedBFL("xml() path needs the row backend")
-    xr = F.xpath_string(src, F.lit(xp))
+    # well-formedness gate BEFORE xpath: Spark's xpath_string THROWS on
+    # malformed XML (SAXParseException aborts the whole job — one bad
+    # record would kill a 100 TB scan), while the reference's mxj parse
+    # failure just makes the probe miss (helpers.go / eval.go:539-560).
+    # from_xml in PERMISSIVE mode with a corrupt-record column is the
+    # JVM-side well-formedness test: _c IS NULL ⇔ parseable.
+    well_formed = (
+        F.from_xml(
+            src,
+            "_c string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"},
+        )["_c"].isNull()
+    )
+    safe_src = F.when(src.isNotNull() & well_formed, src)
+    xr = F.xpath_string(safe_src, F.lit(xp))
     # xpath_string returns '' for no-match; the reference returns Go false
     # — both stringify differently ('' vs 'false') but '' only arises on a
     # miss, so map '' → NULL → jsonval-miss semantics.

@@ -278,9 +278,15 @@ def try_base64(s: str) -> Tuple[str, bool]:
         return s, False
     try:
         decoded = base64.b64decode(s, validate=True)
-        return decoded.decode("utf-8"), True
-    except (binascii.Error, UnicodeDecodeError):
+    except binascii.Error:
         return s, False
+    try:
+        return decoded.decode("utf-8"), True
+    except UnicodeDecodeError:
+        # Go strings hold the garbage bytes and the subsequent oj/mxj
+        # parse fails (probe miss); a one-byte control string reproduces
+        # that without leaking invalid UTF-8 into Arrow
+        return "\x00", True
 
 
 def _helper_json(value: Any, inner: List[Any]) -> Any:

@@ -248,9 +248,16 @@ class BasenineDB:
         cls, spark: SparkSession, df: DataFrame, id_col: str
     ) -> "BasenineDB":
         """Mount an existing (parquet-backed) table as the document log;
-        ``id_col`` plays the role of the injected monotone id."""
+        ``id_col`` plays the role of the injected monotone id.
+
+        Rows with a NULL natural id are dropped at mount: in the
+        reference every record HAS an id by construction (the server
+        injects it at insert, ``native.go:302-311``), so a NULL id is
+        outside the document model — and letting it through corrupts
+        ordering (Spark sorts NULL ids first, ahead of every real
+        record) and resume-token arithmetic."""
         db = cls(spark, id_col=id_col)
-        db._df = df
+        db._df = df.filter(F.col(id_col).isNotNull())
         db._mounted = True
         return db
 

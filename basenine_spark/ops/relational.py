@@ -215,8 +215,16 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     its exact batch form: a session breaks when a user is idle longer
     than the gap. Pure window functions (lag + running sum), one shuffle
     on user_id, fully deterministic integer arithmetic.
+
+    NULL policy (mirrored in the DuckDB oracle): NULL
+    ``user_id``/``ts_ms`` rows are dropped up front — a NULL user is
+    not a sessionizable entity, a NULL timestamp has no position in
+    the gap sequence, and the engines disagree on NULL
+    grouping/ordering if they are kept (VERDICT r6 item 1).
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull()
+    )
     gap_ms = gap_minutes * 60_000
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     new_session = F.when(

@@ -56,8 +56,16 @@ def asof_last_click(
     the bound to it post-hoc is exact — no older click can be inside a
     window the latest one missed — so tolerance costs one comparison,
     not a different plan.
+
+    NULL policy (mirrored in the oracle): NULL ``user_id``/``ts_ms``
+    rows are dropped up front — Spark's window would group the NULL
+    users into one partition and match clicks to purchases within it,
+    while the oracle's correlated ``c.user_id = p.user_id`` never
+    matches NULL.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull()
+    )
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts_ms").alias("t"),
@@ -106,8 +114,15 @@ def sliding_error_rate(
     A RANGE frame over epoch-millis — the declarative form of "events
     within the last N minutes" that would otherwise be a self-join with
     a band predicate. One shuffle on ``user_id``.
+
+    NULL policy (mirrored in the oracle): NULL ``user_id``/``ts_ms``
+    rows are dropped up front — a RANGE frame over a NULL ordering
+    value is engine-defined (Spark makes NULLs one leading peer group,
+    DuckDB orders them last).
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull()
+    )
     span_ms = window_minutes * 60_000
     w = (
         Window.partitionBy("user_id")
@@ -217,12 +232,18 @@ def event_funnel(
 
     Output: (user_id, s1_ms, s2_ms, … — NULL where the user never
     reached the step).
+
+    NULL policy (mirrored in the oracle): NULL ``user_id``/``ts_ms``
+    rows are dropped up front — see :func:`session_funnel` for why the
+    engines otherwise diverge on NULL keys.
     """
     n = len(steps)
     if n < 1:
         raise ValueError("need at least one funnel step")
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts_ms", "event_type"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
+        .select("user_id", "ts_ms", "event_type")
     )
     steps_sql = ", ".join("'%s'" % s.replace("'", "''") for s in steps)
     fold = (
@@ -263,9 +284,17 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort, offset)-keyed distinct-count — all partial-aggregated.
 
     Output: (cohort_week, week_offset, n_users), offsets >= 0 only.
+
+    NULL policy (mirrored in the oracle): NULL ``user_id``/``ts_ms``
+    rows are dropped up front. (The equi-joins on both sides already
+    drop NULL keys identically; the explicit mirrored filter makes the
+    invariance engine-independent rather than a property of join
+    NULL semantics.)
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts_ms", "event_type"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
+        .select("user_id", "ts_ms", "event_type")
     )
     wk = F.expr(f"ts_ms div {WEEK_MS}")
     cohorts = (
@@ -310,8 +339,12 @@ def rolling_outliers(
     """
     from pyspark.sql import Window
 
+    # value filter is the operator's semantics; the ts_ms filter is the
+    # mirrored NULL policy (a NULL timestamp has no position in the
+    # trailing frame — and Spark orders NULLS FIRST where DuckDB orders
+    # NULLS LAST, so keeping them would be engine-divergent).
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("ts_ms").isNotNull()
     )
     w = (
         Window.partitionBy("event_type")
@@ -358,13 +391,24 @@ def session_funnel(
 
     Output: (user_id, session_no, s1_ms, s2_ms, …), one row per
     session, NULL where the session never reached the step.
+
+    NULL policy (mirrored verbatim in the DuckDB oracle): rows with
+    NULL ``user_id`` or NULL ``ts_ms`` are dropped up front — a NULL
+    user is not a sessionizable entity and a NULL timestamp has no
+    position in the gap sequence. Without the mirrored filter the two
+    engines genuinely diverge: Spark's ``groupBy`` keeps the NULL-user
+    group and its windows order NULLS FIRST, while the oracle's
+    ``JOIN … USING`` drops NULL keys and DuckDB orders NULLS LAST
+    (VERDICT r6 item 1).
     """
     from pyspark.sql import Window
 
     n = len(steps)
     if n < 1:
         raise ValueError("need at least one funnel step")
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull()
+    )
     gap_ms = gap_minutes * 60_000
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     new_session = F.when(
@@ -421,14 +465,22 @@ def interval_overlap_join(
 
     Plan shape (standard spatial-grid decomposition): each interval
     explodes to the ``grid_ms``-wide cells it covers (map-only
-    Generate), candidates join EQUI on the cell id, duplicates from
-    intervals sharing several cells collapse with dropDuplicates, and
-    the exact predicate ``a.start <= b.end AND b.start <= a.end``
-    verifies candidates only.  Candidate volume is Σ_cell |A_cell| ×
-    |B_cell| — pick ``grid_ms`` near the typical interval length so
-    each interval covers O(1) cells; a skewed hot cell is an AQE
-    skew-join case, same as any equi join.  Long-tail intervals
-    spanning many cells cost extra candidate rows, not correctness.
+    Generate), candidates join EQUI on the cell id, and the exact
+    predicate ``a.start <= b.end AND b.start <= a.end`` verifies
+    candidates only.  A pair whose intervals share several cells is
+    emitted from exactly ONE of them — the reference-point rule from
+    the spatial-join literature: only the cell containing
+    ``max(a.start, b.start)`` reports the pair (any overlapping pair
+    covers that cell on both sides, so nothing is lost).  This keeps
+    TRUE join multiplicity — two identical rows on one side produce
+    two output pairs — where the previous ``dropDuplicates`` over the
+    full column set collapsed them (ADVICE r6), and it deletes that
+    exchange from the plan: dedup is a per-candidate-row comparison,
+    not a shuffle.  Candidate volume is Σ_cell |A_cell| × |B_cell| —
+    pick ``grid_ms`` near the typical interval length so each interval
+    covers O(1) cells; a skewed hot cell is an AQE skew-join case,
+    same as any equi join.  Long-tail intervals spanning many cells
+    cost extra candidate rows, not correctness.
 
     Inputs keep all their columns; output = a's columns + b's columns +
     ``overlap_ms`` (min(end) − max(start), ≥ 0).  Column names must not
@@ -453,13 +505,17 @@ def interval_overlap_join(
 
     ca = cells(a, a_start, a_end)
     cb = cells(b, b_start, b_end)
-    cand = (
+    ref_cell = F.floor(
+        F.greatest(F.col(a_start), F.col(b_start)) / grid_ms
+    ).cast("bigint")
+    return (
         ca.join(cb, "_cell")
+        .filter(F.col("_cell") == ref_cell)
         .drop("_cell")
-        .dropDuplicates(a.columns + b.columns)
-    )
-    return cand.filter(
-        (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+        )
     ).withColumn(
         "overlap_ms",
         F.least(F.col(a_end), F.col(b_end))
@@ -493,7 +549,10 @@ def session_error_overlap(
         F.col("session_end_ms").alias("session_end_ms"),
     )
     events = load_table(spark, sf_dir, "events")
-    errors = events.filter(F.col("event_type") == "error").select(
+    # mirrored NULL policy: a NULL-ts error has no incident window
+    errors = events.filter(
+        (F.col("event_type") == "error") & F.col("ts_ms").isNotNull()
+    ).select(
         F.col("event_id").alias("error_event_id"),
         (F.col("ts_ms") - pad_ms).alias("err_start_ms"),
         (F.col("ts_ms") + pad_ms).alias("err_end_ms"),

@@ -115,14 +115,14 @@ def _single_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_BFL: dict[str, tuple[str, str]] = {
     # name: (BFL query, DuckDB oracle WHERE clause over `events`)
     "bfl_eq_string": ('event_type == "click"', "event_type = 'click'"),
-    "bfl_neq_string": ('event_type != "error"', "event_type <> 'error'"),
-    "bfl_cmp_gt": ("value > 10", "value > 10"),
-    "bfl_cmp_le": ("value <= 2.5", "value <= 2.5"),
+    "bfl_neq_string": ('event_type != "error"', "coalesce(event_type, 'null') <> 'error'"),
+    "bfl_cmp_gt": ("value > 10", "coalesce(value, 0) > 10"),
+    "bfl_cmp_le": ("value <= 2.5", "coalesce(value, 0) <= 2.5"),
     "bfl_and_or": (
         '(event_type == "click" and value > 10) or event_type == "error"',
         "(event_type = 'click' AND value > 10) OR event_type = 'error'",
     ),
-    "bfl_not": ('!(event_type == "click")', "event_type <> 'click'"),
+    "bfl_not": ('!(event_type == "click")', "coalesce(event_type, 'null') <> 'click'"),
     "bfl_bare_path_truthy": (
         "value > 0 and event_type",
         "value > 0 AND event_type IS NOT NULL AND event_type <> ''",
@@ -194,7 +194,7 @@ _register(
 _register(
     "query_limit_extract",
     _bfl_events_db("value > 10 and limit(50)"),
-    "SELECT event_id FROM events WHERE value > 10 ORDER BY event_id LIMIT 50",
+    "SELECT event_id FROM events WHERE event_id IS NOT NULL AND value > 10 ORDER BY event_id LIMIT 50",
 )
 _register(
     "query_left_off",
@@ -218,7 +218,7 @@ _register(
     # re-encode) — the genuinely dynamic form that stays on the exact
     # row backend (eval.go:469-495)
     _bfl_events_db('redact("props.json().k") and event_type == "error"'),
-    "SELECT event_id FROM events WHERE event_type = 'error'",
+    "SELECT event_id FROM events WHERE event_id IS NOT NULL AND event_type = 'error'",
 )
 
 
@@ -239,12 +239,13 @@ _register(
     "redact_typed_fast",
     _redact_typed_fast,
     "SELECT event_id, '[REDACTED]' AS props FROM events "
-    "WHERE event_type = 'error'",
+    "WHERE event_id IS NOT NULL AND event_type = 'error'",
 )
 _register(
     "recursive_descent",
     _bfl_events_db('props.json()..k == 29'),
-    "SELECT event_id FROM events WHERE json_extract_string(props, '$.k') = '29'",
+    "SELECT event_id FROM events WHERE event_id IS NOT NULL "
+    "AND json_extract_string(props, '$.k') = '29'",
 )
 
 # -- relational extensions (SURVEY §2.3-2.7: absent in reference) -----------
@@ -261,7 +262,7 @@ def _macro_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "macro_expansion_query",
     _macro_query,
-    "SELECT event_id FROM events WHERE event_type = 'click' AND value > 10",
+    "SELECT event_id FROM events WHERE event_id IS NOT NULL AND event_type = 'click' AND value > 10",
 )
 
 
@@ -308,7 +309,8 @@ def _insertion_filter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "insertion_filter_roundtrip",
     _insertion_filter_roundtrip,
-    "SELECT event_id FROM events WHERE event_id < 500 AND event_type <> 'error'",
+    "SELECT event_id FROM events WHERE event_id < 500 "
+    "AND coalesce(event_type, 'null') <> 'error'",
 )
 
 
@@ -560,18 +562,24 @@ _register(
 _register(
     "sessionize_gap",
     relational.sessionize,
+    # NULL policy mirrors ops/relational.py:sessionize: NULL
+    # user_id/ts rows dropped; event_id tie-break NULLS FIRST matches
+    # Spark's asc default (DuckDB defaults NULLS LAST — VERDICT r6)
     """
     WITH e AS (
       SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, ts_ms, event_id,
              CASE WHEN ts_ms - lag(ts_ms) OVER
-                    (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                    (PARTITION BY user_id
+                     ORDER BY ts_ms, event_id NULLS FIRST) > 1800000
                   THEN 1 ELSE 0 END AS f
       FROM e
     ), sid AS (
       SELECT user_id, ts_ms,
-             CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             CAST(SUM(f) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id NULLS FIRST
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged
     )
@@ -926,9 +934,11 @@ _register(
     # are independent
     """
     WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
-               FROM events WHERE event_type = 'purchase'),
+               FROM events WHERE event_type = 'purchase'
+                 AND user_id IS NOT NULL AND ts IS NOT NULL),
          c AS (SELECT user_id, epoch_ms(ts) AS ts_ms
-               FROM events WHERE event_type = 'click'),
+               FROM events WHERE event_type = 'click'
+                 AND user_id IS NOT NULL AND ts IS NOT NULL),
          j AS (
            SELECT p.event_id, p.user_id, p.purchase_ms,
                   (SELECT max(c.ts_ms) FROM c
@@ -946,7 +956,8 @@ _register(
     timeseries.sliding_error_rate,
     """
     WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
-                FROM events)
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL)
     SELECT event_id, user_id, ts_ms, recent_n FROM (
       SELECT event_id, user_id, ts_ms, event_type,
              count(*) OVER (PARTITION BY user_id ORDER BY ts_ms
@@ -1304,9 +1315,11 @@ _register(
     # independent correlated-subquery derivation, as join_asof_clicks
     """
     WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
-               FROM events WHERE event_type = 'purchase'),
+               FROM events WHERE event_type = 'purchase'
+                 AND user_id IS NOT NULL AND ts IS NOT NULL),
          c AS (SELECT user_id, epoch_ms(ts) AS ts_ms
-               FROM events WHERE event_type = 'click'),
+               FROM events WHERE event_type = 'click'
+                 AND user_id IS NOT NULL AND ts IS NOT NULL),
          j AS (
            SELECT p.event_id, p.user_id, p.purchase_ms,
                   (SELECT max(c.ts_ms) FROM c
@@ -2044,23 +2057,29 @@ _register(
 _register(
     "events_funnel_steps",
     lambda s, d: timeseries.event_funnel(s, d),
+    # NULL policy mirrors ops/timeseries.py:event_funnel: NULL
+    # user_id/ts rows dropped up front (Spark's groupBy keeps a NULL
+    # group that the LEFT JOIN USING here never matches — VERDICT r6)
     """
-    WITH s1 AS (
-      SELECT user_id, min(epoch_ms(ts)) AS s1_ms
-      FROM events WHERE event_type = 'view' GROUP BY user_id
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), s1 AS (
+      SELECT user_id, min(ts_ms) AS s1_ms
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
     ), s2 AS (
-      SELECT e.user_id, min(epoch_ms(e.ts)) AS s2_ms
-      FROM events e JOIN s1 USING (user_id)
-      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.s1_ms
+      SELECT e.user_id, min(e.ts_ms) AS s2_ms
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts_ms > s1.s1_ms
       GROUP BY e.user_id
     ), s3 AS (
-      SELECT e.user_id, min(epoch_ms(e.ts)) AS s3_ms
-      FROM events e JOIN s2 USING (user_id)
-      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.s2_ms
+      SELECT e.user_id, min(e.ts_ms) AS s3_ms
+      FROM ev e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts_ms > s2.s2_ms
       GROUP BY e.user_id
     )
     SELECT u.user_id, s1_ms, s2_ms, s3_ms
-    FROM (SELECT DISTINCT user_id FROM events) u
+    FROM (SELECT DISTINCT user_id FROM ev) u
     LEFT JOIN s1 USING (user_id)
     LEFT JOIN s2 USING (user_id)
     LEFT JOIN s3 USING (user_id)
@@ -2076,10 +2095,12 @@ _register(
     """
     WITH cohorts AS (
       SELECT user_id, min(epoch_ms(ts) // 604800000) AS cohort_week
-      FROM events WHERE event_type = 'signup' GROUP BY user_id
+      FROM events WHERE event_type = 'signup'
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
     ), activity AS (
       SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     )
     SELECT cohort_week, (week - cohort_week) AS week_offset,
            count(DISTINCT user_id)::BIGINT AS n_users
@@ -2156,7 +2177,7 @@ _register(
            count(*)::BIGINT AS n_rows
     FROM (
       SELECT value AS v,
-             ntile(10) OVER (ORDER BY value, event_id) AS bucket
+             ntile(10) OVER (ORDER BY value, event_id NULLS FIRST) AS bucket
       FROM events WHERE value IS NOT NULL
     )
     GROUP BY bucket
@@ -2272,14 +2293,15 @@ _register(
     """
     WITH ev AS (
       SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ), scored AS (
       SELECT event_id, event_type, ts_ms, value,
         avg(value) OVER w AS m,
         stddev_samp(value) OVER w AS sd,
         count(value) OVER w AS c
       FROM ev
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY ts_ms, event_id NULLS FIRST
                    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, event_type, ts_ms, value,
@@ -2381,18 +2403,22 @@ _register(
     # cross-session reset golden in tests/test_event_analytics.py.
     # This entry also re-verifies the 30-min sessionization engine that
     # the demoted sessionize_gap pinned (same lag/cumsum construction).
+    # NULL policy mirrors ops/timeseries.py:session_funnel (NULL
+    # user_id/ts dropped up front); event_id tie-break NULLS FIRST
+    # matches Spark's asc default — both were engine-divergent before
+    # (VERDICT r6 item 1: the round's one red driver row)
     """
     WITH ev AS (
       SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), sid AS (
       SELECT *, sum(new_s) OVER (
-               PARTITION BY user_id ORDER BY ts_ms, event_id
+               PARTITION BY user_id ORDER BY ts_ms, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_no
       FROM (
         SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (
-                 PARTITION BY user_id ORDER BY ts_ms, event_id
+                 PARTITION BY user_id ORDER BY ts_ms, event_id NULLS FIRST
                ) > 1800000 THEN 1 ELSE 0 END AS new_s
         FROM ev
       )
@@ -2632,15 +2658,18 @@ _register(
     """
     WITH e AS (
       SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, ts_ms, event_id,
              CASE WHEN ts_ms - lag(ts_ms) OVER
-                    (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                    (PARTITION BY user_id
+                     ORDER BY ts_ms, event_id NULLS FIRST) > 1800000
                   THEN 1 ELSE 0 END AS f
       FROM e
     ), sid AS (
       SELECT user_id, ts_ms,
-             CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             CAST(SUM(f) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id NULLS FIRST
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged
     ), sessions AS (
@@ -2652,7 +2681,7 @@ _register(
       SELECT event_id AS error_event_id,
              epoch_ms(ts) - 300000 AS err_start_ms,
              epoch_ms(ts) + 300000 AS err_end_ms
-      FROM events WHERE event_type = 'error'
+      FROM events WHERE event_type = 'error' AND ts IS NOT NULL
     )
     SELECT s.user_id, s.session_no, s.session_start_ms, s.session_end_ms,
            e.error_event_id, e.err_start_ms, e.err_end_ms,

@@ -5,7 +5,17 @@ Runs every ``queries()`` entry at sf0.01 in Spark and the matching
 driver does), comparing row count, column names, and an
 order-insensitive value hash with columns sorted by name.
 
-Usage: python tools/driver_sim.py [name ...]
+Usage: python tools/driver_sim.py [--nulls-fuzz] [name ...]
+
+``--nulls-fuzz`` (VERDICT r6 item 7) replays the same gate against a
+NULL- and tie-injected variant of the events table: deterministic row
+positions get NULL ``user_id``/``ts``/``event_id``/``value``/
+``event_type``/``props``, and duplicated rows create same-millisecond
+ties (with real and NULL tie-break ids). Any entry whose Spark plan
+and DuckDB oracle disagree on NULL ordering (Spark: NULLS FIRST;
+DuckDB: NULLS LAST), NULL group keys (Spark groupBy keeps them; JOIN
+USING drops them), or tie resolution goes red HERE before the driver's
+environment can find it.
 """
 
 from __future__ import annotations
@@ -25,6 +35,67 @@ TABLES = [
 ]
 
 
+def make_nulls_fuzz_dir(src_dir: str, dest_dir: str) -> str:
+    """Materialize a NULL/tie-injected twin of ``src_dir``: every table
+    is symlinked except ``events``, which is rewritten with
+    deterministic NULL injection and same-millisecond tie rows.
+    Idempotent for a given (src, dest) pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest_dir, exist_ok=True)
+    for t in TABLES:
+        if t == "events":
+            continue
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(dest_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+    tbl = pq.read_table(os.path.join(src_dir, "events.parquet"))
+    cols = {name: tbl.column(name).to_pylist() for name in tbl.column_names}
+    n = len(cols["event_id"])
+    max_id = max(i for i in cols["event_id"] if i is not None)
+    # deterministic NULL injection (coprime strides so combinations of
+    # NULL columns also occur)
+    for i in range(n):
+        if i % 97 == 13:
+            cols["user_id"][i] = None
+        if i % 89 == 7:
+            cols["ts"][i] = None
+        if i % 83 == 11:
+            cols["event_id"][i] = None
+        if i % 101 == 29:
+            cols["value"][i] = None
+        if i % 103 == 31:
+            cols["event_type"][i] = None
+        if i % 107 == 37:
+            cols["props"][i] = None
+    # tie injection: duplicate rows keep (user_id, ts) and take either a
+    # fresh id (real tie-break) or a NULL id (NULLS FIRST/LAST trap)
+    next_id = max_id + 1
+    appends: list[dict] = []
+    for i in range(n):
+        if i % 61 == 5:
+            row = {k: cols[k][i] for k in cols}
+            row["event_id"] = next_id
+            next_id += 1
+            appends.append(row)
+        elif i % 149 == 19:
+            row = {k: cols[k][i] for k in cols}
+            row["event_id"] = None
+            appends.append(row)
+    for row in appends:
+        for k in cols:
+            cols[k].append(row[k])
+    arrays = [
+        pa.array(cols[f.name], type=f.type) for f in tbl.schema
+    ]
+    out = pa.Table.from_arrays(arrays, schema=tbl.schema)
+    pq.write_table(out, os.path.join(dest_dir, "events.parquet"))
+    return dest_dir
+
+
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
@@ -38,6 +109,19 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
+
+    global SF_DIR
+    argv = sys.argv[1:]
+    if "--nulls-fuzz" in argv:
+        argv.remove("--nulls-fuzz")
+        import tempfile
+
+        fuzz_dir = os.path.join(
+            tempfile.gettempdir(),
+            "nulls_fuzz_" + os.path.basename(SF_DIR.rstrip("/")),
+        )
+        SF_DIR = make_nulls_fuzz_dir(SF_DIR, fuzz_dir)
+        print(f"nulls-fuzz: running against {SF_DIR}")
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -57,7 +141,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(argv)
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
