@@ -116,16 +116,29 @@ def row_to_doc(row, id_col: str = "id") -> str:
     return json.dumps(d, separators=(",", ":"), default=str)
 
 
+# the reference sizes its scanner buffer at 200 MiB on both the server
+# (server.go:115) and the Go client (client.go:463); a longer line makes
+# bufio.Scanner fail and the connection handler return — the cap is the
+# OOM guard against a hostile unbounded line
+MAX_RECORD_BYTES = 209_715_200
+
+
 class _LineReader:
     """Newline-splitting reader with its own buffer, so a timed-out
     read never loses bytes (a buffered ``makefile`` readline can).
     Mirrors the reference's ``bufio.Scanner`` including delivery of a
-    final unterminated token (``server.go:111-115``)."""
+    final unterminated token (``server.go:111-115``) and the 200 MiB
+    max-token bound (``server.go:115``): a line that exceeds it reads
+    as EOF — the handler closes the connection instead of buffering
+    without limit."""
 
-    def __init__(self, sock: socket.socket):
+    def __init__(
+        self, sock: socket.socket, max_line: int = MAX_RECORD_BYTES
+    ):
         self._sock = sock
         self._buf = bytearray()
         self._eof = False
+        self._max_line = max_line
 
     def readline(self, timeout: Optional[float] = None):
         """One line without its ``\\n``; ``None`` on EOF; the module
@@ -136,6 +149,12 @@ class _LineReader:
                 line = self._buf[:i]
                 del self._buf[: i + 1]
                 return line.decode("utf-8", errors="replace")
+            if len(self._buf) > self._max_line:
+                # bufio.ErrTooLong analog: poison the stream — no
+                # partial giant line is ever delivered
+                self._eof = True
+                self._buf.clear()
+                return None
             if self._eof:
                 if self._buf:
                     line, self._buf = bytes(self._buf), bytearray()
@@ -172,6 +191,7 @@ class BasenineServer:
         port: int = 0,
         poll_interval: float = 0.15,
         compat_left_off: bool = False,
+        max_record_bytes: int = MAX_RECORD_BYTES,
     ):
         """``compat_left_off=True`` reproduces the reference's QUERY-mode
         token arithmetic verbatim: the metadata ``leftOff`` is minted as
@@ -185,6 +205,7 @@ class BasenineServer:
         self.db = db
         self.poll_interval = poll_interval
         self.compat_left_off = compat_left_off
+        self.max_record_bytes = max_record_bytes
         self._listener = socket.create_server((host, port))
         self.host, self.port = self._listener.getsockname()[:2]
         self._insert_lock = threading.Lock()
@@ -269,7 +290,7 @@ class BasenineServer:
     # -- connection state machine (server.go:100-222) ------------------
 
     def _handle_connection(self, conn: socket.socket) -> None:
-        reader = _LineReader(conn)
+        reader = _LineReader(conn, max_line=self.max_record_bytes)
         try:
             while not self._stop.is_set():
                 line = reader.readline()
@@ -452,13 +473,18 @@ class BasenineServer:
                     self._stop.wait(self.poll_interval)
                 return
             # resume after everything scanned this round: the next poll's
-            # seq predicate prunes all files already served. STRING form
-            # deliberately: query() reads the int 0 as "from the
-            # beginning" but the string "0" as a real resume token, so a
-            # single-record store must hand back "0" — the int re-served
-            # seq 0 on every poll (round-6 fix, pinned in
+            # seq predicate prunes all files already served. The token is
+            # the 24-digit id form, NOT a plain decimal string: query()
+            # parses it via int() on the durable path, and on the
+            # NON-durable path it is compared lexicographically against
+            # 24-digit ids — a bare "4" sorts before every id and either
+            # re-serves everything ("0") or never matches again (ADVICE
+            # r6 high). A STRING (not int 0) deliberately: query() reads
+            # the int 0 as "from the beginning" but any non-empty string
+            # as a real resume token, so a single-record store hands back
+            # index_to_id(0) (round-6 fix, pinned in
             # test_wire_protocol.py)
-            left_off = str(max(snapshot_total - 1, last_seq, 0))
+            left_off = index_to_id(max(snapshot_total - 1, last_seq, 0))
             self._stop.wait(self.poll_interval)
 
     def _serve_single(self, conn: socket.socket, reader: _LineReader) -> None:

@@ -225,6 +225,41 @@ def test_query_mode_follow_streams_new_inserts(served):
     assert seen == [index_to_id(i) for i in range(5)]
 
 
+def test_query_mode_follow_streams_new_inserts_non_durable(spark):
+    """ADVICE r7 high: follow-mode over a NON-durable (in-memory) db.
+    The poll-resume token must be the 24-digit id form — a plain
+    decimal string ("4") compares lexicographically against 24-digit
+    ids on this path, so new inserts were never delivered (or, for
+    token "0", everything was re-delivered each poll)."""
+    db = BasenineDB(spark)
+    server = BasenineServer(db, poll_interval=0.05).start()
+    try:
+        db.insert_json([PAYLOAD] * 3)
+        seen = []
+        with bn.BasenineClient(server.host, server.port) as c:
+            frames = c.query("", 'brand.name == "Chevrolet"')
+            while len(seen) < 3:
+                f = next(frames)
+                if f.record:
+                    seen.append(_doc(f.record)["id"])
+            db.insert_json([PAYLOAD] * 2)
+            import time
+
+            t0 = time.time()
+            while len(seen) < 5 and time.time() - t0 < 20:
+                try:
+                    f = next(frames)
+                except TimeoutError:
+                    continue
+                if f.record:
+                    seen.append(_doc(f.record)["id"])
+    finally:
+        server.stop()
+    # exactly once, in order: a wrong token either stalls (< 5 seen)
+    # or re-delivers records 0..2 (order breaks)
+    assert seen == [index_to_id(i) for i in range(5)]
+
+
 # -- INSERTION_FILTER mode (server_test.go:44-121) ---------------------
 
 
@@ -450,6 +485,53 @@ def test_insert_large_record_roundtrip(served):
     assert len(rec["blob"]) == 1_000_000
 
 
+def test_record_over_max_size_closes_connection(spark, tmp_path):
+    """server.go:115 parity: a line longer than the scanner's max
+    token size makes the reference's bufio.Scanner fail and the
+    connection handler return — the oversized record is never
+    buffered whole, never ingested, and the server stays healthy.
+    The cap is shrunk so the test doesn't allocate 200 MiB."""
+    import socket as _socket
+    import time
+
+    db = BasenineDB(spark, path=str(tmp_path / "store"))
+    server = BasenineServer(
+        db, poll_interval=0.05, max_record_bytes=64 * 1024
+    ).start()
+    try:
+        with _socket.create_connection(
+            (server.host, server.port), timeout=10
+        ) as s:
+            s.sendall(b"/insert\n")
+            s.sendall(b'{"pad":"' + b"x" * 300_000 + b'"}\n')
+            s.settimeout(10)
+            # the server must hang up on us (EOF), not keep reading
+            deadline = time.time() + 10
+            closed = False
+            while time.time() < deadline:
+                try:
+                    if s.recv(4096) == b"":
+                        closed = True
+                        break
+                except _socket.timeout:
+                    break
+                except OSError:
+                    closed = True
+                    break
+            assert closed, "server kept the oversized connection open"
+        time.sleep(0.2)
+        assert db._log.total_written == 0
+        # the server still accepts a sane record on a new connection
+        with bn.BasenineClient(server.host, server.port) as c:
+            c.insert([PAYLOAD])
+            deadline = time.time() + 30
+            while time.time() < deadline and db._log.total_written < 1:
+                time.sleep(0.05)
+        assert db._log.total_written == 1
+    finally:
+        server.stop()
+
+
 def test_query_left_off_latest_streams_only_new(served):
     """leftOff="latest" resumes at the last written record
     (native.go:1158-1176): the stream re-delivers the final existing
@@ -485,18 +567,31 @@ def test_fetch_left_off_latest_pages_backward(served100):
 
 def test_connection_churn_does_not_leak(served100):
     """client_test.go:179-186 TCPConnectionLeak, scaled down: hundreds
-    of short-lived validate connections leave no bookkeeping behind."""
-    _, server = served100
-    for _ in range(300):
-        assert (
-            bn.validate(server.host, server.port, 'brand.name == "x"')
-            is None
-        )
+    of short-lived validate connections leave no bookkeeping, threads,
+    or OS file descriptors behind (fd parity is the signal the
+    reference's 10k-connection loop is really after)."""
+    import os
     import time
 
+    _, server = served100
+
+    def churn(n):
+        for _ in range(n):
+            assert (
+                bn.validate(server.host, server.port, 'brand.name == "x"')
+                is None
+            )
+
+    churn(20)  # warm-up: let lazy fds (epoll, resolver) come into being
+    fd_before = len(os.listdir("/proc/self/fd"))
+    churn(300)
     time.sleep(0.3)  # let the last handlers finish
     assert len([t for t in server._threads if t.is_alive()]) == 0
     assert len(server._conns) <= 1
+    fd_after = len(os.listdir("/proc/self/fd"))
+    assert fd_after - fd_before <= 4, (
+        f"fd leak: {fd_before} -> {fd_after} across 300 connections"
+    )
 
 
 def test_validate_complex_query_ok(served100):
