@@ -980,25 +980,30 @@ def asset_near_dup(
     join — (hash, min_id) group-by for text, the pigeonhole-exact
     banded Hamming join for image/audio — so the union inherits every
     per-modality scale property.  Output: (doc_id_a, doc_id_b,
-    modality, distance) with distance 0 for exact text dups.
+    modality, distance) with distance 0 for exact text dups; text
+    pairs are star-shaped (``doc_id_a`` is always the group's
+    canonical min id), image/audio pairs are the banded join's full
+    within-threshold pair set.
     """
     if media is None:
         media = synth_media_table(spark, sf_dir)
-    # text: exact payload-hash dup pairs (adjacent in the sorted group
-    # — pairs via self-join on the hash, smaller id first)
+    # text: exact payload-hash dups as canonical-vs-duplicate pairs —
+    # each group member joins ONLY the group's min doc_id, so a g-sized
+    # exact-dup group (common in crawl text) emits g-1 rows, not the
+    # O(g^2) all-pairs of a plain self-join (ADVICE r6): this is the
+    # same star shape as dedup.exact_dedup's (hash, min_id) group-by.
+    # Pair transitivity makes the star equivalent for clustering: a~b
+    # and a~c imply the b~c edge downstream consumers would derive.
     texts = media.filter(F.col("media_type") == "text/plain").select(
         "doc_id", F.md5(F.col("payload")).alias("h")
     )
-    a, b = texts.alias("a"), texts.alias("b")
+    canon = texts.groupBy("h").agg(F.min("doc_id").alias("doc_id_a"))
     text_pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        texts.join(canon, "h")
+        .filter(F.col("doc_id") > F.col("doc_id_a"))
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            "doc_id_a",
+            F.col("doc_id").alias("doc_id_b"),
             F.lit("text").alias("modality"),
             F.lit(0).alias("distance"),
         )

@@ -545,6 +545,10 @@ def ann_topk_ivfpq(
 
     @pandas_udf("array<struct<q_idx:int, sim:double>>")
     def adc(cell_col: pd.Series, code_col: pd.Series) -> pd.Series:
+        if len(cell_col) == 0:
+            # np.stack raises on an empty sequence and Arrow does emit
+            # zero-row batches (ADVICE r6)
+            return pd.Series([], dtype=object)
         cells_np = cell_col.to_numpy().astype("int64")
         codes_np = np.stack(code_col.to_numpy()).astype("int64")
         out: list = [[] for _ in range(len(cells_np))]
@@ -1081,6 +1085,12 @@ def query_ivfpq_index(
     )
 
     q_rows = queries.orderBy("vec_id").collect()
+    if not q_rows:
+        # zero queries would otherwise build a zero-arg F.array(),
+        # which fails at plan time (ADVICE r6)
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank bigint, sim double"
+        )
     q_ids = [int(r["vec_id"]) for r in q_rows]
     Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12
@@ -1095,6 +1105,10 @@ def query_ivfpq_index(
 
     @pandas_udf("array<struct<q_idx:int, sim:double>>")
     def adc(cell_col: pd.Series, code_col: pd.Series) -> pd.Series:
+        if len(cell_col) == 0:
+            # np.stack raises on an empty sequence and Arrow does emit
+            # zero-row batches (ADVICE r6)
+            return pd.Series([], dtype=object)
         cells_np = cell_col.to_numpy().astype("int64")
         codes_np = np.stack(code_col.to_numpy()).astype("int64")
         out: list = [[] for _ in range(len(cells_np))]

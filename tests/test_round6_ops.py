@@ -235,6 +235,26 @@ def test_interval_overlap_generic_goldens(spark):
     assert got == {(1, 10): 10, (2, 10): 10, (2, 11): 0}
 
 
+def test_interval_overlap_keeps_duplicate_row_multiplicity(spark):
+    """ADVICE r7: two fully identical rows on one side are two
+    intervals — the join must emit two pairs (the old full-column
+    dropDuplicates collapsed them to one), and a pair spanning many
+    shared cells must still be emitted exactly once."""
+    from basenine_spark.ops.timeseries import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 1000), (1, 0, 1000)],  # identical twins, same id
+        "a_id long, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [(10, 0, 1000)],  # shares 11 grid cells with each twin
+        "b_id long, b_start long, b_end long",
+    )
+    rows = interval_overlap_join(a, b, grid_ms=100).collect()
+    assert len(rows) == 2
+    assert all(r["overlap_ms"] == 1000 for r in rows)
+
+
 # -- property-based gates (hypothesis; driver-side reference models) --------
 
 

@@ -195,3 +195,23 @@ def test_persisted_index_survives_new_session_semantics(spark, tmp_path):
     assert a == b and len(a) > 0
     for _, _, rank, _ in a:
         assert 1 <= rank <= 3
+
+
+def test_persisted_index_empty_query_batch(spark, tmp_path):
+    """ADVICE r7: a zero-row queries DataFrame must return an empty
+    result (it used to build a zero-arg F.array() and fail at plan
+    time), and the adc UDF must tolerate Arrow's zero-row batches."""
+    from pyspark.sql import functions as F
+
+    from basenine_spark.ops import similarity
+    from basenine_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivfpq_index3")
+    similarity.build_ivfpq_index(spark, sf, idx)
+    queries = load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") < 0  # empty by construction
+    )
+    out = similarity.query_ivfpq_index(spark, idx, queries)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "sim"]
+    assert out.count() == 0
