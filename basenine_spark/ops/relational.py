@@ -745,10 +745,16 @@ def psi_drift(
     the conventional "investigate" line).
 
     Plan: the k-1 boundaries are exact reference percentiles (one
-    aggregate) folded into a literal CASE, so BOTH histogram passes are
-    map-only scans + one tiny bucket aggregate each — no join between
-    the releases until the k-row result. Laplace-smoothed counts keep
-    empty buckets finite, symmetrically on both sides.
+    1-row aggregate) broadcast-cross-joined into both histogram
+    passes, which bucket by counting smaller bounds inside the
+    broadcast array (``1 + size(filter(bs, x -> v > x))`` — the exact
+    formulation the DuckDB oracle uses), so BOTH passes stay map-only
+    scans + one tiny bucket aggregate each, and the grand totals fold
+    in the same way. ZERO driver actions in the whole derivation —
+    the plan is a single lazy job (VERDICT r6 item 6; the previous
+    form collected boundaries and totals to the driver between
+    stages). Laplace-smoothed counts keep empty buckets finite,
+    symmetrically on both sides.
 
     Output: (bucket 1..k, p_ref, p_cur, psi_term), rounded to 6.
     """
@@ -757,36 +763,38 @@ def psi_drift(
     cur = load_table(spark, cur_dir, table).filter(F.col(col).isNotNull())
     bounds = ref.agg(
         F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias(
-            "b"
+            "bs"
         )
-    ).collect()[0]["b"]
-
-    def bucket_of(c):
-        expr = F.lit(k)
-        for i in range(len(bounds) - 1, -1, -1):
-            expr = F.when(c <= F.lit(float(bounds[i])), F.lit(i + 1)).otherwise(
-                expr
-            )
-        return expr
+    )
 
     def hist(df, name):
+        bucket = F.lit(1) + F.size(
+            F.filter(F.col("bs"), lambda x: F.col(col) > x)
+        )
         return (
-            df.select(bucket_of(F.col(col)).alias("bucket"))
+            df.crossJoin(F.broadcast(bounds))
+            .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    h = hist(ref, "n_ref").join(hist(cur, "n_cur"), "bucket", "full").select(
-        "bucket",
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    # the k-row histogram feeds both the totals branch and the output:
+    # cache it so the two branches don't each re-derive it from full
+    # table scans (same reasoning as gap_fill_hourly's aggregate cache)
+    h = (
+        hist(ref, "n_ref")
+        .join(hist(cur, "n_cur"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .cache()
     )
-    tot = h.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
-    ).collect()[0]
-    p_ref = (F.col("n_ref") + 1) / F.lit(float(tot["tr"] + k))
-    p_cur = (F.col("n_cur") + 1) / F.lit(float(tot["tc"] + k))
-    return h.select(
+    tot = h.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p_ref = (F.col("n_ref") + 1) / (F.col("tr") + F.lit(k))
+    p_cur = (F.col("n_cur") + 1) / (F.col("tc") + F.lit(k))
+    return h.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.round(p_ref, 6).alias("p_ref"),
         F.round(p_cur, 6).alias("p_cur"),
@@ -812,32 +820,42 @@ def skew_profile(
 
     One partial-aggregated count + a TakeOrdered — diagnosing skew must
     itself be skew-proof (a count aggregate is; a
-    ``collect_list``-style profile would not be). NULL keys are
-    profiled too (labelled) — null-key pileups are the most common
-    skew bomb in practice.
+    ``collect_list``-style profile would not be). The grand
+    total/mean fold in as a broadcast 1-row cross join, so the whole
+    profile is ONE lazy plan with zero driver actions (VERDICT r6
+    item 6). NULL keys are profiled too (labelled) — null-key pileups
+    are the most common skew bomb in practice.
 
     Output: (key_value string, n_rows, share, x_mean), ordered
     heaviest-first; share/x_mean rounded to 6/2.
     """
     df = load_table(spark, sf_dir, table)
-    counts = df.groupBy(
-        F.coalesce(F.col(key).cast("string"), F.lit("<NULL>")).alias(
-            "key_value"
+    # cached: the per-key counts feed both the 1-row stats aggregate
+    # and the TakeOrdered — without the pin each branch re-scans the
+    # fact table (the aggregate itself is |keys| rows, tiny)
+    counts = (
+        df.groupBy(
+            F.coalesce(F.col(key).cast("string"), F.lit("<NULL>")).alias(
+                "key_value"
+            )
         )
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .cache()
+    )
     stats = counts.agg(
         F.sum("n_rows").alias("total"), F.avg("n_rows").alias("mean_n")
-    ).collect()[0]
+    )
     # floor(x*10^k + 0.5)/10^k instead of round(): Spark's round() on
     # doubles goes through the shortest decimal repr (BigDecimal
     # HALF_UP on "1.035"), DuckDB rounds the binary value — they
     # disagree on repr-boundary values; floor of the shared binary
     # quotient is bit-identical on both engines
-    share = F.col("n_rows") / F.lit(float(stats["total"]))
-    xmean = F.col("n_rows") / F.lit(float(stats["mean_n"]))
+    share = F.col("n_rows") / F.col("total").cast("double")
+    xmean = F.col("n_rows") / F.col("mean_n")
     return (
         counts.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
         .limit(top_k)
+        .crossJoin(F.broadcast(stats))
         .select(
             "key_value",
             "n_rows",

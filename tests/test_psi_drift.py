@@ -131,3 +131,21 @@ def test_identical_releases_near_zero_planted_shift_large(spark, tmp_path):
     )
     assert abs(same) < 0.01
     assert moved > 0.5  # way past the conventional 0.2 alert line
+
+
+def test_psi_and_skew_build_lazily_without_driver_actions(spark):
+    """VERDICT r6 item 6: the whole derivation is ONE lazy plan —
+    boundaries and totals fold in as broadcast 1-row joins, so merely
+    BUILDING the DataFrame must launch zero Spark jobs (the old form
+    ran 3 collect()s before the caller's first action)."""
+    from basenine_spark.ops import relational
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-probe", "construction must not run jobs")
+    try:
+        relational.psi_drift(spark, SF, SF_BIG, k=5)
+        relational.skew_profile(spark, SF, key="user_id", top_k=5)
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"construction launched jobs: {jobs}"
