@@ -497,13 +497,26 @@ def _decode_png(payload: bytes):
             rec = line
         elif ftype == 2:  # Up
             rec = (line + up) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+        elif ftype == 1:
+            # Sub is a per-channel prefix sum mod 256 — vectorized as
+            # bpp cumsums over the channel-strided views (ADVICE r6:
+            # the per-byte Python loop made 1 MP images ~3M interpreter
+            # iterations each). int64 accumulator: a cumsum over the
+            # widest plausible row stays exact before the mask.
+            rec = np.empty(stride, dtype=np.int32)
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(line[c::bpp], dtype=np.int64) & 0xFF
+        elif ftype in (3, 4):
+            # Average / Paeth mix the left recurrence with the row
+            # above — no closed prefix form, so these two stay a
+            # per-byte loop: fine for the synthetic test media; a
+            # production 100 TB image path would swap _decode_png for
+            # a real codec library behind the same _decode_image
+            # dispatch (the Spark-side plumbing is format-blind).
             rec = np.empty(stride, dtype=np.int32)
             for x in range(stride):
                 left = rec[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (left + up[x]) >> 1
                 else:
                     ul = int(up[x - bpp]) if x >= bpp else 0
