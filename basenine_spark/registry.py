@@ -331,8 +331,19 @@ def _validate_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "validate_golden_errors",
     _validate_golden,
-    None,  # rows-only: the golden strings are pinned by pytest; the
-    # driver checks the mode runs and yields one row per case
+    # M4 validate-mode goldens (server_test.go:267-274). Promoted to a
+    # full oracle in round 7 (VERDICT r6 #3): the expected strings are
+    # exact reference-pinned literals, so a VALUES table is a complete
+    # oracle — participle parity of positions and quoting included.
+    """
+    SELECT * FROM (VALUES
+      ('', true, 'OK'),
+      ('brand.name == "Chevrolet"', true, 'OK'),
+      ('=', false, '1:1: unexpected token "="'),
+      ('timestamp > bar and ', false, '1:21: unexpected token "<EOF>"'),
+      ('limit(10', false, '1:9: unexpected token "<EOF>" (expected ")")')
+    ) AS t(query, ok, msg)
+    """,
 )
 
 _register(
@@ -2226,25 +2237,84 @@ _register(
 _register(
     "dedup_containment",
     lambda s, d: dedup.containment_pairs(s, d),
-    None,  # exact asymmetric containment (quote/subset detection) via an
-    # A-prefix vs B-full-postings PPJoin adaptation; DuckDB brute-force
-    # parity + planted-quote golden in tests/test_containment_sample.py
+    # exact asymmetric containment (quote/subset detection) via an
+    # A-prefix vs B-full-postings PPJoin adaptation. Promoted to a full
+    # oracle in round 7 (VERDICT r6 #3): the algorithm is EXACT, so the
+    # brute-force cartesian (fine at sf0.01) is a complete oracle —
+    # string shingles here vs 64-bit xxhash shingles in Spark, identical
+    # modulo negligible collisions (same argument as dedup_ngram_jaccard).
+    # Planted-quote golden stays in tests/test_containment_sample.py.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL)
+    ), nz AS (SELECT * FROM t WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+      FROM nz a, nz b WHERE a.doc_id != b.doc_id
+    )
+    SELECT doc_a, doc_b, containment FROM pairs WHERE containment >= 0.8
+    """,
 )
 
 _register(
     "sample_exact_n",
     lambda s, d: sampling.exact_n_sample(s, d),
-    None,  # exactly-n deterministic global sample (TakeOrdered on the
-    # content hash); DuckDB replay + nested-prefix property in
-    # tests/test_containment_sample.py
+    # exactly-n deterministic global sample (TakeOrdered on the content
+    # hash). Promoted to a full oracle in round 7 (VERDICT r6 #3):
+    # membership AND rank are deterministic functions of md5, so the
+    # DuckDB replay that lived in pytest is a complete oracle.
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               ORDER BY substring(md5('exn' || cast(doc_id AS VARCHAR)), 1, 8),
+                        doc_id) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 100
+    """,
 )
 
 _register(
     "dedup_containment_survivors",
     lambda s, d: dedup.containment_dedup(s, d),
-    None,  # subset-dedup action: drop docs contained in larger docs;
-    # planted-quote + mutual-containment goldens in
-    # tests/test_containment_sample.py
+    # subset-dedup action: drop docs ≥0.8-contained in a LARGER doc
+    # (ties on shingle-set size break by doc_id). Promoted to a full
+    # oracle in round 7 (VERDICT r6 #3) — exact algorithm, brute-force
+    # DuckDB twin; mutual-containment golden stays in
+    # tests/test_containment_sample.py.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL)
+    ), nz AS (SELECT * FROM t WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(a.sh) AS sz_a, len(b.sh) AS sz_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+      FROM nz a, nz b WHERE a.doc_id != b.doc_id
+    ), dropped AS (
+      SELECT DISTINCT doc_a AS doc_id FROM pairs
+      WHERE containment >= 0.8
+        AND (sz_b > sz_a OR (sz_b = sz_a AND doc_b < doc_a))
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.text IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+    """,
 )
 
 _register(
@@ -2784,11 +2854,11 @@ _PROMOTED = [
     # demoted late round 6 — see _DEMOTED notes)
     "ts_gap_fill_hourly",
     "agg_cube_orders",
-    "join_length_bands",
+    # join_length_bands demoted round 7 — see _DEMOTED notes
     "pipeline_curate",
     # round-4 additions: skew-salted join, shard-export manifest
     "join_salted_skew",
-    "pipeline_shards",
+    # pipeline_shards demoted round 7 — see _DEMOTED notes
     # profile_orders demoted late round 6 — see _DEMOTED notes
     "pipeline_release",
     # text_vocab_topk demoted late round 6 — see _DEMOTED notes
@@ -2825,7 +2895,7 @@ _PROMOTED = [
     "dedup_scrub_spans",
     "text_decontaminate_spans",
     "text_bigram_surprisal",
-    "dedup_canonical",
+    # dedup_canonical demoted round 7 — see _DEMOTED notes
     "text_phrase_search",
     "text_winnow_overlap",
     "agg_equi_depth_histogram",
@@ -2851,6 +2921,14 @@ _PROMOTED = [
     # in-window by pipeline_datasheet + events_expectations +
     # events_skew_profile)
     "sample_effective_mass",
+    # round-7 promotions (VERDICT r6 #3): former rows-only entries with
+    # fully deterministic outputs, now carrying complete DuckDB oracles.
+    # Slots funded by demoting join_length_bands / pipeline_shards /
+    # query_limit_extract / dedup_canonical (notes in _DEMOTED).
+    "dedup_containment",
+    "dedup_containment_survivors",
+    "sample_exact_n",
+    "validate_golden_errors",
 ]
 
 _DEMOTED = [
@@ -2914,7 +2992,20 @@ _DEMOTED = [
     "multimodal_decode_stub",
     "multimodal_decode_real",  # real WAV/BMP decode; exact values pinned
     # in pytest (no SQL oracle can decode media containers)
-    "validate_golden_errors",
+    # round-7 demotions funding the 4 rows-only → full-oracle
+    # promotions (dedup_containment / dedup_containment_survivors /
+    # sample_exact_n / validate_golden_errors). Families keep
+    # in-window survivors:
+    "join_length_bands",  # green r3-r6; range-band join machinery held
+    # in-window by join_interval_overlap (grid decomposition) +
+    # join_asof_tolerance + join_salted_skew
+    "pipeline_shards",  # green r3-r6; export family held in-window by
+    # pipeline_release/release_balanced/release_delta/datasheet
+    "query_limit_extract",  # green r2-r6; L1 limit extraction pinned by
+    # the golden corpus + wire page-size table; engine family keeps
+    # fetch_backward + insertion_filter_roundtrip + log_roundtrip_query
+    "dedup_canonical",  # green r6; canonicalizing group-by shape is
+    # dedup_exact's (in-window); NFKC twin pinned in pytest
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

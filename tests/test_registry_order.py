@@ -88,13 +88,14 @@ def test_extension_surface_inside_window():
         # sample_exact_stratified / pipeline_datasheet (families held by
         # events_rolling_outliers, sample_quality_percentile, and
         # pipeline_release_delta respectively)
+        # join_length_bands / pipeline_shards / query_limit_extract /
+        # dedup_canonical: demoted round 7 (each multi-round green) to
+        # fund the 4 rows-only → full-oracle promotions below
         "ts_gap_fill_hourly",
         "agg_cube_orders",
-        "join_length_bands",
         "pipeline_curate",
         # round 4: scale patterns + profiling + composed release
         "join_salted_skew",
-        "pipeline_shards",
         # profile_orders demoted late round 6 (profiling family held by
         # pipeline_datasheet/expectations/skew) funding sample_effective_mass
         "pipeline_release",
@@ -127,7 +128,6 @@ def test_extension_surface_inside_window():
         "dedup_scrub_spans",
         "text_decontaminate_spans",
         "text_bigram_surprisal",
-        "dedup_canonical",
         "text_phrase_search",
         "text_winnow_overlap",
         "agg_equi_depth_histogram",
@@ -139,6 +139,12 @@ def test_extension_surface_inside_window():
         "join_interval_overlap",
         "pipeline_pack_balanced",
         "sample_effective_mass",
+        # round 7: the 4 deterministic rows-only → full-oracle
+        # promotions (VERDICT r6 #3)
+        "dedup_containment",
+        "dedup_containment_survivors",
+        "sample_exact_n",
+        "validate_golden_errors",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
