@@ -1141,3 +1141,159 @@ def query_ivfpq_index(
         F.col("h.sim").alias("sim"),
     )
     return _rank_topk(scored, k)
+
+
+# -- hybrid sparse+dense retrieval (Reciprocal Rank Fusion) -----------------
+
+
+def hybrid_rrf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    q_terms: int = 8,
+    depth: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Query-by-example hybrid retrieval: each query document (doc_id <
+    ``n_queries``) retrieves from the corpus along BOTH axes — Okapi
+    BM25 over its ``q_terms`` lexicographically-smallest distinct
+    tokens (sparse) and cosine over its embedding (dense, vec_id ==
+    doc_id) — and the two ``depth``-deep rank lists are fused with
+    Reciprocal Rank Fusion (Cormack et al., SIGIR'09, the standard
+    score-free fusion): ``rrf = Σ_side 1/(rrf_k + rank_side)``.  This is
+    the retrieval shape of decontamination-by-example, eval-set
+    neighborhood mining, and targeted-domain curation: lexical recall
+    catches what embeddings blur, dense recall catches paraphrase the
+    lexicon misses, and RRF needs no score calibration between the two.
+
+    Determinism contract (both engines): scores are rounded to 4
+    decimals BEFORE ranking, ranks break ties by doc_id, and the fused
+    rrf — a sum of two exact reciprocals from a discrete set — is
+    rounded to 6.  Self-matches are excluded on both axes.
+
+    Scale shape (100 TB corpus, few queries):
+      * sparse: the ONLY corpus-sized shuffle is the (doc, term) tf
+        aggregate pre-filtered by a broadcast semi-join to the ≤
+        ``n_queries × q_terms`` query terms; df/avgdl are scalar or
+        |terms|-row aggregates broadcast back (no driver collect);
+      * dense: the query side (``n_queries`` vectors) is broadcast and
+        the corpus is scanned once — embarrassingly parallel;
+      * both rank lists are ``depth``-bounded per query before the
+        fusion join, so the full-outer fusion touches ≤ ``2 × depth ×
+        n_queries`` rows.  No cartesian, no full-corpus sort anywhere.
+    """
+    from .text import BM25_B, BM25_K1
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_corpus"), F.avg("dl").alias("avgdl")
+    )
+
+    queries = toks.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.array_sort(F.array_distinct("toks")), 1, q_terms).alias("qt"),
+    )
+    qterms = queries.select("query_id", F.explode("qt").alias("term"))
+    terms = qterms.select("term").distinct()
+
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_corpus") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    sparse = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 4).alias("bm25")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    s_rank = (
+        sparse.withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= depth)
+        .select("query_id", "doc_id", "sr")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    )
+    dense = (
+        corpus.crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    d_rank = (
+        dense.withColumn("dr", F.row_number().over(wd))
+        .filter(F.col("dr") <= depth)
+        .select("query_id", "doc_id", "dr")
+    )
+
+    fused = s_rank.join(d_rank, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("sr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("dr")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "rank")
+    )

@@ -841,6 +841,70 @@ _register(
 )
 _register("ann_topk_lsh", similarity.ann_topk_lsh, None)
 _register("ann_topk_ivf", similarity.ann_topk_ivf, None)
+
+_register(
+    "search_hybrid_rrf",
+    lambda s, d: similarity.hybrid_rrf_search(s, d),
+    # query-by-example hybrid retrieval (round 7): Okapi BM25 over each
+    # query doc's 8 lexicographically-smallest distinct tokens + cosine
+    # over its embedding, depth-20 rank lists fused with Reciprocal
+    # Rank Fusion (1/(60+rank)).  Deterministic end-to-end: scores
+    # rounded before ranking, ties by doc_id, rrf is a sum of exact
+    # reciprocals — so the full pipeline is exactly checkable.
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    lens AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM docs),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    qterms AS (
+      SELECT query_id, unnest(qt) AS term FROM (
+        SELECT doc_id AS query_id,
+               list_sort(list_distinct(string_split(text,' ')))[1:8] AS qt
+        FROM docs WHERE doc_id < 10)
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text,' ')) AS term FROM docs)
+      WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, ln(1 + ((SELECT n FROM stats) - df + 0.5)/(df + 0.5)) AS idf
+            FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+    sparse AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(idf.idf * (tf.tf*2.2)
+                       /(tf.tf + 1.2*(0.25+0.75*lens.dl/(SELECT avgdl FROM stats)))),4) AS bm25
+      FROM qterms q JOIN tf USING (term) JOIN idf ON idf.term = tf.term
+      JOIN lens ON lens.doc_id = tf.doc_id
+      WHERE tf.doc_id != q.query_id
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    s_rank AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS sr
+      FROM sparse QUALIFY sr <= 20),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 10),
+    dense AS (
+      SELECT qv.query_id, c.vec_id AS doc_id,
+             round(list_dot_product(qv.qe, c.ce)
+                   /(sqrt(list_dot_product(qv.qe, qv.qe))*sqrt(list_dot_product(c.ce, c.ce))),4) AS sim
+      FROM qv, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) c
+      WHERE c.vec_id != qv.query_id
+    ),
+    d_rank AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS dr
+      FROM dense QUALIFY dr <= 20),
+    fused AS (
+      SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(1.0/(60+s.sr),0)+coalesce(1.0/(60+d.dr),0),6) AS rrf
+      FROM s_rank s FULL JOIN d_rank d ON s.query_id=d.query_id AND s.doc_id=d.doc_id
+    )
+    SELECT query_id, doc_id, rrf,
+           row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+)
 # threshold 0.35 targets the top of this corpus's similarity range (max
 # pairwise cosine ≈ 0.51, no planted near-identical vectors) — bucket
 # width is recalibrated accordingly (see ann_topk_lsh docstring; a real
@@ -2887,7 +2951,7 @@ _PROMOTED = [
     "events_expectations",
     "events_psi_drift",
     "events_skew_profile",
-    "sample_splits",
+    # sample_splits demoted round 7 — see _DEMOTED notes
     "sample_token_mixture",
     "sample_quality_percentile",
     "pipeline_release_delta",
@@ -2929,6 +2993,9 @@ _PROMOTED = [
     "dedup_containment_survivors",
     "sample_exact_n",
     "validate_golden_errors",
+    # round-7 NEW capability: query-by-example hybrid retrieval (BM25 +
+    # cosine fused by RRF) — slot funded by demoting sample_splits
+    "search_hybrid_rrf",
 ]
 
 _DEMOTED = [
@@ -3006,6 +3073,9 @@ _DEMOTED = [
     # fetch_backward + insertion_filter_roundtrip + log_roundtrip_query
     "dedup_canonical",  # green r6; canonicalizing group-by shape is
     # dedup_exact's (in-window); NFKC twin pinned in pytest
+    "sample_splits",  # green r6; slot funds the search_hybrid_rrf
+    # promotion — split family held in-window by sample_exact_stratified
+    # + sample_token_mixture + sample_quality_percentile + sample_exact_n
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

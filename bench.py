@@ -77,6 +77,10 @@ HEADLINE = [
     "pipeline_datasheet",
     "join_interval_overlap",
     "pipeline_pack_balanced",
+    # round-7 additions: hybrid sparse+dense retrieval (RRF fusion) and
+    # the exact containment-dedup action (now full driver oracles)
+    "search_hybrid_rrf",
+    "dedup_containment_survivors",
 ]
 
 

@@ -120,7 +120,9 @@ def test_extension_surface_inside_window():
         "events_expectations",
         "events_psi_drift",
         "events_skew_profile",
-        "sample_splits",
+        # sample_splits demoted round 7 (family held by exact_stratified
+        # / token_mixture / quality_percentile / exact_n) funding
+        # search_hybrid_rrf
         "sample_token_mixture",
         "sample_quality_percentile",
         "pipeline_release_delta",
@@ -145,6 +147,8 @@ def test_extension_surface_inside_window():
         "dedup_containment_survivors",
         "sample_exact_n",
         "validate_golden_errors",
+        # round 7: NEW hybrid sparse+dense retrieval capability
+        "search_hybrid_rrf",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
