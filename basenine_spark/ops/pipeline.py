@@ -800,3 +800,123 @@ def curriculum_order(
         "stage",
         F.row_number().over(w_seq).cast("bigint").alias("seq"),
     )
+
+
+# -- corpus composition: novelty curve + source overlap ---------------------
+
+
+def _source_grams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(source, gram64) distinct pairs — the per-source n-gram sets the
+    composition analytics below share.  Grams are 64-bit hashed
+    (:func:`..dedup.hashed_shingle_sets`), so the shuffle carries 8-byte
+    longs; counts agree with the string-gram DuckDB oracles modulo
+    negligible collisions (same argument as dedup_ngram_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hsets = dedup.hashed_shingle_sets(docs.select("doc_id", "text"), n)
+    return (
+        hsets.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+
+
+def source_novelty_curve(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Greedy marginal n-gram coverage per source — the corpus-selection
+    signal behind facility-location/coverage-based data curation: walk
+    sources in lexicographic order and credit each gram to its FIRST
+    holder, so ``novel_grams`` is exactly the new gram mass source *s*
+    adds on top of every earlier source and ``novelty_ratio`` is the
+    fraction of *s*'s gram set nobody before it contributed.  A source
+    whose ratio ~0 is redundant with the corpus prefix; a high ratio
+    marks distributional novelty worth up-weighting.
+
+    Scale shape: one (source, gram64) distinct shuffle over the corpus,
+    then two bounded aggregates (per-gram min-source, per-source
+    counts) and an |S|-row join — no pairwise blowup at any corpus
+    size.
+
+    Output: (source, total_grams, novel_grams, novelty_ratio).
+    """
+    g = _source_grams(spark, sf_dir, n)
+    totals = g.groupBy("source").agg(F.count(F.lit(1)).alias("total_grams"))
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    return (
+        totals.join(novel, "source", "left")
+        .select(
+            "source",
+            "total_grams",
+            F.coalesce(F.col("novel_grams"), F.lit(0)).alias("novel_grams"),
+            F.round(
+                F.coalesce(F.col("novel_grams"), F.lit(0)).cast("double")
+                / F.col("total_grams").cast("double"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    max_holders: int | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between sources — the corpus-composition
+    heatmap (which crawl snapshots / dumps overlap, where a new source
+    is mostly re-scraped mass).  Exact: ``|A∩B|`` is counted by joining
+    the per-source gram postings on the gram key, never by comparing
+    documents pairwise.
+
+    Scale: a gram held by *h* sources emits ``h·(h-1)/2`` pair rows, so
+    corpus-universal grams dominate the shuffle when |S| is large.
+    ``max_holders`` drops grams held by more than that many sources
+    before pairing — such grams carry no discriminative signal (they
+    raise every pair's intersection equally) and the cap bounds the
+    fanout at ``max_holders²`` per gram.  The default (None) is the
+    exact form the DuckDB oracle mirrors; a crawl-scale run with
+    thousands of sources sets the cap.
+
+    Output: (source_a, source_b, inter, jaccard) for a < b with
+    inter > 0.
+    """
+    g = _source_grams(spark, sf_dir, n)
+    if max_holders is not None:
+        holders = g.groupBy("gram").agg(F.count(F.lit(1)).alias("h"))
+        g = (
+            g.join(holders.filter(F.col("h") <= max_holders), "gram")
+            .drop("h")
+        )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sz.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sz_b = sz.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "source_a")
+        .join(F.broadcast(sz_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

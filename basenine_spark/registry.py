@@ -2780,6 +2780,63 @@ _register(
     """,
 )
 
+_CORPUS_GRAMS_SQL = """
+  SELECT DISTINCT source, gram FROM (
+    SELECT source, unnest(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE [] END) AS gram
+    FROM (SELECT source, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL))
+"""
+
+_register(
+    "pipeline_novelty_curve",
+    lambda s, d: pipeline.source_novelty_curve(s, d),
+    # round-7 corpus-composition analytics: greedy marginal gram
+    # coverage per source (credit each gram to its lexicographically
+    # first holder) — the facility-location/coverage curation signal.
+    # Spark counts 64-bit hashed grams, the oracle string grams:
+    # identical modulo negligible collisions (dedup_ngram_jaccard
+    # precedent).
+    f"""
+    WITH g AS ({_CORPUS_GRAMS_SQL}),
+    totals AS (SELECT source, count(*) AS total_grams FROM g GROUP BY source),
+    novel AS (
+      SELECT first_source AS source, count(*) AS novel_grams FROM (
+        SELECT gram, min(source) AS first_source FROM g GROUP BY gram)
+      GROUP BY first_source)
+    SELECT t.source, t.total_grams,
+           coalesce(n.novel_grams, 0) AS novel_grams,
+           round(CAST(coalesce(n.novel_grams, 0) AS DOUBLE)
+                 / CAST(t.total_grams AS DOUBLE), 6) AS novelty_ratio
+    FROM totals t LEFT JOIN novel n ON n.source = t.source
+    """,
+)
+
+_register(
+    "pipeline_source_overlap",
+    lambda s, d: pipeline.source_overlap_matrix(s, d),
+    # round-7 corpus-composition analytics: pairwise source n-gram
+    # Jaccard via gram-keyed postings join (never document-pairwise);
+    # the exact uncapped form — the max_holders df-cap is the
+    # documented crawl-scale mode (see source_overlap_matrix docstring)
+    f"""
+    WITH g AS ({_CORPUS_GRAMS_SQL}),
+    sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, inter,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = source_a
+    JOIN sz sb ON sb.source = source_b
+    """,
+)
+
 _register(
     "join_interval_overlap",
     lambda s, d: timeseries.session_error_overlap(s, d),
@@ -2916,7 +2973,7 @@ _PROMOTED = [
     # round-3 additions: time-series + cube/pivot/interval-join surface
     # (window_range_count / sample_quality_topk / dedup_incremental
     # demoted late round 6 — see _DEMOTED notes)
-    "ts_gap_fill_hourly",
+    # ts_gap_fill_hourly demoted round 7 — see _DEMOTED notes
     "agg_cube_orders",
     # join_length_bands demoted round 7 — see _DEMOTED notes
     "pipeline_curate",
@@ -2934,7 +2991,7 @@ _PROMOTED = [
     # round-5 late additions: substring-dedup / chunking / domain-cap /
     # balanced-release families
     "dedup_spans",
-    "text_chunks",
+    # text_chunks demoted round 7 — see _DEMOTED notes
     "sample_source_cap",
     "pipeline_release_balanced",
     # round-6 promotions: every exactly-checkable entry that was
@@ -2996,6 +3053,11 @@ _PROMOTED = [
     # round-7 NEW capability: query-by-example hybrid retrieval (BM25 +
     # cosine fused by RRF) — slot funded by demoting sample_splits
     "search_hybrid_rrf",
+    # round-7 NEW capabilities: corpus-composition analytics (marginal
+    # novelty curve + source-overlap matrix) — slots funded by demoting
+    # ts_gap_fill_hourly and text_chunks
+    "pipeline_novelty_curve",
+    "pipeline_source_overlap",
 ]
 
 _DEMOTED = [
@@ -3076,6 +3138,13 @@ _DEMOTED = [
     "sample_splits",  # green r6; slot funds the search_hybrid_rrf
     # promotion — split family held in-window by sample_exact_stratified
     # + sample_token_mixture + sample_quality_percentile + sample_exact_n
+    "ts_gap_fill_hourly",  # green r2-r6; slot funds the
+    # pipeline_novelty_curve promotion — calendar-fill semantics pinned
+    # by pytest; the hourly-window base is events_* windows in-window
+    "text_chunks",  # green r5-r6; slot funds the
+    # pipeline_source_overlap promotion — chunk math pinned by
+    # test_chunking + the spans-chunk fuzz differential; gram machinery
+    # held in-window by dedup_spans/dedup_scrub_spans
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

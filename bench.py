@@ -77,10 +77,13 @@ HEADLINE = [
     "pipeline_datasheet",
     "join_interval_overlap",
     "pipeline_pack_balanced",
-    # round-7 additions: hybrid sparse+dense retrieval (RRF fusion) and
-    # the exact containment-dedup action (now full driver oracles)
+    # round-7 additions: hybrid sparse+dense retrieval (RRF fusion),
+    # the exact containment-dedup action, and the corpus-composition
+    # analytics (all full driver oracles)
     "search_hybrid_rrf",
     "dedup_containment_survivors",
+    "pipeline_novelty_curve",
+    "pipeline_source_overlap",
 ]
 
 

@@ -91,7 +91,9 @@ def test_extension_surface_inside_window():
         # join_length_bands / pipeline_shards / query_limit_extract /
         # dedup_canonical: demoted round 7 (each multi-round green) to
         # fund the 4 rows-only → full-oracle promotions below
-        "ts_gap_fill_hourly",
+        # ts_gap_fill_hourly / text_chunks demoted round 7 (gap-fill
+        # pinned by pytest; chunk math by test_chunking + spans fuzz)
+        # funding the two corpus-composition promotions
         "agg_cube_orders",
         "pipeline_curate",
         # round 4: scale patterns + profiling + composed release
@@ -109,7 +111,6 @@ def test_extension_surface_inside_window():
         # round 5 late: substring dedup, chunking, domain caps,
         # balanced release
         "dedup_spans",
-        "text_chunks",
         "sample_source_cap",
         "pipeline_release_balanced",
         # round 6: the 19 rows-only → oracle promotions (VERDICT r5 #1)
@@ -149,6 +150,9 @@ def test_extension_surface_inside_window():
         "validate_golden_errors",
         # round 7: NEW hybrid sparse+dense retrieval capability
         "search_hybrid_rrf",
+        # round 7: corpus-composition analytics
+        "pipeline_novelty_curve",
+        "pipeline_source_overlap",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
