@@ -305,11 +305,20 @@ def main() -> int:
         "dedup_ngram_jaccard",
         "dedup_spans",
         "sample_source_cap",
+        # round-7 gram families: novelty/overlap walk the same
+        # (source, gram) postings — mutated replicas grow the gram
+        # universe 10× at the original cross-source overlap rate
+        "pipeline_novelty_curve",
+        "pipeline_source_overlap",
     ]
     DOCS10_PLAIN = [
         "text_bm25_topk",
         "text_unigram_surprisal",
         "bpe_merges",
+        # hybrid retrieval: plain copies scale tf 10× under a fixed
+        # vocabulary and query set — the slope of the term-filtered tf
+        # aggregate plus the broadcast-dense scan
+        "search_hybrid_rrf",
     ]
     probe10: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled10:
@@ -336,6 +345,18 @@ def main() -> int:
             rep.drop("rep")
             .repartition(int(CPUS))
             .write.parquet(f"{scaled10}/plain/documents.parquet")
+        )
+        # hybrid retrieval reads embeddings too: 10× plain replica with
+        # the same id shift (queries stay vec_id < 10 — a fixed query
+        # set over a 10× corpus, exactly the production growth shape)
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_emb = emb.count()
+        (
+            emb.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb)
+            .drop("rep")
+            .repartition(int(CPUS))
+            .write.parquet(f"{scaled10}/plain/embeddings.parquet")
         )
         build10_sec = round(time.perf_counter() - t0, 3)
         for name in DOCS10_MUTATED:
