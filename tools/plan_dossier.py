@@ -217,6 +217,32 @@ COMMENTARY: dict[str, str] = {
         "the only driver traffic is one dangling-mass scalar per "
         "round."
     ),
+    "search_hybrid_rrf": (
+        "Hybrid BM25+dense retrieval: the ONLY corpus-sized shuffle is "
+        "the (doc, term) tf aggregate pre-filtered by a broadcast "
+        "semi-join to the <=80 query terms; idf / corpus stats / query "
+        "vectors all ride `BroadcastExchange` (the "
+        "`BroadcastNestedLoopJoin`s are 1-row stats and n_queries-row "
+        "sides, never corpus x corpus), the dense side is one "
+        "broadcast scan, and both rank lists are depth-bounded per "
+        "query before the full-outer RRF fusion touches them. Zero "
+        "Python stages."
+    ),
+    "pipeline_novelty_curve": (
+        "Marginal gram coverage: one (source, gram64) distinct "
+        "shuffle over the corpus, then a per-gram min-source "
+        "aggregate and two |S|-row joins — no pairwise anything, so "
+        "the plan is a fixed three-shuffle pipeline at any corpus "
+        "size."
+    ),
+    "pipeline_source_overlap": (
+        "Pairwise source Jaccard via the gram-keyed postings "
+        "self-join (never document-pairwise): a gram held by h "
+        "sources emits h(h-1)/2 pair rows, and the `max_holders` "
+        "df-cap (documented crawl-scale mode) bounds that fanout; "
+        "per-source sizes ride a broadcast into the final |S|^2-row "
+        "projection."
+    ),
 }
 
 
@@ -278,8 +304,16 @@ def main() -> int:
         "fact side never moved.\n"
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    body = header + "\n" + "\n".join(sections)
+    # plans may embed literal control bytes (e.g. the redact b64
+    # one-byte NUL sentinel) — escape them so the dossier stays a text
+    # file to git/grep
+    body = "".join(
+        c if c in ("\n", "\t") or ord(c) >= 0x20 else f"\\x{ord(c):02x}"
+        for c in body
+    )
     with open(OUT, "w") as f:
-        f.write(header + "\n" + "\n".join(sections))
+        f.write(body)
     print(f"wrote {OUT} ({len(sections)} plans)")
     return 0
 
