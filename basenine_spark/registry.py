@@ -2384,9 +2384,52 @@ _register(
 _register(
     "dedup_cluster_best",
     lambda s, d: dedup.cluster_best_quality(s, d),
-    None,  # quality-aware canonical selection (argmax n_chars per
-    # near-dup cluster); partition/representative invariants + planted
-    # truncated-copy golden in tests/test_containment_sample.py
+    # quality-aware canonical selection (argmax n_chars per near-dup
+    # cluster, singletons pass through). Promoted to a full oracle in
+    # round 7: the dedup_clusters recursive-CTE connected-components
+    # construction extends with one argmax window, so the whole
+    # composition (PPJoin pairs → min-label clusters → representative
+    # pick) is exactly checkable. Planted truncated-copy golden stays
+    # in tests/test_containment_sample.py.
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                  6) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ), membership AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL
+    )
+    SELECT doc_id, cluster_id, n_chars, cluster_size FROM (
+      SELECT doc_id, cluster_id, n_chars,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS pick
+      FROM membership
+    ) WHERE pick = 1
+    """,
 )
 
 _register(
@@ -2969,7 +3012,7 @@ _PROMOTED = [
     # decontaminate_spans, mixture → token_mixture, epoch_order →
     # curriculum_order, asof_clicks family held by join_asof_tolerance)
     "dedup_clusters",
-    "pii_scrub_events",
+    # pii_scrub_events demoted round 7 — see _DEMOTED notes
     # round-3 additions: time-series + cube/pivot/interval-join surface
     # (window_range_count / sample_quality_topk / dedup_incremental
     # demoted late round 6 — see _DEMOTED notes)
@@ -3058,6 +3101,10 @@ _PROMOTED = [
     # ts_gap_fill_hourly and text_chunks
     "pipeline_novelty_curve",
     "pipeline_source_overlap",
+    # round-7 late promotion: quality-aware cluster representatives via
+    # the recursive-CTE components oracle — slot funded by demoting
+    # pii_scrub_events
+    "dedup_cluster_best",
 ]
 
 _DEMOTED = [
@@ -3145,6 +3192,10 @@ _DEMOTED = [
     # pipeline_source_overlap promotion — chunk math pinned by
     # test_chunking + the spans-chunk fuzz differential; gram machinery
     # held in-window by dedup_spans/dedup_scrub_spans
+    "pii_scrub_events",  # green r1-r6 (six straight rounds); slot
+    # funds the dedup_cluster_best promotion — the regexp scrub
+    # machinery is redact's (in-window redact_row_backend) and the
+    # PII patterns are pinned by pytest goldens
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

@@ -82,7 +82,8 @@ def test_extension_surface_inside_window():
         # text_repetition by text_bigram_surprisal, embedding_quantize
         # by ann_topk
         "dedup_clusters",
-        "pii_scrub_events",
+        # pii_scrub_events demoted round 7 (six rounds green; scrub
+        # machinery is redact's, in-window) funding dedup_cluster_best
         # window_range_count / sample_quality_topk / dedup_incremental:
         # demoted late round 6 to fund text_boilerplate /
         # sample_exact_stratified / pipeline_datasheet (families held by
@@ -153,6 +154,8 @@ def test_extension_surface_inside_window():
         # round 7: corpus-composition analytics
         "pipeline_novelty_curve",
         "pipeline_source_overlap",
+        # round 7 late: quality-aware cluster representatives
+        "dedup_cluster_best",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
