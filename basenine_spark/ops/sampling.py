@@ -679,3 +679,114 @@ def effective_token_mass(
             ).alias("efficiency"),
         )
     )
+
+
+def dsir_select(
+    spark: SparkSession,
+    sf_dir: str,
+    target_lang: str = "fr",
+    k: int = 200,
+    alpha: float = 0.5,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-style data selection (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every
+    document in the raw pool by how target-like its token distribution
+    is — the per-token mean log importance ratio under two smoothed
+    unigram models, one fit on the target slice and one on the rest —
+    then keep the top-k.  This is the standard "select pretraining
+    data that looks like my target domain" primitive; here the target
+    slice is ``lang == target_lang`` (any predicate works — the model
+    only needs a boolean split of the corpus).
+
+    weight(d) = (1/|d|) * sum_{w in d} [ ln p_t(w) - ln p_r(w) ],
+    p(w) = (c(w) + alpha) / (T + alpha * V) with V the JOINT vocabulary
+    (so the raw pool never sees an OOV token: every raw token is in V
+    by construction).
+
+    Shape (scale-first):
+      * one explode → (token, is_target) partial-agg shuffle builds
+        BOTH count tables in a single vocabulary-sized aggregate
+        (conditional sums, not two passes);
+      * T_t / T_r / V are one scalar reduction; the log-ratio table is
+        vocabulary-sized and joins back onto the token stream (AQE
+        broadcasts it when it fits);
+      * scoring is one doc-keyed partial agg; the top-k is a
+        TakeOrdered (per-partition heaps), never a global sort.
+
+    **The hashed-feature form is the documented 100 TB default** —
+    DSIR's own design hashes n-grams into a FIXED number of buckets so
+    the model size is independent of vocabulary (a crawl-scale vocab
+    does not fit an executor; 2^20 bucket counts always do).  Pass
+    ``n_buckets`` to replace the token key with
+    ``xxhash64(token) mod n_buckets``: the ratio table becomes a
+    bounded broadcast and the scoring join goes map-only (collisions
+    blur individual token ratios but preserve the distributional
+    signal — the pytest gate pins >=80% top-k overlap vs the exact
+    form at 2^16 buckets).  The exact form (``n_buckets=None``) is the
+    oracle-verified baseline.
+
+    Weights are floor-rounded to 4 decimals BEFORE ranking (both
+    engines floor identically, so the rank/tie order is engine-stable;
+    ties break by doc_id).  Output: (doc_id, source, lang,
+    dsir_weight, n_tokens, rank) for the k selected pool documents.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    if n_buckets is not None:
+        toks = toks.withColumn(
+            "token",
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("string"),
+        )
+    vocab = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    stats = vocab.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    tt, tr, v = float(stats["tt"]), float(stats["tr"]), float(stats["v"])
+    ratio = vocab.select(
+        "token",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / F.lit(tt + alpha * v))
+            - F.log((F.col("cr") + F.lit(alpha)) / F.lit(tr + alpha * v))
+        ).alias("lw"),
+    )
+    if n_buckets is not None:
+        ratio = F.broadcast(ratio)
+    scored = (
+        toks.filter(~F.col("is_t"))
+        .join(ratio, "token")
+        .groupBy("doc_id")
+        .agg(
+            (F.floor(F.avg("lw") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "dsir_weight"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+    return (
+        scored.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "dsir_weight",
+            "n_tokens",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+    )

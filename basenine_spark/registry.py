@@ -2984,6 +2984,54 @@ _register(
     """,
 )
 
+_register(
+    "sample_dsir_select",
+    lambda s, d: sampling.dsir_select(s, d),
+    # DSIR-style importance selection (Xie et al. 2023): per-doc mean
+    # log ratio of two add-0.5-smoothed unigram LMs (target slice
+    # lang='fr' vs the rest), top-200 of the raw pool.  Exact form over
+    # the joint vocabulary (no OOV by construction); the hashed-bucket
+    # scale mode is gated in tests/test_dsir.py
+    """
+    WITH docs AS (
+      SELECT doc_id, source, lang, text FROM documents
+      WHERE text IS NOT NULL
+    ), toks AS (
+      SELECT doc_id, (lang = 'fr') AS is_t, t.tok AS token
+      FROM docs, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), vocab AS (
+      SELECT token,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      FROM toks GROUP BY token
+    ), stats AS (
+      SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+             CAST(SUM(cr) AS DOUBLE) AS tr,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM vocab
+    ), ratio AS (
+      SELECT token,
+             ln((ct + 0.5) / (tt + 0.5 * v))
+               - ln((cr + 0.5) / (tr + 0.5 * v)) AS lw
+      FROM vocab, stats
+    ), scored AS (
+      SELECT toks.doc_id,
+             FLOOR(AVG(lw) * 1e4 + 0.5) / 1e4 AS dsir_weight,
+             COUNT(*) AS n_tokens
+      FROM toks JOIN ratio USING (token)
+      WHERE NOT is_t
+      GROUP BY toks.doc_id
+    )
+    SELECT s.doc_id, d.source, d.lang, s.dsir_weight, s.n_tokens,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY s.dsir_weight DESC, s.doc_id ASC) AS BIGINT) AS rank
+    FROM scored s JOIN docs d ON s.doc_id = d.doc_id
+    ORDER BY s.dsir_weight DESC, s.doc_id ASC
+    LIMIT 200
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3035,7 +3083,7 @@ _PROMOTED = [
     # balanced-release families
     "dedup_spans",
     # text_chunks demoted round 7 — see _DEMOTED notes
-    "sample_source_cap",
+    # sample_source_cap demoted round 7 — see _DEMOTED notes
     "pipeline_release_balanced",
     # round-6 promotions: every exactly-checkable entry that was
     # rows-only to the driver (VERDICT r5 #1) — the pytest DuckDB
@@ -3105,6 +3153,10 @@ _PROMOTED = [
     # the recursive-CTE components oracle — slot funded by demoting
     # pii_scrub_events
     "dedup_cluster_best",
+    # round-7 NEW capability: DSIR-style importance selection (hashed
+    # n-gram likelihood-ratio data selection, Xie et al. 2023) — slot
+    # funded by demoting sample_source_cap
+    "sample_dsir_select",
 ]
 
 _DEMOTED = [
@@ -3196,6 +3248,10 @@ _DEMOTED = [
     # funds the dedup_cluster_best promotion — the regexp scrub
     # machinery is redact's (in-window redact_row_backend) and the
     # PII patterns are pinned by pytest goldens
+    "sample_source_cap",  # green r5-r6; slot funds the
+    # sample_dsir_select promotion — the cap family keeps
+    # sample_token_mixture in-window and the two-phase twin plus the
+    # streaming admission twin stay pinned in pytest
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

@@ -84,6 +84,8 @@ HEADLINE = [
     "dedup_containment_survivors",
     "pipeline_novelty_curve",
     "pipeline_source_overlap",
+    # round-7 late addition: DSIR-style importance selection
+    "sample_dsir_select",
 ]
 
 

@@ -112,7 +112,9 @@ def test_extension_surface_inside_window():
         # round 5 late: substring dedup, chunking, domain caps,
         # balanced release
         "dedup_spans",
-        "sample_source_cap",
+        # sample_source_cap demoted round 7 (cap family held by
+        # sample_token_mixture; twophase + streaming twins in pytest)
+        # funding sample_dsir_select
         "pipeline_release_balanced",
         # round 6: the 19 rows-only → oracle promotions (VERDICT r5 #1)
         "events_funnel_steps",
@@ -156,6 +158,8 @@ def test_extension_surface_inside_window():
         "pipeline_source_overlap",
         # round 7 late: quality-aware cluster representatives
         "dedup_cluster_best",
+        # round 7: DSIR-style importance selection
+        "sample_dsir_select",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
