@@ -868,3 +868,125 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def lexical_diversity(
+    spark: SparkSession,
+    sf_dir: str,
+    zipf_top_v: int = 100,
+) -> DataFrame:
+    """Per-source lexical-diversity diagnostics — the standard corpus
+    health checks run before mixing a source into a training set:
+
+      * **type-token ratio** (distinct unigrams / total tokens): low
+        TTR flags template/boilerplate-heavy or degenerate-repetition
+        sources;
+      * **distinct-bigram ratio** (the distinct-n diversity metric of
+        Li et al. 2016): catches sources whose unigrams look fine but
+        whose phrasing is copy-pasted;
+      * **Zipf slope**: the least-squares slope of ln(count) over
+        ln(rank) for the source's ``zipf_top_v`` most frequent tokens.
+        Natural text sits near −1 (Zipf's law); spam/synthetic text
+        drifts shallow or steep, so the deviation is a quality signal.
+
+    Shape (scale-first): ONE (source, token)-keyed partial-agg shuffle
+    builds the unigram table; totals/types/TTR fold out of it by
+    source.  Bigrams are built map-side from the token array
+    (``transform`` over index pairs — no self-join, no window over the
+    token stream) and take one (source, gram) partial agg.  The Zipf
+    rank is a per-source window over the top slice of the unigram
+    table only (vocabulary-sized input, never the corpus), and the
+    slope is the closed-form covariance ratio — plain aggregates, no
+    fitting loop.  At 100 TB the two gram aggregates are the only
+    corpus-sized shuffles, both with map-side partial aggregation;
+    hash the gram keys (xxhash64) to fixed-width ints if string keys
+    dominate shuffle volume (same trade documented for
+    ``boilerplate_ratio``).
+
+    All ratios use the engine-stable floor rounding.  Output: one row
+    per source, ordered by source.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    arr = docs.select(
+        "source",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("a"),
+    )
+    uni = (
+        arr.select("source", F.explode("a").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uni_stats = uni.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tokens_total"),
+        F.count(F.lit(1)).cast("bigint").alias("types"),
+    )
+    bi = (
+        arr.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size("a") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(a)-2),"
+                        " i -> concat(a[i], ' ', a[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi_stats = bi.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("bigrams_total"),
+        F.count(F.lit(1)).cast("bigint").alias("bigrams_distinct"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    ranked = uni.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= zipf_top_v
+    )
+    xy = ranked.select(
+        "source",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    # single-rank sources have zero x-variance: slope is undefined →
+    # NULL (try_divide), matching the oracle's NULL on 0/0
+    zipf = xy.groupBy("source").agg(
+        (
+            F.floor(
+                F.try_divide(
+                    F.sum(F.col("x") * F.col("y"))
+                    - F.count(F.lit(1)) * F.avg("x") * F.avg("y"),
+                    F.sum(F.col("x") * F.col("x"))
+                    - F.count(F.lit(1)) * F.avg("x") * F.avg("x"),
+                )
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("zipf_slope"),
+    )
+    return (
+        uni_stats.join(bi_stats, "source")
+        .join(zipf, "source")
+        .select(
+            "source",
+            "tokens_total",
+            "types",
+            (F.floor(F.col("types") / F.col("tokens_total").cast("double")
+                     * 1e6 + F.lit(0.5)) / 1e6).alias("ttr"),
+            "bigrams_total",
+            "bigrams_distinct",
+            (F.floor(F.col("bigrams_distinct")
+                     / F.col("bigrams_total").cast("double")
+                     * 1e6 + F.lit(0.5)) / 1e6).alias("bigram_distinct_ratio"),
+            "zipf_slope",
+        )
+        .orderBy("source")
+    )

@@ -3032,6 +3032,68 @@ _register(
     """,
 )
 
+_register(
+    "text_lexical_diversity",
+    lambda s, d: text.lexical_diversity(s, d),
+    # per-source lexical diagnostics: type-token ratio, distinct-bigram
+    # ratio (distinct-n, Li et al. 2016), and the Zipf slope of the
+    # top-100 token frequencies (closed-form least squares) —
+    # planted-corpus semantics in tests/test_lexical_diversity.py
+    """
+    WITH docs AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS a
+      FROM documents WHERE text IS NOT NULL
+    ), uni AS (
+      SELECT source, t.token, COUNT(*) AS cnt
+      FROM docs, UNNEST(a) AS t(token)
+      GROUP BY source, t.token
+    ), uni_stats AS (
+      SELECT source, SUM(cnt)::BIGINT AS tokens_total,
+             COUNT(*)::BIGINT AS types
+      FROM uni GROUP BY source
+    ), bi AS (
+      SELECT source, g.gram, COUNT(*) AS cnt
+      FROM (
+        SELECT source,
+               CASE WHEN len(a) >= 2
+                    THEN list_transform(range(1, len(a)),
+                                        i -> a[i] || ' ' || a[i+1])
+                    ELSE [] END AS grams
+        FROM docs
+      ), UNNEST(grams) AS g(gram)
+      GROUP BY source, g.gram
+    ), bi_stats AS (
+      SELECT source, SUM(cnt)::BIGINT AS bigrams_total,
+             COUNT(*)::BIGINT AS bigrams_distinct
+      FROM bi GROUP BY source
+    ), ranked AS (
+      SELECT source, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, token ASC) AS rank
+      FROM uni
+    ), xy AS (
+      SELECT source, ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+      FROM ranked WHERE rank <= 100
+    ), zipf AS (
+      SELECT source,
+             FLOOR((SUM(x*y) - COUNT(*)*AVG(x)*AVG(y))
+                   / (SUM(x*x) - COUNT(*)*AVG(x)*AVG(x)) * 1e4 + 0.5)
+               / 1e4 AS zipf_slope
+      FROM xy GROUP BY source
+    )
+    SELECT u.source, u.tokens_total, u.types,
+           FLOOR(u.types / u.tokens_total::DOUBLE * 1e6 + 0.5) / 1e6 AS ttr,
+           b.bigrams_total, b.bigrams_distinct,
+           FLOOR(b.bigrams_distinct / b.bigrams_total::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS bigram_distinct_ratio,
+           z.zipf_slope
+    FROM uni_stats u
+    JOIN bi_stats b USING (source)
+    JOIN zipf z USING (source)
+    ORDER BY u.source
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3081,7 +3143,7 @@ _PROMOTED = [
     "text_unigram_surprisal",
     # round-5 late additions: substring-dedup / chunking / domain-cap /
     # balanced-release families
-    "dedup_spans",
+    # dedup_spans demoted round 7 — see _DEMOTED notes
     # text_chunks demoted round 7 — see _DEMOTED notes
     # sample_source_cap demoted round 7 — see _DEMOTED notes
     "pipeline_release_balanced",
@@ -3157,6 +3219,10 @@ _PROMOTED = [
     # n-gram likelihood-ratio data selection, Xie et al. 2023) — slot
     # funded by demoting sample_source_cap
     "sample_dsir_select",
+    # round-7 NEW capability: per-source lexical-diversity diagnostics
+    # (TTR / distinct-bigram ratio / Zipf slope) — slot funded by
+    # demoting dedup_spans
+    "text_lexical_diversity",
 ]
 
 _DEMOTED = [
@@ -3252,6 +3318,10 @@ _DEMOTED = [
     # sample_dsir_select promotion — the cap family keeps
     # sample_token_mixture in-window and the two-phase twin plus the
     # streaming admission twin stay pinned in pytest
+    "dedup_spans",  # green r5-r6; slot funds the
+    # text_lexical_diversity promotion — the span family keeps its two
+    # strictly-richer twins in-window (dedup_scrub_spans rewrites the
+    # SAME spans; text_decontaminate_spans reuses the gram machinery)
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

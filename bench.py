@@ -84,8 +84,10 @@ HEADLINE = [
     "dedup_containment_survivors",
     "pipeline_novelty_curve",
     "pipeline_source_overlap",
-    # round-7 late addition: DSIR-style importance selection
+    # round-7 late additions: DSIR-style importance selection +
+    # per-source lexical-diversity diagnostics
     "sample_dsir_select",
+    "text_lexical_diversity",
 ]
 
 

@@ -111,7 +111,9 @@ def test_extension_surface_inside_window():
         "text_unigram_surprisal",
         # round 5 late: substring dedup, chunking, domain caps,
         # balanced release
-        "dedup_spans",
+        # dedup_spans demoted round 7 (family held by its richer
+        # in-window twins dedup_scrub_spans / text_decontaminate_spans)
+        # funding text_lexical_diversity
         # sample_source_cap demoted round 7 (cap family held by
         # sample_token_mixture; twophase + streaming twins in pytest)
         # funding sample_dsir_select
@@ -160,6 +162,8 @@ def test_extension_surface_inside_window():
         "dedup_cluster_best",
         # round 7: DSIR-style importance selection
         "sample_dsir_select",
+        # round 7: per-source lexical-diversity diagnostics
+        "text_lexical_diversity",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
