@@ -323,6 +323,12 @@ def main() -> int:
         # vocabulary and query set — the slope of the term-filtered tf
         # aggregate plus the broadcast-dense scan
         "search_hybrid_rrf",
+        # round-7 late: DSIR (two-LM conditional counts) and the
+        # lexical diagnostics (uni/bigram aggregates) are frequency
+        # aggregates over a fixed vocabulary — plain copies are the
+        # honest bigger-crawl view for both
+        "sample_dsir_select",
+        "text_lexical_diversity",
     ]
     probe10: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled10:

@@ -243,6 +243,25 @@ COMMENTARY: dict[str, str] = {
         "per-source sizes ride a broadcast into the final |S|^2-row "
         "projection."
     ),
+    "sample_dsir_select": (
+        "DSIR importance selection: ONE (token, is_target) "
+        "conditional-count aggregate builds both unigram LMs in a "
+        "single vocabulary-sized shuffle; the log-ratio table joins "
+        "back onto the token stream (explicit broadcast in the "
+        "hashed-bucket scale mode, where the model is a fixed 2^B "
+        "rows regardless of vocabulary) and scoring is one doc-keyed "
+        "partial agg feeding a TakeOrdered — never a global sort. "
+        "Zero Python stages."
+    ),
+    "text_lexical_diversity": (
+        "Lexical diagnostics: two partial-agg shuffles over the "
+        "corpus — (source, token) and (source, bigram), the bigrams "
+        "built map-side from the token array with no self-join and "
+        "no window over the stream. TTR and distinct-n fold out of "
+        "those tables by source; the Zipf least-squares fit windows "
+        "only the top-100 rows per source of the vocabulary-sized "
+        "unigram table."
+    ),
 }
 
 
