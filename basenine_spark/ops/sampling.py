@@ -790,3 +790,103 @@ def dsir_select(
             F.row_number().over(w).cast("bigint").alias("rank"),
         )
     )
+
+
+def select_token_budget(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Greedy quality-first selection under a GLOBAL token budget — the
+    fixed-compute data-selection primitive: training FLOPs buy a fixed
+    number of tokens, so take documents in quality order until the
+    budget is spent.  Prefix semantics (take while the running total
+    fits; the first overflowing document and everything after it are
+    dropped) — deterministic and engine-exact, unlike knapsack-skip
+    variants whose tie handling is solver-dependent.
+
+    Quality here is the repo's stopword-ratio signal (exact integer
+    ratio, bit-identical across engines); order is (stop_ratio DESC,
+    doc_id ASC).  Any score column slots in unchanged.
+
+    The running total is a DISTRIBUTED prefix sum — the cumulative
+    window never sees the corpus in one task (the naive
+    ``sum().over(Window.orderBy(...))`` puts 100 TB through a single
+    partition):
+
+    1. ``repartitionByRange`` on the quality order puts disjoint,
+       ordered score ranges in separate partitions (pinned once via
+       lazy ``localCheckpoint`` — the range sampler is seeded per RDD,
+       so both branches must read the SAME boundaries);
+    2. each task prefix-sums only its own range (window partitioned on
+       ``spark_partition_id()``);
+    3. per-partition token totals (a P-row aggregate) become prefix
+       offsets via a window over those P rows — the only
+       single-partition exchange holds one row per task;
+    4. global running total = offset + local prefix; keep rows with
+       total ≤ budget.
+
+    Output: (doc_id, stop_ratio, n_tokens, cum_tokens, sel_rank),
+    the selected prefix in quality order.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    stop_list = ", ".join(f"'{s}'" for s in ("a", "the"))
+    n = F.size(F.split(F.col("text"), " "))
+    stop_cnt = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+    )
+    scored = docs.select(
+        "doc_id",
+        F.round(stop_cnt.cast("double") / n.cast("double"), 6).alias(
+            "stop_ratio"
+        ),
+        n.cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    num_parts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = scored.repartitionByRange(
+        num_parts, F.col("stop_ratio").desc(), F.col("doc_id").asc()
+    )
+    with_pid = ranged.withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("stop_ratio").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid.withColumn(
+        "cum_local", F.sum("n_tokens").over(w_local)
+    ).withColumn(
+        "rn_local",
+        F.row_number()
+        .over(
+            Window.partitionBy("pid").orderBy(
+                F.col("stop_ratio").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("bigint"),
+    )
+    sums = with_pid.groupBy("pid").agg(
+        F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "pid",
+        F.coalesce(F.sum("toks").over(w_off), F.lit(0)).alias("tok_off"),
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("rn_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "stop_ratio",
+            "n_tokens",
+            (F.col("tok_off") + F.col("cum_local")).alias("cum_tokens"),
+            (F.col("rn_off") + F.col("rn_local")).alias("sel_rank"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )

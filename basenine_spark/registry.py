@@ -3094,6 +3094,39 @@ _register(
     """,
 )
 
+_register(
+    "sample_token_budget",
+    lambda s, d: sampling.select_token_budget(s, d),
+    # greedy quality-first selection under a global token budget
+    # (prefix semantics: take in (stop_ratio DESC, doc_id) order while
+    # the running total fits).  Spark side is the distributed two-pass
+    # prefix sum (range partitions + per-range local windows + P-row
+    # offsets); the oracle is the plain window cumsum — identical
+    # output by construction.  Boundary semantics in
+    # tests/test_token_budget.py
+    """
+    WITH q AS (
+      SELECT doc_id,
+             round(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('a', 'the')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+               AS stop_ratio,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), c AS (
+      SELECT doc_id, stop_ratio, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY stop_ratio DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens,
+             ROW_NUMBER() OVER (ORDER BY stop_ratio DESC, doc_id ASC)::BIGINT
+               AS sel_rank
+      FROM q WHERE n_tokens > 0
+    )
+    SELECT doc_id, stop_ratio, n_tokens, cum_tokens, sel_rank
+    FROM c WHERE cum_tokens <= 10000
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3139,7 +3172,7 @@ _PROMOTED = [
     "text_quality_flags",
     "join_asof_tolerance",
     # round-5 additions: BM25 relevance ranking + unigram surprisal
-    "text_bm25_topk",
+    # text_bm25_topk demoted round 7 — see _DEMOTED notes
     "text_unigram_surprisal",
     # round-5 late additions: substring-dedup / chunking / domain-cap /
     # balanced-release families
@@ -3223,6 +3256,10 @@ _PROMOTED = [
     # (TTR / distinct-bigram ratio / Zipf slope) — slot funded by
     # demoting dedup_spans
     "text_lexical_diversity",
+    # round-7 NEW capability: greedy token-budget selection via the
+    # distributed two-pass prefix sum — slot funded by demoting
+    # text_bm25_topk
+    "sample_token_budget",
 ]
 
 _DEMOTED = [
@@ -3322,6 +3359,10 @@ _DEMOTED = [
     # text_lexical_diversity promotion — the span family keeps its two
     # strictly-richer twins in-window (dedup_scrub_spans rewrites the
     # SAME spans; text_decontaminate_spans reuses the gram machinery)
+    "text_bm25_topk",  # green r5-r6; slot funds the
+    # sample_token_budget promotion — the Okapi BM25 machinery (same
+    # idf/k1/b formulas) is re-verified every round inside the
+    # in-window search_hybrid_rrf oracle
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

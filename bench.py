@@ -85,9 +85,10 @@ HEADLINE = [
     "pipeline_novelty_curve",
     "pipeline_source_overlap",
     # round-7 late additions: DSIR-style importance selection +
-    # per-source lexical-diversity diagnostics
+    # per-source lexical-diversity diagnostics + token-budget selection
     "sample_dsir_select",
     "text_lexical_diversity",
+    "sample_token_budget",
 ]
 
 

@@ -107,7 +107,8 @@ def test_extension_surface_inside_window():
         "text_quality_flags",
         "join_asof_tolerance",
         # round 5: BM25 relevance ranking + unigram surprisal
-        "text_bm25_topk",
+        # text_bm25_topk demoted round 7 (Okapi machinery re-verified
+        # inside in-window search_hybrid_rrf) funding sample_token_budget
         "text_unigram_surprisal",
         # round 5 late: substring dedup, chunking, domain caps,
         # balanced release
@@ -164,6 +165,8 @@ def test_extension_surface_inside_window():
         "sample_dsir_select",
         # round 7: per-source lexical-diversity diagnostics
         "text_lexical_diversity",
+        # round 7: greedy token-budget selection
+        "sample_token_budget",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -253,6 +253,15 @@ COMMENTARY: dict[str, str] = {
         "partial agg feeding a TakeOrdered — never a global sort. "
         "Zero Python stages."
     ),
+    "sample_token_budget": (
+        "Global-budget greedy selection: the running token total is "
+        "the distributed two-pass prefix sum (range partitions -> "
+        "per-range local windows keyed on `spark_partition_id` -> "
+        "P-row offset window), so the only `SinglePartition` exchange "
+        "in the plan holds one row per task — the whole-corpus "
+        "single-partition cumsum that kills the naive window never "
+        "exists. Offsets ride a broadcast back onto the ranges."
+    ),
     "text_lexical_diversity": (
         "Lexical diagnostics: two partial-agg shuffles over the "
         "corpus — (source, token) and (source, bigram), the bigrams "
