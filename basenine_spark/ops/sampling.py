@@ -890,3 +890,66 @@ def select_token_budget(
         )
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def temperature_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.3,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual sampling
+    scheme of XLM-R / mT5: raise each source's mass share to
+    ``alpha`` < 1 and renormalize) — flattens the head and boosts the
+    tail so low-resource sources are not drowned, without hand-tuned
+    per-source weights.  ``alpha=1`` reproduces proportional sampling;
+    ``alpha=0`` is uniform.
+
+    For each source: raw token mass, raw share ``p_s``, tempered
+    weight ``w_s = p_s^alpha / sum p_t^alpha``, the token allocation
+    ``floor(budget * w_s)``, and the implied per-source sampling rate
+    ``min(1, alloc / mass)`` — the number that feeds straight into
+    :func:`stratified_sample` / :func:`token_mixture_sample` as the
+    per-source rate (rate > 1 would mean the source must repeat —
+    surfaced as rate 1.0 plus the allocation so the caller sees the
+    epoch multiplier).
+
+    Shape: one map-only token-count scan + one |S|-row source
+    aggregate; the normalizing sum rides a 1-row broadcast join back
+    (zero driver actions).  All ratios use the engine-stable floor
+    rounding.  Output ordered by source.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    mass = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+    ).groupBy("source").agg(F.sum("n_toks").alias("mass"))
+    totals = mass.agg(
+        F.sum("mass").alias("total_mass"),
+        F.sum(F.pow(F.col("mass").cast("double"), F.lit(alpha))).alias(
+            "z"
+        ),
+    )
+    p = F.col("mass").cast("double") / F.col("total_mass")
+    w = F.pow(F.col("mass").cast("double"), F.lit(alpha)) / F.col("z")
+    alloc = F.floor(F.lit(float(budget)) * w).cast("bigint")
+    return (
+        mass.join(F.broadcast(totals))
+        .select(
+            "source",
+            "mass",
+            (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("p_raw"),
+            (F.floor(w * 1e6 + F.lit(0.5)) / 1e6).alias("w_temp"),
+            alloc.alias("alloc_tokens"),
+            F.least(
+                F.lit(1.0),
+                F.floor(
+                    alloc / F.col("mass").cast("double") * 1e6 + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )

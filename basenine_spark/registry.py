@@ -3127,6 +3127,37 @@ _register(
     """,
 )
 
+_register(
+    "sample_temperature_mixture",
+    lambda s, d: sampling.temperature_mixture(s, d),
+    # temperature-based mixture reweighting (XLM-R / mT5 alpha
+    # sampling): per-source tempered weights, token allocations under
+    # a 10k budget, and implied per-source sampling rates.  Alpha
+    # limit cases (1 -> proportional, 0 -> uniform) pinned in
+    # tests/test_temperature_mixture.py
+    """
+    WITH mass AS (
+      SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS mass
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source
+    ), totals AS (
+      SELECT CAST(SUM(mass) AS DOUBLE) AS total_mass,
+             SUM(pow(mass::DOUBLE, 0.3)) AS z
+      FROM mass
+    )
+    SELECT source, mass,
+           FLOOR(mass::DOUBLE / total_mass * 1e6 + 0.5) / 1e6 AS p_raw,
+           FLOOR(pow(mass::DOUBLE, 0.3) / z * 1e6 + 0.5) / 1e6 AS w_temp,
+           FLOOR(10000.0 * pow(mass::DOUBLE, 0.3) / z)::BIGINT
+             AS alloc_tokens,
+           LEAST(1.0,
+                 FLOOR(FLOOR(10000.0 * pow(mass::DOUBLE, 0.3) / z)
+                       / mass::DOUBLE * 1e6 + 0.5) / 1e6) AS sample_rate
+    FROM mass, totals
+    ORDER BY source
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3173,7 +3204,7 @@ _PROMOTED = [
     "join_asof_tolerance",
     # round-5 additions: BM25 relevance ranking + unigram surprisal
     # text_bm25_topk demoted round 7 — see _DEMOTED notes
-    "text_unigram_surprisal",
+    # text_unigram_surprisal demoted round 7 — see _DEMOTED notes
     # round-5 late additions: substring-dedup / chunking / domain-cap /
     # balanced-release families
     # dedup_spans demoted round 7 — see _DEMOTED notes
@@ -3260,6 +3291,10 @@ _PROMOTED = [
     # distributed two-pass prefix sum — slot funded by demoting
     # text_bm25_topk
     "sample_token_budget",
+    # round-7 NEW capability: temperature-based mixture reweighting
+    # (XLM-R/mT5 alpha sampling) — slot funded by demoting
+    # text_unigram_surprisal
+    "sample_temperature_mixture",
 ]
 
 _DEMOTED = [
@@ -3363,6 +3398,10 @@ _DEMOTED = [
     # sample_token_budget promotion — the Okapi BM25 machinery (same
     # idf/k1/b formulas) is re-verified every round inside the
     # in-window search_hybrid_rrf oracle
+    "text_unigram_surprisal",  # green r5-r6; slot funds the
+    # sample_temperature_mixture promotion — the surprisal family
+    # keeps its strictly-richer bigram twin in-window, and the
+    # bounded/broadcast scale form stays differential-gated in pytest
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

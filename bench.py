@@ -86,9 +86,11 @@ HEADLINE = [
     "pipeline_source_overlap",
     # round-7 late additions: DSIR-style importance selection +
     # per-source lexical-diversity diagnostics + token-budget selection
+    # + temperature mixture reweighting
     "sample_dsir_select",
     "text_lexical_diversity",
     "sample_token_budget",
+    "sample_temperature_mixture",
 ]
 
 

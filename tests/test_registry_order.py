@@ -109,7 +109,8 @@ def test_extension_surface_inside_window():
         # round 5: BM25 relevance ranking + unigram surprisal
         # text_bm25_topk demoted round 7 (Okapi machinery re-verified
         # inside in-window search_hybrid_rrf) funding sample_token_budget
-        "text_unigram_surprisal",
+        # text_unigram_surprisal demoted round 7 (bigram twin stays
+        # in-window) funding sample_temperature_mixture
         # round 5 late: substring dedup, chunking, domain caps,
         # balanced release
         # dedup_spans demoted round 7 (family held by its richer
@@ -167,6 +168,8 @@ def test_extension_surface_inside_window():
         "text_lexical_diversity",
         # round 7: greedy token-budget selection
         "sample_token_budget",
+        # round 7: temperature-based mixture reweighting
+        "sample_temperature_mixture",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

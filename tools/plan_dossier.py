@@ -253,6 +253,13 @@ COMMENTARY: dict[str, str] = {
         "partial agg feeding a TakeOrdered — never a global sort. "
         "Zero Python stages."
     ),
+    "sample_temperature_mixture": (
+        "Alpha-tempered mixture weights: one map-only token-count "
+        "scan, one |S|-row source aggregate, and the normalizing "
+        "constants ride a 1-row `BroadcastExchange` back onto the "
+        "|S| rows — zero driver actions, zero corpus-sized shuffles "
+        "beyond the source rollup's partial agg."
+    ),
     "sample_token_budget": (
         "Global-budget greedy selection: the running token total is "
         "the distributed two-pass prefix sum (range partitions -> "
