@@ -953,3 +953,67 @@ def temperature_mixture(
         )
         .orderBy("source")
     )
+
+
+def leakage_safe_splits(
+    spark: SparkSession,
+    sf_dir: str,
+    ratios: dict[str, float] | None = None,
+    n: int = 3,
+    threshold: float = 0.4,
+    salt: str = "lsplit",
+) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: split by
+    NEAR-DUP CLUSTER, not by document.  A per-document split
+    (:func:`split_assign`) lets two near-duplicates straddle train and
+    test — the classic eval-contamination leak (Lee et al. 2022
+    measure the inflation this causes); assigning every member of a
+    near-dup component the SAME split closes it by construction.
+
+    Composition of two already-verified pieces: the exact n-gram
+    Jaccard cluster labels (PPJoin pairs → min-label connected
+    components, :func:`..ops.dedup.duplicate_clusters`) and the
+    content-stable md5-threshold assignment of :func:`split_assign`,
+    keyed on the CLUSTER label (singletons key on their own doc_id —
+    identical semantics, a singleton is its own component).
+
+    Shape: the cluster stage is the PPJoin + label-propagation plan
+    (gram-keyed, never all-pairs); the assignment is one left join
+    (cluster side is the clustered subset — small; AQE broadcasts it)
+    plus a map-only hash CASE.  At crawl scale swap
+    ``duplicate_clusters_lsh`` in for the exact pair stage — the
+    assignment side is unchanged.
+
+    Output: (doc_id, source, cluster_id, split) for every document;
+    docs sharing a component share the split, bit-for-bit
+    reproducible on any engine.
+    """
+    import math
+
+    from .dedup import duplicate_clusters
+
+    ratios = ratios or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, r in ratios.items():
+        acc += r
+        hi = (
+            "g" * 8
+            if acc >= 1.0
+            else "%08x" % math.floor(acc * 4294967296.0)
+        )
+        bounds.append((name, hi))
+    clusters = duplicate_clusters(spark, sf_dir, n=n, threshold=threshold)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    bucket = _bucket(salt, F.col("cluster_id"))
+    label = F.lit(None).cast("string")
+    for name, hi in reversed(bounds):
+        label = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(label)
+    return labeled.select(
+        "doc_id", "source", "cluster_id", label.alias("split")
+    )

@@ -3158,6 +3158,58 @@ _register(
     """,
 )
 
+_register(
+    "sample_leakage_safe_splits",
+    lambda s, d: sampling.leakage_safe_splits(s, d),
+    # leakage-safe split assignment: near-dup components (the
+    # dedup_clusters recursive-CTE construction) share one
+    # content-stable md5-threshold split keyed on the cluster label —
+    # near-duplicates can never straddle train/test.  Same-split
+    # invariant + planted-leak test in tests/test_leakage_splits.py
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                  6) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ), labeled AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, source, cluster_id,
+           CASE
+             WHEN substring(md5('lsplit' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                  < 'e6666666' THEN 'train'
+             WHEN substring(md5('lsplit' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                  < 'f3333333' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM labeled
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3191,7 +3243,7 @@ _PROMOTED = [
     # (window_range_count / sample_quality_topk / dedup_incremental
     # demoted late round 6 — see _DEMOTED notes)
     # ts_gap_fill_hourly demoted round 7 — see _DEMOTED notes
-    "agg_cube_orders",
+    # agg_cube_orders demoted round 7 — see _DEMOTED notes
     # join_length_bands demoted round 7 — see _DEMOTED notes
     "pipeline_curate",
     # round-4 additions: skew-salted join, shard-export manifest
@@ -3295,6 +3347,9 @@ _PROMOTED = [
     # (XLM-R/mT5 alpha sampling) — slot funded by demoting
     # text_unigram_surprisal
     "sample_temperature_mixture",
+    # round-7 NEW capability: leakage-safe cluster-keyed split
+    # assignment — slot funded by demoting agg_cube_orders
+    "sample_leakage_safe_splits",
 ]
 
 _DEMOTED = [
@@ -3402,6 +3457,11 @@ _DEMOTED = [
     # sample_temperature_mixture promotion — the surprisal family
     # keeps its strictly-richer bigram twin in-window, and the
     # bounded/broadcast scale form stays differential-gated in pytest
+    "agg_cube_orders",  # green r3-r6 (four straight rounds); slot
+    # funds the sample_leakage_safe_splits promotion — the
+    # grouping-sets engine is pinned by those four committed rounds
+    # and the relational family keeps agg_equi_depth_histogram plus
+    # the events rollups in-window
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

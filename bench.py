@@ -91,6 +91,8 @@ HEADLINE = [
     "text_lexical_diversity",
     "sample_token_budget",
     "sample_temperature_mixture",
+    # round-7 late addition: leakage-safe cluster-keyed splits
+    "sample_leakage_safe_splits",
 ]
 
 

@@ -95,7 +95,8 @@ def test_extension_surface_inside_window():
         # ts_gap_fill_hourly / text_chunks demoted round 7 (gap-fill
         # pinned by pytest; chunk math by test_chunking + spans fuzz)
         # funding the two corpus-composition promotions
-        "agg_cube_orders",
+        # agg_cube_orders demoted round 7 (grouping sets pinned by 4
+        # committed green rounds) funding sample_leakage_safe_splits
         "pipeline_curate",
         # round 4: scale patterns + profiling + composed release
         "join_salted_skew",
@@ -170,6 +171,8 @@ def test_extension_surface_inside_window():
         "sample_token_budget",
         # round 7: temperature-based mixture reweighting
         "sample_temperature_mixture",
+        # round 7: leakage-safe cluster-keyed splits
+        "sample_leakage_safe_splits",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -253,6 +253,16 @@ COMMENTARY: dict[str, str] = {
         "partial agg feeding a TakeOrdered — never a global sort. "
         "Zero Python stages."
     ),
+    "sample_leakage_safe_splits": (
+        "Cluster-keyed split assignment: the near-dup stage is the "
+        "verified PPJoin + min-label propagation plan (gram-keyed, "
+        "never all-pairs); the clustered subset (small by "
+        "construction) left-joins back onto the corpus — AQE "
+        "broadcasts it — and the split label is one map-side md5 "
+        "CASE on the cluster key. Swap duplicate_clusters_lsh into "
+        "the pair stage at crawl scale; the assignment side is "
+        "unchanged."
+    ),
     "sample_temperature_mixture": (
         "Alpha-tempered mixture weights: one map-only token-count "
         "scan, one |S|-row source aggregate, and the normalizing "
