@@ -1017,3 +1017,66 @@ def leakage_safe_splits(
     return labeled.select(
         "doc_id", "source", "cluster_id", label.alias("split")
     )
+
+
+def weighted_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 100,
+    salt: str = "wres",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, content-stable
+    (Efraimidis & Spirakis 2006, the exponential-clocks formulation):
+    each document draws a deterministic uniform u from its hash and
+    enters the race with key ``-ln(u) / w`` — the k SMALLEST keys win,
+    and inclusion probability is proportional to the weight ``w``
+    (token count here: sampling documents proportional to their token
+    mass is how a token-weighted eval slice or a mixture audit draws).
+    Unlike rate-threshold samplers the output size is EXACTLY k, and
+    unlike ``exact_n_sample`` the draw is weighted.
+
+    Determinism/portability: u = (hex64(md5(salt||doc_id)[:8]) + 0.5)
+    / 2^32 — both engines parse the same 8 hex chars to the same
+    integer, so u, the key, and therefore the selected set are
+    bit-for-bit reproducible anywhere; keys are floor-rounded to 10
+    decimals BEFORE ranking so the rank order is engine-stable (ties
+    break by doc_id).
+
+    Shape: map-only key derivation (one hash + one log per row), then
+    a TakeOrdered top-k (per-partition heaps) — no global sort, no
+    shuffle beyond the k-row gather.  At 100 TB this is the cheapest
+    possible exact-size weighted draw: one scan, k rows moved.
+
+    Output: (doc_id, source, n_tokens, key, draw_rank).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    hexv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (hexv.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = (
+        F.floor(-F.log(u) / F.col("n_tokens").cast("double") * 1e10 + F.lit(0.5))
+        / 1e10
+    )
+    w = Window.orderBy(F.col("key").asc(), F.col("doc_id").asc())
+    return (
+        sized.withColumn("key", key)
+        .orderBy(F.col("key").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("draw_rank", F.row_number().over(w).cast("bigint"))
+    )

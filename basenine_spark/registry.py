@@ -3210,6 +3210,34 @@ _register(
     """,
 )
 
+_register(
+    "sample_weighted_draw",
+    lambda s, d: sampling.weighted_sample(s, d),
+    # Efraimidis-Spirakis weighted sampling without replacement
+    # (exponential clocks, content-stable): k smallest -ln(u)/w keys
+    # with u derived from md5(salt||doc_id) — exact-size token-mass-
+    # proportional draw.  Weight bias + determinism in
+    # tests/test_weighted_sample.py
+    """
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), keyed AS (
+      SELECT doc_id, source, n_tokens,
+             FLOOR(-ln((('0x' || substring(md5('wres' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0)
+                   / n_tokens::DOUBLE * 1e10 + 0.5) / 1e10 AS key
+      FROM sized WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, key,
+           ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC)::BIGINT
+             AS draw_rank
+    FROM keyed
+    ORDER BY key ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3253,7 +3281,7 @@ _PROMOTED = [
     "pipeline_release",
     # text_vocab_topk demoted late round 6 — see _DEMOTED notes
     "text_quality_flags",
-    "join_asof_tolerance",
+    # join_asof_tolerance demoted round 7 — see _DEMOTED notes
     # round-5 additions: BM25 relevance ranking + unigram surprisal
     # text_bm25_topk demoted round 7 — see _DEMOTED notes
     # text_unigram_surprisal demoted round 7 — see _DEMOTED notes
@@ -3350,6 +3378,9 @@ _PROMOTED = [
     # round-7 NEW capability: leakage-safe cluster-keyed split
     # assignment — slot funded by demoting agg_cube_orders
     "sample_leakage_safe_splits",
+    # round-7 NEW capability: Efraimidis-Spirakis weighted draw —
+    # slot funded by demoting join_asof_tolerance
+    "sample_weighted_draw",
 ]
 
 _DEMOTED = [
@@ -3462,6 +3493,11 @@ _DEMOTED = [
     # grouping-sets engine is pinned by those four committed rounds
     # and the relational family keeps agg_equi_depth_histogram plus
     # the events rollups in-window
+    "join_asof_tolerance",  # green r5-r6; slot funds the
+    # sample_weighted_draw promotion — the asof machinery keeps its
+    # NULL-proofed correlated-subquery oracle (re-runnable any round),
+    # the join family holds join_interval_overlap + join_salted_skew
+    # in-window, and the streaming asof twin stays pinned in pytest
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

@@ -91,8 +91,10 @@ HEADLINE = [
     "text_lexical_diversity",
     "sample_token_budget",
     "sample_temperature_mixture",
-    # round-7 late addition: leakage-safe cluster-keyed splits
+    # round-7 late additions: leakage-safe cluster-keyed splits +
+    # Efraimidis-Spirakis weighted draw
     "sample_leakage_safe_splits",
+    "sample_weighted_draw",
 ]
 
 

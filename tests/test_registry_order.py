@@ -106,7 +106,9 @@ def test_extension_surface_inside_window():
         # text_vocab_topk demoted late round 6 (token-count family held
         # by quality_flags/bm25/surprisal) funding pipeline_pack_balanced
         "text_quality_flags",
-        "join_asof_tolerance",
+        # join_asof_tolerance demoted round 7 (asof family held by the
+        # streaming twin + interval/salted joins in-window) funding
+        # sample_weighted_draw
         # round 5: BM25 relevance ranking + unigram surprisal
         # text_bm25_topk demoted round 7 (Okapi machinery re-verified
         # inside in-window search_hybrid_rrf) funding sample_token_budget
@@ -173,6 +175,8 @@ def test_extension_surface_inside_window():
         "sample_temperature_mixture",
         # round 7: leakage-safe cluster-keyed splits
         "sample_leakage_safe_splits",
+        # round 7: Efraimidis-Spirakis weighted draw
+        "sample_weighted_draw",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -253,6 +253,13 @@ COMMENTARY: dict[str, str] = {
         "partial agg feeding a TakeOrdered — never a global sort. "
         "Zero Python stages."
     ),
+    "sample_weighted_draw": (
+        "Exact-size weighted draw (exponential clocks): one map-only "
+        "scan derives the per-row race key (hash + log, no shuffle), "
+        "then a TakeOrdered top-k gathers k rows via per-partition "
+        "heaps — at any corpus size the data movement is exactly k "
+        "rows."
+    ),
     "sample_leakage_safe_splits": (
         "Cluster-keyed split assignment: the near-dup stage is the "
         "verified PPJoin + min-label propagation plan (gram-keyed, "
