@@ -566,3 +566,123 @@ def session_error_overlap(
         b_start="err_start_ms",
         b_end="err_end_ms",
     )
+
+
+def rfm_segments(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 5
+) -> DataFrame:
+    """RFM segmentation of the user base — the classic
+    recency/frequency/monetary behavioral rollup (Hughes 1994): per
+    user, the most recent event time, the event count, and the summed
+    event value, each quantile-bucketed 1..n via deterministic ntile
+    (full tie-break ordering so both engines split ties identically).
+
+    NULL policy (mirrored in the oracle): NULL ``user_id`` rows have
+    no owner and are dropped; NULL ``ts_ms``/``value`` contribute
+    nothing to recency/monetary but still count toward frequency
+    (``max``/``sum`` skip NULLs in both engines); users whose events
+    are ALL NULL-ts get NULL recency — excluded up front so the ntile
+    domain is well-defined.
+
+    The per-user rollup is one partial-agg shuffle.  The three ntiles
+    are windows over the USER table (one row per user), not the event
+    stream; at billions of users substitute the distributed two-pass
+    rank of ``equi_depth_histogram`` for each — the bucket arithmetic
+    is rank-only, so the substitution is mechanical (same note as
+    ``pack_balanced``).
+
+    Output: (user_id, recency_ms, frequency, monetary, r_score,
+    f_score, m_score, rfm) — monetary floor-rounded to 4, rfm the
+    concatenated segment code (e.g. '5-3-1').
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull()
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts_ms").alias("recency_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        (
+            F.floor(
+                F.coalesce(F.sum("value"), F.lit(0.0)) * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_ms").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+    scored = per_user.select(
+        "user_id",
+        "recency_ms",
+        "frequency",
+        "monetary",
+        F.ntile(n_buckets).over(w_r).cast("int").alias("r_score"),
+        F.ntile(n_buckets).over(w_f).cast("int").alias("f_score"),
+        F.ntile(n_buckets).over(w_m).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity grid with per-cell
+    chi-square uniformity terms — the traffic-shape diagnostic that
+    separates organic usage (diurnal + weekly structure) from bot/
+    replay traffic (flat or single-cell spikes).  The full chi-square
+    statistic vs the uniform null is ``sum(chi2_term)`` over the 168
+    cells.
+
+    Day-of-week and hour derive from INTEGER epoch-millis arithmetic
+    (``dow = (epoch_day + 4) mod 7``, 0 = Sunday — epoch day 0 was a
+    Thursday; ``hod = (ts_ms div 3.6e6) mod 24``, UTC) so both engines
+    agree bit-for-bit with no timezone or calendar-function drift.
+    NULL-ts rows are dropped (mirrored).
+
+    Shape: one map-only derivation + one 168-key partial-agg shuffle;
+    the expected-count scalar rides a 1-row broadcast join (zero
+    driver actions).  Output: (dow, hod, n_events, share, chi2_term),
+    ratios floor-rounded to 6.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts_ms").isNotNull()
+    )
+    cells = events.select(
+        ((F.floor(F.col("ts_ms") / 86400000) + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+        (F.floor(F.col("ts_ms") / 3600000) % 24).cast("int").alias("hod"),
+    ).groupBy("dow", "hod").agg(F.count(F.lit(1)).alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    exp = F.col("n_total") / F.lit(168.0)
+    return (
+        cells.join(F.broadcast(total))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            (
+                F.floor(
+                    F.col("n_events") / F.col("n_total").cast("double") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("share"),
+            (
+                F.floor(
+                    F.pow(F.col("n_events") - exp, F.lit(2.0)) / exp * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("chi2_term"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -3238,6 +3238,64 @@ _register(
     """,
 )
 
+_register(
+    "events_rfm_segments",
+    lambda s, d: timeseries.rfm_segments(s, d),
+    # RFM behavioral segmentation: per-user recency/frequency/monetary
+    # rollup, each ntile-bucketed 1..5 with full tie-break ordering
+    # (both engines split ties identically).  NULL user_id/ts dropped,
+    # mirrored.  Bucket invariants in tests/test_behavior_analytics.py
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, value
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), per_user AS (
+      SELECT user_id, MAX(ts_ms) AS recency_ms, COUNT(*)::BIGINT AS frequency,
+             FLOOR(COALESCE(SUM(value), 0.0) * 1e4 + 0.5) / 1e4 AS monetary
+      FROM e GROUP BY user_id
+    ), scored AS (
+      SELECT user_id, recency_ms, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_ms ASC, user_id ASC)::INT
+               AS r_score,
+             NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC)::INT
+               AS f_score,
+             NTILE(5) OVER (ORDER BY monetary ASC, user_id ASC)::INT
+               AS m_score
+      FROM per_user
+    )
+    SELECT user_id, recency_ms, frequency, monetary,
+           r_score, f_score, m_score,
+           concat_ws('-', r_score::VARCHAR, f_score::VARCHAR,
+                     m_score::VARCHAR) AS rfm
+    FROM scored
+    """,
+)
+
+_register(
+    "events_seasonality",
+    lambda s, d: timeseries.seasonality_profile(s, d),
+    # hour-of-day x day-of-week activity grid with chi-square
+    # uniformity terms; dow/hod from pure epoch-millis integer math
+    # (no calendar functions → no tz/calendar drift between engines).
+    # Grid/chi2 invariants in tests/test_behavior_analytics.py
+    """
+    WITH e AS (
+      SELECT epoch_ms(ts) AS ts_ms FROM events WHERE ts IS NOT NULL
+    ), cells AS (
+      SELECT ((FLOOR(ts_ms / 86400000) + 4) % 7)::INT AS dow,
+             (FLOOR(ts_ms / 3600000) % 24)::INT AS hod,
+             COUNT(*)::BIGINT AS n_events
+      FROM e GROUP BY 1, 2
+    ), total AS (SELECT SUM(n_events)::BIGINT AS n_total FROM cells)
+    SELECT dow, hod, n_events,
+           FLOOR(n_events / n_total::DOUBLE * 1e6 + 0.5) / 1e6 AS share,
+           FLOOR(pow(n_events - n_total / 168.0, 2.0)
+                 / (n_total / 168.0) * 1e6 + 0.5) / 1e6 AS chi2_term
+    FROM cells, total
+    ORDER BY dow, hod
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3275,7 +3333,7 @@ _PROMOTED = [
     # join_length_bands demoted round 7 — see _DEMOTED notes
     "pipeline_curate",
     # round-4 additions: skew-salted join, shard-export manifest
-    "join_salted_skew",
+    # join_salted_skew demoted round 7 — see _DEMOTED notes
     # pipeline_shards demoted round 7 — see _DEMOTED notes
     # profile_orders demoted late round 6 — see _DEMOTED notes
     "pipeline_release",
@@ -3290,7 +3348,7 @@ _PROMOTED = [
     # dedup_spans demoted round 7 — see _DEMOTED notes
     # text_chunks demoted round 7 — see _DEMOTED notes
     # sample_source_cap demoted round 7 — see _DEMOTED notes
-    "pipeline_release_balanced",
+    # pipeline_release_balanced demoted round 7 — see _DEMOTED notes
     # round-6 promotions: every exactly-checkable entry that was
     # rows-only to the driver (VERDICT r5 #1) — the pytest DuckDB
     # replays moved into ORACLES. Slots funded by demoting 19
@@ -3381,6 +3439,11 @@ _PROMOTED = [
     # round-7 NEW capability: Efraimidis-Spirakis weighted draw —
     # slot funded by demoting join_asof_tolerance
     "sample_weighted_draw",
+    # round-7 NEW capabilities: RFM behavioral segmentation +
+    # seasonality grid — slots funded by demoting join_salted_skew
+    # and pipeline_release_balanced
+    "events_rfm_segments",
+    "events_seasonality",
 ]
 
 _DEMOTED = [
@@ -3496,8 +3559,16 @@ _DEMOTED = [
     "join_asof_tolerance",  # green r5-r6; slot funds the
     # sample_weighted_draw promotion — the asof machinery keeps its
     # NULL-proofed correlated-subquery oracle (re-runnable any round),
-    # the join family holds join_interval_overlap + join_salted_skew
-    # in-window, and the streaming asof twin stays pinned in pytest
+    # the join family holds join_interval_overlap in-window, and the
+    # streaming asof twin stays pinned in pytest
+    "join_salted_skew",  # green r3-r6 (four straight rounds); slot
+    # funds the events_rfm_segments promotion — the salting rewrite is
+    # pinned by those four rounds + the plan-shape test, and the join
+    # family holds join_interval_overlap in-window
+    "pipeline_release_balanced",  # green r5-r6; slot funds the
+    # events_seasonality promotion — the release family keeps
+    # pipeline_release / release_delta / curriculum / datasheet
+    # in-window and the balance gates stay pinned in pytest
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

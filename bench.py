@@ -92,9 +92,11 @@ HEADLINE = [
     "sample_token_budget",
     "sample_temperature_mixture",
     # round-7 late additions: leakage-safe cluster-keyed splits +
-    # Efraimidis-Spirakis weighted draw
+    # Efraimidis-Spirakis weighted draw + behavioral analytics
     "sample_leakage_safe_splits",
     "sample_weighted_draw",
+    "events_rfm_segments",
+    "events_seasonality",
 ]
 
 

@@ -99,7 +99,8 @@ def test_extension_surface_inside_window():
         # committed green rounds) funding sample_leakage_safe_splits
         "pipeline_curate",
         # round 4: scale patterns + profiling + composed release
-        "join_salted_skew",
+        # join_salted_skew demoted round 7 (salting pinned by 4 green
+        # rounds + plan test) funding events_rfm_segments
         # profile_orders demoted late round 6 (profiling family held by
         # pipeline_datasheet/expectations/skew) funding sample_effective_mass
         "pipeline_release",
@@ -122,7 +123,8 @@ def test_extension_surface_inside_window():
         # sample_source_cap demoted round 7 (cap family held by
         # sample_token_mixture; twophase + streaming twins in pytest)
         # funding sample_dsir_select
-        "pipeline_release_balanced",
+        # pipeline_release_balanced demoted round 7 (release family
+        # survivors in-window) funding events_seasonality
         # round 6: the 19 rows-only → oracle promotions (VERDICT r5 #1)
         "events_funnel_steps",
         "events_session_funnel",
@@ -177,6 +179,9 @@ def test_extension_surface_inside_window():
         "sample_leakage_safe_splits",
         # round 7: Efraimidis-Spirakis weighted draw
         "sample_weighted_draw",
+        # round 7: RFM segmentation + seasonality grid
+        "events_rfm_segments",
+        "events_seasonality",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

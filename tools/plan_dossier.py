@@ -253,6 +253,19 @@ COMMENTARY: dict[str, str] = {
         "partial agg feeding a TakeOrdered — never a global sort. "
         "Zero Python stages."
     ),
+    "events_rfm_segments": (
+        "RFM rollup: one user-keyed partial-agg shuffle; the three "
+        "ntiles window the one-row-per-user table, not the event "
+        "stream — at billions of users substitute the "
+        "equi_depth_histogram two-pass rank (bucket math is "
+        "rank-only)."
+    ),
+    "events_seasonality": (
+        "168-cell activity grid: map-only integer dow/hod derivation "
+        "(no calendar functions), one 168-key partial agg, and the "
+        "expected-count scalar rides a 1-row broadcast — zero driver "
+        "actions."
+    ),
     "sample_weighted_draw": (
         "Exact-size weighted draw (exponential clocks): one map-only "
         "scan derives the per-row race key (hash + log, no shuffle), "
