@@ -1104,3 +1104,134 @@ def dedup_operating_curve(
     return spark.createDataFrame(
         rows, "threshold double, n_pairs bigint, n_docs_in_pairs bigint"
     )
+
+
+def cluster_density_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-dup cluster DENSITY diagnostics: per connected component,
+    the node/edge counts plus the exact triangle count and global
+    transitivity ``3*triangles / wedges`` — the number that separates
+    a true duplicate community (every pair matches: transitivity → 1)
+    from a borderline CHAIN (A~B~C where A≁C: transitivity → 0, a
+    threshold artifact that min-label clustering would still merge).
+    Low-transitivity clusters are the ones to re-verify before a
+    keep-one dedup pass deletes their members.
+
+    Triangles via the degree-ordered orientation (the standard
+    O(m^1.5)-work bound, Schank & Wagner 2005): each undirected edge
+    points from the (degree, id)-smaller endpoint to the larger, every
+    triangle has exactly one vertex with two out-edges, so counting
+    wedge closures over the ORIENTED list counts each triangle once —
+    and every oriented out-neighborhood is at most O(sqrt(m)), which
+    bounds the wedge join's fan-out (the unoriented join would square
+    hub degrees).  Wedges (for the denominator) are the plain
+    ``sum C(deg, 2)`` per cluster — an aggregate, not a join.
+
+    Shape: the pair/component stages are the verified PPJoin +
+    min-label plans; triangle counting adds two node-keyed joins over
+    the EDGE list (near-dup graphs are sparse — edges ≈ dup pairs)
+    and one (v, w)-keyed semi join for closure.  Nothing touches
+    document text after the pair stage.
+
+    Output: (cluster_id, n_nodes, n_edges, n_wedges, n_triangles,
+    transitivity) — transitivity NULL when the cluster has no wedge
+    (a lone edge), floor-rounded to 6.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).cache()
+    comp = connected_components(edges)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_cluster = (
+        comp.join(deg, comp.doc_id == deg.node, "left")
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("bigint")
+            .alias("n_wedges"),
+            (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        )
+    )
+    # orient: (deg, id)-smaller endpoint -> larger
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("sdeg"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    a = oriented.select(
+        F.col("src"), F.col("dst").alias("x"),
+        F.col("ddeg").alias("xdeg"),
+    )
+    b = oriented.select(
+        F.col("src"), F.col("dst").alias("y"),
+        F.col("ddeg").alias("ydeg"),
+    )
+    wedges = a.join(b, "src").filter(
+        (F.col("xdeg") < F.col("ydeg"))
+        | ((F.col("xdeg") == F.col("ydeg")) & (F.col("x") < F.col("y")))
+    )
+    closures = wedges.join(
+        oriented.select(
+            F.col("src").alias("x"), F.col("dst").alias("y")
+        ),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = (
+        closures.join(
+            comp.select(
+                F.col("doc_id").alias("src"), F.col("cluster_id")
+            ),
+            "src",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        per_cluster.join(tri, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    3.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / F.col("n_wedges").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("transitivity"),
+        )
+        .orderBy("cluster_id")
+    )
+    return out

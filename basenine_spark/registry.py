@@ -3296,6 +3296,66 @@ _register(
     """,
 )
 
+_register(
+    "dedup_cluster_density",
+    lambda s, d: dedup.cluster_density_stats(s, d),
+    # per-cluster density diagnostics: exact triangle counts via the
+    # degree-ordered orientation + transitivity (separates true dup
+    # communities from borderline threshold chains).  Planted
+    # triangle-vs-chain goldens in tests/test_cluster_density.py
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                  6) >= 0.4
+    ), edges AS (
+      SELECT u AS a, v AS b FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ), deg AS (
+      SELECT a AS node, COUNT(*)::BIGINT AS deg FROM edges GROUP BY a
+    ), per_cluster AS (
+      SELECT c.cluster_id, COUNT(*)::BIGINT AS n_nodes,
+             (SUM(d.deg * (d.deg - 1)) / 2)::BIGINT AS n_wedges,
+             (SUM(d.deg) / 2)::BIGINT AS n_edges
+      FROM comp c JOIN deg d ON c.doc_id = d.node
+      GROUP BY c.cluster_id
+    ), tris AS (
+      SELECT p1.u AS a
+      FROM pairs p1 JOIN pairs p2 ON p1.u = p2.u AND p1.v < p2.v
+      JOIN pairs p3 ON p3.u = p1.v AND p3.v = p2.v
+    ), tri_per_cluster AS (
+      SELECT c.cluster_id, COUNT(*)::BIGINT AS n_triangles
+      FROM tris t JOIN comp c ON t.a = c.doc_id
+      GROUP BY c.cluster_id
+    )
+    SELECT p.cluster_id, p.n_nodes, p.n_edges, p.n_wedges,
+           COALESCE(tc.n_triangles, 0)::BIGINT AS n_triangles,
+           CASE WHEN p.n_wedges > 0
+                THEN FLOOR(3.0 * COALESCE(tc.n_triangles, 0)
+                           / p.n_wedges::DOUBLE * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS transitivity
+    FROM per_cluster p LEFT JOIN tri_per_cluster tc USING (cluster_id)
+    ORDER BY p.cluster_id
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3338,7 +3398,7 @@ _PROMOTED = [
     # profile_orders demoted late round 6 — see _DEMOTED notes
     "pipeline_release",
     # text_vocab_topk demoted late round 6 — see _DEMOTED notes
-    "text_quality_flags",
+    # text_quality_flags demoted round 7 — see _DEMOTED notes
     # join_asof_tolerance demoted round 7 — see _DEMOTED notes
     # round-5 additions: BM25 relevance ranking + unigram surprisal
     # text_bm25_topk demoted round 7 — see _DEMOTED notes
@@ -3444,6 +3504,9 @@ _PROMOTED = [
     # and pipeline_release_balanced
     "events_rfm_segments",
     "events_seasonality",
+    # round-7 NEW capability: per-cluster density/transitivity
+    # diagnostics — slot funded by demoting text_quality_flags
+    "dedup_cluster_density",
 ]
 
 _DEMOTED = [
@@ -3569,6 +3632,10 @@ _DEMOTED = [
     # events_seasonality promotion — the release family keeps
     # pipeline_release / release_delta / curriculum / datasheet
     # in-window and the balance gates stay pinned in pytest
+    "text_quality_flags",  # green r5-r6; slot funds the
+    # dedup_cluster_density promotion — the quality-gate exprs are
+    # re-verified every round inside in-window pipeline_curate /
+    # pipeline_release, and the flag semantics stay pinned in pytest
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

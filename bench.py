@@ -97,6 +97,7 @@ HEADLINE = [
     "sample_weighted_draw",
     "events_rfm_segments",
     "events_seasonality",
+    "dedup_cluster_density",
 ]
 
 

@@ -106,7 +106,8 @@ def test_extension_surface_inside_window():
         "pipeline_release",
         # text_vocab_topk demoted late round 6 (token-count family held
         # by quality_flags/bm25/surprisal) funding pipeline_pack_balanced
-        "text_quality_flags",
+        # text_quality_flags demoted round 7 (gates re-verified inside
+        # pipeline_curate/release) funding dedup_cluster_density
         # join_asof_tolerance demoted round 7 (asof family held by the
         # streaming twin + interval/salted joins in-window) funding
         # sample_weighted_draw
@@ -182,6 +183,8 @@ def test_extension_surface_inside_window():
         # round 7: RFM segmentation + seasonality grid
         "events_rfm_segments",
         "events_seasonality",
+        # round 7: cluster density/transitivity diagnostics
+        "dedup_cluster_density",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -253,6 +253,14 @@ COMMENTARY: dict[str, str] = {
         "partial agg feeding a TakeOrdered — never a global sort. "
         "Zero Python stages."
     ),
+    "dedup_cluster_density": (
+        "Triangle counting on the near-dup graph via degree-ordered "
+        "orientation (Schank-Wagner): every oriented out-neighborhood "
+        "is O(sqrt(m)), bounding the wedge join's fan-out where the "
+        "unoriented join would square hub degrees; wedges come from a "
+        "plain C(deg,2) aggregate, and nothing touches document text "
+        "after the verified PPJoin pair stage."
+    ),
     "events_rfm_segments": (
         "RFM rollup: one user-keyed partial-agg shuffle; the three "
         "ntiles window the one-row-per-user table, not the event "
