@@ -1111,6 +1111,7 @@ def cluster_density_stats(
     sf_dir: str,
     n: int = 3,
     threshold: float = 0.4,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup cluster DENSITY diagnostics: per connected component,
     the node/edge counts plus the exact triangle count and global
@@ -1141,7 +1142,10 @@ def cluster_density_stats(
     transitivity) — transitivity NULL when the cluster has no wedge
     (a lone edge), floor-rounded to 6.
     """
-    edges = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    # pass a precomputed (cached) pair list when composing several
+    # cluster-stage consumers — the PPJoin stage is the dominant cost
+    if edges is None:
+        edges = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
     e = edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).cache()
