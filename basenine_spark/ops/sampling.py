@@ -147,7 +147,11 @@ def mixture_filter(
             return "%08x" % math.floor(rate * 4294967296.0)
 
         thr_lit = F.lit(None).cast("string")
-        for source in sorted(counts):
+        # a NULL source group can't match any equality predicate and
+        # would keep the NULL threshold (dropped) — skip it rather than
+        # crash sorted() on a None key; the oracle's CASE drops it the
+        # same way
+        for source in sorted(s for s in counts if s is not None):
             thr_lit = F.when(
                 F.col("source") == source, F.lit(_thr(source))
             ).otherwise(thr_lit)

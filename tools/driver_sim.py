@@ -5,7 +5,7 @@ Runs every ``queries()`` entry at sf0.01 in Spark and the matching
 driver does), comparing row count, column names, and an
 order-insensitive value hash with columns sorted by name.
 
-Usage: python tools/driver_sim.py [--nulls-fuzz] [name ...]
+Usage: python tools/driver_sim.py [--nulls-fuzz] [--docs-fuzz] [name ...]
 
 ``--nulls-fuzz`` (VERDICT r6 item 7) replays the same gate against a
 NULL- and tie-injected variant of the events table: deterministic row
@@ -16,6 +16,11 @@ and DuckDB oracle disagree on NULL ordering (Spark: NULLS FIRST;
 DuckDB: NULLS LAST), NULL group keys (Spark groupBy keeps them; JOIN
 USING drops them), or tie resolution goes red HERE before the driver's
 environment can find it.
+
+``--docs-fuzz`` is the round-7 extension of the same discipline to the
+documents table: NULL/empty/whitespace/unicode text, NULL lang/source,
+and exact-duplicate rows (see ``make_docs_fuzz_dir``).  First catch:
+``sample_mixture`` crashed sorting a NULL source key.
 """
 
 from __future__ import annotations
@@ -96,6 +101,67 @@ def make_nulls_fuzz_dir(src_dir: str, dest_dir: str) -> str:
     return dest_dir
 
 
+def make_docs_fuzz_dir(src_dir: str, dest_dir: str) -> str:
+    """Materialize a degenerate-documents twin of ``src_dir``: every
+    table is symlinked except ``documents``, which is rewritten with
+    deterministic NULL / empty / whitespace / unicode / duplicate
+    injection.  Any doc-derived oracle pair that disagrees on NULL
+    text handling, empty-token splitting (``split`` keeps '' tokens in
+    BOTH engines — an assumption worth pinning), multi-space runs,
+    non-ASCII bytes in md5/xxhash inputs, or exact-dup multiplicity
+    goes red HERE before the driver's data can find it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest_dir, exist_ok=True)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(dest_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+    tbl = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    cols = {name: tbl.column(name).to_pylist() for name in tbl.column_names}
+    n = len(cols["doc_id"])
+    max_id = max(i for i in cols["doc_id"] if i is not None)
+    for i in range(n):
+        if i % 41 == 3:
+            cols["text"][i] = None
+        elif i % 43 == 5:
+            cols["text"][i] = ""
+        elif i % 47 == 7:
+            # double every space: '' tokens appear in the split
+            cols["text"][i] = cols["text"][i].replace(" ", "  ")
+        elif i % 53 == 11:
+            cols["text"][i] = cols["text"][i] + " "
+        elif i % 59 == 13:
+            # non-ASCII bytes through md5/xxhash/token paths
+            cols["text"][i] = "naïve Ωmega " + cols["text"][i] + " ωé"
+        if i % 61 == 17:
+            cols["lang"][i] = None
+        if i % 67 == 19:
+            cols["source"][i] = None
+    # exact-duplicate injection: copies under fresh ids (multiplicity +
+    # canonical-survivor traps for the dedup/datasheet family)
+    next_id = max_id + 1
+    appends: list[dict] = []
+    for i in range(n):
+        if i % 71 == 23:
+            row = {k: cols[k][i] for k in cols}
+            row["doc_id"] = next_id
+            next_id += 1
+            appends.append(row)
+    for row in appends:
+        for k in cols:
+            cols[k].append(row[k])
+    arrays = [pa.array(cols[f.name], type=f.type) for f in tbl.schema]
+    out = pa.Table.from_arrays(arrays, schema=tbl.schema)
+    pq.write_table(out, os.path.join(dest_dir, "documents.parquet"))
+    return dest_dir
+
+
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
@@ -122,6 +188,16 @@ def main() -> int:
         )
         SF_DIR = make_nulls_fuzz_dir(SF_DIR, fuzz_dir)
         print(f"nulls-fuzz: running against {SF_DIR}")
+    if "--docs-fuzz" in argv:
+        argv.remove("--docs-fuzz")
+        import tempfile
+
+        fuzz_dir = os.path.join(
+            tempfile.gettempdir(),
+            "docs_fuzz_" + os.path.basename(SF_DIR.rstrip("/")),
+        )
+        SF_DIR = make_docs_fuzz_dir(SF_DIR, fuzz_dir)
+        print(f"docs-fuzz: running against {SF_DIR}")
 
     spark = (
         SparkSession.builder.master("local[8]")
