@@ -1,0 +1,159 @@
+"""Streaming RFM — the online twin of
+:func:`basenine_spark.ops.timeseries.rfm_segments`.
+
+Per-user state (``applyInPandasWithState`` keyed on user_id) is the
+raw RFM triple (last_ts_ms, count, value_sum) — three numbers per
+user, constant-size forever.  Every micro-batch emits the updated
+metrics for exactly the users it touched, scored against FROZEN
+quantile boundaries fit offline by the batch op (the same
+batch-fit / stream-apply deployment shape as the DSIR admission gate:
+cross-user quantiles need global state, so the stream applies a
+snapshot instead of recomputing them — re-fit nightly, redeploy).
+
+Divergence contract vs the batch twin: batch ntiles are exact
+equal-population buckets over the CURRENT population; the stream's
+scores are exact with respect to the boundary SNAPSHOT, so a user's
+score drifts only as far as the population has drifted since the last
+fit.  NULL user_id/ts rows are dropped before the stateful stage
+(same Arrow-NaN rationale as ``streaming/anomaly.py``); NULL value
+counts toward frequency but adds nothing to monetary — exactly the
+batch op's NULL policy.
+"""
+
+from __future__ import annotations
+
+import bisect
+import time
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..engine.db import BasenineDB
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("recency_ms", T.LongType()),
+        T.StructField("frequency", T.LongType()),
+        T.StructField("monetary", T.DoubleType()),
+        T.StructField("r_score", T.IntegerType()),
+        T.StructField("f_score", T.IntegerType()),
+        T.StructField("m_score", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("vsum", T.DoubleType()),
+    ]
+)
+
+
+def _score(cuts: list[float] | None, x: float) -> int:
+    """Bucket 1..len(cuts)+1 against ascending boundary snapshot;
+    no snapshot → score 0 (metrics-only mode)."""
+    if not cuts:
+        return 0
+    return 1 + bisect.bisect_right(cuts, x)
+
+
+def _update_fn(r_cuts, f_cuts, m_cuts):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in pdfs:
+            for ts, val in zip(pdf["ts_ms"], pdf["value"]):
+                if pd.notna(ts):
+                    rows.append(
+                        (int(ts), float(val) if pd.notna(val) else None)
+                    )
+        if not rows:
+            return
+        last_ts, cnt, vsum = state.get if state.exists else (0, 0, 0.0)
+        for ts, val in rows:
+            last_ts = max(last_ts, ts)
+            cnt += 1
+            if val is not None:
+                vsum += val
+        state.update((last_ts, cnt, vsum))
+        mon = round(vsum, 4)
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    last_ts,
+                    cnt,
+                    mon,
+                    _score(r_cuts, last_ts),
+                    _score(f_cuts, cnt),
+                    _score(m_cuts, mon),
+                )
+            ],
+            columns=[
+                "user_id",
+                "recency_ms",
+                "frequency",
+                "monetary",
+                "r_score",
+                "f_score",
+                "m_score",
+            ],
+        )
+
+    return fn
+
+
+def rfm_stream(
+    db: BasenineDB,
+    r_cuts: list[float] | None = None,
+    f_cuts: list[float] | None = None,
+    m_cuts: list[float] | None = None,
+    query_name: str = "rfm_live",
+):
+    """Start the online RFM stream over a durable BasenineDB's log
+    whose documents carry ``{"event_id": …, "user_id": …, "ts_ms": …,
+    "value": …}``.  Each micro-batch lands one updated row per touched
+    user in the in-memory table ``query_name`` (the table accumulates
+    update history; the latest row per user is the live segment).
+    Returns the StreamingQuery.
+    """
+    if db._log is None:
+        raise ValueError("rfm_stream requires a durable (path-backed) db")
+    from ..engine.log import LOG_SCHEMA
+
+    stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+    ev = (
+        stream.select(
+            F.from_json(
+                F.col("value"),
+                "event_id long, user_id long, ts_ms long, value double",
+            ).alias("d")
+        )
+        .select("d.user_id", "d.ts_ms", "d.value")
+        .filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_fn(r_cuts, f_cuts, m_cuts),
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            f"{db._log.path}_rfm_ckpt_{int(time.time() * 1000)}",
+        )
+        .start()
+    )
