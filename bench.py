@@ -324,6 +324,9 @@ def main() -> int:
         # universe 10× at the original cross-source overlap rate
         "pipeline_novelty_curve",
         "pipeline_source_overlap",
+        # round-7 late: the full PPJoin + components + triangle
+        # composition under 10x documents at the original near-dup rate
+        "dedup_cluster_density",
     ]
     DOCS10_PLAIN = [
         "text_bm25_topk",
@@ -339,6 +342,8 @@ def main() -> int:
         # honest bigger-crawl view for both
         "sample_dsir_select",
         "text_lexical_diversity",
+        # distributed prefix sum under 10x rows
+        "sample_token_budget",
     ]
     probe10: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled10:
