@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from . import dedup
+from .util import stable_round
 
 
 def curate_documents(
@@ -661,7 +662,7 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             "n_langs",
             "n_dup_docs",
-            F.round(
+            stable_round(
                 F.col("n_dup_docs") / F.col("n_docs").cast("double"), 6
             ).alias("dup_ratio"),
         )
@@ -855,7 +856,7 @@ def source_novelty_curve(
             "source",
             "total_grams",
             F.coalesce(F.col("novel_grams"), F.lit(0)).alias("novel_grams"),
-            F.round(
+            stable_round(
                 F.coalesce(F.col("novel_grams"), F.lit(0)).cast("double")
                 / F.col("total_grams").cast("double"),
                 6,
@@ -913,7 +914,7 @@ def source_overlap_matrix(
             "source_a",
             "source_b",
             "inter",
-            F.round(
+            stable_round(
                 F.col("inter").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
                 6,

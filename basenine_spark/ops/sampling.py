@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .util import stable_round
 
 
 def rate_to_hex_threshold(rate: float) -> str:
@@ -220,7 +221,7 @@ def quality_quantile_filter(
         f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
     )
     n = F.size(F.split(F.col("text"), " "))
-    ratio = F.round(stop_cnt.cast("double") / n.cast("double"), 6)
+    ratio = stable_round(stop_cnt.cast("double") / n.cast("double"), 6)
     scored = docs.select("doc_id", "source", ratio.alias("q_ratio"))
     if approximate:
         thresholds = scored.groupBy("source").agg(
@@ -618,7 +619,7 @@ def quality_percentile_by_source(
             "doc_id",
             "source",
             "stop_ratio",
-            F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+            stable_round(F.percent_rank().over(w), 6).alias("q_pct"),
         )
     )
 
@@ -845,7 +846,7 @@ def select_token_budget(
     )
     scored = docs.select(
         "doc_id",
-        F.round(stop_cnt.cast("double") / n.cast("double"), 6).alias(
+        stable_round(stop_cnt.cast("double") / n.cast("double"), 6).alias(
             "stop_ratio"
         ),
         n.cast("bigint").alias("n_tokens"),

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .util import stable_round
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1154,6 +1155,7 @@ def hybrid_rrf_search(
     depth: int = 20,
     k: int = 10,
     rrf_k: int = 60,
+    max_broadcast_queries: int = 1000,
 ) -> DataFrame:
     """Query-by-example hybrid retrieval: each query document (doc_id <
     ``n_queries``) retrieves from the corpus along BOTH axes — Okapi
@@ -1182,8 +1184,28 @@ def hybrid_rrf_search(
       * both rank lists are ``depth``-bounded per query before the
         fusion join, so the full-outer fusion touches ≤ ``2 × depth ×
         n_queries`` rows.  No cartesian, no full-corpus sort anywhere.
+
+    This shape is safe ONLY while the query side stays broadcast-sized:
+    the dense leg is a BroadcastNestedLoopJoin whose cost is
+    ``n_queries × |corpus|`` comparisons (VERDICT r7 plan audit).  The
+    ``max_broadcast_queries`` gate fails fast past that envelope —
+    for big query batches, route the dense leg through the LSH/IVF
+    bucketed paths (:func:`ann_topk_lsh` / :func:`ann_topk_ivf`, query set
+    bucketed like the corpus, equi-joined on bucket id) and the sparse
+    leg through the term-keyed join it already uses (that one scales
+    with |terms|, not n_queries).
     """
     from .text import BM25_B, BM25_K1
+
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"hybrid_rrf_search: n_queries={n_queries} exceeds the "
+            f"broadcast envelope ({max_broadcast_queries}); the dense "
+            "leg would plan an n_queries x corpus nested-loop join. "
+            "Bucket the query set through ann_topk_lsh/ann_topk_ivf "
+            "instead (see docstring), or raise max_broadcast_queries "
+            "deliberately."
+        )
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
@@ -1283,7 +1305,7 @@ def hybrid_rrf_search(
     fused = s_rank.join(d_rank, ["query_id", "doc_id"], "full").select(
         "query_id",
         "doc_id",
-        F.round(
+        stable_round(
             F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("sr")), F.lit(0.0))
             + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("dr")), F.lit(0.0)),
             6,

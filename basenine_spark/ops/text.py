@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .util import stable_round
 
 # tiny built-in stopword list used by the quality heuristics (kept short
 # so the SQL oracle twin stays readable; swap for a real list in prod)
@@ -47,7 +48,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``stop_ratio`` = stopword tokens / total tokens — the classic cheap
     junk-text signal. The ratio divides two exact integers, so the
-    double result (and its rounding) is bit-identical across engines.
+    double is bit-identical across engines; the display rounding uses
+    the engine-stable floor idiom (exact half-way doubles like 1/128
+    round differently under Spark round() vs DuckDB round()).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -58,7 +61,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         stop_cnt.cast("bigint").alias("stop_cnt"),
-        F.round(stop_cnt.cast("double") / n.cast("double"), 6).alias("stop_ratio"),
+        stable_round(stop_cnt.cast("double") / n.cast("double"), 6).alias(
+            "stop_ratio"
+        ),
         F.col("n_chars").alias("n_chars"),
     )
 
@@ -972,20 +977,28 @@ def lexical_diversity(
             / 1e4
         ).alias("zipf_slope"),
     )
+    # LEFT joins (ADVICE r7): a source whose documents all have <2
+    # tokens has no bigram rows — it must still appear in the report
+    # (0 bigrams, NULL ratio), not silently vanish from a diagnostics
+    # table. zipf is left-joined for symmetry (any source with >=1
+    # token has a rank-1 row, so it can't actually be absent).
+    bt = F.coalesce(F.col("bigrams_total"), F.lit(0)).cast("bigint")
+    bd = F.coalesce(F.col("bigrams_distinct"), F.lit(0)).cast("bigint")
     return (
-        uni_stats.join(bi_stats, "source")
-        .join(zipf, "source")
+        uni_stats.join(bi_stats, "source", "left")
+        .join(zipf, "source", "left")
         .select(
             "source",
             "tokens_total",
             "types",
             (F.floor(F.col("types") / F.col("tokens_total").cast("double")
                      * 1e6 + F.lit(0.5)) / 1e6).alias("ttr"),
-            "bigrams_total",
-            "bigrams_distinct",
-            (F.floor(F.col("bigrams_distinct")
-                     / F.col("bigrams_total").cast("double")
-                     * 1e6 + F.lit(0.5)) / 1e6).alias("bigram_distinct_ratio"),
+            bt.alias("bigrams_total"),
+            bd.alias("bigrams_distinct"),
+            F.when(
+                bt > 0,
+                F.floor(bd / bt.cast("double") * 1e6 + F.lit(0.5)) / 1e6,
+            ).alias("bigram_distinct_ratio"),
             "zipf_slope",
         )
         .orderBy("source")

@@ -578,11 +578,12 @@ def rfm_segments(
     (full tie-break ordering so both engines split ties identically).
 
     NULL policy (mirrored in the oracle): NULL ``user_id`` rows have
-    no owner and are dropped; NULL ``ts_ms``/``value`` contribute
-    nothing to recency/monetary but still count toward frequency
-    (``max``/``sum`` skip NULLs in both engines); users whose events
-    are ALL NULL-ts get NULL recency — excluded up front so the ntile
-    domain is well-defined.
+    no owner and are dropped, and NULL-``ts_ms`` rows are dropped up
+    front too — an undatable event contributes to NOTHING here (not
+    frequency either), which keeps the ntile domain well-defined
+    without a separate NULL-recency case; NULL ``value`` rows DO count
+    toward frequency but add nothing to monetary (``sum`` skips NULLs
+    in both engines).
 
     The per-user rollup is one partial-agg shuffle.  The three ntiles
     are windows over the USER table (one row per user), not the event

@@ -637,8 +637,8 @@ _register(
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS BIGINT) AS stop_cnt,
-           round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
-                 / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+           FLOOR(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS stop_ratio,
            n_chars
     FROM (SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents)
     """,
@@ -897,7 +897,7 @@ _register(
     fused AS (
       SELECT coalesce(s.query_id, d.query_id) AS query_id,
              coalesce(s.doc_id, d.doc_id) AS doc_id,
-             round(coalesce(1.0/(60+s.sr),0)+coalesce(1.0/(60+d.dr),0),6) AS rrf
+             FLOOR((coalesce(1.0/(60+s.sr),0)+coalesce(1.0/(60+d.dr),0)) * 1e6 + 0.5) / 1e6 AS rrf
       FROM s_rank s FULL JOIN d_rank d ON s.query_id=d.query_id AND s.doc_id=d.doc_id
     )
     SELECT query_id, doc_id, rrf,
@@ -1279,9 +1279,10 @@ _register(
     """
     WITH q AS (
       SELECT doc_id, source,
-             round(CAST(len(list_filter(string_split(text, ' '),
+             FLOOR(CAST(len(list_filter(string_split(text, ' '),
                                         x -> x IN ('a', 'the'))) AS DOUBLE)
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS q_ratio
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS q_ratio
       FROM documents
       WHERE text IS NOT NULL AND text <> ''
     ), r AS (
@@ -2269,11 +2270,11 @@ _register(
     WITH q AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
-             round(
+             FLOOR(
                len(list_filter(string_split(text, ' '),
                    x -> x IN ('a', 'the')))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
-               AS stop_ratio
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS stop_ratio
       FROM documents WHERE text IS NOT NULL
     ), staged AS (
       SELECT doc_id,
@@ -2589,10 +2590,13 @@ _register(
       SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
       FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), sid AS (
-      SELECT *, sum(new_s) OVER (
+      -- CAST: DuckDB types window SUM over ints as HUGEINT, which the
+      -- driver's Arrow fetch surfaces as Decimal('3') vs Spark bigint 3
+      -- (VERDICT r7 item 1 — the real cause of the r6/r7 red rows)
+      SELECT *, CAST(sum(new_s) OVER (
                PARTITION BY user_id ORDER BY ts_ms, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_no
+             ) AS BIGINT) AS session_no
       FROM (
         SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (
                  PARTITION BY user_id ORDER BY ts_ms, event_id NULLS FIRST
@@ -2629,18 +2633,18 @@ _register(
     """
     WITH q AS (
       SELECT doc_id, source,
-             round(
+             FLOOR(
                len(list_filter(string_split(text, ' '),
                    x -> x IN ('a', 'the')))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
-               AS stop_ratio,
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS stop_ratio,
              len(string_split(text, ' ')) AS n_tokens
       FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, source, stop_ratio,
-           round(percent_rank() OVER (
+           FLOOR(percent_rank() OVER (
              PARTITION BY source ORDER BY stop_ratio, doc_id
-           ), 6) AS q_pct
+           ) * 1e6 + 0.5) / 1e6 AS q_pct
     FROM q WHERE n_tokens > 0
     """,
 )
@@ -2817,8 +2821,8 @@ _register(
            count(DISTINCT lang)::BIGINT AS n_langs,
            sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)::BIGINT
              AS n_dup_docs,
-           round(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
-                 / count(*)::DOUBLE, 6) AS dup_ratio
+           FLOOR(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS dup_ratio
     FROM base GROUP BY source
     """,
 )
@@ -2851,8 +2855,9 @@ _register(
       GROUP BY first_source)
     SELECT t.source, t.total_grams,
            coalesce(n.novel_grams, 0) AS novel_grams,
-           round(CAST(coalesce(n.novel_grams, 0) AS DOUBLE)
-                 / CAST(t.total_grams AS DOUBLE), 6) AS novelty_ratio
+           FLOOR(CAST(coalesce(n.novel_grams, 0) AS DOUBLE)
+                 / CAST(t.total_grams AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS novelty_ratio
     FROM totals t LEFT JOIN novel n ON n.source = t.source
     """,
 )
@@ -2872,8 +2877,9 @@ _register(
       FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
       GROUP BY a.source, b.source)
     SELECT source_a, source_b, inter,
-           round(CAST(inter AS DOUBLE)
-                 / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+           FLOOR(CAST(inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - inter AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS jaccard
     FROM inter
     JOIN sz sa ON sa.source = source_a
     JOIN sz sb ON sb.source = source_b
@@ -3083,13 +3089,16 @@ _register(
     )
     SELECT u.source, u.tokens_total, u.types,
            FLOOR(u.types / u.tokens_total::DOUBLE * 1e6 + 0.5) / 1e6 AS ttr,
-           b.bigrams_total, b.bigrams_distinct,
-           FLOOR(b.bigrams_distinct / b.bigrams_total::DOUBLE * 1e6 + 0.5)
-             / 1e6 AS bigram_distinct_ratio,
+           COALESCE(b.bigrams_total, 0)::BIGINT AS bigrams_total,
+           COALESCE(b.bigrams_distinct, 0)::BIGINT AS bigrams_distinct,
+           CASE WHEN COALESCE(b.bigrams_total, 0) > 0
+                THEN FLOOR(b.bigrams_distinct / b.bigrams_total::DOUBLE
+                           * 1e6 + 0.5) / 1e6
+           END AS bigram_distinct_ratio,
            z.zipf_slope
     FROM uni_stats u
-    JOIN bi_stats b USING (source)
-    JOIN zipf z USING (source)
+    LEFT JOIN bi_stats b USING (source)
+    LEFT JOIN zipf z USING (source)
     ORDER BY u.source
     """,
 )
@@ -3107,17 +3116,19 @@ _register(
     """
     WITH q AS (
       SELECT doc_id,
-             round(len(list_filter(string_split(text, ' '),
+             FLOOR(len(list_filter(string_split(text, ' '),
                    x -> x IN ('a', 'the')))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
-               AS stop_ratio,
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS stop_ratio,
              len(string_split(text, ' '))::BIGINT AS n_tokens
       FROM documents WHERE text IS NOT NULL
     ), c AS (
+      -- CAST: window SUM is HUGEINT in DuckDB (Arrow decimal128) while
+      -- Spark emits bigint — see events_session_funnel note / VERDICT r7
       SELECT doc_id, stop_ratio, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY stop_ratio DESC, doc_id ASC
+             CAST(SUM(n_tokens) OVER (ORDER BY stop_ratio DESC, doc_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_tokens,
+               AS BIGINT) AS cum_tokens,
              ROW_NUMBER() OVER (ORDER BY stop_ratio DESC, doc_id ASC)::BIGINT
                AS sel_rank
       FROM q WHERE n_tokens > 0

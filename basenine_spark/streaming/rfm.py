@@ -23,7 +23,6 @@ batch op's NULL policy.
 from __future__ import annotations
 
 import bisect
-import time
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -117,6 +116,7 @@ def rfm_stream(
     f_cuts: list[float] | None = None,
     m_cuts: list[float] | None = None,
     query_name: str = "rfm_live",
+    checkpoint: str | None = None,
 ):
     """Start the online RFM stream over a durable BasenineDB's log
     whose documents carry ``{"event_id": …, "user_id": …, "ts_ms": …,
@@ -124,6 +124,18 @@ def rfm_stream(
     user in the in-memory table ``query_name`` (the table accumulates
     update history; the latest row per user is the live segment).
     Returns the StreamingQuery.
+
+    ``checkpoint`` defaults to a STABLE path derived from the log path
+    and query name, so restarting the same query resumes its
+    applyInPandasWithState state instead of replaying the whole log
+    (ADVICE r7: a fresh ``time.time()`` checkpoint per start made
+    state unrecoverable and leaked ``_rfm_ckpt_*`` directories).
+    NOTE: the memory sink itself is not recoverable across JVM
+    restarts — with the default sink a restart resumes *state* but the
+    in-memory table restarts empty; pair a custom ``checkpoint`` with
+    a durable sink for exactly-once output.  Pass a throwaway path
+    explicitly if you WANT a from-scratch replay (full replay cost:
+    one pass over every log segment).
     """
     if db._log is None:
         raise ValueError("rfm_stream requires a durable (path-backed) db")
@@ -153,7 +165,7 @@ def rfm_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_rfm_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_rfm_ckpt_{query_name}",
         )
         .start()
     )

@@ -93,3 +93,15 @@ def test_plan_shape_broadcasts_and_no_python(spark):
     # nested-loop joins are broadcast ones with bounded small sides
     # (1-row stats, n_queries-row query sides)
     assert "CartesianProduct" not in plan
+
+def test_query_side_broadcast_envelope_gate(spark):
+    # VERDICT r7: the dense leg is a BNLJ bounded only by n_queries —
+    # the guard must fail fast before planning an n_queries x corpus
+    # nested loop for non-broadcast-sized query batches.
+    with pytest.raises(ValueError, match="broadcast envelope"):
+        similarity.hybrid_rrf_search(spark, SF, n_queries=10_000)
+    # deliberate override still works
+    df = similarity.hybrid_rrf_search(
+        spark, SF, n_queries=11, max_broadcast_queries=11
+    )
+    assert df.columns == ["query_id", "doc_id", "rrf", "rank"]

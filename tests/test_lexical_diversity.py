@@ -74,3 +74,24 @@ def test_plan_shape(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+def test_bigramless_source_survives(spark, tmp_path):
+    # ADVICE r7: a source whose documents all have <2 tokens used to
+    # vanish from the report via the inner bi_stats join — it must now
+    # surface with 0 bigrams and a NULL ratio (mirrored in the oracle).
+    out = str(tmp_path / "lex_short_sf")
+    rows = [
+        (0, "solo", "en", "srcONE", 4),
+        (1, "a b c d", "en", "srcD", 7),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {r["source"]: r for r in text.lexical_diversity(spark, out).collect()}
+    assert "srcONE" in got, "bigram-less source dropped from diagnostics"
+    one = got["srcONE"]
+    assert one["tokens_total"] == 1 and one["types"] == 1
+    assert one["bigrams_total"] == 0 and one["bigrams_distinct"] == 0
+    assert one["bigram_distinct_ratio"] is None
+    # single-rank vocabulary → zero x-variance → NULL slope
+    assert one["zipf_slope"] is None

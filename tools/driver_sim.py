@@ -5,6 +5,17 @@ Runs every ``queries()`` entry at sf0.01 in Spark and the matching
 driver does), comparing row count, column names, and an
 order-insensitive value hash with columns sorted by name.
 
+Oracle results are fetched via ``.arrow()``, NOT ``fetchall()``
+(VERDICT r7 item 2): the driver hashes Arrow-materialized values, so a
+DuckDB HUGEINT (window ``SUM()`` over integers) surfaces as
+``Decimal('3')`` where Spark emits bigint ``3`` — ``fetchall()``
+silently coerces HUGEINT to Python int and hid exactly that class for
+two rounds (the r6/r7 ``events_session_funnel`` red row). Any oracle
+whose result schema contains a decimal column is additionally flagged
+in the output (``oracle_decimal_cols``) — fix the SQL with
+``CAST(... AS BIGINT)`` / ``... AS DOUBLE`` rather than widening the
+Spark side.
+
 Usage: python tools/driver_sim.py [--nulls-fuzz] [--docs-fuzz] [name ...]
 
 ``--nulls-fuzz`` (VERDICT r6 item 7) replays the same gate against a
@@ -153,6 +164,18 @@ def make_docs_fuzz_dir(src_dir: str, dest_dir: str) -> str:
             row["doc_id"] = next_id
             next_id += 1
             appends.append(row)
+    # rounding-boundary plant (VERDICT r7 item 3): 1 stopword / 128
+    # tokens → stop_ratio = 1/128 = 0.0078125, an EXACT half-way double
+    # at 6 decimals. Spark round() (HALF_UP) says 0.007813, DuckDB
+    # round() (banker's) says 0.007812 — any stop_ratio oracle pair
+    # still using raw round() goes red HERE.
+    boundary = {k: cols[k][0] for k in cols}
+    boundary["doc_id"] = next_id
+    next_id += 1
+    boundary["text"] = "a " + " ".join(f"w{j}" for j in range(127))
+    if "n_chars" in boundary:
+        boundary["n_chars"] = len(boundary["text"])
+    appends.append(boundary)
     for row in appends:
         for k in cols:
             cols[k].append(row[k])
@@ -239,9 +262,18 @@ def main() -> int:
             print(f"ok   {name}: rows-only, {len(srows)} rows")
             continue
         try:
-            odf = con.execute(oracles[name])
-            ocols = [d[0] for d in odf.description]
-            orows = odf.fetchall()
+            # Arrow fetch — the driver's representation. HUGEINT/DECIMAL
+            # oracle columns materialize as decimal.Decimal here (they
+            # would hash-diverge on the driver) instead of being coerced
+            # to int by fetchall().
+            atbl = con.sql(oracles[name]).arrow()
+            ocols = atbl.column_names
+            orows = [tuple(d.values()) for d in atbl.to_pylist()]
+            import pyarrow as _pa
+
+            dec_cols = [
+                f.name for f in atbl.schema if _pa.types.is_decimal(f.type)
+            ]
         except Exception as e:
             rec["error"] = f"duckdb: {type(e).__name__}: {e}"
             results[name] = rec
@@ -250,6 +282,12 @@ def main() -> int:
         rec["oracle_rows"] = len(orows)
         rec["rows_match"] = len(srows) == len(orows)
         rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if dec_cols:
+            rec["oracle_decimal_cols"] = dec_cols
+            print(
+                f"WARN {name}: oracle emits decimal column(s) {dec_cols} "
+                "— CAST them (driver hashes Arrow Decimal vs Spark int)"
+            )
         sh = value_hash(srows, scols)
         oh = value_hash(orows, ocols)
         rec["hash_match"] = sh == oh
