@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .util import stable_round
 
 # -- exact ------------------------------------------------------------------
 
@@ -194,7 +195,7 @@ def _verify_jaccard(
         cands.select("doc_a", "doc_b")
         .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias(jaccard_col))
+        .select("doc_a", "doc_b", stable_round(inter / union, 6).alias(jaccard_col))
         .filter(F.col(jaccard_col) >= threshold)
     )
 
@@ -954,7 +955,7 @@ def containment_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
                 / F.size("sh_a").cast("double"),
                 6,

@@ -372,10 +372,20 @@ def source_cap_twophase(
 
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "source").withColumn(
-        "h", _bucket(salt, F.col("doc_id"))
+    # NULL-source safety (round-8 docs-fuzz catch): the single-window
+    # form groups NULL sources into one window partition, but an
+    # equi-JOIN on `source` never matches NULL — the two-phase joins
+    # silently dropped every NULL-source document. All join/group keys
+    # below therefore use `_sk`, a non-null surrogate (NULL → "\\x00",
+    # a value no real source name contains); `source` itself passes
+    # through to the output untouched.
+    sk = F.coalesce(F.col("source").cast("string"), F.lit("\x00"))
+    base = (
+        docs.select("doc_id", "source")
+        .withColumn("h", _bucket(salt, F.col("doc_id")))
+        .withColumn("_sk", sk)
     )
-    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    counts = base.groupBy("_sk").agg(F.count(F.lit(1)).alias("n_src"))
     want = float(margin) * cap
     thr = F.when(F.col("n_src") <= want, F.lit("g")).otherwise(
         F.format_string(
@@ -386,10 +396,10 @@ def source_cap_twophase(
         )
     )
     with_thr = base.join(
-        F.broadcast(counts.select("source", "n_src", thr.alias("thr"))),
-        "source",
+        F.broadcast(counts.select("_sk", "n_src", thr.alias("thr"))),
+        "_sk",
     )
-    w = Window.partitionBy("source").orderBy(
+    w = Window.partitionBy("_sk").orderBy(
         F.col("h").asc(), F.col("doc_id").asc()
     )
     kept = (
@@ -403,22 +413,22 @@ def source_cap_twophase(
     # left join + coalesce(n_kept, 0) makes the zero-kept case visible
     shortfall = (
         counts.join(
-            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
-            "source",
+            kept.groupBy("_sk").agg(F.count(F.lit(1)).alias("n_kept")),
+            "_sk",
             "left",
         )
         .filter(
             F.coalesce(F.col("n_kept"), F.lit(0))
             < F.least(F.lit(cap), F.col("n_src"))
         )
-        .select("source")
+        .select("_sk")
     )
     exact_refill = (
-        base.join(F.broadcast(shortfall), "source", "left_semi")
+        base.join(F.broadcast(shortfall), "_sk", "left_semi")
         .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("cap_rank") <= cap)
     )
-    good = kept.join(F.broadcast(shortfall), "source", "left_anti")
+    good = kept.join(F.broadcast(shortfall), "_sk", "left_anti")
     return good.select("doc_id", "source", "cap_rank").unionByName(
         exact_refill.select("doc_id", "source", "cap_rank")
     )

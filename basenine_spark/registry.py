@@ -804,8 +804,8 @@ _register(
              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
       FROM t a, t b WHERE a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, round(inter / uni, 6) AS jaccard
-    FROM pairs WHERE round(inter / uni, 6) >= 0.4
+    SELECT doc_a, doc_b, FLOOR(inter / uni * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM pairs WHERE FLOOR(inter / uni * 1e6 + 0.5) / 1e6 >= 0.4
     """,
 )
 _register("dedup_minhash_lsh", lambda s, d: dedup.minhash_lsh_pairs(s, d, n=3, threshold=0.4), None)
@@ -930,9 +930,9 @@ _register(
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM t a, t b
       WHERE a.doc_id < b.doc_id
-        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
-                  6) >= 0.4
+        AND FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 >= 0.4
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
@@ -1130,9 +1130,9 @@ _CURATE_CTES = """
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM t a, t b
       WHERE a.doc_id < b.doc_id
-        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
-                  6) >= 0.4
+        AND FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 >= 0.4
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -1862,9 +1862,27 @@ _register(
 _register(
     "sample_source_cap_twophase",
     lambda s, d: sampling.source_cap_twophase(s, d),
-    None,  # mega-domain form: pre-filter to ~margin*cap rows/source then
-    # rank; exact-equality vs the single-window form pinned in pytest,
-    # including a forced-fallback adversarial margin
+    # mega-domain form of source_cap: count-derived hash pre-filter to
+    # ~margin*cap rows/source, rank survivors, exact re-rank on the
+    # rare under-fill — IDENTICAL output to the single-window form by
+    # construction (downward-closed hash prefix), so the oracle IS the
+    # single-window SQL. Promoted round 8 (VERDICT r7 #8): this puts
+    # the 100-TB scale path itself under the driver's exact check, not
+    # just its pytest equality with the reference form. The
+    # forced-fallback adversarial-margin equality stays in pytest.
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5('cap' || cast(doc_id AS VARCHAR)),
+                                  1, 8),
+                        doc_id
+             ) AS cap_rank
+      FROM documents
+    )
+    SELECT doc_id, source, cap_rank FROM ranked WHERE cap_rank <= 50
+    """,
 )
 
 _register(
@@ -2321,8 +2339,8 @@ _register(
     ), nz AS (SELECT * FROM t WHERE len(sh) > 0),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+             FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS containment
       FROM nz a, nz b WHERE a.doc_id != b.doc_id
     )
     SELECT doc_a, doc_b, containment FROM pairs WHERE containment >= 0.8
@@ -2368,8 +2386,8 @@ _register(
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(a.sh) AS sz_a, len(b.sh) AS sz_b,
-             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+             FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS containment
       FROM nz a, nz b WHERE a.doc_id != b.doc_id
     ), dropped AS (
       SELECT DISTINCT doc_a AS doc_id FROM pairs
@@ -2405,9 +2423,9 @@ _register(
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM t a, t b
       WHERE a.doc_id < b.doc_id
-        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
-                  6) >= 0.4
+        AND FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 >= 0.4
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
@@ -2568,9 +2586,50 @@ _register(
 _register(
     "dedup_operating_curve",
     lambda s, d: dedup.dedup_operating_curve(s, d),
-    None,  # threshold tuning curve from ONE PPJoin pass at t_min;
-    # consistency vs the verified pair generator + monotonicity in
-    # tests/test_normalize_curve.py
+    # threshold tuning curve from ONE PPJoin pass at t_min; promoted
+    # round 8 (VERDICT r7 #8): the curve is fully deterministic given
+    # the corpus, so the oracle recomputes it from the same exact pair
+    # semantics (the all-pairs SQL twin of the PPJoin generator, same
+    # floor-rounded jaccard) and replays the per-threshold conditional
+    # counts. Monotonicity + pair-generator consistency stay in
+    # tests/test_normalize_curve.py.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS jaccard
+      FROM t a, t b WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT * FROM p WHERE jaccard >= 0.4
+    ), grid AS (
+      SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold
+    ), j AS (
+      SELECT g.threshold, pr.doc_a, pr.doc_b
+      FROM grid g LEFT JOIN pairs pr ON pr.jaccard >= g.threshold
+    ), np AS (
+      SELECT threshold, count(doc_a)::BIGINT AS n_pairs
+      FROM j GROUP BY threshold
+    ), nd AS (
+      SELECT threshold, count(DISTINCT d)::BIGINT AS n_docs
+      FROM (
+        SELECT threshold, doc_a AS d FROM j WHERE doc_a IS NOT NULL
+        UNION ALL
+        SELECT threshold, doc_b FROM j WHERE doc_b IS NOT NULL
+      ) GROUP BY threshold
+    )
+    SELECT np.threshold, np.n_pairs,
+           coalesce(nd.n_docs, 0)::BIGINT AS n_docs_in_pairs
+    FROM np LEFT JOIN nd USING (threshold)
+    """,
 )
 
 _register(
@@ -3189,10 +3248,10 @@ _register(
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM t a, t b
       WHERE a.doc_id < b.doc_id
-        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        AND FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / CAST(len(a.sh) + len(b.sh)
-                         - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
-                  6) >= 0.4
+                         - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 >= 0.4
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
@@ -3326,10 +3385,10 @@ _register(
       SELECT a.doc_id AS u, b.doc_id AS v
       FROM t a, t b
       WHERE a.doc_id < b.doc_id
-        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        AND FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / CAST(len(a.sh) + len(b.sh)
-                         - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
-                  6) >= 0.4
+                         - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 >= 0.4
     ), edges AS (
       SELECT u AS a, v AS b FROM pairs UNION SELECT v, u FROM pairs
     ), reach(a, b) AS (
@@ -3444,8 +3503,8 @@ _PROMOTED = [
     "text_bigram_surprisal",
     # dedup_canonical demoted round 7 — see _DEMOTED notes
     "text_phrase_search",
-    "text_winnow_overlap",
-    "agg_equi_depth_histogram",
+    # text_winnow_overlap demoted round 8 — see _DEMOTED notes
+    # agg_equi_depth_histogram demoted round 8 — see _DEMOTED notes
     # round-6 late additions: boilerplate mass / exact stratified eval
     # set / corpus datasheet — NEW capabilities, so their oracles take
     # window slots (funded by demoting window_range_count,
@@ -3518,6 +3577,12 @@ _PROMOTED = [
     # round-7 NEW capability: per-cluster density/transitivity
     # diagnostics — slot funded by demoting text_quality_flags
     "dedup_cluster_density",
+    # round-8 promotions (VERDICT r7 #8): former rows-only entries with
+    # fully deterministic outputs, now carrying exact DuckDB oracles.
+    # Slots funded by demoting agg_equi_depth_histogram and
+    # text_winnow_overlap (notes in _DEMOTED).
+    "sample_source_cap_twophase",
+    "dedup_operating_curve",
 ]
 
 _DEMOTED = [
@@ -3647,6 +3712,17 @@ _DEMOTED = [
     # dedup_cluster_density promotion — the quality-gate exprs are
     # re-verified every round inside in-window pipeline_curate /
     # pipeline_release, and the flag semantics stay pinned in pytest
+    # round-8 demotions funding the 2 rows-only → full-oracle
+    # promotions (sample_source_cap_twophase / dedup_operating_curve):
+    "agg_equi_depth_histogram",  # green r6-r7; the distributed
+    # two-pass rank construction (range partitions + pid-local windows
+    # + P-row offsets) is re-verified every round INSIDE the in-window
+    # sample_token_budget oracle (identical shape per docs/TUNING.md);
+    # the approx twin's sketch bounds stay pinned in pytest
+    "text_winnow_overlap",  # green r6-r7; the winnowing fingerprint
+    # scheme + fp-keyed pair join stay pinned by pytest goldens, and
+    # the gram-machinery family keeps dedup_scrub_spans /
+    # text_decontaminate_spans / text_phrase_search in-window
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

@@ -145,8 +145,13 @@ def test_extension_surface_inside_window():
         "text_decontaminate_spans",
         "text_bigram_surprisal",
         "text_phrase_search",
-        "text_winnow_overlap",
-        "agg_equi_depth_histogram",
+        # text_winnow_overlap demoted round 8 (winnow scheme + pair
+        # join pinned by pytest goldens; gram family held by
+        # scrub_spans/decontaminate/phrase_search) funding
+        # dedup_operating_curve
+        # agg_equi_depth_histogram demoted round 8 (two-pass rank shape
+        # re-verified inside in-window sample_token_budget) funding
+        # sample_source_cap_twophase
         # round 6 late: boilerplate mass, exact stratified eval set,
         # corpus datasheet, interval-overlap join
         "text_boilerplate",
@@ -185,6 +190,11 @@ def test_extension_surface_inside_window():
         "events_seasonality",
         # round 7: cluster density/transitivity diagnostics
         "dedup_cluster_density",
+        # round 8: the 2 deterministic rows-only → full-oracle
+        # promotions (VERDICT r7 #8) — the mega-domain cap's scale path
+        # and the PPJoin threshold operating curve
+        "sample_source_cap_twophase",
+        "dedup_operating_curve",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -169,3 +169,20 @@ def test_twophase_small_sources_kept_whole(spark):
         )
     )
     assert got == ref
+
+def test_twophase_keeps_null_source_docs(spark, tmp_path):
+    # round-8 docs-fuzz catch: the two-phase equi-joins on `source`
+    # silently dropped NULL-source documents (JOIN never matches NULL)
+    # while the single-window form keeps them as one window partition.
+    out = str(tmp_path / "nullsrc_sf")
+    rows = [(i, f"text {i}", "en", None if i % 3 == 0 else "s", 6)
+            for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    ref = sorted(map(tuple, sampling.source_cap(spark, out, cap=7).collect()))
+    got = sorted(
+        map(tuple, sampling.source_cap_twophase(spark, out, cap=7).collect())
+    )
+    assert got == ref
+    assert any(r[1] is None for r in got), "NULL-source docs missing"
