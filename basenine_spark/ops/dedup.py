@@ -419,6 +419,7 @@ def duplicate_clusters(
     threshold: float = 0.4,
     max_iter: int = 12,
     docs: DataFrame | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact
     n-gram Jaccard pair graph, labeled by the minimum doc_id in each
@@ -436,11 +437,21 @@ def duplicate_clusters(
 
     Output: (doc_id, cluster_id) for every document that has at least
     one near-duplicate, cluster_id = min doc_id of its component.
+
+    ``driver_max_edges`` passes through to
+    :func:`connected_components`; ``0`` forces the distributed
+    label-propagation path regardless of graph size (the 100-TB plan —
+    used by bench.py's forced-distributed probe so that path carries a
+    measured number, VERDICT r7 #5).
     """
     edges = ngram_jaccard_pairs(
         spark, sf_dir, n=n, threshold=threshold, docs=docs
     )
-    return connected_components(edges, max_iter=max_iter)
+    kwargs = (
+        {} if driver_max_edges is None
+        else {"driver_max_edges": driver_max_edges}
+    )
+    return connected_components(edges, max_iter=max_iter, **kwargs)
 
 
 def duplicate_clusters_lsh(

@@ -915,10 +915,7 @@ _register(
     None,
 )
 
-_register(
-    "dedup_clusters",
-    lambda s, d: dedup.duplicate_clusters(s, d, n=3, threshold=0.4),
-    """
+_CLUSTERS_ORACLE_SQL = """
     WITH RECURSIVE t AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= 3
@@ -944,7 +941,26 @@ _register(
     )
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
     FROM reach GROUP BY a ORDER BY doc_id
-    """,
+    """
+
+_register(
+    "dedup_clusters",
+    lambda s, d: dedup.duplicate_clusters(s, d, n=3, threshold=0.4),
+    _CLUSTERS_ORACLE_SQL,
+)
+
+_register(
+    "dedup_clusters_distributed",
+    # driver_max_edges=0 FORCES the distributed min-label propagation
+    # path — the plan a 100-TB corpus would run (the default entry's
+    # graphs fit the ≤2M-edge driver union-find fast path, so every
+    # committed bench/fingerprint measured only that; VERDICT r7 #5).
+    # Identical output by construction, so it shares dedup_clusters'
+    # recursive-CTE oracle; benched every round as a headline query.
+    lambda s, d: dedup.duplicate_clusters(
+        s, d, n=3, threshold=0.4, driver_max_edges=0
+    ),
+    _CLUSTERS_ORACLE_SQL,
 )
 
 _register(
@@ -3486,7 +3502,7 @@ _PROMOTED = [
     # semantics the 362-row golden corpus + wire-protocol goldens +
     # compiler-vs-pyeval fuzz pin, and the 8 extension entries noted
     # above).
-    "events_funnel_steps",
+    # events_funnel_steps demoted round 8 — see _DEMOTED notes
     "events_session_funnel",
     "events_cohort_retention",
     "events_rolling_outliers",
@@ -3580,9 +3596,17 @@ _PROMOTED = [
     # round-8 promotions (VERDICT r7 #8): former rows-only entries with
     # fully deterministic outputs, now carrying exact DuckDB oracles.
     # Slots funded by demoting agg_equi_depth_histogram and
-    # text_winnow_overlap (notes in _DEMOTED).
+    # text_winnow_overlap (notes in _DEMOTED); the four engine middle
+    # rows (fetch_backward, redact_row_backend,
+    # insertion_filter_roundtrip, log_roundtrip_query) keep their
+    # window seats unchanged.
     "sample_source_cap_twophase",
     "dedup_operating_curve",
+    # round-8 promotion (VERDICT r7 #5): the FORCED-distributed
+    # min-label clustering path under the driver's exact check (same
+    # recursive-CTE oracle as dedup_clusters — identical output, 100-TB
+    # physical plan). Slot funded by demoting events_funnel_steps.
+    "dedup_clusters_distributed",
 ]
 
 _DEMOTED = [
@@ -3723,6 +3747,12 @@ _DEMOTED = [
     # scheme + fp-keyed pair join stay pinned by pytest goldens, and
     # the gram-machinery family keeps dedup_scrub_spans /
     # text_decontaminate_spans / text_phrase_search in-window
+    "events_funnel_steps",  # green r6-r7; slot funds the
+    # dedup_clusters_distributed promotion — the chained-min funnel
+    # derivation is re-verified every round INSIDE the in-window
+    # events_session_funnel (the strictly-richer sessionized variant
+    # of the same construction), and the events family keeps
+    # cohort_retention / rfm_segments / seasonality in-window
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

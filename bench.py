@@ -98,6 +98,13 @@ HEADLINE = [
     "events_rfm_segments",
     "events_seasonality",
     "dedup_cluster_density",
+    # round-8 additions: the FORCED-distributed clustering path
+    # (driver_max_edges=0 label propagation — the 100-TB plan, which
+    # every earlier bench skipped via the ≤2M-edge driver union-find
+    # fast path; VERDICT r7 #5) and the two newly-promoted oracles
+    "dedup_clusters_distributed",
+    "sample_source_cap_twophase",
+    "dedup_operating_curve",
 ]
 
 

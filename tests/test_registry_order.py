@@ -127,7 +127,9 @@ def test_extension_surface_inside_window():
         # pipeline_release_balanced demoted round 7 (release family
         # survivors in-window) funding events_seasonality
         # round 6: the 19 rows-only → oracle promotions (VERDICT r5 #1)
-        "events_funnel_steps",
+        # events_funnel_steps demoted round 8 (chained-min funnel
+        # re-verified inside the richer in-window events_session_funnel)
+        # funding dedup_clusters_distributed
         "events_session_funnel",
         "events_cohort_retention",
         "events_rolling_outliers",
@@ -195,6 +197,9 @@ def test_extension_surface_inside_window():
         # and the PPJoin threshold operating curve
         "sample_source_cap_twophase",
         "dedup_operating_curve",
+        # round 8: the forced-distributed clustering path (same oracle
+        # as dedup_clusters; the 100-TB plan under the driver's check)
+        "dedup_clusters_distributed",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
