@@ -20,3 +20,12 @@ def spark():
         .getOrCreate()
     )
     yield spark
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "churn10k: reference-scale 10,000-connection churn parity "
+        "(client_test.go:180-185); opt-in via BN_CHURN_10K=1 — "
+        "~30-60 s of pure socket churn, excluded from the CI budget",
+    )

@@ -6,6 +6,7 @@ sockets against :class:`basenine_spark.server.BasenineServer`, using
 the Python port of the reference client."""
 
 import json
+import os
 
 import pytest
 
@@ -674,3 +675,37 @@ def test_follow_single_record_not_redelivered(served):
             if frame.record is not None:
                 got.append(frame.record)
     assert len(got) == 1, f"single record delivered {len(got)} times"
+
+
+@pytest.mark.churn10k
+@pytest.mark.skipif(
+    os.environ.get("BN_CHURN_10K") != "1",
+    reason="reference-scale churn is opt-in: BN_CHURN_10K=1 (VERDICT r7 #9)",
+)
+def test_connection_churn_reference_scale_10k(served100):
+    """client_test.go:180-185 TCPConnectionLeak at the reference's REAL
+    N: 10,000 short-lived validate connections, fd/thread/bookkeeping
+    parity before vs after. The 300-connection twin above runs in CI;
+    this one exists so the reference's exact envelope has a green local
+    run on record."""
+    import time
+
+    _, server = served100
+
+    def churn(n):
+        for _ in range(n):
+            assert (
+                bn.validate(server.host, server.port, 'brand.name == "x"')
+                is None
+            )
+
+    churn(20)  # warm-up: lazy fds (epoll, resolver)
+    fd_before = len(os.listdir("/proc/self/fd"))
+    churn(10_000)
+    time.sleep(0.5)
+    assert len([t for t in server._threads if t.is_alive()]) == 0
+    assert len(server._conns) <= 1
+    fd_after = len(os.listdir("/proc/self/fd"))
+    assert fd_after - fd_before <= 4, (
+        f"fd leak: {fd_before} -> {fd_after} across 10,000 connections"
+    )
