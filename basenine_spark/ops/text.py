@@ -1003,3 +1003,105 @@ def lexical_diversity(
         )
         .orderBy("source")
     )
+
+
+# -- sentence-level dedup (C4-style) -----------------------------------------
+
+
+def _sentence_array(col: Column) -> Column:
+    """text → array of trimmed, whitespace-collapsed, non-empty
+    sentences, split on runs of ``.!?``. The split/trim/collapse chain
+    is chosen to be expressible identically in DuckDB
+    (``regexp_split_to_array`` + ``list_transform`` + ``list_filter``)
+    so the sentence boundary is engine-exact — no lookbehind (RE2
+    lacks it), no locale-aware segmentation."""
+    arr = F.split(col, r"[.!?]+")
+    arr = F.transform(arr, lambda s: F.trim(F.regexp_replace(s, r"\s+", " ")))
+    return F.filter(arr, lambda s: s != "")
+
+
+def _exploded_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(_sentence_array(F.col("text"))).alias(
+            "sent_idx", "sentence"
+        ),
+    ).withColumn("sent_idx", F.col("sent_idx").cast("bigint"))
+
+
+def dup_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-sentence diagnostics — the signal behind
+    C4-style sentence/span-level dedup (Raffel et al. 2020 dedupe
+    repeated spans; Lee et al. 2022 'Deduplicating Training Data Makes
+    Language Models Better' measure exactly this ratio before scrubbing):
+    for each document, how many of its sentences also occur elsewhere
+    in the corpus (case-folded match), and the resulting ratio.
+
+    A sentence is *duplicated* when its case-folded form occurs ≥ 2
+    times corpus-wide (counting occurrences, not distinct documents —
+    a doc repeating its own boilerplate line scores as duplicated,
+    which is the curation-relevant behavior for templated text).
+
+    Scale shape: one sentence-keyed shuffle (window count over the
+    case-folded key — partial state is one count per key) + one
+    doc-keyed partial agg. At crawl scale fold the key to ``xxhash64``
+    before the shuffle (8-byte keys vs full sentence strings; the
+    oracle baseline uses the exact string). Documents whose text
+    yields zero sentences (empty after splitting) have no rows here —
+    anchor on the documents table if a 0-sentence row is needed.
+
+    Output: (doc_id, n_sentences, n_dup_sentences, dup_sentence_ratio
+    floor-rounded 6), one row per document with ≥1 sentence.
+    """
+    from pyspark.sql import Window
+
+    s = _exploded_sentences(spark, sf_dir)
+    occ = F.count(F.lit(1)).over(
+        Window.partitionBy(F.lower(F.col("sentence")))
+    )
+    flagged = s.withColumn("is_dup", (occ >= 2).cast("int"))
+    n_sent = F.count(F.lit(1)).cast("bigint")
+    n_dup = F.sum("is_dup").cast("bigint")
+    return flagged.groupBy("doc_id").agg(
+        n_sent.alias("n_sentences"),
+        n_dup.alias("n_dup_sentences"),
+        stable_round(
+            F.sum("is_dup").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_sentence_ratio"),
+    )
+
+
+def scrub_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first sentence-level scrub — the ACTION form of
+    :func:`dup_sentence_stats` (the C4 pipeline removes later
+    occurrences of duplicated spans; Lee et al. 2022 keep one): the
+    globally FIRST occurrence of every distinct case-folded sentence
+    survives (first = smallest (doc_id, sent_idx)), every later
+    occurrence is dropped, singletons pass through untouched.
+
+    Deterministic and engine-exact: survivor choice is a
+    ``row_number`` over the case-folded key ordered by (doc_id,
+    sent_idx) — one sentence-keyed shuffle, state bounded per key by
+    that key's occurrence count. The caller reassembles clean text by
+    grouping on doc_id ordered by sent_idx (kept as columns here so
+    the scrub itself stays relational and oracle-checkable).
+
+    Output: (doc_id, sent_idx, sentence) — the KEPT sentences with
+    their original in-document positions.
+    """
+    from pyspark.sql import Window
+
+    s = _exploded_sentences(spark, sf_dir)
+    w = Window.partitionBy(F.lower(F.col("sentence"))).orderBy(
+        F.col("doc_id").asc(), F.col("sent_idx").asc()
+    )
+    return (
+        s.withColumn("occ_rank", F.row_number().over(w))
+        .filter(F.col("occ_rank") == 1)
+        .select("doc_id", "sent_idx", "sentence")
+    )

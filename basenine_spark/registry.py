@@ -3442,6 +3442,69 @@ _register(
     """,
 )
 
+# shared sentence CTE for the round-8 C4-style sentence-level dedup
+# pair: split on runs of .!? then trim + collapse whitespace + drop
+# empties — the exact DuckDB twin of ops/text.py:_sentence_array
+# (RE2-safe: no lookbehind anywhere)
+_SENTENCES_CTE = r"""
+    s0 AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_split_to_array(text, '[.!?]+'),
+                 x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+               x -> x <> '') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, (i - 1)::BIGINT AS sent_idx, arr[i] AS sentence
+      FROM s0, UNNEST(range(1, len(arr) + 1)) AS r(i)
+    )
+"""
+
+_register(
+    "text_dup_sentences",
+    text.dup_sentence_stats,
+    # per-document duplicate-sentence ratio (the C4 / Lee et al. 2022
+    # sentence-level dedup signal); planted-duplicate goldens in
+    # tests/test_sentence_dedup.py
+    f"""
+    WITH {_SENTENCES_CTE},
+    occ AS (
+      SELECT doc_id, sent_idx,
+             COUNT(*) OVER (PARTITION BY lower(sentence)) AS occ
+      FROM s
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_sentences,
+           SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_sentences,
+           FLOOR(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE * 1e6 + 0.5) / 1e6
+             AS dup_sentence_ratio
+    FROM occ GROUP BY doc_id
+    """,
+)
+
+_register(
+    "text_scrub_sentences",
+    text.scrub_dup_sentences,
+    # keep-first sentence-level scrub (the C4 ACTION: later occurrences
+    # of any duplicated sentence are dropped, first survives); keep-one
+    # + singleton-passthrough goldens in tests/test_sentence_dedup.py
+    f"""
+    WITH {_SENTENCES_CTE},
+    ranked AS (
+      SELECT doc_id, sent_idx, sentence,
+             row_number() OVER (
+               PARTITION BY lower(sentence)
+               ORDER BY doc_id ASC, sent_idx ASC
+             ) AS occ_rank
+      FROM s
+    )
+    SELECT doc_id, sent_idx, sentence FROM ranked WHERE occ_rank = 1
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3504,7 +3567,7 @@ _PROMOTED = [
     # above).
     # events_funnel_steps demoted round 8 — see _DEMOTED notes
     "events_session_funnel",
-    "events_cohort_retention",
+    # events_cohort_retention demoted round 8 — see _DEMOTED notes
     "events_rolling_outliers",
     "events_expectations",
     "events_psi_drift",
@@ -3515,7 +3578,7 @@ _PROMOTED = [
     "pipeline_release_delta",
     "pipeline_curriculum_order",
     "dedup_scrub_spans",
-    "text_decontaminate_spans",
+    # text_decontaminate_spans demoted round 8 — see _DEMOTED notes
     "text_bigram_surprisal",
     # dedup_canonical demoted round 7 — see _DEMOTED notes
     "text_phrase_search",
@@ -3607,6 +3670,12 @@ _PROMOTED = [
     # recursive-CTE oracle as dedup_clusters — identical output, 100-TB
     # physical plan). Slot funded by demoting events_funnel_steps.
     "dedup_clusters_distributed",
+    # round-8 NEW capability: C4-style sentence-level dedup (Raffel et
+    # al. 2020 / Lee et al. 2022) — per-doc duplicate-sentence ratio +
+    # keep-first scrub, exact oracles from birth. Slots funded by
+    # demoting text_decontaminate_spans and events_cohort_retention.
+    "text_dup_sentences",
+    "text_scrub_sentences",
 ]
 
 _DEMOTED = [
@@ -3752,7 +3821,16 @@ _DEMOTED = [
     # derivation is re-verified every round INSIDE the in-window
     # events_session_funnel (the strictly-richer sessionized variant
     # of the same construction), and the events family keeps
-    # cohort_retention / rfm_segments / seasonality in-window
+    # rfm_segments / seasonality / rolling_outliers in-window
+    "text_decontaminate_spans",  # green r6-r7; slot funds the
+    # text_dup_sentences promotion — the positional gram machinery is
+    # dedup_scrub_spans' (in-window, the same spans rewritten) and the
+    # benchmark-overlap semantics stay pinned in pytest goldens
+    "events_cohort_retention",  # green r6-r7; slot funds the
+    # text_scrub_sentences promotion — plain calendar-bucket rollup
+    # pinned by two committed rounds + pytest DuckDB differential; the
+    # events family keeps session_funnel / rfm / seasonality /
+    # rolling_outliers / psi / skew / expectations in-window
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

@@ -105,6 +105,9 @@ HEADLINE = [
     "dedup_clusters_distributed",
     "sample_source_cap_twophase",
     "dedup_operating_curve",
+    # round-8 NEW capability: C4-style sentence-level dedup
+    "text_dup_sentences",
+    "text_scrub_sentences",
 ]
 
 

@@ -131,7 +131,8 @@ def test_extension_surface_inside_window():
         # re-verified inside the richer in-window events_session_funnel)
         # funding dedup_clusters_distributed
         "events_session_funnel",
-        "events_cohort_retention",
+        # events_cohort_retention demoted round 8 (calendar rollup
+        # pinned by 2 green rounds) funding text_scrub_sentences
         "events_rolling_outliers",
         "events_expectations",
         "events_psi_drift",
@@ -144,7 +145,8 @@ def test_extension_surface_inside_window():
         "pipeline_release_delta",
         "pipeline_curriculum_order",
         "dedup_scrub_spans",
-        "text_decontaminate_spans",
+        # text_decontaminate_spans demoted round 8 (gram machinery held
+        # by in-window dedup_scrub_spans) funding text_dup_sentences
         "text_bigram_surprisal",
         "text_phrase_search",
         # text_winnow_overlap demoted round 8 (winnow scheme + pair
@@ -200,6 +202,9 @@ def test_extension_surface_inside_window():
         # round 8: the forced-distributed clustering path (same oracle
         # as dedup_clusters; the 100-TB plan under the driver's check)
         "dedup_clusters_distributed",
+        # round 8: C4-style sentence-level dedup (ratio + keep-first)
+        "text_dup_sentences",
+        "text_scrub_sentences",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

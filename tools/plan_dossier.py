@@ -338,6 +338,22 @@ COMMENTARY: dict[str, str] = {
         "surrogate so NULL-source docs survive the equi-joins — the "
         "round-8 docs-fuzz catch."
     ),
+    "text_dup_sentences": (
+        "C4-style sentence-level dedup signal: the sentence split is a "
+        "JVM-side split/transform/filter chain (no Python, no "
+        "lookbehind so the DuckDB twin is RE2-safe), the global "
+        "occurrence count is ONE sentence-keyed window shuffle, and "
+        "the per-doc rollup is a doc-keyed partial agg. At crawl "
+        "scale fold the shuffle key to xxhash64 — 8-byte keys instead "
+        "of sentence strings."
+    ),
+    "text_scrub_sentences": (
+        "Keep-first sentence scrub (the C4 ACTION): survivor choice "
+        "is one row_number over the case-folded sentence key ordered "
+        "by (doc_id, sent_idx) — a single keyed shuffle whose per-key "
+        "state is that key's occurrence count; singletons stream "
+        "through. No joins, no driver actions."
+    ),
     "dedup_operating_curve": (
         "Threshold tuning curve from ONE PPJoin pass at t_min: every "
         "pair above any grid point is above t_min, so the curve is "
