@@ -558,9 +558,23 @@ def bucketed_revenue_join(
 
     Tables are written into the session catalog (`bn_bkt_*`) —
     idempotent overwrite; callers own cleanup (tests drop them).
+    Stale warehouse directories from a PREVIOUS session are removed
+    first: a fresh catalog does not know the old table, so
+    ``saveAsTable`` would fail with LOCATION_ALREADY_EXISTS on the
+    leftover path (a managed-table location is owned by this op, never
+    user data).
     """
+    import os
+    import shutil
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    for t in ("bn_bkt_orders", "bn_bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     (
         orders.write.bucketBy(buckets, "o_orderkey")
         .sortBy("o_orderkey")

@@ -3505,6 +3505,28 @@ _register(
     """,
 )
 
+_register(
+    "join_bucketed_colocated",
+    lambda s, d: relational.bucketed_revenue_join(s, d),
+    # co-located big-big join via bucketed tables: both sides written
+    # bucketBy(orderkey)+sorted, the SortMergeJoin consumes bucket
+    # files with ZERO Exchange below the join — the pre-shuffle-once
+    # layout a 100-TB fact/fact join amortizes into ingest (the third
+    # strategy next to AQE skew-split and explicit salting). The plan
+    # gate (no Exchange below the SMJ) is in
+    # tests/test_scale_patterns_ops.py; the oracle checks the VALUES
+    # via the plain join — bucketing must change the plan, never the
+    # answer.
+    """
+    SELECT o.o_orderstatus,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -3573,7 +3595,7 @@ _PROMOTED = [
     "events_psi_drift",
     "events_skew_profile",
     # sample_splits demoted round 7 — see _DEMOTED notes
-    "sample_token_mixture",
+    # sample_token_mixture demoted round 8 — see _DEMOTED notes
     "sample_quality_percentile",
     "pipeline_release_delta",
     "pipeline_curriculum_order",
@@ -3676,6 +3698,11 @@ _PROMOTED = [
     # demoting text_decontaminate_spans and events_cohort_retention.
     "text_dup_sentences",
     "text_scrub_sentences",
+    # round-8 promotion: the bucketed co-located join (zero-exchange
+    # SMJ — the pre-shuffled 100-TB fact/fact layout), implemented and
+    # plan-gated since round 4 but never driver-verified. Slot funded
+    # by demoting sample_token_mixture.
+    "join_bucketed_colocated",
 ]
 
 _DEMOTED = [
@@ -3831,6 +3858,13 @@ _DEMOTED = [
     # pinned by two committed rounds + pytest DuckDB differential; the
     # events family keeps session_funnel / rfm / seasonality /
     # rolling_outliers / psi / skew / expectations in-window
+    "sample_token_mixture",  # green r6-r7; slot funds the
+    # join_bucketed_colocated promotion — the token-mass + hash-rate
+    # machinery is re-verified in-window by the strictly-richer
+    # sample_temperature_mixture (tempered weights + allocations +
+    # rates over the same per-source token masses), and the sampling
+    # family keeps dsir / weighted_draw / exact_n / stratified
+    # in-window
     # oracle-backed but semantically redundant with in-window entries
     # plus the 362-row golden corpus and compiler-vs-pyeval fuzzing;
     # every name below already has a green hash-checked row in

@@ -108,6 +108,10 @@ HEADLINE = [
     # round-8 NEW capability: C4-style sentence-level dedup
     "text_dup_sentences",
     "text_scrub_sentences",
+    # round-8 promotion: bucketed co-located join (zero-exchange SMJ;
+    # the timing includes the bucketed table writes — the amortized
+    # ingest cost the layout trades for shuffle-free joins)
+    "join_bucketed_colocated",
 ]
 
 

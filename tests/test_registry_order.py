@@ -140,7 +140,9 @@ def test_extension_surface_inside_window():
         # sample_splits demoted round 7 (family held by exact_stratified
         # / token_mixture / quality_percentile / exact_n) funding
         # search_hybrid_rrf
-        "sample_token_mixture",
+        # sample_token_mixture demoted round 8 (token-mass machinery
+        # held by richer in-window sample_temperature_mixture) funding
+        # join_bucketed_colocated
         "sample_quality_percentile",
         "pipeline_release_delta",
         "pipeline_curriculum_order",
@@ -205,6 +207,8 @@ def test_extension_surface_inside_window():
         # round 8: C4-style sentence-level dedup (ratio + keep-first)
         "text_dup_sentences",
         "text_scrub_sentences",
+        # round 8: bucketed co-located join under the driver's check
+        "join_bucketed_colocated",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -354,6 +354,15 @@ COMMENTARY: dict[str, str] = {
         "state is that key's occurrence count; singletons stream "
         "through. No joins, no driver actions."
     ),
+    "join_bucketed_colocated": (
+        "Co-located big-big join: both sides written "
+        "bucketBy(orderkey)+sorted, so the SortMergeJoin reads bucket "
+        "files directly — NO Exchange below the join (the plan gate in "
+        "test_scale_patterns_ops.py); the only shuffle left is the "
+        "final |status|-row aggregation. Pre-shuffle once at ingest, "
+        "join shuffle-free forever — the 100-TB fact/fact layout next "
+        "to AQE skew-split and explicit salting."
+    ),
     "dedup_operating_curve": (
         "Threshold tuning curve from ONE PPJoin pass at t_min: every "
         "pair above any grid point is above t_min, so the curve is "
