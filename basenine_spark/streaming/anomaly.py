@@ -19,7 +19,6 @@ get bounded-memory adaptivity; the state shape doesn't change.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -91,11 +90,16 @@ def anomaly_stream(
     z_threshold: float = 3.0,
     min_n: int = 10,
     query_name: str = "anomalies",
+    checkpoint: str | None = None,
 ):
     """Start the online outlier stream over a durable BasenineDB's log
     whose documents carry ``{"event_id": …, "event_type": …,
     "value": …}``; flagged events land in the in-memory table
-    ``query_name``. Returns the StreamingQuery."""
+    ``query_name``. ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("anomaly_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
@@ -132,7 +136,7 @@ def anomaly_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_anom_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_anom_ckpt_{query_name}",
         )
         .start()
     )

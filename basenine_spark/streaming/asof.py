@@ -21,7 +21,6 @@ generator a production attributor would feed.
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import functions as F
 
@@ -34,9 +33,14 @@ def attribution_join_stream(
     watermark: str = "10 minutes",
     user_field: str = "user",
     query_name: str = "attribution_pairs",
+    checkpoint: str | None = None,
 ):
     """Start the clicks ⋈ purchases interval join; pairs land in the
-    in-memory table ``query_name``. Returns the StreamingQuery."""
+    in-memory table ``query_name``. ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("attribution_join_stream requires a durable db")
     from ..engine.log import LOG_SCHEMA
@@ -80,7 +84,7 @@ def attribution_join_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_asof_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_asof_ckpt_{query_name}",
         )
         .start()
     )

@@ -23,7 +23,6 @@ rather than custom state:
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import functions as F
 
@@ -35,11 +34,16 @@ def dedup_stream(
     json_key: str | None = None,
     horizon_seconds: int = 3600,
     query_name: str = "dedup_stream",
+    checkpoint: str | None = None,
     quality_filter: str | None = None,
 ):
     """Start a streaming exact-dedup over a durable BasenineDB's log;
     first-seen records land in the in-memory table ``query_name``.
-    Returns the StreamingQuery.
+    ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery.
 
     ``json_key`` (a JSONPath like ``$.text``) selects the field whose
     content defines identity; None dedups on the whole payload.
@@ -122,7 +126,7 @@ def dedup_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_dedup_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_dedup_ckpt_{query_name}",
         )
         .start()
     )

@@ -21,7 +21,6 @@ length).
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import functions as F
 
@@ -34,10 +33,15 @@ def incident_exposure_stream(
     grid_minutes: int = 10,
     watermark: str = "10 minutes",
     query_name: str = "incident_exposure",
+    checkpoint: str | None = None,
 ):
     """Start the errors ⋈ activity exposure join; exposed pairs land in
     the in-memory table ``query_name`` as (error_id, error_ms, act_id,
-    act_user, act_ms).  Returns the StreamingQuery."""
+    act_user, act_ms).  ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("incident_exposure_stream requires a durable db")
     from ..engine.log import LOG_SCHEMA
@@ -109,7 +113,7 @@ def incident_exposure_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_exposure_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_exposure_ckpt_{query_name}",
         )
         .start()
     )

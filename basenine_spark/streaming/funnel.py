@@ -20,7 +20,6 @@ as the streaming dedup/SemDeDup admission twins.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -83,11 +82,16 @@ def funnel_stream(
     db: BasenineDB,
     steps: tuple = ("view", "click", "purchase"),
     query_name: str = "funnel_steps",
+    checkpoint: str | None = None,
 ):
     """Start the online funnel over a durable BasenineDB's log whose
     documents carry ``{"user_id": …, "ts_ms": …, "event_type": …}``;
     step transitions land in the in-memory table ``query_name`` as
-    (user_id, step_idx, ts_ms). Returns the StreamingQuery."""
+    (user_id, step_idx, ts_ms). ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("funnel_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
@@ -119,7 +123,7 @@ def funnel_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_funnel_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_funnel_ckpt_{query_name}",
         )
         .start()
     )

@@ -13,7 +13,6 @@ the batch gate's conservative reading.
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -27,13 +26,18 @@ def quality_monitor_stream(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     query_name: str = "quality_windows",
+    checkpoint: str | None = None,
     fields: str = "ts_ms long, value double, event_type string",
 ):
     """Start the windowed rule monitor over a durable BasenineDB's log;
     documents carry ``ts_ms`` (event time) plus whatever ``fields`` the
     rules reference. Results land in the in-memory table
     ``query_name`` as (window_start_ms, n_rows, <rule> violation count
-    per rule). Returns the StreamingQuery."""
+    per rule). ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError(
             "quality_monitor_stream requires a durable (path-backed) db"
@@ -70,7 +74,7 @@ def quality_monitor_stream(
         .outputMode("update")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_qmon_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_qmon_ckpt_{query_name}",
         )
         .start()
     )

@@ -32,7 +32,6 @@ the stream itself never shuffles except on the (int) cluster key.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -109,12 +108,17 @@ def semantic_admit_stream(
     threshold: float = 0.95,
     max_kept: int = 1024,
     query_name: str = "semantic_admitted",
+    checkpoint: str | None = None,
 ):
     """Start the online semantic-admission stream over a durable
     BasenineDB's log whose documents carry ``{"vec_id": …,
     "embedding": […]}``; admitted vectors land in the in-memory table
     ``query_name``.  ``centroids`` is a (k, dim) array-like (train on a
-    bounded sample ahead of time).  Returns the StreamingQuery."""
+    bounded sample ahead of time).  ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -162,7 +166,7 @@ def semantic_admit_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_semadmit_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_semadmit_ckpt_{query_name}",
         )
         .start()
     )

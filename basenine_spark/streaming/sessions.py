@@ -20,7 +20,6 @@ per-user groups. State size is O(active users), not O(events).
 
 from __future__ import annotations
 
-import time
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -98,10 +97,15 @@ def session_stream(
     gap_minutes: int = 30,
     idle_timeout_seconds: int = 5,
     query_name: str = "sessions",
+    checkpoint: str | None = None,
 ):
     """Start the stateful sessionization stream over a durable
     BasenineDB's log; closed sessions land in the in-memory table
-    ``query_name``. Returns the StreamingQuery."""
+    ``query_name``. ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("session_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
@@ -124,7 +128,7 @@ def session_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            f"{db._log.path}_sessions_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_sessions_ckpt_{query_name}",
         )
         .start()
     )

@@ -20,7 +20,6 @@ dispatch), re-expressed as Structured Streaming stateful admission.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -78,7 +77,11 @@ def source_cap_admit_stream(
     """Start the online domain-cap stream over a durable BasenineDB's
     log whose documents carry ``{"doc_id": …, "source": …}``; admitted
     documents land in the in-memory table ``query_name`` with their
-    admission rank. Returns the StreamingQuery.
+    admission rank. ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery.
 
     Pass a fixed ``checkpoint`` directory AND a ``sink_path`` to make
     the stream RESUMABLE: the in-memory table sink is not
@@ -87,9 +90,7 @@ def source_cap_admit_stream(
     with the same checkpoint, Structured Streaming restores the
     per-source admitted counts and the log offset, so a source that
     filled its cap before a crash stays closed after — exactly-once
-    admission across restarts (pinned in pytest). The default
-    (memory sink, fresh timestamped checkpoint) matches the other
-    streaming twins' start-fresh behavior."""
+    admission across restarts (pinned in pytest)."""
     if db._log is None:
         raise ValueError(
             "source_cap_admit_stream requires a durable (path-backed) db"
@@ -113,10 +114,7 @@ def source_cap_admit_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    ckpt = (
-        checkpoint
-        or f"{db._log.path}_srccap_ckpt_{int(time.time() * 1000)}"
-    )
+    ckpt = checkpoint or f"{db._log.path}_srccap_ckpt_{query_name}"
     if sink_path is not None:
         return (
             admitted.writeStream.format("parquet")

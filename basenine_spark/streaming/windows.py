@@ -20,7 +20,6 @@ watermark passes the window end).
 
 from __future__ import annotations
 
-import time
 
 from pyspark.sql import functions as F
 
@@ -33,11 +32,16 @@ def windowed_counts_stream(
     watermark: str = "10 minutes",
     key_field: str = "event_type",
     query_name: str = "windowed_counts",
+    checkpoint: str | None = None,
     output_mode: str = "update",
 ):
     """Start a streaming tumbling-window count per ``key_field`` with a
     late-data watermark; results land in the in-memory table
-    ``query_name``. Returns the StreamingQuery."""
+    ``query_name``. ``checkpoint`` defaults to a STABLE path derived from the log
+    path and query name, so restarting the same query resumes its
+    state instead of replaying the log (and no per-start ckpt dirs
+    leak); pass a throwaway path for a deliberate from-scratch
+    replay. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("windowed_counts_stream requires a durable db")
     from ..engine.log import LOG_SCHEMA
@@ -65,7 +69,7 @@ def windowed_counts_stream(
         .outputMode(output_mode)
         .option(
             "checkpointLocation",
-            f"{db._log.path}_win_ckpt_{int(time.time() * 1000)}",
+            checkpoint or f"{db._log.path}_win_ckpt_{query_name}",
         )
         .start()
     )
