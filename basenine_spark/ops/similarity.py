@@ -1319,3 +1319,84 @@ def hybrid_rrf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf", "rank")
     )
+
+
+# -- k-center coreset selection ----------------------------------------------
+
+
+def kcenter_coreset(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
+    selection over the embedding corpus — the diversity-maximizing
+    data-selection primitive: each step picks the point FARTHEST from
+    everything already selected, so k points cover the corpus with the
+    provably 2-approximate minimum radius. The selection a "pick k
+    maximally diverse exemplars" curation step wants, where similarity
+    search picks the closest and SemDeDup drops the redundant.
+
+    Deterministic end to end (RNG-free): the seed is the minimum
+    vec_id, distances are cosine distance floor-rounded to 6 BEFORE the
+    argmax (independent of float accumulation order), ties break on
+    vec_id ascending.
+
+    Scale shape — k map-only passes, no pairwise anything:
+
+    * state is one cached (vec_id, embedding, dmin) table; each round
+      updates ``dmin = least(dmin, dist_to_new_center)`` against the
+      SINGLE newly-chosen center (a broadcast literal) — O(N) work per
+      round, O(kN) total, never the O(N²) pairwise matrix;
+    * the per-round argmax is a TakeOrdered(1) — k rows total ever
+      reach the driver;
+    * per-round ``localCheckpoint`` truncates the growing lineage
+      (the same discipline as PageRank / label propagation).
+
+    No SQL oracle: the k-step argmax recursion needs per-level
+    aggregation DuckDB's recursive CTEs can't express; determinism,
+    per-cluster coverage, non-increasing selection distances, and the
+    2-approximation shape are pinned in tests/test_kcenter.py.
+
+    Output: (sel_rank 1..k, vec_id, sel_dist) — sel_dist is the
+    point's distance to the previously-selected set at the moment it
+    was chosen (NULL for the seed); the sequence is non-increasing and
+    sel_dist of rank k+1 would be the coverage radius of the first k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def dist_to(center_vec):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        return stable_round(
+            F.lit(1.0) - cosine(F.col("embedding"), c), 6
+        )
+
+    seed = emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
+    selected = [(1, int(seed["vec_id"]), None)]
+    state = emb.withColumn(
+        "dmin", dist_to(list(seed["embedding"]))
+    ).filter(F.col("vec_id") != int(seed["vec_id"]))
+    state = state.localCheckpoint(eager=False)
+    for rank in range(2, k + 1):
+        far = (
+            state.orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        row = far[0]
+        selected.append((rank, int(row["vec_id"]), float(row["dmin"])))
+        state = (
+            state.filter(F.col("vec_id") != int(row["vec_id"]))
+            .withColumn(
+                "dmin",
+                F.least(F.col("dmin"), dist_to(list(row["embedding"]))),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        selected, "sel_rank int, vec_id long, sel_dist double"
+    )

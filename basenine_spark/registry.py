@@ -2229,6 +2229,15 @@ _register(
 )
 
 _register(
+    "sample_kcenter_coreset",
+    lambda s, d: similarity.kcenter_coreset(s, d),
+    None,  # greedy k-center (farthest-point-first) coreset selection;
+    # the k-step argmax recursion has no SQL twin (per-level aggregation
+    # inside a recursive CTE) — planted-cluster coverage, determinism,
+    # non-increasing distances in tests/test_kcenter.py
+)
+
+_register(
     "embedding_triplets",
     lambda s, d: similarity.contrastive_triplets(s, d),
     None,  # RNG-free contrastive triplet mining (kNN positives,
