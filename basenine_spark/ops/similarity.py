@@ -29,6 +29,18 @@ from ..sources.tables import load_table
 from .util import stable_round
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with degenerate rows removed: a NULL or
+    empty vector participates in no similarity computation (and would
+    otherwise crash numpy ``np.stack``/k-means sampling, or DuckDB's
+    ``list_dot_product`` on parquet-read NULL lists — the emb-fuzz
+    catches). Zero-norm vectors stay: they are valid rows whose cosine
+    is NULL (:func:`cosine` is try_divide-safe) and never rank."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential double dot product of two float arrays (HOFs, no UDF)."""
     return F.aggregate(
@@ -39,7 +51,13 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """NULL-safe cosine: ``try_divide`` yields NULL for a zero-norm
+    (or NULL) vector instead of NaN/DIVIDE_BY_ZERO — under Spark 4's
+    ANSI mode a plain division makes ONE degenerate vector kill the
+    whole job, and NaN would sort ABOVE every real similarity in a
+    desc ranking while DuckDB's float /0 yields NULL (the emb-fuzz
+    divergence class). Consumers filter/threshold NULL sims away."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def _scored(cands: DataFrame) -> DataFrame:
@@ -59,7 +77,10 @@ def _rank_topk(sim: DataFrame, k: int) -> DataFrame:
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        # NULL sims (zero-norm/NULL embeddings) are not neighbors —
+        # dropped before ranking (mirrored in the oracles)
+        sim.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
@@ -78,7 +99,7 @@ def ann_topk(
     neighbor id, so the ranking is independent of float accumulation
     order. Query side is broadcast; corpus is scanned exactly once.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -147,7 +168,7 @@ def ann_topk_lsh(
     more gracefully for mid-similarity search. Approximate ⇒ rows-only
     correctness check.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     bucketer = _srp_buckets(dim, tables, bits)
     with_b = emb.select(
         "vec_id", "embedding", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
@@ -233,7 +254,7 @@ def ann_topk_ivf(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     centroids = _kmeans_centroids(corpus, "embedding", cells, iters)
     C = centroids
@@ -278,7 +299,7 @@ def embedding_near_dup(
     """Near-duplicate vector pairs (cosine ≥ threshold) via SRP-LSH
     buckets — the embedding-space analog of MinHash dedup. Bucketed
     join + exact verify; approximate recall ⇒ rows-only check."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     bucketer = _srp_buckets(dim, tables, bits)
     with_b = emb.select(
         "vec_id", "embedding", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
@@ -321,7 +342,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan at any corpus size. Emitting the code *checksum* (not 64 code
     columns) keeps the oracle comparison exact and order-insensitive.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir).filter(
+        # a row without a vector has no quantization summary (and
+        # DuckDB's list_dot_product rejects parquet-read NULL lists)
+        F.col("embedding").isNotNull()
+    )
     return emb.select(
         "vec_id",
         F.round(
@@ -333,12 +358,15 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm"),
         F.round(F.expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmin"),
         F.round(F.expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmax"),
+        # try_divide: a zero-range (constant/zero) vector yields NULL
+        # codes -> NULL code_sum, matching DuckDB's /0 -> NULL (ANSI
+        # division would kill the job on one degenerate vector)
         F.expr(
             "aggregate(transform(embedding,"
-            " x -> CAST(round((CAST(x AS DOUBLE)"
+            " x -> CAST(round(try_divide((CAST(x AS DOUBLE)"
             "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))"
-            "  * 255 / (array_max(transform(embedding, v -> CAST(v AS DOUBLE)))"
-            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))) AS BIGINT)),"
+            "  * 255, (array_max(transform(embedding, v -> CAST(v AS DOUBLE)))"
+            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE)))))) AS BIGINT)),"
             " 0L, (acc, c) -> acc + c)"
         ).alias("code_sum"),
     )
@@ -407,7 +435,7 @@ def ann_topk_pq(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= n_queries)
 
     sample = np.array(
@@ -499,7 +527,7 @@ def ann_topk_ivfpq(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     C = _kmeans_centroids(corpus, "embedding", cells, iters)  # (cells, dim)
 
@@ -619,7 +647,7 @@ def embed_clusters(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
     C = _kmeans_centroids(emb, "embedding", k, iters)
@@ -683,7 +711,7 @@ def semantic_dedup(
     clusters = embed_clusters(spark, sf_dir, k=k, iters=iters).select(
         "vec_id", "cluster"
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
     assigned = clusters.join(emb, "vec_id")
@@ -769,7 +797,7 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     bucketer = _srp_buckets(dim, tables, bits)
     with_b = emb.select(
         "vec_id",
@@ -905,7 +933,7 @@ def contrastive_triplets(
     rounded to 4; pos_sim comes from the graph, neg_sim is computed
     exactly for the mined negative.
     """
-    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    n_vecs = load_embeddings(spark, sf_dir).count()
     edges = knn_graph(spark, sf_dir, k=k, tables=tables, bits=bits).filter(
         F.col("sim") >= sim_floor
     )
@@ -928,7 +956,7 @@ def contrastive_triplets(
         ["anchor", "negative"],
         "left_anti",
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("e_a"))
     n = emb.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("e_n"))
     return (
@@ -1013,7 +1041,7 @@ def build_ivfpq_index(
     persisted form can be parity-checked against the in-session
     :func:`ann_topk_ivfpq`.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= exclude_below)
     Cn, B = _ivfpq_train(corpus, cells, m, codes, iters, sample_rows)
     encode = _ivfpq_encode_udf(Cn, B, m)
@@ -1277,7 +1305,7 @@ def hybrid_rrf_search(
         .select("query_id", "doc_id", "sr")
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1297,7 +1325,8 @@ def hybrid_rrf_search(
         F.col("sim").desc(), F.col("doc_id").asc()
     )
     d_rank = (
-        dense.withColumn("dr", F.row_number().over(wd))
+        dense.filter(F.col("sim").isNotNull())
+        .withColumn("dr", F.row_number().over(wd))
         .filter(F.col("dr") <= depth)
         .select("query_id", "doc_id", "dr")
     )
@@ -1363,7 +1392,7 @@ def kcenter_coreset(
     was chosen (NULL for the seed); the sequence is non-increasing and
     sel_dist of rank k+1 would be the coverage radius of the first k.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
 

@@ -820,10 +820,10 @@ _register(
     """
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id < 10
+      FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
     ), c AS (
       SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id >= 10
+      FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL
     ), s AS (
       SELECT q.query_id, c.neighbor_id,
              round(list_dot_product(q.e, c.e)
@@ -835,7 +835,7 @@ _register(
       SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS rank
-      FROM s
+      FROM s WHERE sim IS NOT NULL
     ) WHERE rank <= 5
     """,
 )
@@ -882,18 +882,19 @@ _register(
              row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS sr
       FROM sparse QUALIFY sr <= 20),
     qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
     dense AS (
       SELECT qv.query_id, c.vec_id AS doc_id,
              round(list_dot_product(qv.qe, c.ce)
                    /(sqrt(list_dot_product(qv.qe, qv.qe))*sqrt(list_dot_product(c.ce, c.ce))),4) AS sim
-      FROM qv, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) c
+      FROM qv, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE embedding IS NOT NULL) c
       WHERE c.vec_id != qv.query_id
     ),
     d_rank AS (
       SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS dr
-      FROM dense QUALIFY dr <= 20),
+      FROM dense WHERE sim IS NOT NULL QUALIFY dr <= 20),
     fused AS (
       SELECT coalesce(s.query_id, d.query_id) AS query_id,
              coalesce(s.doc_id, d.doc_id) AS doc_id,
@@ -1216,7 +1217,8 @@ _register(
     "embedding_quantize",
     similarity.embedding_quantize,
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL)
     SELECT vec_id,
            round(sqrt(list_dot_product(v, v)), 6) AS norm,
            round(list_min(v), 6) AS qmin,
@@ -1514,7 +1516,7 @@ def _ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="bn_ivfpq_")
     try:
         similarity.build_ivfpq_index(spark, sf_dir, f"{tmp}/idx")
-        q = load_table(spark, sf_dir, "embeddings").filter(
+        q = similarity.load_embeddings(spark, sf_dir).filter(
             F.col("vec_id") < 10
         )
         rows = [

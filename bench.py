@@ -112,6 +112,9 @@ HEADLINE = [
     # the timing includes the bucketed table writes — the amortized
     # ingest cost the layout trades for shuffle-free joins)
     "join_bucketed_colocated",
+    # round-8 NEW capability: greedy k-center coreset (k map-only
+    # passes + TakeOrdered(1) argmax per round)
+    "sample_kcenter_coreset",
 ]
 
 

@@ -16,7 +16,7 @@ in the output (``oracle_decimal_cols``) — fix the SQL with
 ``CAST(... AS BIGINT)`` / ``... AS DOUBLE`` rather than widening the
 Spark side.
 
-Usage: python tools/driver_sim.py [--nulls-fuzz] [--docs-fuzz] [name ...]
+Usage: python tools/driver_sim.py [--nulls-fuzz] [--docs-fuzz] [--emb-fuzz] [name ...]
 
 ``--nulls-fuzz`` (VERDICT r6 item 7) replays the same gate against a
 NULL- and tie-injected variant of the events table: deterministic row
@@ -185,6 +185,57 @@ def make_docs_fuzz_dir(src_dir: str, dest_dir: str) -> str:
     return dest_dir
 
 
+def make_emb_fuzz_dir(src_dir: str, dest_dir: str) -> str:
+    """Materialize a degenerate-embeddings twin of ``src_dir``: every
+    table is symlinked except ``embeddings``, which is rewritten with
+    deterministic NULL embeddings, ALL-ZERO vectors (the div-by-zero
+    cosine trap: Spark 0.0/0.0 = NaN — which sorts ABOVE every real
+    similarity in a desc ranking — while DuckDB float division by zero
+    yields NULL), NULL labels, and exact-duplicate vectors under fresh
+    ids (cosine ties). Any embedding-derived oracle pair that disagrees
+    on NaN-vs-NULL, NULL filtering, or tie ranking goes red HERE before
+    the driver's data can find it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest_dir, exist_ok=True)
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(dest_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+    tbl = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    cols = {name: tbl.column(name).to_pylist() for name in tbl.column_names}
+    n = len(cols["vec_id"])
+    max_id = max(i for i in cols["vec_id"] if i is not None)
+    dim = next(len(e) for e in cols["embedding"] if e)
+    for i in range(n):
+        if i % 37 == 5:
+            cols["embedding"][i] = None
+        elif i % 41 == 7:
+            cols["embedding"][i] = [0.0] * dim  # zero norm
+        if i % 43 == 11:
+            cols["label"][i] = None
+    next_id = max_id + 1
+    appends: list[dict] = []
+    for i in range(n):
+        if i % 53 == 13 and cols["embedding"][i] is not None:
+            row = {k: cols[k][i] for k in cols}
+            row["vec_id"] = next_id
+            next_id += 1
+            appends.append(row)
+    for row in appends:
+        for k in cols:
+            cols[k].append(row[k])
+    arrays = [pa.array(cols[f.name], type=f.type) for f in tbl.schema]
+    out = pa.Table.from_arrays(arrays, schema=tbl.schema)
+    pq.write_table(out, os.path.join(dest_dir, "embeddings.parquet"))
+    return dest_dir
+
+
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
@@ -221,6 +272,16 @@ def main() -> int:
         )
         SF_DIR = make_docs_fuzz_dir(SF_DIR, fuzz_dir)
         print(f"docs-fuzz: running against {SF_DIR}")
+    if "--emb-fuzz" in argv:
+        argv.remove("--emb-fuzz")
+        import tempfile
+
+        fuzz_dir = os.path.join(
+            tempfile.gettempdir(),
+            "emb_fuzz_" + os.path.basename(SF_DIR.rstrip("/")),
+        )
+        SF_DIR = make_emb_fuzz_dir(SF_DIR, fuzz_dir)
+        print(f"emb-fuzz: running against {SF_DIR}")
 
     spark = (
         SparkSession.builder.master("local[8]")
