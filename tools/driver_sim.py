@@ -32,6 +32,12 @@ environment can find it.
 documents table: NULL/empty/whitespace/unicode text, NULL lang/source,
 and exact-duplicate rows (see ``make_docs_fuzz_dir``).  First catch:
 ``sample_mixture`` crashed sorting a NULL source key.
+
+``--emb-fuzz`` is the round-8 extension to the embeddings table: NULL
+embeddings, all-zero vectors, NULL labels, duplicate vectors (see
+``make_emb_fuzz_dir``).  First catch: one zero-norm vector raised
+ANSI DIVIDE_BY_ZERO through every cosine consumer, and NULL
+embeddings crashed the numpy codebook/bucket paths.
 """
 
 from __future__ import annotations
