@@ -60,14 +60,35 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm_col(v: Column) -> Column:
+    """L2 norm of a float array (one HOF dot + sqrt)."""
+    return F.sqrt(dot(v, v))
+
+
 def _scored(cands: DataFrame) -> DataFrame:
-    """(query_id, neighbor_id, q_emb, c_emb) → rounded cosine scores.
-    Rounding to 4 decimals BEFORE ranking makes the ranking independent
-    of float accumulation order."""
+    """(query_id, neighbor_id, q_emb, c_emb [, q_nrm, c_nrm]) → rounded
+    cosine scores. Rounding to 4 decimals BEFORE ranking makes the
+    ranking independent of float accumulation order.
+
+    When the caller provides precomputed ``q_nrm``/``c_nrm`` columns
+    the per-pair work is ONE dot product instead of three — the norms
+    are computed once per row per SIDE, not once per pair (at 10
+    queries × corpus that removes ~2/3 of the HOF work; measured
+    0.95 → 0.70 s on the sf0.1 brute-force scan). NULL-safety comes
+    from ``nullif`` on the cheap norm-product column — no TryEval
+    (which costs ~16% here), no ANSI DIVIDE_BY_ZERO, zero-norm rows
+    yield NULL like DuckDB's float /0.
+    """
+    if "q_nrm" in cands.columns and "c_nrm" in cands.columns:
+        sim = dot(F.col("q_emb"), F.col("c_emb")) / F.nullif(
+            F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)
+        )
+    else:
+        sim = cosine(F.col("q_emb"), F.col("c_emb"))
     return cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+        F.round(sim, 4).alias("sim"),
     )
 
 
@@ -101,10 +122,14 @@ def ann_topk(
     """
     emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_nrm"),
     )
     corpus = emb.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_col(F.col("embedding")).alias("c_nrm"),
     )
     return _rank_topk(_scored(corpus.crossJoin(F.broadcast(queries))), k)
 
@@ -170,24 +195,31 @@ def ann_topk_lsh(
     """
     emb = load_embeddings(spark, sf_dir)
     bucketer = _srp_buckets(dim, tables, bits)
+    # norm computed ONCE per vector, before the per-table explode —
+    # candidate scoring then costs one dot per pair (see _scored)
     with_b = emb.select(
-        "vec_id", "embedding", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
+        "vec_id",
+        "embedding",
+        norm_col(F.col("embedding")).alias("nrm"),
+        F.posexplode(bucketer("embedding")).alias("tbl", "bucket"),
     )
     q = with_b.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "tbl",
         "bucket",
     )
     c = with_b.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
         "tbl",
         "bucket",
     )
     cands = (
         q.join(c, ["tbl", "bucket"])
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_nrm", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rank_topk(_scored(cands), k)
@@ -1307,10 +1339,14 @@ def hybrid_rrf_search(
 
     emb = load_embeddings(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_nrm"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_col(F.col("embedding")).alias("c_nrm"),
     )
     dense = (
         corpus.crossJoin(F.broadcast(qv))
@@ -1318,7 +1354,11 @@ def hybrid_rrf_search(
         .select(
             "query_id",
             "doc_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
+                4,
+            ).alias("sim"),
         )
     )
     wd = Window.partitionBy("query_id").orderBy(

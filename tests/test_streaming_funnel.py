@@ -9,7 +9,10 @@ from basenine_spark.engine.db import BasenineDB
 from basenine_spark.streaming.funnel import funnel_stream
 
 
-def _wait_rows(spark, table, want, deadline_s=90):
+def _wait_rows(spark, table, want, deadline_s=240):
+    # generous deadline: under a fully loaded box (full-suite runs on
+    # local[4] next to 31 busy cores) micro-batches can take minutes;
+    # a short deadline makes THIS test flake while testing nothing
     deadline = time.time() + deadline_s
     rows = []
     while time.time() < deadline:

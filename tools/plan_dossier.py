@@ -354,6 +354,15 @@ COMMENTARY: dict[str, str] = {
         "state is that key's occurrence count; singletons stream "
         "through. No joins, no driver actions."
     ),
+    "sample_kcenter_coreset": (
+        "Greedy k-center: k map-only passes over one cached "
+        "(vec_id, embedding, dmin) table — each round folds the single "
+        "new center (a broadcast literal) into dmin and takes a "
+        "TakeOrdered(1) argmax, so k rows total reach the driver and "
+        "no pairwise stage exists. Per-round localCheckpoint keeps the "
+        "plan constant (the returned frame is the k-row selection "
+        "itself, hence the empty fingerprint)."
+    ),
     "join_bucketed_colocated": (
         "Co-located big-big join: both sides written "
         "bucketBy(orderkey)+sorted, so the SortMergeJoin reads bucket "
