@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .util import stable_round
 
 
 def asof_last_click(
@@ -686,4 +687,68 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
         .orderBy("dow", "hod")
+    )
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind "what do users do after X"
+    analyses, next-event prediction baselines, and funnel discovery
+    (the empirical transition counts ARE the maximum-likelihood chain).
+
+    Per user, events ordered by (ts_ms, event_id, event_type); each
+    adjacent pair contributes one (from_state → to_state) transition.
+    ``prob`` is the row-normalized MLE ``P(to | from)``, floor-rounded
+    6 for engine parity.
+
+    NULL policy (mirrored in the oracle): NULL user_id/ts/event_type
+    rows carry no sequence information and are dropped up front; NULL
+    event_id rows stay (the fuzz's duplicate-tie rows) — the ordering
+    tie-breaks through event_type so equal-key duplicates are
+    interchangeable and the aggregate is order-independent.
+
+    Scale shape: ONE user-keyed window shuffle (the ``lead``) + one
+    (from, to)-keyed partial agg over |event_types|² rows at most;
+    totals join back per from-state — a broadcast of at most
+    |event_types| rows. Nothing corpus-sized survives the first
+    aggregate.
+
+    Output: (from_state, to_state, n_transitions, prob), ordered.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts_ms").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc(),
+        F.col("event_type").asc(),
+    )
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_state"),
+            F.lead("event_type").over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            stable_round(
+                F.col("n_transitions") / F.col("n_from").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_state", "to_state")
     )

@@ -3517,6 +3517,43 @@ _register(
 )
 
 _register(
+    "events_markov_transitions",
+    lambda s, d: timeseries.markov_transitions(s, d),
+    # first-order Markov transition matrix over per-user event
+    # sequences (empirical MLE chain). NULL user/ts/event_type rows
+    # dropped up front; NULL event_id tie rows order through the
+    # event_type tie-break (equal-key duplicates are interchangeable,
+    # so the aggregate is order-independent under the nulls-fuzz ties).
+    # Chain-golden + conservation invariants in
+    # tests/test_markov_transitions.py
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), pairs AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts_ms, event_id NULLS FIRST, event_type
+             ) AS to_state
+      FROM ev
+    ), counts AS (
+      SELECT from_state, to_state, count(*)::BIGINT AS n_transitions
+      FROM pairs WHERE to_state IS NOT NULL
+      GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, n_transitions,
+           FLOOR(n_transitions
+                 / (SUM(n_transitions) OVER (PARTITION BY from_state))::DOUBLE
+                 * 1e6 + 0.5) / 1e6 AS prob
+    FROM counts
+    ORDER BY from_state, to_state
+    """,
+)
+
+_register(
     "join_bucketed_colocated",
     lambda s, d: relational.bucketed_revenue_join(s, d),
     # co-located big-big join via bucketed tables: both sides written
@@ -3634,11 +3671,9 @@ _PROMOTED = [
     # by demoting text_vocab_topk (green r4+r5; the token-count family
     # keeps text_quality_flags / bm25 / surprisal in-window)
     "pipeline_pack_balanced",
-    # dedup-aware effective token mass — slot funded by demoting
-    # profile_orders (green r4+r5; the profiling family is held
-    # in-window by pipeline_datasheet + events_expectations +
-    # events_skew_profile)
-    "sample_effective_mass",
+    # sample_effective_mass demoted round 8 — see _DEMOTED notes
+    # (was: dedup-aware effective token mass, slot originally funded by
+    # demoting profile_orders)
     # round-7 promotions (VERDICT r6 #3): former rows-only entries with
     # fully deterministic outputs, now carrying complete DuckDB oracles.
     # Slots funded by demoting join_length_bands / pipeline_shards /
@@ -3714,6 +3749,9 @@ _PROMOTED = [
     # plan-gated since round 4 but never driver-verified. Slot funded
     # by demoting sample_token_mixture.
     "join_bucketed_colocated",
+    # round-8 NEW capability: first-order Markov transitions over user
+    # event sequences — slot funded by demoting sample_effective_mass.
+    "events_markov_transitions",
 ]
 
 _DEMOTED = [
@@ -3869,6 +3907,12 @@ _DEMOTED = [
     # pinned by two committed rounds + pytest DuckDB differential; the
     # events family keeps session_funnel / rfm / seasonality /
     # rolling_outliers / psi / skew / expectations in-window
+    "sample_effective_mass",  # green r6-r7; slot funds the
+    # events_markov_transitions promotion — the dedup-aware token-mass
+    # rollup machinery is re-verified in-window by
+    # sample_temperature_mixture (the same per-source token-mass
+    # aggregate feeds its tempered weights) and pipeline_datasheet's
+    # per-source token/dup columns
     "sample_token_mixture",  # green r6-r7; slot funds the
     # join_bucketed_colocated promotion — the token-mass + hash-rate
     # machinery is re-verified in-window by the strictly-richer

@@ -115,6 +115,8 @@ HEADLINE = [
     # round-8 NEW capability: greedy k-center coreset (k map-only
     # passes + TakeOrdered(1) argmax per round)
     "sample_kcenter_coreset",
+    # round-8 NEW capability: first-order Markov transition matrix
+    "events_markov_transitions",
 ]
 
 

@@ -165,7 +165,9 @@ def test_extension_surface_inside_window():
         "pipeline_datasheet",
         "join_interval_overlap",
         "pipeline_pack_balanced",
-        "sample_effective_mass",
+        # sample_effective_mass demoted round 8 (mass rollup re-verified
+        # inside temperature_mixture + datasheet) funding
+        # events_markov_transitions
         # round 7: the 4 deterministic rows-only → full-oracle
         # promotions (VERDICT r6 #3)
         "dedup_containment",
@@ -209,6 +211,8 @@ def test_extension_surface_inside_window():
         "text_scrub_sentences",
         # round 8: bucketed co-located join under the driver's check
         "join_bucketed_colocated",
+        # round 8: first-order Markov transition matrix
+        "events_markov_transitions",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -354,6 +354,14 @@ COMMENTARY: dict[str, str] = {
         "state is that key's occurrence count; singletons stream "
         "through. No joins, no driver actions."
     ),
+    "events_markov_transitions": (
+        "Markov chain MLE: ONE user-keyed window shuffle (the lead) "
+        "produces adjacent pairs, then a (from, to)-keyed partial agg "
+        "over at most |event_types|^2 rows; the per-from totals ride a "
+        "broadcast back. Nothing corpus-sized survives the first "
+        "aggregate — the transition matrix costs one shuffle at any "
+        "corpus size."
+    ),
     "sample_kcenter_coreset": (
         "Greedy k-center: k map-only passes over one cached "
         "(vec_id, embedding, dmin) table — each round folds the single "
