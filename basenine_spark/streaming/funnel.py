@@ -16,6 +16,16 @@ An event arriving in a LATER batch but with an EARLIER timestamp than
 an already-filled step cannot rewrite history (greedy state is
 append-only) — the documented online/offline divergence, same contract
 as the streaming dedup/SemDeDup admission twins.
+
+Caveat on the precondition: one multi-file log append is NOT an
+atomic arrival — the file source can list a subset of a batch's
+part-files in one trigger and the rest in the next (task-commit
+visibility), so a single insert's events may straddle trigger
+boundaries in arbitrary file order. Arrival-order agreement is
+therefore guaranteed for event-time-ordered SEQUENCES OF INSERTS
+(the file source processes files oldest-mtime-first), not for
+arbitrary row order inside one large insert — the same caveat any
+file-fed Structured Streaming pipeline carries.
 """
 
 from __future__ import annotations

@@ -90,9 +90,14 @@ def test_agrees_with_batch_twin_on_ordered_arrivals(spark, tmp_path):
     sq = funnel_stream(db, query_name="funnel_t2")
     try:
         _wait_rows(spark, "funnel_t2", 4)
-        db.insert_json(
-            [_ev(u, t, e) for u, t, e in sorted(events, key=lambda x: x[1]) if t > 18]
-        )
+        # deliver the remaining events as ts-ordered SINGLE-event
+        # inserts: one multi-file insert is not an atomic arrival (its
+        # part-files can straddle trigger boundaries in arbitrary
+        # order — the documented precondition caveat), which made this
+        # test flake under full-suite load
+        for u, t, e in sorted(events, key=lambda x: x[1]):
+            if t > 18:
+                db.insert_json([_ev(u, t, e)])
         rows = _wait_rows(spark, "funnel_t2", 7)
     finally:
         sq.stop()
