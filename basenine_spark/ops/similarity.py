@@ -1442,15 +1442,25 @@ def kcenter_coreset(
             F.lit(1.0) - cosine(F.col("embedding"), c), 6
         )
 
-    seed = emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
+    seed_rows = emb.orderBy(F.col("vec_id").asc()).limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], "sel_rank int, vec_id long, sel_dist double"
+        )
+    seed = seed_rows[0]
     selected = [(1, int(seed["vec_id"]), None)]
     state = emb.withColumn(
         "dmin", dist_to(list(seed["embedding"]))
     ).filter(F.col("vec_id") != int(seed["vec_id"]))
     state = state.localCheckpoint(eager=False)
     for rank in range(2, k + 1):
+        # NULL dmin = cosine undefined (zero-norm vector somewhere in the
+        # chain); such rows can never be coherently chosen as a center —
+        # excluding them also makes a degenerate zero-norm SEED terminate
+        # after rank 1 instead of crashing on float(None).
         far = (
-            state.orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            state.filter(F.col("dmin").isNotNull())
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
             .limit(1)
             .collect()
         )

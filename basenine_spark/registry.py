@@ -820,10 +820,10 @@ _register(
     """
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) > 0
     ), c AS (
       SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL AND len(embedding) > 0
     ), s AS (
       SELECT q.query_id, c.neighbor_id,
              round(list_dot_product(q.e, c.e)
@@ -882,13 +882,13 @@ _register(
              row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS sr
       FROM sparse QUALIFY sr <= 20),
     qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL),
+           FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) > 0),
     dense AS (
       SELECT qv.query_id, c.vec_id AS doc_id,
              round(list_dot_product(qv.qe, c.ce)
                    /(sqrt(list_dot_product(qv.qe, qv.qe))*sqrt(list_dot_product(c.ce, c.ce))),4) AS sim
       FROM qv, (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-                FROM embeddings WHERE embedding IS NOT NULL) c
+                FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) c
       WHERE c.vec_id != qv.query_id
     ),
     d_rank AS (
@@ -1218,7 +1218,7 @@ _register(
     similarity.embedding_quantize,
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL)
+               FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)
     SELECT vec_id,
            round(sqrt(list_dot_product(v, v)), 6) AS norm,
            round(list_min(v), 6) AS qmin,

@@ -43,7 +43,11 @@ def dedup_stream(
     path and query name, so restarting the same query resumes its
     state instead of replaying the log (and no per-start ckpt dirs
     leak); pass a throwaway path for a deliberate from-scratch
-    replay. Returns the StreamingQuery.
+    replay. NOTE: the default in-memory table sink is NOT recoverable
+    across JVM restarts — a same-name restart resumes *offsets and
+    state* but the memory table restarts empty, so pre-restart output
+    rows never reappear; pair the stable checkpoint with a durable
+    sink when replay-safe output matters. Returns the StreamingQuery.
 
     ``json_key`` (a JSONPath like ``$.text``) selects the field whose
     content defines identity; None dedups on the whole payload.

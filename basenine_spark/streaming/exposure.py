@@ -41,7 +41,11 @@ def incident_exposure_stream(
     path and query name, so restarting the same query resumes its
     state instead of replaying the log (and no per-start ckpt dirs
     leak); pass a throwaway path for a deliberate from-scratch
-    replay. Returns the StreamingQuery."""
+    replay. NOTE: the default in-memory table sink is NOT recoverable
+    across JVM restarts — a same-name restart resumes *offsets and
+    state* but the memory table restarts empty, so pre-restart output
+    rows never reappear; pair the stable checkpoint with a durable
+    sink when replay-safe output matters. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("incident_exposure_stream requires a durable db")
     from ..engine.log import LOG_SCHEMA

@@ -37,7 +37,11 @@ def quality_monitor_stream(
     path and query name, so restarting the same query resumes its
     state instead of replaying the log (and no per-start ckpt dirs
     leak); pass a throwaway path for a deliberate from-scratch
-    replay. Returns the StreamingQuery."""
+    replay. NOTE: the default in-memory table sink is NOT recoverable
+    across JVM restarts — a same-name restart resumes *offsets and
+    state* but the memory table restarts empty, so pre-restart output
+    rows never reappear; pair the stable checkpoint with a durable
+    sink when replay-safe output matters. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError(
             "quality_monitor_stream requires a durable (path-backed) db"

@@ -46,7 +46,12 @@ def sentence_scrub_stream(
     ``query_name`` as (doc_id, sent_idx, sentence). ``checkpoint``
     defaults to a STABLE path derived from the log path and query name
     (restart resumes the seen-set; pass a throwaway path for a
-    from-scratch replay). Returns the StreamingQuery."""
+    from-scratch replay). NOTE: the default in-memory table sink is
+    NOT recoverable across JVM restarts — a same-name restart resumes
+    *offsets and the seen-set* but the memory table restarts empty, so
+    pre-restart output rows never reappear; pair the stable checkpoint
+    with a durable sink when replay-safe output matters. Returns the
+    StreamingQuery."""
     if db._log is None:
         raise ValueError(
             "sentence_scrub_stream requires a durable (path-backed) db"

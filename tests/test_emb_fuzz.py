@@ -84,9 +84,12 @@ def test_entry_matches_oracle_under_degenerate_embeddings(
     sdf = SPARK_QUERIES[name](spark, fuzz_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-    cur = duck.execute(sql)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    # Arrow fetch, mirroring tools/driver_sim.py: fetchall() silently
+    # coerces HUGEINT/DECIMAL to int, which hid the r6/r7 decimal-hash
+    # divergence class — this gate must see the driver's representation.
+    atbl = duck.sql(sql).arrow()
+    ocols = atbl.column_names
+    orows = [tuple(d.values()) for d in atbl.to_pylist()]
     assert len(srows) == len(orows), (
         f"{name}: {len(srows)} spark rows vs {len(orows)} oracle rows"
     )
@@ -115,11 +118,22 @@ def test_fuzz_dir_actually_degrades(fuzz_dir):
         f"""
         SELECT
           count(*) FILTER (embedding IS NULL),
-          count(*) FILTER (embedding IS NOT NULL AND
+          count(*) FILTER (embedding IS NOT NULL AND len(embedding) > 0 AND
                            len(list_filter(embedding, x -> x != 0)) = 0),
-          count(*) FILTER (label IS NULL)
+          count(*) FILTER (label IS NULL),
+          count(*) FILTER (embedding IS NOT NULL AND len(embedding) = 0)
         FROM '{fuzz_dir}/embeddings.parquet'
         """
     ).fetchone()
-    n_null, n_zero, n_null_label = row
-    assert n_null > 0 and n_zero > 0 and n_null_label > 0
+    n_null, n_zero, n_null_label, n_empty = row
+    assert n_null > 0 and n_zero > 0 and n_null_label > 0 and n_empty > 0
+    # The kcenter seed (min vec_id) must be one of the zero-norm plants.
+    seed = con.execute(
+        f"""
+        SELECT len(list_filter(embedding, x -> x != 0)) = 0
+        FROM '{fuzz_dir}/embeddings.parquet'
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
+        ORDER BY vec_id LIMIT 1
+        """
+    ).fetchone()
+    assert seed is not None and seed[0]

@@ -55,3 +55,45 @@ def test_k_exceeding_corpus_truncates(spark, tmp_path):
     sel = similarity.kcenter_coreset(spark, sf, k=100).collect()
     assert len(sel) == 12  # every point selected once, then stops
     assert len({r["vec_id"] for r in sel}) == 12
+
+
+def test_zero_norm_seed_terminates(spark, tmp_path):
+    """ADVICE r8: a zero-norm SEED makes every dmin NULL (cosine is
+    undefined), which used to crash float(None) at the argmax; it must
+    instead terminate after the seed row."""
+    out = str(tmp_path / "kc_zero_seed")
+    rows = [(0, [0.0, 0.0, 0.0, 0.0], 0)] + [
+        (i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(1, 4)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    sel = similarity.kcenter_coreset(spark, out, k=3).collect()
+    assert [(r["sel_rank"], r["vec_id"]) for r in sel] == [(1, 0)]
+
+
+def test_zero_norm_non_seed_never_selected(spark, tmp_path):
+    """A zero-norm row elsewhere has NULL dmin forever — it must be
+    skipped by the argmax, not crash or win a round."""
+    out = str(tmp_path / "kc_zero_mid")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 0.0, 0.0, 0.0], 0),  # zero norm
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    sel = similarity.kcenter_coreset(spark, out, k=4).collect()
+    assert {r["vec_id"] for r in sel} == {0, 2, 3}
+
+
+def test_empty_corpus_returns_empty(spark, tmp_path):
+    """ADVICE r8: empty corpus used to IndexError at the seed collect."""
+    out = str(tmp_path / "kc_empty")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    sel = similarity.kcenter_coreset(spark, out, k=3).collect()
+    assert sel == []

@@ -223,8 +223,18 @@ def make_emb_fuzz_dir(src_dir: str, dest_dir: str) -> str:
             cols["embedding"][i] = None
         elif i % 41 == 7:
             cols["embedding"][i] = [0.0] * dim  # zero norm
+        elif i % 59 == 17:
+            cols["embedding"][i] = []  # present-but-empty list
         if i % 43 == 11:
             cols["label"][i] = None
+    # Zero-norm the MIN-vec_id row too: it is kcenter_coreset's seed, so
+    # this plant exercises the all-NULL-dmin degenerate path (ADVICE r8 —
+    # the i%41 plants never landed on index 0, so the crash went unseen).
+    seed_idx = min(
+        (i for i in range(n) if cols["vec_id"][i] is not None),
+        key=lambda i: cols["vec_id"][i],
+    )
+    cols["embedding"][seed_idx] = [0.0] * dim
     next_id = max_id + 1
     appends: list[dict] = []
     for i in range(n):
