@@ -1,31 +1,34 @@
 """Streaming ordered-funnel progression — the online twin of
-:func:`basenine_spark.ops.timeseries.event_funnel`.
+:func:`basenine_spark.ops.timeseries.event_funnel`, ORDER-TOLERANT.
 
 State per user (``applyInPandasWithState`` keyed on user_id) is the
-array of step times filled so far — at most ``len(steps)`` longs, a
-constant-size record no matter how many events stream through. Each
-micro-batch's events are sorted by event time and walked with the same
-greedy strictly-after rule as the batch fold; a row is emitted the
-moment a user first reaches a step, so the sink accumulates the funnel
-transition log.
+array of step times filled so far plus a bounded buffer of PENDING
+events — arrivals are not folded immediately, they are folded in
+EVENT-TIME order once they age past a per-user reorder horizon
+(``max event time seen for this user − order_tolerance_ms``), and a
+processing-time quiescence timeout (``flush_after_ms`` with no new
+data for the user) flushes whatever is still buffered. So events that
+arrive out of order — a multi-file log append straddling trigger
+boundaries in arbitrary file order (task-commit visibility), a
+producer emitting per-entity shards — fold exactly as the batch
+operator would, as long as the stray arrives within the tolerance
+window or before quiescence.
 
-Equivalence contract: when events arrive in event-time order across
-micro-batches (within a batch, order doesn't matter — the batch is
-sorted), the emitted step times are identical to the batch operator's.
-An event arriving in a LATER batch but with an EARLIER timestamp than
-an already-filled step cannot rewrite history (greedy state is
-append-only) — the documented online/offline divergence, same contract
+Equivalence contract (strictly wider than the r8 ordered-arrival
+precondition): the emitted step times equal the batch operator's
+whenever every event arrives either (a) within ``order_tolerance_ms``
+of event time of any later-timestamped event that precedes it in
+arrival order, or (b) before the user's ``flush_after_ms`` quiescence
+flush. After a fold, history is append-only: an event arriving LATER
+than both windows with an earlier timestamp than an already-filled
+step cannot rewrite it — the same online/offline divergence contract
 as the streaming dedup/SemDeDup admission twins.
 
-Caveat on the precondition: one multi-file log append is NOT an
-atomic arrival — the file source can list a subset of a batch's
-part-files in one trigger and the rest in the next (task-commit
-visibility), so a single insert's events may straddle trigger
-boundaries in arbitrary file order. Arrival-order agreement is
-therefore guaranteed for event-time-ordered SEQUENCES OF INSERTS
-(the file source processes files oldest-mtime-first), not for
-arbitrary row order inside one large insert — the same caveat any
-file-fed Structured Streaming pipeline carries.
+Scale shape: the pending buffer holds only step-typed events younger
+than the reorder horizon — bounded by per-user arrival rate ×
+tolerance, not by stream length; the filled-steps array is at most
+``len(steps)`` longs. ``order_tolerance_ms=0`` recovers the r8
+immediate-greedy behavior (fold on arrival, within-batch sorted).
 """
 
 from __future__ import annotations
@@ -48,11 +51,16 @@ OUT_SCHEMA = T.StructType(
 )
 
 STATE_SCHEMA = T.StructType(
-    [T.StructField("times", T.ArrayType(T.LongType()))]
+    [
+        T.StructField("times", T.ArrayType(T.LongType())),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_et", T.ArrayType(T.StringType())),
+        T.StructField("max_ts", T.LongType()),
+    ]
 )
 
 
-def _funnel_fn(steps: tuple):
+def _funnel_fn(steps: tuple, tolerance_ms: int, flush_after_ms: int):
     n = len(steps)
 
     def fn(
@@ -60,26 +68,47 @@ def _funnel_fn(steps: tuple):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        events = []
+        if state.exists:
+            times, pend_ts, pend_et, max_ts = state.get
+            times = list(times)
+            pending = list(zip(pend_ts, pend_et))
+        else:
+            times, pending, max_ts = [], [], None
+        new = []
         for pdf in pdfs:
             for ts, et in zip(pdf["ts_ms"], pdf["event_type"]):
                 # null longs arrive as NaN through Arrow — pd.notna
                 # catches both None and NaN shapes
                 if pd.notna(ts) and et is not None:
-                    events.append((int(ts), str(et)))
-        if not events:
-            return
-        events.sort()
-        (times,) = state.get if state.exists else ([],)
-        times = list(times)
+                    new.append((int(ts), str(et)))
+        if new:
+            pending.extend(new)
+            mx = max(ts for ts, _ in new)
+            if max_ts is None or mx > max_ts:
+                max_ts = mx
+        # Fold everything older than the reorder horizon in event-time
+        # order; on a quiescence timeout, flush the whole buffer (no
+        # newer event is coming to re-order against).
+        if state.hasTimedOut:
+            ready, rest = sorted(pending), []
+        else:
+            horizon = None if max_ts is None else max_ts - tolerance_ms
+            ready = sorted(e for e in pending if e[0] <= horizon)
+            rest = [e for e in pending if e[0] > horizon]
         emitted = []
-        for ts, et in events:
+        for ts, et in ready:
             if len(times) >= n:
                 break
             if et == steps[len(times)] and (not times or ts > times[-1]):
                 times.append(ts)
                 emitted.append((key[0], len(times) - 1, ts))
-        state.update((times,))
+        state.update(
+            (times, [t for t, _ in rest], [e for _, e in rest], max_ts)
+        )
+        if rest:
+            # re-arm on every invocation: Spark clears the timeout each
+            # time the function is called for a key
+            state.setTimeoutDuration(flush_after_ms)
         if emitted:
             yield pd.DataFrame(
                 emitted, columns=["user_id", "step_idx", "ts_ms"]
@@ -93,19 +122,27 @@ def funnel_stream(
     steps: tuple = ("view", "click", "purchase"),
     query_name: str = "funnel_steps",
     checkpoint: str | None = None,
+    order_tolerance_ms: int = 60_000,
+    flush_after_ms: int = 2_000,
 ):
     """Start the online funnel over a durable BasenineDB's log whose
     documents carry ``{"user_id": …, "ts_ms": …, "event_type": …}``;
     step transitions land in the in-memory table ``query_name`` as
-    (user_id, step_idx, ts_ms). ``checkpoint`` defaults to a STABLE path derived from the log
-    path and query name, so restarting the same query resumes its
-    state instead of replaying the log (and no per-start ckpt dirs
-    leak); pass a throwaway path for a deliberate from-scratch
-    replay. NOTE: the default in-memory table sink is NOT recoverable
-    across JVM restarts — a same-name restart resumes *offsets and
-    state* but the memory table restarts empty, so pre-restart output
-    rows never reappear; pair the stable checkpoint with a durable
-    sink when replay-safe output matters. Returns the StreamingQuery."""
+    (user_id, step_idx, ts_ms). Arrival order is tolerated up to
+    ``order_tolerance_ms`` of event-time disorder per user (events are
+    buffered in state and folded in event-time order once past the
+    reorder horizon); a user quiet for ``flush_after_ms`` of
+    processing time has the remaining buffer flushed, so output is
+    eventual without requiring further traffic. ``checkpoint``
+    defaults to a STABLE path derived from the log path and query
+    name, so restarting the same query resumes its state instead of
+    replaying the log (and no per-start ckpt dirs leak); pass a
+    throwaway path for a deliberate from-scratch replay. NOTE: the
+    default in-memory table sink is NOT recoverable across JVM
+    restarts — a same-name restart resumes *offsets and state* but the
+    memory table restarts empty, so pre-restart output rows never
+    reappear; pair the stable checkpoint with a durable sink when
+    replay-safe output matters. Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("funnel_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
@@ -121,15 +158,21 @@ def funnel_stream(
         .select("d.user_id", "d.ts_ms", "d.event_type")
         # ts_ms null-filtered upstream too: a null long crosses Arrow
         # as NaN, passes `is not None`, and int(NaN) would terminate
-        # the streaming query on one malformed record
-        .filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
+        # the streaming query on one malformed record.
+        # Only step-typed events are buffered (the greedy fold skips
+        # every other type anyway) — this bounds the pending state.
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts_ms").isNotNull()
+            & F.col("event_type").isin(*steps)
+        )
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn(tuple(steps)),
+        _funnel_fn(tuple(steps), order_tolerance_ms, flush_after_ms),
         OUT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
     return (
         out.writeStream.format("memory")

@@ -1,6 +1,7 @@
 """Streaming funnel: step transitions across micro-batches, greedy
-strictly-after semantics, no history rewrites, batch-twin agreement on
-ordered arrivals."""
+strictly-after semantics, no history rewrites, batch-twin agreement
+under UNORDERED multi-file arrival (r9 order-tolerant state buffer +
+quiescence flush)."""
 
 import json
 import time
@@ -71,6 +72,28 @@ def test_funnel_stream_end_to_end(spark, tmp_path):
         sq.stop()
 
 
+def test_out_of_order_arrival_within_tolerance_folds_in_event_time(
+    spark, tmp_path
+):
+    """The r9 capability in isolation: the later funnel step ARRIVES
+    first (separate insert, separate trigger); the fold must still be
+    view@10 -> click@20, which the r8 immediate-greedy fold got wrong
+    (click arrived while step 0 was unfilled -> dropped forever)."""
+    db = BasenineDB(spark, path=str(tmp_path / "funnelstore3"))
+    db.insert_json([_ev(7, 20, "click")])
+    # wide quiescence window: the view must be on disk before the
+    # flush can possibly fire, so the test has no timing race
+    sq = funnel_stream(db, query_name="funnel_t3", flush_after_ms=10_000)
+    try:
+        time.sleep(2)  # let the click land (and sit buffered) first
+        db.insert_json([_ev(7, 10, "view")])
+        rows = _wait_rows(spark, "funnel_t3", 2)
+        got = {(r["user_id"], r["step_idx"], r["ts_ms"]) for r in rows}
+        assert got == {(7, 0, 10), (7, 1, 20)}
+    finally:
+        sq.stop()
+
+
 def test_agrees_with_batch_twin_on_ordered_arrivals(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -89,15 +112,25 @@ def test_agrees_with_batch_twin_on_ordered_arrivals(spark, tmp_path):
     )
     sq = funnel_stream(db, query_name="funnel_t2")
     try:
-        _wait_rows(spark, "funnel_t2", 4)
-        # deliver the remaining events as ts-ordered SINGLE-event
-        # inserts: one multi-file insert is not an atomic arrival (its
-        # part-files can straddle trigger boundaries in arbitrary
-        # order — the documented precondition caveat), which made this
-        # test flake under full-suite load
-        for u, t, e in sorted(events, key=lambda x: x[1]):
-            if t > 18:
-                db.insert_json([_ev(u, t, e)])
+        # first wave can only ever produce 3 transitions
+        # ((1,0,10),(2,0,15),(3,0,10)) — waiting for more spins the
+        # full deadline for nothing
+        _wait_rows(spark, "funnel_t2", 3)
+        # deliver the remaining events as ONE multi-file insert in
+        # deliberately ts-DESCENDING order: part-files can straddle
+        # trigger boundaries in arbitrary order (the r8 flake), and
+        # the r9 order-tolerant fold (state-buffered, folded in
+        # event-time order at the reorder horizon / quiescence flush)
+        # must agree with the batch twin anyway
+        db.insert_json(
+            [
+                _ev(u, t, e)
+                for u, t, e in sorted(
+                    events, key=lambda x: -x[1]
+                )
+                if t > 18
+            ]
+        )
         rows = _wait_rows(spark, "funnel_t2", 7)
     finally:
         sq.stop()
