@@ -620,6 +620,8 @@ def profile_drift(
     At 100 TB each side is the same one-pass aggregate profile_table
     runs; the diff itself costs nothing.
     """
+    from .util import stable_round
+
     old = profile_table(spark, old_dir, table, exact=exact)
     new = profile_table(spark, new_dir, table, exact=exact)
     o, n = old.alias("o"), new.alias("n")
@@ -632,16 +634,20 @@ def profile_drift(
             "column_name",
             F.col("o.n_rows").alias("rows_old"),
             F.col("n.n_rows").alias("rows_new"),
-            F.round(
+            # stable_round, not F.round: these ratios are DuckDB-oracle
+            # compared by hash (promoted round 9), and the inputs are
+            # exact integer counts so the quotients are bit-identical
+            # across engines — the rounding must be too
+            stable_round(
                 F.col("n.n_rows") / F.col("o.n_rows").cast("double"), 4
             ).alias("rows_ratio"),
-            F.round(
+            stable_round(
                 F.col("o.n_nulls") / F.col("o.n_rows").cast("double"), 6
             ).alias("null_rate_old"),
-            F.round(
+            stable_round(
                 F.col("n.n_nulls") / F.col("n.n_rows").cast("double"), 6
             ).alias("null_rate_new"),
-            F.round(
+            stable_round(
                 F.col("n.n_distinct") / F.col("o.n_distinct").cast("double"),
                 4,
             ).alias("distinct_ratio"),

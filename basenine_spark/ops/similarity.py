@@ -917,9 +917,18 @@ def embedding_drift(
         vals = emb.select(
             F.posexplode("embedding").alias("dim", "val")
         )
+        # stable_round (floor(x*1e4+0.5)/1e4), not F.round: these
+        # columns are DuckDB-oracle hash-compared (promoted round 9) —
+        # the floor idiom is the same IEEE expression in both engines
+        # (for negative means it is round-half-toward-+inf in BOTH,
+        # still engine-stable)
         return vals.groupBy("dim").agg(
-            F.round(F.avg("val"), 4).alias(f"mean_{suffix}"),
-            F.round(F.stddev_pop("val"), 4).alias(f"std_{suffix}"),
+            stable_round(F.avg(F.col("val").cast("double")), 4).alias(
+                f"mean_{suffix}"
+            ),
+            stable_round(
+                F.stddev_pop(F.col("val").cast("double")), 4
+            ).alias(f"std_{suffix}"),
         )
     ref = stats(ref_dir, "ref")
     cur = stats(cur_dir, "cur")
@@ -927,7 +936,7 @@ def embedding_drift(
         "dim",
         "mean_ref",
         "mean_cur",
-        F.round(F.col("mean_cur") - F.col("mean_ref"), 4).alias(
+        stable_round(F.col("mean_cur") - F.col("mean_ref"), 4).alias(
             "mean_delta"
         ),
         "std_ref",

@@ -32,16 +32,16 @@ def test_drift_matches_duckdb(spark):
     cur = con.execute(
         """
         WITH rstats AS (
-          SELECT dim, round(avg(val), 4) AS mean_ref,
-                 round(stddev_pop(val), 4) AS std_ref
+          SELECT dim, FLOOR(avg(val) * 10000.0 + 0.5) / 10000.0 AS mean_ref,
+                 FLOOR(stddev_pop(val) * 10000.0 + 0.5) / 10000.0 AS std_ref
           FROM (
             SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
                    unnest(embedding) AS val
             FROM ref
           ) GROUP BY dim
         ), cstats AS (
-          SELECT dim, round(avg(val), 4) AS mean_cur,
-                 round(stddev_pop(val), 4) AS std_cur
+          SELECT dim, FLOOR(avg(val) * 10000.0 + 0.5) / 10000.0 AS mean_cur,
+                 FLOOR(stddev_pop(val) * 10000.0 + 0.5) / 10000.0 AS std_cur
           FROM (
             SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
                    unnest(embedding) AS val
@@ -49,7 +49,7 @@ def test_drift_matches_duckdb(spark):
           ) GROUP BY dim
         )
         SELECT dim, mean_ref, mean_cur,
-               round(mean_cur - mean_ref, 4) AS mean_delta,
+               FLOOR((mean_cur - mean_ref) * 10000.0 + 0.5) / 10000.0 AS mean_delta,
                std_ref, std_cur
         FROM rstats JOIN cstats USING (dim)
         """

@@ -81,7 +81,9 @@ def test_extension_surface_inside_window():
         # join_asof_tolerance, text_lang_profile by text_quality_flags,
         # text_repetition by text_bigram_surprisal, embedding_quantize
         # by ann_topk
-        "dedup_clusters",
+        # dedup_clusters demoted round 9 (seven rounds green; its
+        # forced-distributed twin stays in-window on the SAME oracle)
+        # funding profile_drift_events
         # pii_scrub_events demoted round 7 (six rounds green; scrub
         # machinery is redact's, in-window) funding dedup_cluster_best
         # window_range_count / sample_quality_topk / dedup_incremental:
@@ -170,9 +172,13 @@ def test_extension_surface_inside_window():
         # events_markov_transitions
         # round 7: the 4 deterministic rows-only → full-oracle
         # promotions (VERDICT r6 #3)
-        "dedup_containment",
+        # dedup_containment demoted round 9 (green r7-r8; pair
+        # machinery re-verified inside the in-window survivors view)
+        # funding embedding_drift_releases
         "dedup_containment_survivors",
-        "sample_exact_n",
+        # sample_exact_n demoted round 9 (green r7-r8; family keeps
+        # exact_stratified/weighted_draw/temperature_mixture/dsir
+        # in-window) funding ann_index_persisted
         "validate_golden_errors",
         # round 7: NEW hybrid sparse+dense retrieval capability
         "search_hybrid_rrf",
@@ -213,6 +219,12 @@ def test_extension_surface_inside_window():
         "join_bucketed_colocated",
         # round 8: first-order Markov transition matrix
         "events_markov_transitions",
+        # round 9: the 3 rows-only → full-oracle promotions (VERDICT
+        # r8 #3) — two-release profile drift, per-dimension embedding
+        # drift, and the persisted-ANN lifecycle parity diff
+        "profile_drift_events",
+        "embedding_drift_releases",
+        "ann_index_persisted",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

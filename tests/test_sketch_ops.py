@@ -119,8 +119,8 @@ def test_profile_drift_between_scale_factors(spark):
           ) t(column_name, n_rows, n_nulls, n_distinct)
         )
         SELECT o.column_name,
-               round(n.n_rows / CAST(o.n_rows AS DOUBLE), 4) AS rows_ratio,
-               round(n.n_distinct / CAST(o.n_distinct AS DOUBLE), 4) AS distinct_ratio
+               FLOOR(n.n_rows / CAST(o.n_rows AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rows_ratio,
+               FLOOR(n.n_distinct / CAST(o.n_distinct AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio
         FROM o JOIN n USING (column_name)
         """
     ).fetchall()
