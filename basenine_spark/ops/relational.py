@@ -39,12 +39,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_quantity") < 48)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            stable_round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -64,7 +64,7 @@ def revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+            stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
         )
     )
 
@@ -85,7 +85,7 @@ def mktsegment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -108,7 +108,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.o_custkey == F.col("c_custkey"),
         )
         .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
     return joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
 
@@ -142,7 +142,7 @@ def supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("supplier_cnt"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            stable_round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
         )
     )
 
@@ -250,7 +250,7 @@ def value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` for the 100 TB path)."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        stable_round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -263,7 +263,7 @@ def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -288,7 +288,7 @@ def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
         )
     )
 
@@ -302,7 +302,7 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -332,7 +332,7 @@ def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         joined.groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(stable_round(F.sum("o_totalprice"), 2))
     )
     return pivoted.select(
         "c_mktsegment",
@@ -378,7 +378,7 @@ def doc_length_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+            stable_round(F.avg("n_chars"), 3).alias("avg_chars"),
         )
     )
 
@@ -417,9 +417,9 @@ def approx_value_quantiles(
     """
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.expr(f"percentile_approx(value, 0.5, {accuracy})"), 4).alias("p50"),
-        F.round(F.expr(f"percentile_approx(value, 0.95, {accuracy})"), 4).alias("p95"),
-        F.round(F.expr(f"percentile_approx(value, 0.99, {accuracy})"), 4).alias("p99"),
+        stable_round(F.expr(f"percentile_approx(value, 0.5, {accuracy})"), 4).alias("p50"),
+        stable_round(F.expr(f"percentile_approx(value, 0.95, {accuracy})"), 4).alias("p95"),
+        stable_round(F.expr(f"percentile_approx(value, 0.99, {accuracy})"), 4).alias("p99"),
     )
 
 
@@ -464,7 +464,7 @@ def salted_revenue_by_status(
     return (
         joined.groupBy("o_orderstatus")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -593,7 +593,7 @@ def bucketed_revenue_join(
     return (
         joined.groupBy("o_orderstatus")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -620,8 +620,6 @@ def profile_drift(
     At 100 TB each side is the same one-pass aggregate profile_table
     runs; the diff itself costs nothing.
     """
-    from .util import stable_round
-
     old = profile_table(spark, old_dir, table, exact=exact)
     new = profile_table(spark, new_dir, table, exact=exact)
     o, n = old.alias("o"), new.alias("n")
@@ -742,8 +740,8 @@ def equi_depth_histogram(
         .select("v", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(
-            F.round(F.min("v"), 4).alias("lo"),
-            F.round(F.max("v"), 4).alias("hi"),
+            stable_round(F.min("v"), 4).alias("lo"),
+            stable_round(F.max("v"), 4).alias("hi"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -816,9 +814,9 @@ def psi_drift(
     p_cur = (F.col("n_cur") + 1) / (F.col("tc") + F.lit(k))
     return h.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.round(p_ref, 6).alias("p_ref"),
-        F.round(p_cur, 6).alias("p_cur"),
-        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+        stable_round(p_ref, 6).alias("p_ref"),
+        stable_round(p_cur, 6).alias("p_cur"),
+        stable_round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
             "psi_term"
         ),
     )

@@ -88,7 +88,7 @@ def _scored(cands: DataFrame) -> DataFrame:
     return cands.select(
         "query_id",
         "neighbor_id",
-        F.round(sim, 4).alias("sim"),
+        stable_round(sim, 4).alias("sim"),
     )
 
 
@@ -381,24 +381,24 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.round(
+        stable_round(
             F.expr(
                 "sqrt(aggregate(embedding, 0D,"
                 " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
             ),
             6,
         ).alias("norm"),
-        F.round(F.expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmin"),
-        F.round(F.expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmax"),
+        stable_round(F.expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmin"),
+        stable_round(F.expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6).alias("qmax"),
         # try_divide: a zero-range (constant/zero) vector yields NULL
         # codes -> NULL code_sum, matching DuckDB's /0 -> NULL (ANSI
         # division would kill the job on one degenerate vector)
         F.expr(
             "aggregate(transform(embedding,"
-            " x -> CAST(round(try_divide((CAST(x AS DOUBLE)"
+            " x -> CAST(floor(0.5 + try_divide((CAST(x AS DOUBLE)"
             "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))"
             "  * 255, (array_max(transform(embedding, v -> CAST(v AS DOUBLE)))"
-            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE)))))) AS BIGINT)),"
+            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))) AS BIGINT)),"
             " 0L, (acc, c) -> acc + c)"
         ).alias("code_sum"),
     )
@@ -1335,7 +1335,7 @@ def hybrid_rrf_search(
         )
     )
     sparse = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("c"), 4).alias("bm25")
+        stable_round(F.sum("c"), 4).alias("bm25")
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
@@ -1363,7 +1363,7 @@ def hybrid_rrf_search(
         .select(
             "query_id",
             "doc_id",
-            F.round(
+            stable_round(
                 dot(F.col("q_emb"), F.col("c_emb"))
                 / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
                 4,

@@ -115,7 +115,7 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("doc_cnt"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        stable_round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
 
 
@@ -198,8 +198,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.groupBy("doc_id").agg(
         F.max("cnt").cast("bigint").alias("top_cnt"),
         F.sum("cnt").cast("bigint").alias("n_bigrams"),
-        F.round(F.max("cnt").cast("double") / total, 6).alias("top_ratio"),
-        F.round(
+        stable_round(F.max("cnt").cast("double") / total, 6).alias("top_ratio"),
+        stable_round(
             F.lit(1.0) - F.count(F.lit(1)).cast("double") / total, 6
         ).alias("dup_ratio"),
     )
@@ -272,7 +272,7 @@ def contamination(
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams"),
         n_overlap.alias("n_overlap"),
-        F.round(
+        stable_round(
             n_overlap.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("contamination"),
     )
@@ -436,7 +436,7 @@ def bm25_topk(
             ).alias("term_score"),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        .agg(stable_round(F.sum("term_score"), 4).alias("bm25"))
     )
     from pyspark.sql import Window
 
@@ -533,7 +533,7 @@ def unigram_surprisal(
             toks.join(F.broadcast(uni), "token", "left")
             .groupBy("doc_id")
             .agg(
-                F.round(
+                stable_round(
                     F.avg(
                         F.when(
                             F.col("cnt").isNull(), F.lit(oov)
@@ -556,7 +556,7 @@ def unigram_surprisal(
         toks.join(uni, "token")
         .groupBy("doc_id")
         .agg(
-            F.round(
+            stable_round(
                 F.avg(-F.log(F.col("cnt") / F.lit(float(total)))), 4
             ).alias("surprisal"),
             F.count(F.lit(1)).alias("n_tokens"),
@@ -638,7 +638,7 @@ def bigram_surprisal(
         .join(ctx, "prev")
         .groupBy("doc_id")
         .agg(
-            F.round(
+            stable_round(
                 F.avg(-F.log(F.col("c2") / F.col("c1").cast("double"))), 4
             ).alias("surprisal"),
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -714,7 +714,7 @@ def boilerplate_ratio(
             "doc_id",
             "n_grams",
             "n_boiler",
-            F.round(
+            stable_round(
                 F.col("n_boiler") / F.col("n_grams").cast("double"), 6
             ).alias("boiler_ratio"),
         )

@@ -357,7 +357,7 @@ def rolling_outliers(
     cnt = F.count("value").over(w)
     zscore = F.when(
         (cnt >= min_window) & (sd > 0),
-        F.round((F.col("value") - mean) / sd, 4),
+        stable_round((F.col("value") - mean) / sd, 4),
     )
     return ev.select(
         "event_id",
