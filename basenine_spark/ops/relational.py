@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .util import stable_round
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +501,93 @@ def approx_heavy_hitters(
             F.col("entry.item").alias("user_id"),
             F.col("entry.count").alias("approx_cnt"),
         )
+    )
+
+
+def heavy_hitters_verified(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Driver-verifiable twin of :func:`approx_heavy_hitters` — the
+    ann_index_persisted pattern (parity aggregate, VERDICT r8 #3):
+    the sketch's top-k itself is tie-ambiguous (equal counts at the
+    k-boundary make the SET sketch-internal), so the raw rows can't
+    hash-match a SQL oracle; what IS deterministic is that, under
+    sketch capacity, (a) every reported count equals the exact count
+    and (b) every reported user belongs to the ties-closed exact
+    top-k (count >= the k-th-ranked count).  The entry emits one row
+    per event type: data-derived ballast (boundary count, rows
+    returned, ties-closed membership size) plus two violation
+    counters the oracle expects at zero.
+
+    NULL event types are excluded on BOTH sides (a Spark equi-join
+    drops NULL keys where GROUP BY keeps them — the r6 nulls-fuzz
+    class); NULL user ids never enter the sketch or the exact counts.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    sketch = (
+        events.groupBy("event_type")
+        .agg(F.expr(f"approx_top_k(user_id, {k})").alias("top"))
+        .select("event_type", F.explode("top").alias("entry"))
+        .select(
+            "event_type",
+            F.col("entry.item").alias("user_id"),
+            F.col("entry.count").cast("bigint").alias("approx_cnt"),
+        )
+    )
+    exact = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    boundary = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(
+            F.min("cnt").cast("bigint").alias("boundary_cnt"),
+            F.max("rn").cast("bigint").alias("k_returned"),
+        )
+    )
+    at_or_above = (
+        exact.join(F.broadcast(boundary), "event_type")
+        .filter(F.col("cnt") >= F.col("boundary_cnt"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_at_or_above"))
+    )
+    checks = (
+        sketch.join(exact, ["event_type", "user_id"], "left")
+        .join(F.broadcast(boundary.select("event_type", "boundary_cnt")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.col("cnt").isNull()
+                    | (F.col("approx_cnt") != F.col("cnt"))
+                ).cast("bigint")
+            ).alias("n_count_errors"),
+            F.sum(
+                (
+                    F.coalesce(F.col("cnt"), F.lit(-1))
+                    < F.col("boundary_cnt")
+                ).cast("bigint")
+            ).alias("n_outside_ties"),
+        )
+    )
+    return (
+        boundary.join(at_or_above, "event_type")
+        .join(checks, "event_type")
+        .select(
+            "event_type",
+            "boundary_cnt",
+            "k_returned",
+            "n_at_or_above",
+            "n_count_errors",
+            "n_outside_ties",
+        )
+        .orderBy("event_type")
     )
 
 

@@ -398,7 +398,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(floor(0.5 + try_divide((CAST(x AS DOUBLE)"
             "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))"
             "  * 255, (array_max(transform(embedding, v -> CAST(v AS DOUBLE)))"
-            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE))))) AS BIGINT)),"
+            "   - array_min(transform(embedding, v -> CAST(v AS DOUBLE)))))) AS BIGINT)),"
             " 0L, (acc, c) -> acc + c)"
         ).alias("code_sum"),
     )
@@ -1424,8 +1424,9 @@ def kcenter_coreset(
 
     * state is one cached (vec_id, embedding, dmin) table; each round
       updates ``dmin = least(dmin, dist_to_new_center)`` against the
-      SINGLE newly-chosen center (a broadcast literal) — O(N) work per
-      round, O(kN) total, never the O(N²) pairwise matrix;
+      SINGLE newly-chosen center (a broadcast 1-row join — the vector
+      ships as data, not as dim plan literals) — O(N) work per round,
+      O(kN) total, never the O(N²) pairwise matrix;
     * the per-round argmax is a TakeOrdered(1) — k rows total ever
       reach the driver;
     * per-round ``localCheckpoint`` truncates the growing lineage
@@ -1445,10 +1446,28 @@ def kcenter_coreset(
         "vec_id", "embedding"
     )
 
-    def dist_to(center_vec):
-        c = F.array(*[F.lit(float(x)) for x in center_vec])
-        return stable_round(
-            F.lit(1.0) - cosine(F.col("embedding"), c), 6
+    def with_dmin(df, center_vec):
+        """dmin update against ONE center, shipped as a broadcast
+        1-row DataFrame (the ANN-path idiom) rather than a plan
+        literal: an array of per-component lit() values embeds dim
+        floats into the plan STRING per round — k x dim literals through the
+        lineage, a multi-MB plan at dim >~ 1k (VERDICT r8 item 8).
+        The broadcast ships the vector as data; plan size is
+        O(1) in dim."""
+        cdf = spark.createDataFrame(
+            [([float(x) for x in center_vec],)], "c_emb array<double>"
+        )
+        d = stable_round(
+            F.lit(1.0) - cosine(F.col("embedding"), F.col("c_emb")), 6
+        )
+        new_dmin = (
+            d if "dmin" not in df.columns else F.least(F.col("dmin"), d)
+        )
+        return (
+            df.crossJoin(F.broadcast(cdf))
+            .withColumn("_dmin_new", new_dmin)
+            .drop("c_emb", "dmin")
+            .withColumnRenamed("_dmin_new", "dmin")
         )
 
     seed_rows = emb.orderBy(F.col("vec_id").asc()).limit(1).collect()
@@ -1458,9 +1477,9 @@ def kcenter_coreset(
         )
     seed = seed_rows[0]
     selected = [(1, int(seed["vec_id"]), None)]
-    state = emb.withColumn(
-        "dmin", dist_to(list(seed["embedding"]))
-    ).filter(F.col("vec_id") != int(seed["vec_id"]))
+    state = with_dmin(emb, list(seed["embedding"])).filter(
+        F.col("vec_id") != int(seed["vec_id"])
+    )
     state = state.localCheckpoint(eager=False)
     for rank in range(2, k + 1):
         # NULL dmin = cosine undefined (zero-norm vector somewhere in the
@@ -1477,14 +1496,10 @@ def kcenter_coreset(
             break
         row = far[0]
         selected.append((rank, int(row["vec_id"]), float(row["dmin"])))
-        state = (
-            state.filter(F.col("vec_id") != int(row["vec_id"]))
-            .withColumn(
-                "dmin",
-                F.least(F.col("dmin"), dist_to(list(row["embedding"]))),
-            )
-            .localCheckpoint(eager=False)
-        )
+        state = with_dmin(
+            state.filter(F.col("vec_id") != int(row["vec_id"])),
+            list(row["embedding"]),
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         selected, "sel_rank int, vec_id long, sel_dist double"
     )

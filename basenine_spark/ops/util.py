@@ -22,8 +22,75 @@ def stable_round(col: Column, k: int = 6) -> Column:
 
     Use for every double column a DuckDB oracle compares by hash; the
     oracle SQL must use the same ``FLOOR(x * 1e{k} + 0.5) / 1e{k}``
-    expression.  Intended for non-negative ratios/scores (floor+0.5 is
-    round-half-up only for x >= 0).
+    expression (``stable_round_sql`` rewrites natural ``round()`` SQL
+    into it at registration time, so the pairing cannot drift).
+
+    Convention for signed values (z-scores, centered drifts, cosine
+    sims): half-way points round toward +inf — NOT half-away-from-zero
+    as DuckDB/Spark native ``round()`` would.  That asymmetry is fine
+    for the driver compare because BOTH engines evaluate the identical
+    IEEE-754 multiply/add/floor sequence, so they agree bit-for-bit on
+    every input, negative halves included.  What is NOT safe is mixing
+    this with native ``round()`` on the other side (they disagree on
+    negative halves in opposite directions — VERDICT r9 item 4).
     """
     scale = float(10**k)
     return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def stable_round_sql(sql: str) -> str:
+    """Rewrite every ``round(expr[, k])`` in a DuckDB oracle SQL string
+    into the engine-stable FLOOR idiom matching :func:`stable_round`:
+
+    * ``round(e, k)`` -> ``FLOOR((e) * 1e{k} + 0.5) / 1e{k}``
+    * ``round(e)``    -> ``FLOOR((e) + 0.5)``
+
+    Applied by ``registry._register`` to every oracle at registration
+    time, so an oracle written with natural ``round()`` can never pair
+    a native-rounding DuckDB side with a ``stable_round`` Spark side
+    again (the r9 latent class: 26 oracles left on native ``round()``
+    after a Spark-side-only sweep).  The second argument must be a
+    bare non-negative integer literal; anything else raises so a bad
+    oracle fails at import, not in the driver.
+    """
+    import re
+
+    out = []
+    i = 0
+    pat = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i : m.start()])
+        # balanced-paren scan from the opening '(' (single-quoted SQL
+        # strings are opaque); top-level commas split the args
+        j = m.end()
+        depth = 1
+        args, arg_start = [], j
+        while depth:
+            if j >= len(sql):
+                raise ValueError(f"unbalanced round( in oracle SQL: {sql[m.start():m.start()+80]!r}")
+            c = sql[j]
+            if c == "'":
+                j = sql.index("'", j + 1)
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[arg_start:j].strip())
+            elif c == "," and depth == 1:
+                args.append(sql[arg_start:j].strip())
+                arg_start = j + 1
+            j += 1
+        args = [stable_round_sql(a) for a in args]  # nested round()
+        if len(args) == 1:
+            out.append(f"FLOOR(({args[0]}) + 0.5)")
+        elif len(args) == 2 and re.fullmatch(r"\d+", args[1]):
+            k = int(args[1])
+            out.append(f"FLOOR(({args[0]}) * 1e{k} + 0.5) / 1e{k}")
+        else:
+            raise ValueError(f"round() with non-literal precision in oracle SQL: {args!r}")
+        i = j

@@ -50,6 +50,7 @@ from .ops import (
     text,
     timeseries,
 )
+from .ops.util import stable_round_sql
 from .sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -161,7 +162,12 @@ ORACLES: dict[str, str | None] = {}
 
 def _register(name: str, fn: QueryFn, sql: str | None) -> None:
     SPARK_QUERIES[name] = fn
-    ORACLES[name] = sql
+    # Oracle SQL is written with natural round(e, k); registration
+    # rewrites it to the engine-stable FLOOR idiom so the DuckDB side
+    # can never diverge from a stable_round Spark side on half-way
+    # doubles (VERDICT r9 item 4: a Spark-only sweep left 26 oracles
+    # on native round(), a latent negative-half divergence class).
+    ORACLES[name] = stable_round_sql(sql) if sql else sql
 
 
 for _name, (_bfl, _where) in _EVENTS_BFL.items():
@@ -1315,16 +1321,63 @@ _register(
 
 _register(
     "dedup_clusters_lsh",
-    lambda s, d: dedup.duplicate_clusters_lsh(s, d),
-    None,  # recall-approximate by design; exact twin dedup_clusters is
-    # the oracle-checked baseline, agreement pinned in pytest
+    # promoted round 10 (VERDICT r9 #7): the MinHash-LSH banding path
+    # is recall-approximate IN GENERAL, but its signatures are seeded
+    # and the banded candidate join is exact-Jaccard-verified, so its
+    # output is deterministic — and at this corpus (plain AND the
+    # docs-fuzz mutation, verified both) recall is total: the clusters
+    # EQUAL the exact-PPJoin twin's, so it hashes the same
+    # recursive-CTE oracle as dedup_clusters / _distributed. Same
+    # params as the twins (n=3, threshold=0.4) so all three share one
+    # oracle; the banding recall floor stays pinned in pytest for
+    # corpora where recall is genuinely < 1.
+    lambda s, d: dedup.duplicate_clusters_lsh(s, d, n=3, threshold=0.4),
+    _CLUSTERS_ORACLE_SQL,
 )
 
 _register(
     "agg_heavy_hitters",
     relational.approx_heavy_hitters,
-    None,  # frequent-items sketch (approx_top_k); containment and count
-    # accuracy vs the exact top-k are pinned in pytest
+    None,  # frequent-items sketch (approx_top_k); the raw top-k rows
+    # are tie-ambiguous at the k-boundary (the SET among equal counts
+    # is sketch-internal) so no SQL oracle — the driver-verified twin
+    # is agg_heavy_hitters_verified; accuracy also pinned in pytest
+)
+
+_register(
+    "agg_heavy_hitters_verified",
+    relational.heavy_hitters_verified,
+    # promoted round 10 (VERDICT r9 #7), ann_index_persisted pattern:
+    # under sketch capacity every reported count is exact and every
+    # reported user is inside the ties-closed exact top-k, so the
+    # violation counters are deterministically zero; boundary_cnt /
+    # k_returned / n_at_or_above are data-derived ballast the oracle
+    # recomputes independently
+    """
+    WITH ex AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, user_id
+    ), r AS (
+      SELECT event_type, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id ASC) AS rn
+      FROM ex
+    ), b AS (
+      SELECT event_type,
+             CAST(min(cnt) AS BIGINT) AS boundary_cnt,
+             CAST(max(rn) AS BIGINT) AS k_returned
+      FROM r WHERE rn <= 5 GROUP BY event_type
+    )
+    SELECT b.event_type, b.boundary_cnt, b.k_returned,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex
+            WHERE ex.event_type = b.event_type
+              AND ex.cnt >= b.boundary_cnt) AS n_at_or_above,
+           CAST(0 AS BIGINT) AS n_count_errors,
+           CAST(0 AS BIGINT) AS n_outside_ties
+    FROM b ORDER BY event_type
+    """,
 )
 
 _register(
@@ -1529,15 +1582,27 @@ def _ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         served = similarity.query_ivfpq_index(spark, f"{tmp}/idx", q)
         direct = similarity.ann_topk_ivfpq(spark, sf_dir)
-        s, d = served.alias("s"), direct.alias("d")
+        # presence is a join-side marker, NOT sim.isNotNull(): a
+        # one-sided row whose sim is legitimately NULL (zero-norm
+        # query vectors — the emb-fuzz corpus plants them) would
+        # otherwise contribute 0 to both presence counts while
+        # eqNullSafe(NULL, NULL) hides it from mismatch (ADVICE r9)
+        s = served.withColumn("s_present", F.lit(1)).alias("s")
+        d = direct.withColumn("d_present", F.lit(1)).alias("d")
         diff = s.join(
             d, ["query_id", "neighbor_id", "rank"], "full_outer"
         ).select(
-            (~F.col("s.sim").eqNullSafe(F.col("d.sim"))).cast(
-                "bigint"
-            ).alias("mismatch"),
-            F.col("s.sim").isNotNull().cast("bigint").alias("is_served"),
-            F.col("d.sim").isNotNull().cast("bigint").alias("is_direct"),
+            (
+                F.col("s.s_present").isNull()
+                | F.col("d.d_present").isNull()
+                | ~F.col("s.sim").eqNullSafe(F.col("d.sim"))
+            ).cast("bigint").alias("mismatch"),
+            F.coalesce(F.col("s.s_present"), F.lit(0))
+            .cast("bigint")
+            .alias("is_served"),
+            F.coalesce(F.col("d.d_present"), F.lit(0))
+            .cast("bigint")
+            .alias("is_direct"),
         )
         row = diff.agg(
             F.coalesce(F.sum("is_served") - F.sum("is_direct"), F.lit(0))
@@ -3744,7 +3809,7 @@ _PROMOTED = [
     # ts_gap_fill_hourly demoted round 7 — see _DEMOTED notes
     # agg_cube_orders demoted round 7 — see _DEMOTED notes
     # join_length_bands demoted round 7 — see _DEMOTED notes
-    "pipeline_curate",
+    # pipeline_curate demoted round 10 — see _DEMOTED notes
     # round-4 additions: skew-salted join, shard-export manifest
     # join_salted_skew demoted round 7 — see _DEMOTED notes
     # pipeline_shards demoted round 7 — see _DEMOTED notes
@@ -3850,7 +3915,7 @@ _PROMOTED = [
     "sample_leakage_safe_splits",
     # round-7 NEW capability: Efraimidis-Spirakis weighted draw —
     # slot funded by demoting join_asof_tolerance
-    "sample_weighted_draw",
+    # sample_weighted_draw demoted round 10 — see _DEMOTED notes
     # round-7 NEW capabilities: RFM behavioral segmentation +
     # seasonality grid — slots funded by demoting join_salted_skew
     # and pipeline_release_balanced
@@ -3898,6 +3963,17 @@ _PROMOTED = [
     # must equal in-session ann_topk_ivfpq exactly; the parity IS the
     # driver check, per VERDICT r8 #3)
     "ann_index_persisted",
+    # round-10 promotions (VERDICT r9 #7): two former rows-only entries
+    # now carrying exact oracles. Slots funded by demoting
+    # pipeline_curate and sample_weighted_draw (notes in _DEMOTED).
+    # the 100-TB LSH clustering path under the driver's exact check —
+    # seeded signatures + exact-Jaccard verify make it deterministic,
+    # and recall is total on this corpus (verified plain + docs-fuzz),
+    # so it hashes the SAME recursive-CTE oracle as its two twins
+    "dedup_clusters_lsh",
+    # frequent-items sketch under the ann_index_persisted parity
+    # pattern: counts exact under capacity, membership ties-closed
+    "agg_heavy_hitters_verified",
 ]
 
 _DEMOTED = [
@@ -4108,9 +4184,11 @@ _DEMOTED = [
     # in tests/test_redact_fast.py
     "pipeline_funnel",  # monitoring view over the same funnel whose
     # composed result pipeline_release now verifies end-to-end in-window
-    "dedup_clusters_lsh",  # recall-approximate; exact twin dedup_clusters
-    # is the in-window oracle entry
-    "agg_heavy_hitters",  # frequent-items sketch; accuracy pinned in pytest
+    # dedup_clusters_lsh PROMOTED round 10 (exact-recall on this
+    # corpus, shares the recursive-CTE oracle — see _PROMOTED)
+    "agg_heavy_hitters",  # frequent-items sketch; tie-ambiguous raw
+    # top-k rows stay rows-only — the driver-verified parity twin
+    # agg_heavy_hitters_verified is in-window; accuracy also in pytest
     "ann_topk_pq",  # recall-approximate; floor pinned in pytest
     "ann_topk_ivfpq",  # composed index; recall floor pinned in pytest
     # round-5 late demotions (each green r2/r3/r4 or r3/r4; families
@@ -4153,6 +4231,20 @@ _DEMOTED = [
     # sample_exact_stratified (the same hash-rank take-n per stratum),
     # sample_weighted_draw, sample_temperature_mixture and
     # sample_dsir_select in-window
+    # round-10 demotions funding the dedup_clusters_lsh and
+    # agg_heavy_hitters_verified promotions:
+    "pipeline_curate",  # green r2-r9 (eight straight rounds); its
+    # quality-gate + dedup-survivor CTE chain is re-verified EVERY
+    # round inside in-window pipeline_release (whose oracle embeds the
+    # identical _CURATE_CTES prefix) and pipeline_release_delta /
+    # datasheet consume the same machinery
+    "sample_weighted_draw",  # green r7-r9; the Efraimidis-Spirakis
+    # hash-keyed draw machinery (md5-rank per row, take-n) is the same
+    # construction in-window sample_exact_stratified verifies per
+    # stratum, and the sampling family keeps dsir / token_budget /
+    # temperature_mixture / leakage_safe_splits / quality_percentile /
+    # source_cap_twophase in-window; the ES-key math stays pinned in
+    # pytest
 ]
 
 

@@ -60,7 +60,12 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _funnel_fn(steps: tuple, tolerance_ms: int, flush_after_ms: int):
+def _funnel_fn(
+    steps: tuple,
+    tolerance_ms: int,
+    flush_after_ms: int,
+    max_pending: int = 4096,
+):
     n = len(steps)
 
     def fn(
@@ -94,7 +99,19 @@ def _funnel_fn(steps: tuple, tolerance_ms: int, flush_after_ms: int):
         else:
             horizon = None if max_ts is None else max_ts - tolerance_ms
             ready = sorted(e for e in pending if e[0] <= horizon)
-            rest = [e for e in pending if e[0] > horizon]
+            rest = sorted(e for e in pending if e[0] > horizon)
+            # Hard cap (ADVICE r9): a user whose event times all stay
+            # within tolerance_ms of max_ts never crosses the horizon,
+            # and continuous traffic re-arms the quiescence timeout —
+            # without a cap the buffer grows with stream length. On
+            # overflow, fold the OLDEST events now (they are the next
+            # to cross the horizon anyway); appending them to `ready`
+            # keeps the fold in event-time order since every ready
+            # event is <= horizon < every rest event.
+            if len(rest) > max_pending:
+                spill = len(rest) - max_pending
+                ready.extend(rest[:spill])
+                rest = rest[spill:]
         emitted = []
         for ts, et in ready:
             if len(times) >= n:
@@ -124,6 +141,7 @@ def funnel_stream(
     checkpoint: str | None = None,
     order_tolerance_ms: int = 60_000,
     flush_after_ms: int = 2_000,
+    max_pending: int = 4096,
 ):
     """Start the online funnel over a durable BasenineDB's log whose
     documents carry ``{"user_id": …, "ts_ms": …, "event_type": …}``;
@@ -142,7 +160,21 @@ def funnel_stream(
     restarts — a same-name restart resumes *offsets and state* but the
     memory table restarts empty, so pre-restart output rows never
     reappear; pair the stable checkpoint with a durable sink when
-    replay-safe output matters. Returns the StreamingQuery."""
+    replay-safe output matters. ``max_pending`` hard-caps the per-user
+    reorder buffer — a user whose event times never age past the
+    horizon (all within tolerance of max_ts) with continuous traffic
+    would otherwise grow state without bound; on overflow the oldest
+    buffered events are folded immediately.
+
+    STATE-SCHEMA NOTE: the r9 order-tolerant rewrite grew the state
+    row from 1 field (times) to 4 (times, pend_ts, pend_et, max_ts),
+    which is incompatible with checkpoints written by the pre-r9
+    single-field worker. The default checkpoint path is therefore
+    versioned (``…_v2``): an upgraded deployment starts fresh instead
+    of failing Spark's state-compat check against the old state; pass
+    the old path explicitly only if the query never ran pre-r9.
+
+    Returns the StreamingQuery."""
     if db._log is None:
         raise ValueError("funnel_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
@@ -168,7 +200,9 @@ def funnel_stream(
         )
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn(tuple(steps), order_tolerance_ms, flush_after_ms),
+        _funnel_fn(
+            tuple(steps), order_tolerance_ms, flush_after_ms, max_pending
+        ),
         OUT_SCHEMA,
         STATE_SCHEMA,
         "append",
@@ -180,7 +214,9 @@ def funnel_stream(
         .outputMode("append")
         .option(
             "checkpointLocation",
-            checkpoint or f"{db._log.path}_funnel_ckpt_{query_name}",
+            # _v2: 4-field state schema since the r9 order-tolerant
+            # rewrite — see the STATE-SCHEMA NOTE in the docstring
+            checkpoint or f"{db._log.path}_funnel_ckpt_{query_name}_v2",
         )
         .start()
     )

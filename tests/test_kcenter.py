@@ -97,3 +97,32 @@ def test_empty_corpus_returns_empty(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     sel = similarity.kcenter_coreset(spark, out, k=3).collect()
     assert sel == []
+
+
+def test_center_ships_as_broadcast_not_plan_literals(spark, tmp_path):
+    """VERDICT r8 #8: each round's center must reach executors as
+    broadcast DATA (1-row join), not as ``F.array(F.lit(...) * dim)``
+    plan literals — at dim >~ 1k the literal form made every round's
+    plan string grow by k x dim float tokens. Gate: a dim-1024 corpus
+    selects fine, and the kcenter source contains no per-component
+    literal construction."""
+    import inspect
+
+    src = inspect.getsource(similarity.kcenter_coreset)
+    assert "F.array(*[F.lit" not in src
+    assert "F.broadcast" in src
+
+    out = str(tmp_path / "kc_highdim")
+    dim = 1024
+    rows = [
+        (i, [float(1.0 if j == (i * 7) % dim else 0.01) for j in range(dim)], 0)
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    sel = similarity.kcenter_coreset(spark, out, k=4).collect()
+    assert len(sel) == 4
+    assert sel[0]["vec_id"] == 0 and sel[0]["sel_dist"] is None
+    dists = [r["sel_dist"] for r in sel[1:]]
+    assert dists == sorted(dists, reverse=True)  # non-increasing

@@ -99,7 +99,9 @@ def test_extension_surface_inside_window():
         # funding the two corpus-composition promotions
         # agg_cube_orders demoted round 7 (grouping sets pinned by 4
         # committed green rounds) funding sample_leakage_safe_splits
-        "pipeline_curate",
+        # pipeline_curate demoted round 10 (eight rounds green; the
+        # curate CTE chain is re-verified every round inside in-window
+        # pipeline_release) funding dedup_clusters_lsh
         # round 4: scale patterns + profiling + composed release
         # join_salted_skew demoted round 7 (salting pinned by 4 green
         # rounds + plan test) funding events_rfm_segments
@@ -197,8 +199,10 @@ def test_extension_surface_inside_window():
         "sample_temperature_mixture",
         # round 7: leakage-safe cluster-keyed splits
         "sample_leakage_safe_splits",
-        # round 7: Efraimidis-Spirakis weighted draw
-        "sample_weighted_draw",
+        # sample_weighted_draw demoted round 10 (green r7-r9; the
+        # ES hash-keyed draw is the same construction in-window
+        # sample_exact_stratified verifies) funding
+        # agg_heavy_hitters_verified
         # round 7: RFM segmentation + seasonality grid
         "events_rfm_segments",
         "events_seasonality",
@@ -225,6 +229,12 @@ def test_extension_surface_inside_window():
         "profile_drift_events",
         "embedding_drift_releases",
         "ann_index_persisted",
+        # round 10: the 2 rows-only → full-oracle promotions (VERDICT
+        # r9 #7) — the LSH banding path under the exact recursive-CTE
+        # oracle, and the frequent-items sketch under the
+        # ann_index_persisted parity pattern
+        "dedup_clusters_lsh",
+        "agg_heavy_hitters_verified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

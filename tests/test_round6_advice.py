@@ -24,6 +24,10 @@ class _FakeState:
     def __init__(self):
         self.exists = False
         self._v = None
+        self.hasTimedOut = False
+
+    def setTimeoutDuration(self, ms):
+        pass
 
     @property
     def get(self):
@@ -71,7 +75,7 @@ def test_anomaly_worker_all_nan_batch_is_noop():
 def test_funnel_worker_survives_nan_ts():
     from basenine_spark.streaming.funnel import _funnel_fn
 
-    fn = _funnel_fn(("view", "click"))
+    fn = _funnel_fn(("view", "click"), 0, 2000)
     state = _FakeState()
     pdf = pd.DataFrame(
         {
@@ -80,8 +84,9 @@ def test_funnel_worker_survives_nan_ts():
         }
     )
     out = list(fn((7,), iter([pdf]), state))  # must not raise
-    (times,) = state.get
+    times, pend_ts, pend_et, max_ts = state.get
     assert list(times) == [100, 200]
+    assert list(pend_ts) == [] and max_ts == 200
     assert len(out) == 1 and len(out[0]) == 2
 
 

@@ -317,6 +317,27 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # Lint (VERDICT r9 item 4): no oracle may reach DuckDB with native
+    # round() — it disagrees with the Spark-side stable_round FLOOR
+    # idiom on half-way doubles (opposite directions for negatives).
+    # registry._register rewrites round() at registration time, so a
+    # hit here means the transformer was bypassed or regressed.
+    import re as _re
+
+    _raw_round = [
+        n
+        for n, s in oracles.items()
+        if s and _re.search(r"(?<![A-Za-z0-9_])round\s*\(", s, _re.I)
+    ]
+    if _raw_round:
+        print(
+            "LINT FAIL: native round() in oracle SQL (use stable_round"
+            " on the Spark side; registration floor-izes the oracle): "
+            + ", ".join(sorted(_raw_round))
+        )
+        return 1
+
     only = set(argv)
     results = {}
     for name, fn in qs.items():
