@@ -16,7 +16,11 @@ the reference server binary's flags (``server/server.go:33-39``):
 
 Extra (Spark-side, no reference twin): -master for the Spark master
 URL (default ``local[*]``; a real deployment passes its cluster
-master). Both single-dash (reference style) and GNU double-dash
+master), and -no-skip-left-off to opt OUT of the reference's QUERY
+token arithmetic (the default mints the reference's index+1 tokens
+verbatim, ``native.go:392`` — see ``server.py``; the opt-out mints
+the delivered id itself, so token replay resumes with no skipped
+record). Both single-dash (reference style) and GNU double-dash
 spellings are accepted.
 
 Graceful shutdown: SIGINT/SIGTERM close client connections and stop
@@ -50,6 +54,12 @@ def _parser() -> argparse.ArgumentParser:
         help="native driver: storage directory (default ./basenine_spark.db)",
     )
     p.add_argument("-master", "--master", default="local[*]", help="Spark master URL")
+    p.add_argument(
+        "-no-skip-left-off", "--no-skip-left-off",
+        dest="no_skip_left_off", action="store_true",
+        help="mint no-skip QUERY leftOff tokens instead of the "
+        "reference's +1 arithmetic (opt-out of compat_left_off)",
+    )
     return p
 
 
@@ -84,7 +94,12 @@ def main(argv: list[str] | None = None) -> int:
     db = BasenineDB(spark, path=path)
     # addr "" means all interfaces (reference default); BasenineServer
     # binds the given host string directly
-    server = BasenineServer(db, host=args.addr or "0.0.0.0", port=args.port)
+    server = BasenineServer(
+        db,
+        host=args.addr or "0.0.0.0",
+        port=args.port,
+        compat_left_off=not args.no_skip_left_off,
+    )
     server.start()
     print(
         f"basenine_spark {__version__} listening on "
