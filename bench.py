@@ -291,6 +291,10 @@ def main() -> int:
         # in the SAME wall-clock range, so this watches the grid
         # join's quadratic-per-cell worst case
         "join_interval_overlap",
+        # round-8 family under 10× events (VERDICT r8 #5): the
+        # transition matrix is a (from, to) agg over a per-user
+        # lag window — the slope carrier is the sessionize shuffle
+        "events_markov_transitions",
     ]
     probe: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as scaled:
@@ -346,6 +350,14 @@ def main() -> int:
         # round-7 late: the full PPJoin + components + triangle
         # composition under 10x documents at the original near-dup rate
         "dedup_cluster_density",
+        # round-8 families (VERDICT r8 #5): sentence-keyed dedup —
+        # mutated replicas keep the ORIGINAL dup-sentence rate (plain
+        # copies would make every sentence a 10-way dup) — and the
+        # forced-distributed min-label propagation, whose growth curve
+        # is the repo's most important 100-TB evidence
+        "text_dup_sentences",
+        "text_scrub_sentences",
+        "dedup_clusters_distributed",
     ]
     DOCS10_PLAIN = [
         "text_bm25_topk",
