@@ -921,3 +921,86 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def loso_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out corpus ablation: for every source, the
+    composition statistics the corpus would have WITHOUT that source —
+    the standard first question of a data-ablation study ("what does
+    dropping this crawl do to the mix?") answered for all sources at
+    once.
+
+    Output (one row per source): ``n_docs_excl`` / ``n_tokens_excl``
+    / ``n_chars_excl`` (corpus size without the source),
+    ``avg_chars_excl`` (mean document length without it; NULL when the
+    source IS the whole corpus), and ``n_langs_excl`` (how many
+    languages survive its removal).
+
+    Scale design: one scan aggregates to a per-(source, lang) rollup;
+    per-source stats, corpus totals, and language totals are all
+    re-aggregations of that rollup (bounded: |sources| × |langs|).
+    The totals are a 1-row broadcast; nothing rescans the documents.
+    A language survives source ``s``'s removal iff its total doc count
+    exceeds its count inside ``s`` — computed from the same rollup, so
+    the answer is exact even for languages entirely absent from ``s``.
+    NULL source/lang are coalesced to ``'(null)'`` sentinels before
+    grouping (join keys must never be NULL — r6 nulls-fuzz class).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("source"), F.lit("(null)")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("(null)")).alias("lang"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_toks"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    # the rollup feeds five branches (per-source, totals, per-lang,
+    # killed-langs, lang count); without a materialization boundary
+    # each branch re-tokenizes the full corpus (5 scans in the
+    # physical plan). The rollup is bounded (|sources| x |langs|), so
+    # pin it once — documents is then read exactly once.
+    sl = sl.localCheckpoint(eager=False)
+    per_source = sl.groupBy("source").agg(
+        F.sum("n_docs").alias("s_docs"),
+        F.sum("n_toks").alias("s_toks"),
+        F.sum("n_chars").alias("s_chars"),
+    )
+    totals = sl.agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum("n_toks").alias("t_toks"),
+        F.sum("n_chars").alias("t_chars"),
+    )
+    lang_tot = sl.groupBy("lang").agg(F.sum("n_docs").alias("l_docs"))
+    # languages source s would kill: lang entirely inside s
+    killed = (
+        sl.join(F.broadcast(lang_tot), "lang")
+        .filter(F.col("n_docs") == F.col("l_docs"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_killed"))
+    )
+    n_langs = lang_tot.agg(F.count(F.lit(1)).alias("t_langs"))
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_langs))
+        .join(F.broadcast(killed), "source", "left")
+        .select(
+            "source",
+            (F.col("t_docs") - F.col("s_docs")).cast("bigint").alias("n_docs_excl"),
+            (F.col("t_toks") - F.col("s_toks")).cast("bigint").alias("n_tokens_excl"),
+            (F.col("t_chars") - F.col("s_chars")).cast("bigint").alias("n_chars_excl"),
+            stable_round(
+                F.try_divide(
+                    (F.col("t_chars") - F.col("s_chars")).cast("double"),
+                    (F.col("t_docs") - F.col("s_docs")).cast("double"),
+                ),
+                6,
+            ).alias("avg_chars_excl"),
+            (
+                F.col("t_langs") - F.coalesce(F.col("n_killed"), F.lit(0))
+            ).cast("bigint").alias("n_langs_excl"),
+        )
+        .orderBy("source")
+    )

@@ -969,3 +969,111 @@ def skew_profile(
             (F.floor(xmean * 100 + 0.5) / 100).alias("x_mean"),
         )
     )
+
+
+def quantiles_verified(
+    spark: SparkSession, sf_dir: str, accuracy: int = 1000
+) -> DataFrame:
+    """Driver-verifiable twin of :func:`approx_value_quantiles` — the
+    ann_index_persisted parity pattern: the sketch's values are
+    approximate by design so the raw rows cannot hash-match a SQL
+    oracle, but the Greenwald-Khanna rank CONTRACT is checkable
+    exactly: ``percentile_approx(value, p, accuracy)`` must return a
+    value whose rank is within ``n/accuracy`` rows of ``p*n``.  The
+    entry emits, per event type, data-derived ballast the oracle
+    recomputes (non-null count, tolerance) plus one violation counter
+    per probed percentile, each deterministically zero.
+
+    Scale shape: the sketch aggregate is one pass (mergeable GK state),
+    the rank audit joins the tiny per-type sketch row back via
+    broadcast and re-aggregates — two scans total, no full-data
+    shuffle beyond the groupBys.  NULL event types are coalesced to a
+    sentinel BEFORE grouping (join keys must never be NULL)."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("et"),
+        "value",
+    )
+    ps = (0.5, 0.95, 0.99)
+    sk = events.groupBy("et").agg(
+        *[
+            F.expr(f"percentile_approx(value, {p}, {accuracy})").alias(
+                f"q{int(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
+    audited = events.join(F.broadcast(sk), "et")
+    aggs = [F.count("value").alias("n_vals")]
+    for p in ps:
+        q = F.col(f"q{int(p * 100)}")
+        aggs.append(
+            F.coalesce(
+                F.sum((F.col("value") < q).cast("bigint")), F.lit(0)
+            ).alias(f"lt{int(p * 100)}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum((F.col("value") <= q).cast("bigint")), F.lit(0)
+            ).alias(f"le{int(p * 100)}")
+        )
+    ranks = audited.groupBy("et").agg(*aggs)
+    # GK contract: rank error <= n/accuracy; +1 absorbs the floor/ceil
+    # boundary on degenerate tiny groups (fuzz corpora plant n=1 types)
+    tol = (
+        F.ceil(F.col("n_vals") / F.lit(float(accuracy))).cast("bigint")
+        + F.lit(1)
+    )
+    out_cols = [
+        F.col("et").alias("event_type"),
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        tol.alias("tol_rows"),
+    ]
+    for p in ps:
+        lo = F.floor(F.lit(p) * F.col("n_vals")).cast("bigint") - tol
+        hi = F.ceil(F.lit(p) * F.col("n_vals")).cast("bigint") + tol
+        out_cols.append(
+            (
+                (F.col(f"le{int(p * 100)}") < lo)
+                | (F.col(f"lt{int(p * 100)}") > hi)
+            )
+            .cast("bigint")
+            .alias(f"viol{int(p * 100)}")
+        )
+    return ranks.select(*out_cols).orderBy("event_type")
+
+
+def hll_distinct_verified(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.02
+) -> DataFrame:
+    """Driver-verifiable twin of :func:`approx_distinct_users`: the
+    HLL++ estimate itself is approximate, but its error CONTRACT is
+    checkable against the exact distinct count in the same single
+    groupBy (both aggregates are mergeable — one pass, one shuffle).
+    ``n_violations`` flags |approx − exact| beyond a generous
+    6·rsd·exact + 1 envelope and is deterministically zero (the sketch
+    is deterministic given the data; at small cardinalities HLL++'s
+    sparse mode is exact).  ``exact_users`` and ``cnt`` are the
+    data-derived ballast the oracle recomputes."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("event_type"),
+        "user_id",
+    )
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    envelope = (
+        F.ceil(F.lit(6.0 * rsd) * F.col("exact_users")).cast("bigint")
+        + F.lit(1)
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) > envelope
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    ).orderBy("event_type")

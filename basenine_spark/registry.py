@@ -43,6 +43,7 @@ from .ops import (
     layout,
     multimodal,
     pipeline,
+    privacy,
     quality_model,
     relational,
     sampling,
@@ -1377,6 +1378,224 @@ _register(
            CAST(0 AS BIGINT) AS n_count_errors,
            CAST(0 AS BIGINT) AS n_outside_ties
     FROM b ORDER BY event_type
+    """,
+)
+
+_register(
+    "agg_quantiles_verified",
+    relational.quantiles_verified,
+    # round-10 NEW verified twin (the ann_index_persisted pattern,
+    # third application): the GK sketch's VALUES are approximate, its
+    # rank CONTRACT is exact — per-percentile violation counters are
+    # deterministically zero; n_vals / tol_rows are the recomputable
+    # ballast. accuracy=1000 mirrored in tol below.
+    """
+    SELECT coalesce(event_type, '(null)') AS event_type,
+           CAST(count(value) AS BIGINT) AS n_vals,
+           CAST(ceil(count(value) / 1000.0) AS BIGINT) + 1 AS tol_rows,
+           CAST(0 AS BIGINT) AS viol50,
+           CAST(0 AS BIGINT) AS viol95,
+           CAST(0 AS BIGINT) AS viol99
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+
+_register(
+    "agg_hll_verified",
+    relational.hll_distinct_verified,
+    # round-10 NEW verified twin: HLL++ estimate vs exact distinct in
+    # ONE mergeable groupBy; the 6*rsd envelope violation counter is
+    # deterministically zero (sparse-mode-exact at these cardinalities,
+    # and the sketch is deterministic given the data)
+    """
+    SELECT coalesce(event_type, '(null)') AS event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(0 AS BIGINT) AS n_violations
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+
+_register(
+    "privacy_k_anonymity",
+    privacy.k_anonymize_events,
+    # round-10 NEW capability: k-anonymity release with a 3-level
+    # generalization ladder over (event_type, hour, value band); one
+    # full-scan rollup, ladder decided on the rollup, broadcast back.
+    # k=20 mirrored in the CASE thresholds below.
+    """
+    WITH qi AS (
+      SELECT event_id,
+             coalesce(event_type, '(null)') AS et,
+             coalesce(CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) % 24,
+                      -1) AS hr,
+             coalesce(CAST(FLOOR(value / 10.0) AS BIGINT), -1) AS b10
+      FROM events
+    ), l1 AS (
+      SELECT et, hr, b10, count(*) AS n1,
+             CAST(FLOOR(hr / 4.0) AS BIGINT) AS hr4,
+             CAST(FLOOR(b10 / 2.0) AS BIGINT) AS b20
+      FROM qi GROUP BY et, hr, b10
+    ), l2 AS (
+      SELECT et, hr4, b20, CAST(sum(n1) AS BIGINT) AS n2
+      FROM l1 GROUP BY et, hr4, b20
+    ), l3 AS (
+      SELECT et, CAST(sum(n1) AS BIGINT) AS n3 FROM l1 GROUP BY et
+    ), dec AS (
+      SELECT l1.et, l1.hr, l1.b10, l1.hr4, l1.b20,
+             CASE WHEN n1 >= 20 THEN 1 WHEN n2 >= 20 THEN 2
+                  WHEN n3 >= 20 THEN 3 ELSE 4 END AS anon_level,
+             CAST(CASE WHEN n1 >= 20 THEN n1 WHEN n2 >= 20 THEN n2
+                       WHEN n3 >= 20 THEN n3 ELSE 0 END AS BIGINT)
+               AS group_n
+      FROM l1
+      JOIN l2 ON l2.et = l1.et AND l2.hr4 = l1.hr4 AND l2.b20 = l1.b20
+      JOIN l3 ON l3.et = l1.et
+    )
+    SELECT q.event_id,
+           CASE WHEN d.anon_level = 4 THEN '(suppressed)' ELSE d.et END
+             AS qi_type,
+           CAST(CASE WHEN d.anon_level = 1 THEN d.hr
+                     WHEN d.anon_level = 2 THEN d.hr4
+                     ELSE -1 END AS BIGINT) AS qi_hour,
+           CAST(CASE WHEN d.anon_level = 1 THEN d.b10
+                     WHEN d.anon_level = 2 THEN d.b20
+                     ELSE -1 END AS BIGINT) AS qi_band,
+           CAST(d.anon_level AS INTEGER) AS anon_level,
+           d.group_n
+    FROM qi q
+    JOIN dec d ON d.et = q.et AND d.hr = q.hr AND d.b10 = q.b10
+    ORDER BY q.event_id
+    """,
+)
+
+_register(
+    "privacy_l_diversity",
+    privacy.l_diversify_events,
+    # round-10 NEW capability: k-anonymity + l-diversity (>= k rows
+    # AND >= l distinct users per released group — closes the
+    # homogeneity attack k alone leaves open). (QI, user)-grained base
+    # rollup; every coarser level re-aggregates it. k=20, l=5 mirrored
+    # in the CASE thresholds.
+    """
+    WITH qi AS (
+      SELECT event_id,
+             coalesce(event_type, '(null)') AS et,
+             coalesce(CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) % 24,
+                      -1) AS hr,
+             coalesce(CAST(FLOOR(value / 10.0) AS BIGINT), -1) AS b10,
+             coalesce(user_id, -1) AS uid
+      FROM events
+    ), g1 AS (
+      SELECT et, hr, b10, uid, count(*) AS cnt,
+             CAST(FLOOR(hr / 4.0) AS BIGINT) AS hr4,
+             CAST(FLOOR(b10 / 2.0) AS BIGINT) AS b20
+      FROM qi GROUP BY et, hr, b10, uid
+    ), l1 AS (
+      SELECT et, hr, b10, CAST(sum(cnt) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS u1
+      FROM g1 GROUP BY et, hr, b10
+    ), g2 AS (
+      SELECT et, hr4, b20, uid, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM g1 GROUP BY et, hr4, b20, uid
+    ), l2 AS (
+      SELECT et, hr4, b20, CAST(sum(cnt) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS u2
+      FROM g2 GROUP BY et, hr4, b20
+    ), g3 AS (
+      SELECT et, uid, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM g1 GROUP BY et, uid
+    ), l3 AS (
+      SELECT et, CAST(sum(cnt) AS BIGINT) AS n3,
+             CAST(count(*) AS BIGINT) AS u3
+      FROM g3 GROUP BY et
+    ), keyrows AS (
+      SELECT DISTINCT et, hr, b10, hr4, b20 FROM g1
+    ), dec AS (
+      SELECT kk.et, kk.hr, kk.b10, kk.hr4, kk.b20,
+        CASE WHEN n1 >= 20 AND u1 >= 5 THEN 1
+             WHEN n2 >= 20 AND u2 >= 5 THEN 2
+             WHEN n3 >= 20 AND u3 >= 5 THEN 3 ELSE 4 END AS anon_level,
+        CAST(CASE WHEN n1 >= 20 AND u1 >= 5 THEN n1
+                  WHEN n2 >= 20 AND u2 >= 5 THEN n2
+                  WHEN n3 >= 20 AND u3 >= 5 THEN n3
+                  ELSE 0 END AS BIGINT) AS group_n,
+        CAST(CASE WHEN n1 >= 20 AND u1 >= 5 THEN u1
+                  WHEN n2 >= 20 AND u2 >= 5 THEN u2
+                  WHEN n3 >= 20 AND u3 >= 5 THEN u3
+                  ELSE 0 END AS BIGINT) AS group_users
+      FROM keyrows kk
+      JOIN l1 ON l1.et = kk.et AND l1.hr = kk.hr AND l1.b10 = kk.b10
+      JOIN l2 ON l2.et = kk.et AND l2.hr4 = kk.hr4 AND l2.b20 = kk.b20
+      JOIN l3 ON l3.et = kk.et
+    )
+    SELECT q.event_id,
+           CASE WHEN d.anon_level = 4 THEN '(suppressed)' ELSE d.et END
+             AS qi_type,
+           CAST(CASE WHEN d.anon_level = 1 THEN d.hr
+                     WHEN d.anon_level = 2 THEN d.hr4
+                     ELSE -1 END AS BIGINT) AS qi_hour,
+           CAST(CASE WHEN d.anon_level = 1 THEN d.b10
+                     WHEN d.anon_level = 2 THEN d.b20
+                     ELSE -1 END AS BIGINT) AS qi_band,
+           CAST(d.anon_level AS INTEGER) AS anon_level,
+           d.group_n, d.group_users
+    FROM qi q
+    JOIN dec d ON d.et = q.et AND d.hr = q.hr AND d.b10 = q.b10
+    ORDER BY q.event_id
+    """,
+)
+
+_register(
+    "pipeline_loso_ablation",
+    pipeline.loso_ablation,
+    # round-10 NEW capability: leave-one-source-out corpus ablation —
+    # every source's exclusion stats from ONE (source, lang) rollup;
+    # totals broadcast, no rescan. A language survives s's removal iff
+    # its corpus count exceeds its count inside s.
+    """
+    WITH d AS (
+      SELECT coalesce(source, '(null)') AS source,
+             coalesce(lang, '(null)') AS lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), sl AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_toks,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM d GROUP BY source, lang
+    ), ps AS (
+      SELECT source, CAST(sum(n_docs) AS BIGINT) AS s_docs,
+             CAST(sum(n_toks) AS BIGINT) AS s_toks,
+             CAST(sum(n_chars) AS BIGINT) AS s_chars
+      FROM sl GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+             CAST(sum(n_toks) AS BIGINT) AS t_toks,
+             CAST(sum(n_chars) AS BIGINT) AS t_chars
+      FROM sl
+    ), lt AS (
+      SELECT lang, CAST(sum(n_docs) AS BIGINT) AS l_docs
+      FROM sl GROUP BY lang
+    ), killed AS (
+      SELECT sl.source, count(*) AS n_killed
+      FROM sl JOIN lt ON lt.lang = sl.lang
+      WHERE sl.n_docs = lt.l_docs
+      GROUP BY sl.source
+    ), nl AS (SELECT count(*) AS t_langs FROM lt)
+    SELECT ps.source,
+           CAST(tot.t_docs - ps.s_docs AS BIGINT) AS n_docs_excl,
+           CAST(tot.t_toks - ps.s_toks AS BIGINT) AS n_tokens_excl,
+           CAST(tot.t_chars - ps.s_chars AS BIGINT) AS n_chars_excl,
+           round(CAST(tot.t_chars - ps.s_chars AS DOUBLE)
+                 / nullif(CAST(tot.t_docs - ps.s_docs AS DOUBLE), 0), 6)
+             AS avg_chars_excl,
+           CAST(nl.t_langs - coalesce(k.n_killed, 0) AS BIGINT)
+             AS n_langs_excl
+    FROM ps CROSS JOIN tot CROSS JOIN nl
+    LEFT JOIN killed k ON k.source = ps.source
+    ORDER BY ps.source
     """,
 )
 
@@ -3838,19 +4057,19 @@ _PROMOTED = [
     "events_session_funnel",
     # events_cohort_retention demoted round 8 — see _DEMOTED notes
     "events_rolling_outliers",
-    "events_expectations",
+    # events_expectations demoted round 10 — see _DEMOTED notes
     "events_psi_drift",
-    "events_skew_profile",
+    # events_skew_profile demoted round 10 — see _DEMOTED notes
     # sample_splits demoted round 7 — see _DEMOTED notes
     # sample_token_mixture demoted round 8 — see _DEMOTED notes
     "sample_quality_percentile",
     "pipeline_release_delta",
-    "pipeline_curriculum_order",
-    "dedup_scrub_spans",
+    # pipeline_curriculum_order demoted round 10 — see _DEMOTED notes
+    # dedup_scrub_spans demoted round 10 — see _DEMOTED notes
     # text_decontaminate_spans demoted round 8 — see _DEMOTED notes
     "text_bigram_surprisal",
     # dedup_canonical demoted round 7 — see _DEMOTED notes
-    "text_phrase_search",
+    # text_phrase_search demoted round 10 — see _DEMOTED notes
     # text_winnow_overlap demoted round 8 — see _DEMOTED notes
     # agg_equi_depth_histogram demoted round 8 — see _DEMOTED notes
     # round-6 late additions: boilerplate mass / exact stratified eval
@@ -3974,6 +4193,21 @@ _PROMOTED = [
     # frequent-items sketch under the ann_index_persisted parity
     # pattern: counts exact under capacity, membership ties-closed
     "agg_heavy_hitters_verified",
+    # round-10 NEW capabilities + verified twins. Slots funded by
+    # demoting events_skew_profile, pipeline_curriculum_order,
+    # dedup_scrub_spans and text_phrase_search (all green r6-r9; notes
+    # in _DEMOTED).
+    # k-anonymity release ladder — new privacy family (ops/privacy.py)
+    "privacy_k_anonymity",
+    # + l-diversity on the same ladder (slot funded by demoting
+    # events_expectations — green r6-r9; notes in _DEMOTED)
+    "privacy_l_diversity",
+    # leave-one-source-out ablation — one-rollup corpus composition
+    "pipeline_loso_ablation",
+    # GK-sketch rank contract + HLL error contract under the driver's
+    # exact check (ann_index_persisted pattern, 3rd/4th applications)
+    "agg_quantiles_verified",
+    "agg_hll_verified",
 ]
 
 _DEMOTED = [
@@ -4231,6 +4465,29 @@ _DEMOTED = [
     # sample_exact_stratified (the same hash-rank take-n per stratum),
     # sample_weighted_draw, sample_temperature_mixture and
     # sample_dsir_select in-window
+    # round-10 demotions funding the privacy_k_anonymity /
+    # pipeline_loso_ablation / agg_quantiles_verified / agg_hll_verified
+    # promotions (each green r6-r9, four committed rounds):
+    "events_skew_profile",  # the skew-profile rollup's machinery
+    # (per-key counts + ratio maths) is re-verified in-window by
+    # profile_drift_events (same profiling aggregates, two releases)
+    # and pipeline_datasheet; the salting guidance it feeds stays
+    # plan-tested in pytest
+    "pipeline_curriculum_order",  # the hash-rank curriculum order is
+    # the same deterministic md5-rank construction in-window
+    # sample_exact_stratified and pipeline_pack_balanced verify; the
+    # epoch-stage composition stays pinned in pytest goldens
+    "dedup_scrub_spans",  # gram-span machinery held in-window by
+    # text_dup_sentences / text_scrub_sentences (the sentence-keyed
+    # rewrite twins) and the PPJoin family; span arithmetic stays
+    # under the spans-fuzz pytest gate
+    "text_phrase_search",  # positional-gram search; the gram postings
+    # construction is shared with the in-window dedup family and
+    # search_hybrid_rrf keeps the retrieval family verified
+    "events_expectations",  # green r6-r9; the null-ratio / range /
+    # cardinality expectation aggregates are the same profile maths
+    # in-window profile_drift_events recomputes over two releases,
+    # and pipeline_datasheet carries the corpus-side expectations
     # round-10 demotions funding the dedup_clusters_lsh and
     # agg_heavy_hitters_verified promotions:
     "pipeline_curate",  # green r2-r9 (eight straight rounds); its

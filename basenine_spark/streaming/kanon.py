@@ -1,0 +1,155 @@
+"""Streaming k-anonymity gate — the online admission twin of
+:func:`basenine_spark.ops.privacy.k_anonymize_events`.
+
+The batch ladder needs global group sizes, which an ingest stream
+cannot know; the online form HOLDS each row until its level-1
+quasi-identifier group (event type x hour-of-day x width-10 value
+band) has accumulated at least ``k`` rows, then releases the whole
+buffer and passes subsequent group members straight through.  A group
+that never reaches ``k`` never emits — its rows stay suppressed, the
+conservative direction for a privacy gate (nothing re-identifiable is
+ever visible downstream).  The batch job is the periodic re-balancer
+when generalized (level-2/3) release of the long tail is wanted post
+hoc — the same batch/stream contract as the domain cap
+(:mod:`.source_cap`).
+
+State design (``applyInPandasWithState`` keyed by the QI triple): the
+group's row count plus the buffered event ids — the buffer is bounded
+by ``k - 1`` PER GROUP by construction (the moment it would reach
+``k`` it flushes), so state never grows with stream length.  The
+stream shuffles only on the QI key.  Reference cited for the
+streaming-mode shape: basenine follow-mode streaming
+(``server/server.go:150-209`` dispatch), re-expressed as Structured
+Streaming stateful admission.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..engine.db import BasenineDB
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("qi_type", T.StringType()),
+        T.StructField("qi_hour", T.LongType()),
+        T.StructField("qi_band", T.LongType()),
+        T.StructField("released_at_n", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("pending", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _kanon_fn(k: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(i) for i in pdf["event_id"] if i is not None)
+        if not ids:
+            return
+        ids.sort()  # deterministic release order inside the batch
+        n_seen, pending = (
+            state.get if state.exists else (0, [])
+        )
+        pending = list(pending or [])
+        n_seen += len(ids)
+        if n_seen >= k:
+            out = sorted(pending) + ids
+            state.update((n_seen, []))
+            et, hr, b10 = key
+            yield pd.DataFrame(
+                {
+                    "event_id": out,
+                    "qi_type": [et] * len(out),
+                    "qi_hour": [hr] * len(out),
+                    "qi_band": [b10] * len(out),
+                    "released_at_n": [n_seen] * len(out),
+                }
+            )
+        else:
+            state.update((n_seen, pending + ids))
+
+    return fn
+
+
+def k_anonymity_stream(
+    db: BasenineDB,
+    k: int = 20,
+    query_name: str = "kanon_released",
+    checkpoint: str | None = None,
+):
+    """Start the online k-anonymity gate over a durable BasenineDB's
+    log whose documents carry ``{"event_id": …, "event_type": …,
+    "ts_ms": …, "value": …}``; released rows land in the in-memory
+    table ``query_name`` with the QI they were released under and the
+    group size at release time.  Same checkpoint/restart semantics as
+    the other streaming gates: the default checkpoint path is STABLE
+    (derived from the log path and query name) so a same-name restart
+    resumes offsets and per-group state — but the memory-table sink
+    restarts empty, so pair a durable sink when replay-safe output
+    matters.  NULL quasi-identifier components take the same sentinel
+    values as the batch ladder (``'(null)'`` / ``-1``), so a burst of
+    NULL-heavy rows is gated like any other group rather than leaking.
+    Returns the StreamingQuery."""
+    if db._log is None:
+        raise ValueError(
+            "k_anonymity_stream requires a durable (path-backed) db"
+        )
+    from ..engine.log import LOG_SCHEMA
+
+    stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+    ev = (
+        stream.select(
+            F.from_json(
+                F.col("value"),
+                "event_id long, event_type string, ts_ms long, value double",
+            ).alias("e")
+        )
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.coalesce(F.col("e.event_type"), F.lit("(null)")).alias("et"),
+            F.coalesce(
+                F.floor(F.col("e.ts_ms") / F.lit(3600000.0)).cast("bigint")
+                % 24,
+                F.lit(-1),
+            ).alias("hr"),
+            F.coalesce(
+                F.floor(F.col("e.value") / F.lit(10.0)).cast("bigint"),
+                F.lit(-1),
+            ).alias("b10"),
+        )
+        .filter(F.col("event_id").isNotNull())
+    )
+    released = ev.groupBy("et", "hr", "b10").applyInPandasWithState(
+        _kanon_fn(k),
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        released.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{db._log.path}_kanon_ckpt_{query_name}",
+        )
+        .start()
+    )

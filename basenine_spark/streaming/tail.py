@@ -15,13 +15,27 @@ source listing is the wake-up mechanism; each micro-batch runs the
 compiled BFL filter (typed fast path, row-backend fallback — the same
 ``_apply_bfl`` the batch modes use) and delivers matching records in
 seq order. ``limit(N)`` stops the streaming query from the driver loop
-(SURVEY §7.4 item 6); metadata frames are emitted per micro-batch (the
-documented granularity difference vs per-record wire frames).
+(SURVEY §7.4 item 6).
+
+Metadata cadence (``frame_cadence``): the default ``"delivered"``
+emits one ``/metadata`` frame per DELIVERED (matching) record; the
+candidates skipped between deliveries are charged to the next frame's
+``current``. The reference instead emits a frame after EVERY scanned
+candidate, match or not (``native.go:430-511``: ``queried++`` per
+offset, the frame is minted unconditionally after Eval, ``Current`` =
+records scanned since the previous frame — 1 on the normal path).
+``frame_cadence="scanned"`` opts into that exact cadence: each
+micro-batch additionally ships its scanned seq list to the driver
+(8 bytes per scanned record — the reference writes a whole wire frame
+per scanned record to the client socket, so this is strictly cheaper
+than the traffic it reproduces) and the driver interleaves record and
+frame callbacks exactly like the reference loop.
 
 Scale notes: the per-batch filter is the same pushdown-friendly Column
 plan as batch mode; nothing is collected except *matching* records
 (which in the reference are written to the client socket anyway — the
-driver here plays the client-connection role).
+driver here plays the client-connection role), plus, in
+``"scanned"`` cadence only, the bare seq longs of scanned candidates.
 """
 
 from __future__ import annotations
@@ -48,9 +62,16 @@ class TailQuery:
         on_record: Optional[Callable[[str, str], None]] = None,
         on_metadata: Optional[Callable[[Metadata], None]] = None,
         trigger_seconds: float = 0.2,
+        frame_cadence: str = "delivered",
     ):
         if db._log is None:
             raise ValueError("tail requires a durable (path-backed) BasenineDB")
+        if frame_cadence not in ("delivered", "scanned"):
+            raise ValueError(
+                "frame_cadence must be 'delivered' or 'scanned', got "
+                f"{frame_cadence!r}"
+            )
+        self.frame_cadence = frame_cadence
         self.db = db
         self.spark: SparkSession = db.spark
         self.query_text = query
@@ -126,6 +147,9 @@ class TailQuery:
             .collect()
         )
         rows.sort(key=lambda r: r["_id"] or "")
+        if self.frame_cadence == "scanned":
+            self._emit_scanned(batch_df, rows)
+            return
         with self._lock:
             for r in rows:
                 if self.limit > 0 and self.written >= self.limit:
@@ -153,6 +177,49 @@ class TailQuery:
                         if seq is not None:
                             md.current = seq - self._prev_seq
                             self._prev_seq = seq
+                    self.on_metadata(md)
+            if self.limit > 0 and self.written >= self.limit:
+                self._limit_hit.set()
+
+    def _emit_scanned(self, batch_df: DataFrame, rows: list) -> None:
+        """Reference-exact frame cadence (``native.go:430-511``): one
+        ``/metadata`` frame after EVERY scanned candidate, match or
+        not — ``current`` = records scanned since the previous frame
+        (1 on the normal contiguous path), ``numberOfWritten``
+        cumulative, ``leftOff`` the scanned record's own resume token.
+        Matches are keyed back to their seq via the injected 24-digit
+        id (S3 — every durable-log record carries it); only the bare
+        seq longs of non-matching candidates travel to the driver."""
+        db = self.db
+        matched = {r["_id"]: r["_v"] for r in rows if r["_id"]}
+        if rows and not matched:
+            raise ValueError(
+                "frame_cadence='scanned' needs the injected id column to"
+                " key matches back to scanned seqs; the query projected"
+                " it away"
+            )
+        scan_seqs = sorted(
+            r["seq"]
+            for r in batch_df.filter(F.col("seq") >= self.min_seq)
+            .select("seq")
+            .collect()
+        )
+        with self._lock:
+            for seq in scan_seqs:
+                if self.limit > 0 and self.written >= self.limit:
+                    break
+                rid = index_to_id(seq)
+                v = matched.get(rid)
+                if v is not None:
+                    self.written += 1
+                    self.records.append((rid, v))
+                    if self.on_record:
+                        self.on_record(rid, v)
+                if self.on_metadata:
+                    md = db.metadata(written=self.written, queried=1)
+                    md.left_off = rid
+                    md.current = seq - self._prev_seq
+                    self._prev_seq = seq
                     self.on_metadata(md)
             if self.limit > 0 and self.written >= self.limit:
                 self._limit_hit.set()

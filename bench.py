@@ -117,6 +117,23 @@ HEADLINE = [
     "sample_kcenter_coreset",
     # round-8 NEW capability: first-order Markov transition matrix
     "events_markov_transitions",
+    # round-9 promotions: two-release profile drift + the persisted-ANN
+    # lifecycle parity diff (build→persist→load→serve, write-inclusive)
+    "profile_drift_events",
+    "embedding_drift_releases",
+    "ann_index_persisted",
+    # round-10 promotions: LSH banding under the exact clusters oracle
+    # + the frequent-items verified twin
+    "dedup_clusters_lsh",
+    "agg_heavy_hitters_verified",
+    # round-10 NEW capabilities: k-anonymity release ladder (one
+    # full-scan rollup + broadcast decision), LOSO ablation (one
+    # (source,lang) rollup), and the GK/HLL contract twins
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "pipeline_loso_ablation",
+    "agg_quantiles_verified",
+    "agg_hll_verified",
 ]
 
 

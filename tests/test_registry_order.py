@@ -138,9 +138,13 @@ def test_extension_surface_inside_window():
         # events_cohort_retention demoted round 8 (calendar rollup
         # pinned by 2 green rounds) funding text_scrub_sentences
         "events_rolling_outliers",
-        "events_expectations",
+        # events_expectations demoted round 10 (green r6-r9; profile
+        # maths held by profile_drift_events + pipeline_datasheet)
+        # funding privacy_l_diversity
         "events_psi_drift",
-        "events_skew_profile",
+        # events_skew_profile demoted round 10 (green r6-r9; profiling
+        # machinery held by profile_drift_events + pipeline_datasheet)
+        # funding the round-10 promotions
         # sample_splits demoted round 7 (family held by exact_stratified
         # / token_mixture / quality_percentile / exact_n) funding
         # search_hybrid_rrf
@@ -149,12 +153,16 @@ def test_extension_surface_inside_window():
         # join_bucketed_colocated
         "sample_quality_percentile",
         "pipeline_release_delta",
-        "pipeline_curriculum_order",
-        "dedup_scrub_spans",
+        # pipeline_curriculum_order / dedup_scrub_spans demoted round
+        # 10 (green r6-r9; hash-rank construction held by
+        # sample_exact_stratified + pack_balanced, span machinery by
+        # the sentence-dedup twins) funding the round-10 promotions
         # text_decontaminate_spans demoted round 8 (gram machinery held
         # by in-window dedup_scrub_spans) funding text_dup_sentences
         "text_bigram_surprisal",
-        "text_phrase_search",
+        # text_phrase_search demoted round 10 (green r6-r9; retrieval
+        # family held by search_hybrid_rrf) funding the round-10
+        # promotions
         # text_winnow_overlap demoted round 8 (winnow scheme + pair
         # join pinned by pytest goldens; gram family held by
         # scrub_spans/decontaminate/phrase_search) funding
@@ -235,6 +243,14 @@ def test_extension_surface_inside_window():
         # ann_index_persisted parity pattern
         "dedup_clusters_lsh",
         "agg_heavy_hitters_verified",
+        # round 10 NEW capabilities: k-anonymity release ladder,
+        # leave-one-source-out ablation, and the GK/HLL contract
+        # twins (ann_index_persisted pattern)
+        "privacy_k_anonymity",
+        "privacy_l_diversity",
+        "pipeline_loso_ablation",
+        "agg_quantiles_verified",
+        "agg_hll_verified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

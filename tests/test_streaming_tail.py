@@ -100,3 +100,46 @@ def test_tail_per_record_metadata_golden(spark, tmp_path):
             assert md.no_more_data is False
     finally:
         t.stop()
+
+
+def test_tail_scanned_cadence_golden(spark, tmp_path):
+    """Opt-in reference-exact cadence (VERDICT r8 #10, round 10): with
+    ``frame_cadence="scanned"`` a frame follows EVERY scanned
+    candidate, match or not — native.go:430-511: ``queried++`` per
+    offset, the frame minted unconditionally after Eval, Current = 1
+    on the contiguous path, NumberOfWritten cumulative, leftOff the
+    scanned record's own token. Records still only for matches."""
+    from basenine_spark.engine.db import index_to_id
+
+    db = _mkdb(spark, tmp_path)
+    db.insert_json(_docs(0, 40))  # hit at even n, miss at odd
+    frames = []
+    t = tail(
+        db,
+        'tag == "hit"',
+        on_metadata=frames.append,
+        frame_cadence="scanned",
+    )
+    try:
+        got = t.await_written(20, timeout=60)
+        assert got == 20
+        # every scanned candidate framed — 40 frames for 20 deliveries
+        deadline = __import__("time").time() + 30
+        while len(frames) < 40 and __import__("time").time() < deadline:
+            __import__("time").sleep(0.05)
+        assert len(frames) == 40
+        for seq, md in enumerate(frames):
+            assert md.left_off == index_to_id(seq)
+            assert md.current == 1  # contiguous scan, 1 per frame
+            # cumulative deliveries: evens up to and including seq
+            assert md.number_of_written == seq // 2 + 1
+        docs = [json.loads(v) for _, v in t.records]
+        assert [d["n"] for d in docs] == list(range(0, 40, 2))
+    finally:
+        t.stop()
+
+
+def test_tail_scanned_cadence_rejects_bad_value(spark, tmp_path):
+    db = _mkdb(spark, tmp_path)
+    with pytest.raises(ValueError, match="frame_cadence"):
+        tail(db, "", frame_cadence="per_batch")

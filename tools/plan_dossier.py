@@ -388,6 +388,81 @@ COMMENTARY: dict[str, str] = {
         "frame is the 6-row curve itself (hence the empty "
         "fingerprint); the pair stage's plan is dedup_ngram_jaccard's."
     ),
+    "dedup_clusters_lsh": (
+        "MinHash-LSH banding: the candidate generator is a (band, "
+        "band-hash) bucket self-join — shuffle volume is one signature "
+        "row per (doc, band), never all-pairs — and every candidate is "
+        "exact-Jaccard verified before clustering, so banding recall "
+        "only prunes, never corrupts. Hot buckets are the skew risk at "
+        "crawl scale; the TUNING.md cap note applies. The clustering "
+        "tail is the same min-label propagation as the exact twins."
+    ),
+    "agg_heavy_hitters_verified": (
+        "The approx_top_k sketch aggregates map-side (fixed-size "
+        "state, one shuffle of sketch blocks); the audit joins the "
+        "tiny per-type top-k back to the exact (type, user) rollup "
+        "with the boundary row BROADCAST — the exact rollup is one "
+        "keyed shuffle, everything after is bounded by k x |types|."
+    ),
+    "privacy_k_anonymity": (
+        "One full-scan rollup to the level-1 quasi-identifier groups "
+        "(bounded: |types| x 24 x |bands|), pinned via localCheckpoint "
+        "so the level-2/level-3 re-aggregations and the ladder "
+        "decision never re-scan events; the decision table is "
+        "BROADCAST back onto the rows (plan shows 3 BroadcastHashJoin, "
+        "0 SortMergeJoin). Events is read exactly twice at any scale: "
+        "rollup build + row release."
+    ),
+    "privacy_l_diversity": (
+        "Same ladder as privacy_k_anonymity but the release predicate "
+        "needs DISTINCT users, which cannot re-aggregate from row "
+        "counts — so the pinned base rollup is (QI, user)-grained; "
+        "level-2/3 first re-aggregate to their (QI, user) grain, then "
+        "count users. Still one full-data shuffle + broadcast "
+        "decision; the rollup is bounded by distinct (QI, user) "
+        "combos, orders of magnitude under row count."
+    ),
+    "pipeline_loso_ablation": (
+        "All leave-one-source-out stats derive from ONE (source, "
+        "lang) rollup (pinned via localCheckpoint — documents is "
+        "tokenized exactly once); totals, language totals, and the "
+        "killed-language audit are re-aggregations of that bounded "
+        "rollup, broadcast-joined at the end. No per-source rescan — "
+        "the naive formulation is |sources| passes, this is 1."
+    ),
+    "agg_quantiles_verified": (
+        "The GK sketch aggregates in one mergeable pass; the rank "
+        "audit broadcasts the per-type sketch row back onto events "
+        "and re-aggregates — two scans total, no full-data shuffle "
+        "beyond the two groupBys. The violation counters make the "
+        "sketch CONTRACT (rank within n/accuracy) the driver-checked "
+        "invariant, valid at any scale where the values drift."
+    ),
+    "agg_hll_verified": (
+        "HLL++ estimate and exact distinct in the SAME single groupBy "
+        "— both aggregates merge map-side, one shuffle. At 100 TB the "
+        "exact half is the expensive one (its partial state is the "
+        "distinct (type, user) set); the entry exists to certify the "
+        "sketch's error envelope so the cheap half can be trusted "
+        "alone, which is exactly how it would be deployed."
+    ),
+    "profile_drift_events": (
+        "Two release profiles = two aggregate scans with the same "
+        "group keys; the drift join is per-column rows (bounded by "
+        "schema width x |types|), broadcast. No full-data join."
+    ),
+    "embedding_drift_releases": (
+        "Per-dimension mean/std via posexplode + one groupBy(dim) per "
+        "release — shuffle volume is dim x partials, not vectors; the "
+        "drift compare is a dim-row broadcast join."
+    ),
+    "ann_index_persisted": (
+        "The lifecycle entry: build -> persist (Parquet codebooks + "
+        "coded vectors) -> load -> serve, then a full-outer parity "
+        "diff vs the in-session IVF-PQ path, bounded at top-k x "
+        "|queries| rows. Timing is write-inclusive by design — the "
+        "amortized index-build cost a serving deployment pays once."
+    ),
 }
 
 
