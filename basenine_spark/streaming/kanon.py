@@ -93,6 +93,7 @@ def k_anonymity_stream(
     k: int = 20,
     query_name: str = "kanon_released",
     checkpoint: str | None = None,
+    sink_path: str | None = None,
 ):
     """Start the online k-anonymity gate over a durable BasenineDB's
     log whose documents carry ``{"event_id": …, "event_type": …,
@@ -106,7 +107,14 @@ def k_anonymity_stream(
     matters.  NULL quasi-identifier components take the same sentinel
     values as the batch ladder (``'(null)'`` / ``-1``), so a burst of
     NULL-heavy rows is gated like any other group rather than leaking.
-    Returns the StreamingQuery."""
+
+    Pass a fixed ``checkpoint`` AND a ``sink_path`` for the RESUMABLE
+    mode (append-only Parquet instead of the non-fault-tolerant memory
+    table): on restart the per-group counts and buffered ids are
+    restored from state, so rows buffered below ``k`` before a crash
+    still flush the moment the group completes after it — no held row
+    is ever lost or double-released (pinned in pytest).  Returns the
+    StreamingQuery."""
     if db._log is None:
         raise ValueError(
             "k_anonymity_stream requires a durable (path-backed) db"
@@ -143,13 +151,19 @@ def k_anonymity_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+    ckpt = checkpoint or f"{db._log.path}_kanon_ckpt_{query_name}"
+    if sink_path is not None:
+        return (
+            released.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink_path)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
     return (
         released.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
-        .option(
-            "checkpointLocation",
-            checkpoint or f"{db._log.path}_kanon_ckpt_{query_name}",
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )

@@ -84,3 +84,66 @@ def test_negative_half_matches_floor_idiom_not_native_round():
         (got,) = con.execute(sql).fetchone()
         want = math.floor(x * 1e4 + 0.5) / 1e4
         assert got == want, (x, got, want)
+
+
+# -- property test: the rewriter is total over the oracle grammar ------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _atoms = st.sampled_from(
+        ["x", "y.z", "sum(a)", "count(*)", "1.5", "coalesce(a, b)",
+         "'lit,with)parens('", "nullif(c, 0)"]
+    )
+
+    @st.composite
+    def _exprs(draw, depth=0):
+        if depth >= 3:
+            return draw(_atoms)
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            return draw(_atoms)
+        if kind == 1:
+            return f"({draw(_exprs(depth + 1))} + {draw(_exprs(depth + 1))})"
+        if kind == 2:
+            k = draw(st.integers(0, 6))
+            return f"round({draw(_exprs(depth + 1))}, {k})"
+        return f"round({draw(_exprs(depth + 1))})"
+
+    @given(_exprs())
+    @settings(max_examples=200, deadline=None)
+    def test_rewriter_total_and_complete(expr):
+        """Every round() — arbitrarily nested, with quoted commas and
+        parens inside string literals — is rewritten; the output never
+        contains a native round( and is paren-balanced outside
+        literals."""
+        sql = f"SELECT {expr} AS v FROM t"
+        out = stable_round_sql(sql)
+        assert not re.search(r"(?<![A-Za-z0-9_])round\s*\(", out, re.I)
+        # strip single-quoted literals, then parens must balance
+        stripped = re.sub(r"'[^']*'", "", out)
+        depth = 0
+        for ch in stripped:
+            depth += ch == "("
+            depth -= ch == ")"
+            assert depth >= 0
+        assert depth == 0
+
+    @given(st.floats(-1e6, 1e6, allow_nan=False), st.integers(0, 6))
+    @settings(max_examples=200, deadline=None)
+    def test_rewritten_sql_matches_python_floor(x, k):
+        """DuckDB evaluating the rewritten idiom agrees with the exact
+        same IEEE sequence computed in Python — including negative
+        half-way doubles, where native round() would disagree."""
+        import math
+
+        out = stable_round_sql(f"SELECT round({x!r}, {k}) AS v")
+        (got,) = duckdb.execute(out).fetchone()
+        scale = float(10**k)
+        want = math.floor(x * scale + 0.5) / scale
+        assert got == want

@@ -77,3 +77,52 @@ def test_kanon_stream_null_qi_sentinel_group(spark, tmp_path):
         assert got == {(i, "(null)", -1, -1) for i in range(3)}
     finally:
         sq.stop()
+
+
+def test_kanon_stream_resumes_buffered_state(spark, tmp_path):
+    """Crash/restart contract: rows buffered BELOW k before the stop
+    are restored from state and flush the moment the group completes
+    after the restart — nothing lost, nothing double-released."""
+    db = BasenineDB(spark, path=str(tmp_path / "kanonstore3"))
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "released")
+
+    def _sink_rows(want, deadline_s=90):
+        deadline = time.time() + deadline_s
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:  # noqa: BLE001 — sink dir not created yet
+                rows = []
+            if len(rows) >= want:
+                break
+            time.sleep(0.5)
+        return rows
+
+    # run 1: two group members arrive (below k=3), then a full other
+    # group proves the stream processed the batch before we stop
+    db.insert_json(
+        [_ev(0, "click", 3, 5.0), _ev(1, "click", 3, 6.0)]
+        + [_ev(50 + i, "view", 1, 5.0) for i in range(3)]
+    )
+    sq = k_anonymity_stream(db, k=3, checkpoint=ckpt, sink_path=sink)
+    try:
+        rows = _sink_rows(3)
+        assert {r["event_id"] for r in rows} == {50, 51, 52}
+    finally:
+        sq.stop()
+
+    # run 2 (same checkpoint): the third click completes the group —
+    # the two PRE-RESTART buffered clicks flush with it
+    db.insert_json([_ev(2, "click", 3, 7.0)])
+    sq2 = k_anonymity_stream(db, k=3, checkpoint=ckpt, sink_path=sink)
+    try:
+        rows = _sink_rows(6)
+        clicks = [r for r in rows if r["qi_type"] == "click"]
+        assert {r["event_id"] for r in clicks} == {0, 1, 2}
+        assert all(r["released_at_n"] == 3 for r in clicks)
+        # the view group is NOT re-emitted
+        assert sum(1 for r in rows if r["qi_type"] == "view") == 3
+    finally:
+        sq2.stop()
