@@ -886,6 +886,81 @@ def knn_graph(
     )
 
 
+def knn_graph_exact(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph — the brute-force baseline twin
+    of :func:`knn_graph` (same output contract: per-node top-``k`` by
+    cosine, ties by neighbor id, ``mutual`` marks symmetric edges),
+    fully deterministic and therefore under the driver's exact SQL
+    oracle.
+
+    Scale posture, stated honestly: this is the QUADRATIC baseline —
+    each unordered pair scored once (i < j, then mirrored), so work is
+    N²/2 dot products. It exists as (a) the driver-verified
+    ground-truth the approximate SRP-LSH path's recall is measured
+    against, and (b) the right plan when N is small (a centroid set, a
+    query batch, a per-cluster refinement inside SemDeDup) — at corpus
+    scale the LSH-bucketed :func:`knn_graph` is the plan. The exact
+    twin shares the ranking/mutual machinery shape, so the oracle also
+    pins that logic for the approximate path.
+    """
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm")
+    )
+    # the streamed side of the broadcast nested-loop join inherits the
+    # source file's partitioning — a single parquet file would make the
+    # whole N^2 scoring ONE task; spread it so all cores score
+    a = emb.repartition(
+        int(spark.sparkContext.defaultParallelism)
+    ).alias("a")
+    b = F.broadcast(emb).alias("b")
+    # norms precomputed per row per side (the r8 ann_topk idiom): one
+    # HOF dot per pair instead of three, nullif for zero-norm NULLs
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            stable_round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / F.nullif(
+                    F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    directed = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "sim"
+    ).union(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst").asc()
+    )
+    topk = directed.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+    reverse = topk.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        topk.join(reverse, ["src", "dst"], "left_semi")
+        .withColumn("mutual", F.lit(True))
+        .unionByName(
+            topk.join(reverse, ["src", "dst"], "left_anti").withColumn(
+                "mutual", F.lit(False)
+            )
+        )
+        .select("src", "dst", "sim", "rank", "mutual")
+        .orderBy("src", "rank")
+    )
+
+
 # -- embedding distribution drift -------------------------------------------
 
 

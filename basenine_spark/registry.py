@@ -846,6 +846,39 @@ _register(
     ) WHERE rank <= 5
     """,
 )
+_register(
+    "knn_graph_exact",
+    similarity.knn_graph_exact,
+    # round-10 late: the brute-force exact kNN graph under the driver's
+    # full oracle — the ground truth the SRP-LSH knn_graph's recall is
+    # pinned against, and the driver-verified home of the shared
+    # ranking/mutual-edge machinery. Quadratic by design (baseline +
+    # small-N refinement plan); knn_graph is the corpus-scale path.
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ), s AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT src, dst, sim,
+             CAST(row_number() OVER (PARTITION BY src
+                                     ORDER BY sim DESC, dst ASC)
+                  AS BIGINT) AS rank
+      FROM s WHERE sim IS NOT NULL
+    ), topk AS (SELECT * FROM r WHERE rank <= 5)
+    SELECT t.src, t.dst, t.sim, t.rank,
+           (m.src IS NOT NULL) AS mutual
+    FROM topk t
+    LEFT JOIN topk m ON m.src = t.dst AND m.dst = t.src
+    ORDER BY t.src, t.rank
+    """,
+)
 _register("ann_topk_lsh", similarity.ann_topk_lsh, None)
 _register("ann_topk_ivf", similarity.ann_topk_ivf, None)
 
@@ -4085,10 +4118,7 @@ _PROMOTED = [
     # (green r2-r5; the multimodal family is pinned by the real-decode
     # pytest surface incl. PNG/pHash/spectral/fingerprint gates)
     "join_interval_overlap",
-    # token-balanced fixed-bin packing (LPT-serpentine) — slot funded
-    # by demoting text_vocab_topk (green r4+r5; the token-count family
-    # keeps text_quality_flags / bm25 / surprisal in-window)
-    "pipeline_pack_balanced",
+    # pipeline_pack_balanced demoted round 10 — see _DEMOTED notes
     # sample_effective_mass demoted round 8 — see _DEMOTED notes
     # (was: dedup-aware effective token mass, slot originally funded by
     # demoting profile_orders)
@@ -4208,6 +4238,10 @@ _PROMOTED = [
     # exact check (ann_index_persisted pattern, 3rd/4th applications)
     "agg_quantiles_verified",
     "agg_hll_verified",
+    # round-10 late: exact kNN graph baseline under the full oracle
+    # (slot funded by demoting pipeline_pack_balanced — green r6-r9;
+    # notes in _DEMOTED)
+    "knn_graph_exact",
 ]
 
 _DEMOTED = [
@@ -4488,6 +4522,10 @@ _DEMOTED = [
     # cardinality expectation aggregates are the same profile maths
     # in-window profile_drift_events recomputes over two releases,
     # and pipeline_datasheet carries the corpus-side expectations
+    "pipeline_pack_balanced",  # green r6-r9; the LPT-serpentine rank
+    # math is pure integer window arithmetic pinned in pytest and the
+    # packing family keeps pipeline_pack there; release/datasheet
+    # carry the manifest surface in-window — slot funds knn_graph_exact
     # round-10 demotions funding the dedup_clusters_lsh and
     # agg_heavy_hitters_verified promotions:
     "pipeline_curate",  # green r2-r9 (eight straight rounds); its

@@ -134,6 +134,9 @@ HEADLINE = [
     "pipeline_loso_ablation",
     "agg_quantiles_verified",
     "agg_hll_verified",
+    # round-10 late: the exact kNN baseline (quadratic by design — the
+    # ground truth the LSH path's recall is pinned against)
+    "knn_graph_exact",
 ]
 
 

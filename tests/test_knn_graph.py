@@ -75,3 +75,34 @@ def test_mutual_edges_exist_both_ways(graph):
 def test_deterministic(spark, graph):
     again = similarity.knn_graph(spark, SF, k=K).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, graph))
+
+
+def test_exact_twin_matches_numpy_ground_truth(spark, exact_topk):
+    """knn_graph_exact (round 10, full driver oracle) must equal the
+    numpy brute-force ground truth EXACTLY — same neighbors, same
+    ranks — and its mutual flag must be reverse-edge membership."""
+    rows = similarity.knn_graph_exact(spark, SF, k=K).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+    for src, pairs in got.items():
+        ordered = [d for _, d in sorted(pairs)]
+        assert ordered == exact_topk[src], f"src {src}"
+    edge_set = {(r["src"], r["dst"]) for r in rows}
+    for r in rows:
+        assert r["mutual"] == ((r["dst"], r["src"]) in edge_set)
+
+
+def test_lsh_recall_vs_exact_twin(spark, graph):
+    """The approximate path's recall floor, measured against the
+    driver-verified exact twin instead of ad-hoc numpy."""
+    exact = similarity.knn_graph_exact(spark, SF, k=K).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["src"], set()).add(r["dst"])
+    hits = total = 0
+    for src, dsts in truth.items():
+        got = {r["dst"] for r in graph if r["src"] == src}
+        hits += len(got & dsts)
+        total += len(dsts)
+    assert hits / total >= 0.8

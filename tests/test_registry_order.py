@@ -176,7 +176,9 @@ def test_extension_surface_inside_window():
         "sample_exact_stratified",
         "pipeline_datasheet",
         "join_interval_overlap",
-        "pipeline_pack_balanced",
+        # pipeline_pack_balanced demoted round 10 (green r6-r9; LPT
+        # math pinned in pytest, pipeline_pack in family) funding
+        # knn_graph_exact
         # sample_effective_mass demoted round 8 (mass rollup re-verified
         # inside temperature_mixture + datasheet) funding
         # events_markov_transitions
@@ -251,6 +253,8 @@ def test_extension_surface_inside_window():
         "pipeline_loso_ablation",
         "agg_quantiles_verified",
         "agg_hll_verified",
+        # round 10 late: the exact kNN baseline under the full oracle
+        "knn_graph_exact",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

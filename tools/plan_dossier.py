@@ -446,6 +446,14 @@ COMMENTARY: dict[str, str] = {
         "sketch's error envelope so the cheap half can be trusted "
         "alone, which is exactly how it would be deployed."
     ),
+    "knn_graph_exact": (
+        "The brute-force baseline, quadratic BY DESIGN: each unordered "
+        "pair scored once (i<j cross join, mirrored), one node-keyed "
+        "window for top-k. The plan to run on small N (centroids, "
+        "query batches, per-cluster refinement) and the driver-verified "
+        "ground truth for knn_graph's SRP-LSH recall — at corpus scale "
+        "the bucketed knn_graph is the path."
+    ),
     "profile_drift_events": (
         "Two release profiles = two aggregate scans with the same "
         "group keys; the drift join is per-column rows (bounded by "
