@@ -794,10 +794,14 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(spark, sf_dir, n=3, threshold=0.4)
 
 
-_register(
-    "dedup_ngram_jaccard",
-    _jaccard_pairs,
-    """
+# Shared by dedup_ngram_jaccard (PPJoin, exact by construction) and
+# dedup_minhash_lsh (banding candidates + exact-Jaccard verify, exact
+# over candidates — recall total on this corpus, verified plain AND
+# docs-fuzz, so the two paths emit the IDENTICAL pair list; the
+# banding recall floor for corpora where recall < 1 stays pinned in
+# pytest). Jaccard over the minhash path's xxhash64'd shingles equals
+# Jaccard over string shingles absent collisions — none in this corpus.
+_JACCARD_PAIRS_ORACLE = """
     WITH t AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= 3
@@ -813,9 +817,17 @@ _register(
     )
     SELECT doc_a, doc_b, FLOOR(inter / uni * 1e6 + 0.5) / 1e6 AS jaccard
     FROM pairs WHERE FLOOR(inter / uni * 1e6 + 0.5) / 1e6 >= 0.4
-    """,
+    """
+
+_register("dedup_ngram_jaccard", _jaccard_pairs, _JACCARD_PAIRS_ORACLE)
+_register(
+    "dedup_minhash_lsh",
+    # promoted round 10 (same argument as dedup_clusters_lsh): banding
+    # candidates are exact-Jaccard verified and recall is total on this
+    # corpus, so the pair list hashes the SAME oracle as the PPJoin path
+    lambda s, d: dedup.minhash_lsh_pairs(s, d, n=3, threshold=0.4),
+    _JACCARD_PAIRS_ORACLE,
 )
-_register("dedup_minhash_lsh", lambda s, d: dedup.minhash_lsh_pairs(s, d, n=3, threshold=0.4), None)
 _register("dedup_simhash", dedup.simhash64, None)
 _register("dedup_simhash_pairs", lambda s, d: dedup.simhash_near_pairs(s, d, max_hamming=6), None)
 
@@ -4110,7 +4122,7 @@ _PROMOTED = [
     # window slots (funded by demoting window_range_count,
     # sample_quality_topk, dedup_incremental — all multi-round green,
     # families held per the _DEMOTED notes)
-    "text_boilerplate",
+    # text_boilerplate demoted round 10 — see _DEMOTED notes
     "sample_exact_stratified",
     "pipeline_datasheet",
     # cross-entity interval-overlap join (grid-bucketed, no cartesian):
@@ -4242,6 +4254,10 @@ _PROMOTED = [
     # (slot funded by demoting pipeline_pack_balanced — green r6-r9;
     # notes in _DEMOTED)
     "knn_graph_exact",
+    # round-10 late: the MinHash-LSH banding pair path under the SAME
+    # exact-Jaccard oracle as the PPJoin twin (slot funded by demoting
+    # text_boilerplate — green r6-r9; notes in _DEMOTED)
+    "dedup_minhash_lsh",
 ]
 
 _DEMOTED = [
@@ -4296,7 +4312,8 @@ _DEMOTED = [
     # rows-only entries (genuinely approximate / parse-only): an oracle
     # row beats a rows-only row when the driver truncates the list;
     # each of these is pinned by pytest (incl. the LSH recall gate)
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh PROMOTED round 10 (exact-over-candidates +
+    # total recall on this corpus — shares the PPJoin pair oracle)
     "dedup_simhash",
     "dedup_simhash_pairs",
     "ann_topk_lsh",
@@ -4526,6 +4543,11 @@ _DEMOTED = [
     # math is pure integer window arithmetic pinned in pytest and the
     # packing family keeps pipeline_pack there; release/datasheet
     # carry the manifest surface in-window — slot funds knn_graph_exact
+    "text_boilerplate",  # green r6-r9; the cross-doc duplicate-line
+    # mass is the same line/sentence-keyed duplicate accounting the
+    # in-window text_dup_sentences / text_scrub_sentences twins verify,
+    # and the df-ratio machinery is PPJoin-family — slot funds the
+    # dedup_minhash_lsh promotion
     # round-10 demotions funding the dedup_clusters_lsh and
     # agg_heavy_hitters_verified promotions:
     "pipeline_curate",  # green r2-r9 (eight straight rounds); its

@@ -172,7 +172,9 @@ def test_extension_surface_inside_window():
         # sample_source_cap_twophase
         # round 6 late: boilerplate mass, exact stratified eval set,
         # corpus datasheet, interval-overlap join
-        "text_boilerplate",
+        # text_boilerplate demoted round 10 (green r6-r9; duplicate-
+        # line accounting held by the sentence-dedup twins) funding
+        # dedup_minhash_lsh
         "sample_exact_stratified",
         "pipeline_datasheet",
         "join_interval_overlap",
@@ -255,6 +257,8 @@ def test_extension_surface_inside_window():
         "agg_hll_verified",
         # round 10 late: the exact kNN baseline under the full oracle
         "knn_graph_exact",
+        # round 10 late: MinHash-LSH pairs under the shared exact oracle
+        "dedup_minhash_lsh",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
