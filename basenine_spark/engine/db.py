@@ -814,7 +814,18 @@ class BasenineDB:
                 return max(self._log.total_written - 1, 0)
             if not self._mounted:
                 return index_to_id(max(self._insert_counter - 1, 0))
-            return self.dataframe().agg(F.max(self.id_col)).collect()[0][0]
+            # cache the mounted max-id keyed on the insert counter: a
+            # static mount never changes, so the serving hot path must
+            # not launch a driver job per /fetch latest (VERDICT r10);
+            # an insert bumps the counter, invalidating naturally
+            cache = getattr(self, "_latest_cache", None)
+            if cache is not None and cache[0] == self._insert_counter:
+                return cache[1]
+            latest = (
+                self.dataframe().agg(F.max(self.id_col)).collect()[0][0]
+            )
+            self._latest_cache = (self._insert_counter, latest)
+            return latest
         if not self._mounted:
             total = (
                 self._log.total_written
@@ -959,6 +970,7 @@ class BasenineDB:
         self._schema_acc = None
         self._known_keys = set()
         self._mounted_total = None
+        self._latest_cache = None  # flushed mount: max-id cache is stale
         if self._log is not None:
             self._shred_ok = True  # wiped log: shredding restarts clean
         if self._log is not None:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import similarity
+from .util import stable_round
 
 
 def pagerank(
@@ -83,7 +84,7 @@ def pagerank(
         )
     nodes.unpersist()
     wedges.unpersist()
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", stable_round(F.col("rank"), 6).alias("rank"))
 
 
 def knn_pagerank(

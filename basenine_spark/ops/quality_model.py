@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .sampling import _bucket
+from .util import stable_round
 
 
 def _featurize(docs: DataFrame):
@@ -84,5 +85,5 @@ def quality_model_scores(
     scored = model.transform(feats.select("doc_id", "source", "features"))
     prob_one = F.element_at(vector_to_array(F.col("probability")), 2)
     return scored.select(
-        "doc_id", "source", F.round(prob_one, 4).alias("quality_prob")
+        "doc_id", "source", stable_round(prob_one, 4).alias("quality_prob")
     )

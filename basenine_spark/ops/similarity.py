@@ -356,7 +356,13 @@ def embedding_near_dup(
         cands.select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("sim"),
+            # stable_round, not F.round: the verified-twin contract row
+            # and the pytest recall gates compare these sims against
+            # stable_round-ed exact twins — the settled r10 convention
+            # is the FLOOR idiom on every side of a comparison
+            stable_round(cosine(F.col("e_a"), F.col("e_b")), 4).alias(
+                "sim"
+            ),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -797,6 +803,27 @@ def semantic_dedup(
 # -- k-NN graph -------------------------------------------------------------
 
 
+def _mark_mutual(topk: DataFrame) -> DataFrame:
+    """Flag edges whose reverse also survived per-node ranking — ONE
+    left join against the reversed edge set producing a boolean marker
+    (the r10 shape was a semi-join UNION an anti-join against the same
+    set: two shuffles where one does it — VERDICT r10 What's-wrong #2).
+    Input/output contract: (src, dst, sim, rank) → (src, dst, sim,
+    rank, mutual)."""
+    reverse = topk.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(True).alias("rev"),
+    )
+    return topk.join(reverse, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        "sim",
+        "rank",
+        F.coalesce(F.col("rev"), F.lit(False)).alias("mutual"),
+    )
+
+
 def knn_graph(
     spark: SparkSession,
     sf_dir: str,
@@ -854,7 +881,13 @@ def knn_graph(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("sim"),
+            # stable_round, not F.round: the exact twin rounds with the
+            # FLOOR idiom, and the recall gate compares the two rankings
+            # — a rounding-boundary sim must not rank differently across
+            # the twins (VERDICT r10)
+            stable_round(cosine(F.col("e_a"), F.col("e_b")), 4).alias(
+                "sim"
+            ),
         )
     )
     directed = pairs.select(
@@ -868,22 +901,14 @@ def knn_graph(
         F.col("sim").desc(), F.col("dst").asc()
     )
     topk = (
-        directed.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        # NULL sims (zero-norm vectors that co-bucketed) are not
+        # neighbors — dropped before ranking, mirroring the exact twin
+        # (desc ordering would otherwise rank them last instead of out)
+        directed.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
-    reverse = topk.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    return (
-        topk.join(reverse, ["src", "dst"], "left_semi")
-        .withColumn("mutual", F.lit(True))
-        .unionByName(
-            topk.join(reverse, ["src", "dst"], "left_anti").withColumn(
-                "mutual", F.lit(False)
-            )
-        )
-        .select("src", "dst", "sim", "rank", "mutual")
-    )
+    return _mark_mutual(topk)
 
 
 def knn_graph_exact(
@@ -945,19 +970,186 @@ def knn_graph_exact(
     topk = directed.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= k)
-    reverse = topk.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    return (
-        topk.join(reverse, ["src", "dst"], "left_semi")
-        .withColumn("mutual", F.lit(True))
-        .unionByName(
-            topk.join(reverse, ["src", "dst"], "left_anti").withColumn(
-                "mutual", F.lit(False)
-            )
+    return _mark_mutual(topk).orderBy("src", "rank")
+
+
+# -- approximate-ANN contract rows (driver-verified twins) -------------------
+#
+# The approximate family (LSH / IVF / PQ / IVF-PQ / SRP-kNN) is
+# recall-approximate by design, so its raw outputs carry no SQL oracle.
+# The ann_index_persisted pattern (VERDICT r8 #3, r10 next-round #1)
+# makes it driver-checkable anyway: emit CONTRACT-VIOLATION counters
+# that are deterministically zero — recall vs the exact twin above a
+# conservative floor, per-query ranking discipline, and (where the
+# approximate path scores candidates with exact cosine) bit-equality of
+# every returned sim against a recomputation from the raw vectors —
+# plus data-derived ballast so the row is not a constant.
+
+
+def _order_violation_count(approx: DataFrame, part_col: str) -> int:
+    """Rows violating the ranking contract inside an approximate
+    result: ranks dense from 1 per partition key, sims non-increasing
+    with rank, ties broken by ascending neighbor id."""
+    nb = "neighbor_id" if "neighbor_id" in approx.columns else "dst"
+    w = Window.partitionBy(part_col).orderBy(F.col("rank").asc())
+    prev_rank = F.lag("rank").over(w)
+    prev_sim = F.lag("sim").over(w)
+    prev_nb = F.lag(nb).over(w)
+    viol = (
+        F.when(prev_rank.isNull(), F.col("rank") != 1).otherwise(
+            F.col("rank") != prev_rank + 1
         )
-        .select("src", "dst", "sim", "rank", "mutual")
-        .orderBy("src", "rank")
+        | (prev_sim.isNotNull() & (F.col("sim") > prev_sim))
+        | (
+            prev_sim.isNotNull()
+            & (F.col("sim") == prev_sim)
+            & (F.col(nb) <= prev_nb)
+        )
+    )
+    # window exprs must be projected before the aggregate (Spark
+    # rejects a window inside agg())
+    row = (
+        approx.select(viol.cast("bigint").alias("viol"))
+        .agg(F.coalesce(F.sum("viol"), F.lit(0)).alias("v"))
+        .collect()[0]
+    )
+    return int(row["v"])
+
+
+def _sim_mismatch_count(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> int:
+    """Approximate-path sims must equal a stable_round-ed exact cosine
+    recomputed from the raw vectors — null-safe compared (a NULL sim
+    should never have survived ranking, so any NULL mismatches)."""
+    emb = load_embeddings(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias(a_col), F.col("embedding").alias("_ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias(b_col), F.col("embedding").alias("_eb")
+    )
+    joined = (
+        edges.select(a_col, b_col, "sim")
+        .join(a, a_col)
+        .join(b, b_col)
+        .select(
+            (
+                ~F.col("sim").eqNullSafe(
+                    stable_round(cosine(F.col("_ea"), F.col("_eb")), 4)
+                )
+            )
+            .cast("bigint")
+            .alias("mm")
+        )
+    )
+    row = joined.agg(
+        F.coalesce(F.sum("mm"), F.lit(0)).alias("mm")
+    ).collect()[0]
+    return int(row["mm"])
+
+
+def ann_recall_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    method: str,
+    k: int = 5,
+    n_queries: int = 10,
+    recall_floor: float = 0.5,
+) -> DataFrame:
+    """Driver-verified contract row for one approximate ANN method.
+
+    Output (one row): ``n_queries`` (count of valid query vectors —
+    data-derived ballast, the oracle recomputes it from the embeddings
+    table), ``recall_violations`` (1 iff recall@k against the exact
+    :func:`ann_topk` twin fell below ``recall_floor`` — floors sit
+    with margin under the measured recall on the driver corpus, the
+    emb-fuzz corpus, and sf0.1; the tight per-method gates stay in
+    pytest), ``order_violations`` (ranking-discipline breaches), and
+    ``sim_mismatches`` (exact-scoring methods only: every returned sim
+    must equal the stable_round-ed cosine recomputed from raw vectors;
+    ADC methods score through the codebook LUT, so the check is
+    skipped and reported 0 by definition there).
+    """
+    fns = {
+        "lsh": ann_topk_lsh,
+        "ivf": ann_topk_ivf,
+        "pq": ann_topk_pq,
+        "ivfpq": ann_topk_ivfpq,
+    }
+    approx = (
+        fns[method](spark, sf_dir, k=k, n_queries=n_queries)
+        # tiny (≤ k × n_queries rows) but consumed by three checks —
+        # pin once so the LSH/IVF/PQ build does not run per check
+        .localCheckpoint(eager=True)
+    )
+    exact = ann_topk(spark, sf_dir, k=k, n_queries=n_queries).localCheckpoint(
+        eager=True
+    )
+    n_exact = exact.count()
+    n_hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .count()
+    )
+    recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
+    order_viol = _order_violation_count(approx, "query_id")
+    if method in ("lsh", "ivf"):  # exact cosine over candidates
+        sim_mm = _sim_mismatch_count(
+            spark, sf_dir, approx, "query_id", "neighbor_id"
+        )
+    else:  # ADC scoring — approximate by design, no exactness claim
+        sim_mm = 0
+    nq = (
+        load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < n_queries)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(nq), recall_viol, order_viol, sim_mm)],
+        "n_queries bigint, recall_violations bigint,"
+        " order_violations bigint, sim_mismatches bigint",
+    )
+
+
+def knn_graph_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    recall_floor: float = 0.5,
+) -> DataFrame:
+    """Driver-verified contract row for the SRP-LSH :func:`knn_graph`
+    against the exact quadratic twin :func:`knn_graph_exact`: edge-set
+    recall above a conservative floor, per-node ranking discipline,
+    and bit-equality of every approximate edge's sim against a
+    recomputed stable_round-ed cosine (the LSH path scores candidates
+    with EXACT cosine — only the candidate set is approximate).
+    Ballast: ``n_nodes`` = valid embedding rows (oracle-recomputable).
+    """
+    approx = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
+    exact = knn_graph_exact(spark, sf_dir, k=k).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    n_hits = (
+        exact.select("src", "dst")
+        .join(approx.select("src", "dst"), ["src", "dst"], "left_semi")
+        .count()
+    )
+    recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
+    order_viol = _order_violation_count(approx, "src")
+    sim_mm = _sim_mismatch_count(spark, sf_dir, approx, "src", "dst")
+    n_nodes = load_embeddings(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [(int(n_nodes), recall_viol, order_viol, sim_mm)],
+        "n_nodes bigint, recall_violations bigint,"
+        " order_violations bigint, sim_mismatches bigint",
     )
 
 
@@ -1083,7 +1275,12 @@ def contrastive_triplets(
             "positive",
             "negative",
             "pos_sim",
-            F.round(cosine(F.col("e_a"), F.col("e_n")), 4).alias("neg_sim"),
+            # stable_round: pos_sim comes stable-rounded from knn_graph
+            # — the margin (pos_sim - neg_sim) must not mix rounding
+            # conventions across its two operands
+            stable_round(cosine(F.col("e_a"), F.col("e_n")), 4).alias(
+                "neg_sim"
+            ),
         )
     )
 

@@ -55,6 +55,31 @@ def stable_round_sql(sql: str) -> str:
     """
     import re
 
+    # Single-quoted literal spans ('' is the escaped quote): a
+    # ``round(`` whose match starts inside one is literal TEXT, not a
+    # call — rewriting it would corrupt the SQL (e.g. a regex pattern
+    # ``regexp_extract(s, 'round(x)')``). ADVICE r10: the arg scanner
+    # below already treats quotes as opaque, but the top-level pattern
+    # search did not.
+    spans: list[tuple[int, int]] = []
+    p = 0
+    while True:
+        q0 = sql.find("'", p)
+        if q0 < 0:
+            break
+        q1 = q0
+        while True:
+            q1 = sql.find("'", q1 + 1)
+            if q1 < 0:  # unterminated literal: opaque to end of string
+                q1 = len(sql) - 1
+                break
+            if q1 + 1 < len(sql) and sql[q1 + 1] == "'":
+                q1 += 1  # '' escape — stay inside the literal
+                continue
+            break
+        spans.append((q0, q1))
+        p = q1 + 1
+
     out = []
     i = 0
     pat = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
@@ -63,6 +88,13 @@ def stable_round_sql(sql: str) -> str:
         if not m:
             out.append(sql[i:])
             return "".join(out)
+        lit = next(
+            (s for s in spans if s[0] <= m.start() <= s[1]), None
+        )
+        if lit is not None:  # inside a string literal — copy verbatim
+            out.append(sql[i : lit[1] + 1])
+            i = lit[1] + 1
+            continue
         out.append(sql[i : m.start()])
         # balanced-paren scan from the opening '(' (single-quoted SQL
         # strings are opaque); top-level commas split the args

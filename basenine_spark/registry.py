@@ -53,6 +53,7 @@ from .ops import (
 )
 from .ops.util import stable_round_sql
 from .sources.tables import load_table
+from .streaming import replay as streaming_replay
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2272,12 +2273,20 @@ _register(
 
 _register(
     "knn_graph",
-    # 12 tables x 8 bits: bucket resolution sized for the sf0.01+ corpus
-    # (the sf0.001 recall gate in pytest uses the 24x5 moderate-sim
-    # calibration — bucket count must track corpus size, see docstring)
-    lambda s, d: similarity.knn_graph(s, d, tables=12, bits=8),
+    # 24 tables x 5 bits — the moderate-similarity calibration (same as
+    # the pytest gate). RECALIBRATED round 11: the r8-r10 12x8 config
+    # ("bucket count tracks corpus size") was measured against the
+    # knn_graph_exact ground truth at 0.20/0.20/0.24 recall on
+    # sf0.01 / emb-fuzz / sf0.1 — 8 bits prunes moderate-sim neighbors
+    # away ((1-θ/π)^8 is tiny at cosine 0.2-0.5). 24x5 measures
+    # 0.872 / 0.868 / 0.904 on the same corpora; the cost coupling
+    # (weak pruning in the moderate-sim regime) is inherent to SRP-LSH
+    # and documented in the op's docstring — growing bits with corpus
+    # size remains the knob for the NEAR-DUP regime only.
+    lambda s, d: similarity.knn_graph(s, d),
     None,  # approximate k-NN graph (SRP-LSH candidates, per-node top-k,
-    # mutual-edge flag); recall floor + invariants in tests/test_knn_graph.py
+    # mutual-edge flag); recall floor + invariants in tests/test_knn_graph.py;
+    # the recall/discipline contract is driver-checked by knn_graph_verified
 )
 
 _register(
@@ -4038,6 +4047,124 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
+# Round-11 verified-twin contract rows (VERDICT r10 next-round #1-#3):
+# the approximate ANN family, the multimodal decoders, and two
+# streaming twins produce driver-checkable rows for the first time.
+# ---------------------------------------------------------------------------
+
+# Ballast the oracles recompute: valid query vectors / valid embedding
+# rows (mirrors similarity.load_embeddings' degenerate-row filter).
+_ANN_NQ_SQL = """(SELECT count(*) FROM embeddings
+            WHERE vec_id < 10 AND embedding IS NOT NULL
+              AND len(embedding) > 0)"""
+_ANN_CONTRACT_SQL = f"""
+    SELECT {_ANN_NQ_SQL} AS n_queries,
+           CAST(0 AS BIGINT) AS recall_violations,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS sim_mismatches
+"""
+
+# Floors sit ≥0.08 under the recall measured this round on ALL of:
+# the sf0.01 driver corpus, the emb-fuzz degenerate corpus, and sf0.1
+# (bench scale). Measured (sf0.01 / emb-fuzz / sf0.1): lsh 0.90 /
+# 0.857 / 0.88; ivf 0.38 / 0.486 / 0.54; pq 0.84 / 0.857 / 0.76;
+# ivfpq 0.64 / 0.543 / 0.68. The tight per-method gates stay in
+# tests/test_similarity_ops.py — these rows pin "recall never
+# COLLAPSES" as a driver-checked contract, plus ranking discipline and
+# (lsh/ivf: exact-scored candidates) per-sim bit-equality.
+for _m, _floor in (("lsh", 0.75), ("ivf", 0.30), ("pq", 0.65), ("ivfpq", 0.45)):
+    _register(
+        f"ann_topk_{_m}_verified",
+        (lambda m, fl: lambda s, d: similarity.ann_recall_contract(
+            s, d, m, recall_floor=fl
+        ))(_m, _floor),
+        _ANN_CONTRACT_SQL,
+    )
+
+_register(
+    "knn_graph_verified",
+    # same 24x5 calibration as the registered knn_graph entry; floor
+    # 0.75 sits ≥0.11 under the recall measured this round on all
+    # three corpora (0.872 sf0.01 / 0.868 emb-fuzz / 0.904 sf0.1)
+    lambda s, d: similarity.knn_graph_contract(s, d, recall_floor=0.75),
+    """
+    SELECT (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0)
+             AS n_nodes,
+           CAST(0 AS BIGINT) AS recall_violations,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS sim_mismatches
+    """,
+)
+
+_register(
+    "multimodal_wav_verified",
+    multimodal.wav_roundtrip_verified,
+    # the REAL RIFF/WAVE decode path diffed field-for-field against an
+    # independent recomputation from the deterministic synth params
+    # (PCM16 quantization included, container bytes bypassed) — the
+    # first driver-checked multimodal row in any round
+    """
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+             AS n_payloads,
+           CAST(0 AS BIGINT) AS n_decode_fail,
+           CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+
+_register(
+    "multimodal_image_verified",
+    multimodal.image_roundtrip_verified,
+    # BMP and PNG containers alternate per doc; both decode through
+    # the real stdlib codecs and must reproduce the gradient formula
+    """
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 3 = 1)
+             AS n_payloads,
+           CAST(0 AS BIGINT) AS n_decode_fail,
+           CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+
+_register(
+    "streaming_kanon_replay",
+    lambda s, d: streaming_replay.kanon_replay(s, d),
+    # full corpus replayed through the ONLINE k-anonymity gate (real
+    # Structured Streaming query, real ingest path); the released SET
+    # is batching-invariant: exactly the rows whose level-1 QI group
+    # total reaches k=20 (released_at_n is batch-dependent and
+    # projected away) — first driver row for any streaming twin
+    """
+    WITH ev AS (
+      SELECT event_id, coalesce(event_type, '(null)') AS qi_type,
+             coalesce(CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                      % 24, -1) AS qi_hour,
+             coalesce(CAST(FLOOR(value / 10.0) AS BIGINT), -1) AS qi_band
+      FROM events WHERE event_id IS NOT NULL
+    ), g AS (
+      SELECT qi_type, qi_hour, qi_band, count(*) AS n
+      FROM ev GROUP BY qi_type, qi_hour, qi_band
+    )
+    SELECT e.event_id, e.qi_type, e.qi_hour, e.qi_band
+    FROM ev e JOIN g USING (qi_type, qi_hour, qi_band)
+    WHERE g.n >= 20 ORDER BY e.event_id
+    """,
+)
+
+_register(
+    "streaming_sentences_replay",
+    lambda s, d: streaming_replay.sentence_scrub_replay(s, d),
+    # full corpus replayed through the ONLINE keep-first sentence
+    # scrub; the admitted KEY set (md5 of the case-folded sentence) is
+    # batching-invariant and equals the batch scrub's distinct keys —
+    # one output row per admission also pins exactly-once emission
+    f"""
+    WITH {_SENTENCES_CTE}
+    SELECT DISTINCT md5(lower(sentence)) AS sent_key
+    FROM s ORDER BY sent_key
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
 #
@@ -4099,7 +4226,7 @@ _PROMOTED = [
     # compiler-vs-pyeval fuzz pin, and the 8 extension entries noted
     # above).
     # events_funnel_steps demoted round 8 — see _DEMOTED notes
-    "events_session_funnel",
+    # events_session_funnel demoted round 11 — see _DEMOTED notes
     # events_cohort_retention demoted round 8 — see _DEMOTED notes
     "events_rolling_outliers",
     # events_expectations demoted round 10 — see _DEMOTED notes
@@ -4107,12 +4234,12 @@ _PROMOTED = [
     # events_skew_profile demoted round 10 — see _DEMOTED notes
     # sample_splits demoted round 7 — see _DEMOTED notes
     # sample_token_mixture demoted round 8 — see _DEMOTED notes
-    "sample_quality_percentile",
-    "pipeline_release_delta",
+    # sample_quality_percentile demoted round 11 — see _DEMOTED notes
+    # pipeline_release_delta demoted round 11 — see _DEMOTED notes
     # pipeline_curriculum_order demoted round 10 — see _DEMOTED notes
     # dedup_scrub_spans demoted round 10 — see _DEMOTED notes
     # text_decontaminate_spans demoted round 8 — see _DEMOTED notes
-    "text_bigram_surprisal",
+    # text_bigram_surprisal demoted round 11 — see _DEMOTED notes
     # dedup_canonical demoted round 7 — see _DEMOTED notes
     # text_phrase_search demoted round 10 — see _DEMOTED notes
     # text_winnow_overlap demoted round 8 — see _DEMOTED notes
@@ -4129,7 +4256,7 @@ _PROMOTED = [
     # a NEW join capability — slot funded by demoting multimodal_meta
     # (green r2-r5; the multimodal family is pinned by the real-decode
     # pytest surface incl. PNG/pHash/spectral/fingerprint gates)
-    "join_interval_overlap",
+    # join_interval_overlap demoted round 11 — see _DEMOTED notes
     # pipeline_pack_balanced demoted round 10 — see _DEMOTED notes
     # sample_effective_mass demoted round 8 — see _DEMOTED notes
     # (was: dedup-aware effective token mass, slot originally funded by
@@ -4140,7 +4267,7 @@ _PROMOTED = [
     # query_limit_extract / dedup_canonical (notes in _DEMOTED).
     # dedup_containment demoted round 9 — see _DEMOTED notes (the
     # richer survivors view stays in-window over the same pairs)
-    "dedup_containment_survivors",
+    # dedup_containment_survivors demoted round 11 — see _DEMOTED notes
     # sample_exact_n demoted round 9 — see _DEMOTED notes
     "validate_golden_errors",
     # round-7 NEW capability: query-by-example hybrid retrieval (BM25 +
@@ -4149,7 +4276,7 @@ _PROMOTED = [
     # round-7 NEW capabilities: corpus-composition analytics (marginal
     # novelty curve + source-overlap matrix) — slots funded by demoting
     # ts_gap_fill_hourly and text_chunks
-    "pipeline_novelty_curve",
+    # pipeline_novelty_curve demoted round 11 — see _DEMOTED notes
     "pipeline_source_overlap",
     # round-7 late promotion: quality-aware cluster representatives via
     # the recursive-CTE components oracle — slot funded by demoting
@@ -4166,7 +4293,7 @@ _PROMOTED = [
     # round-7 NEW capability: greedy token-budget selection via the
     # distributed two-pass prefix sum — slot funded by demoting
     # text_bm25_topk
-    "sample_token_budget",
+    # sample_token_budget demoted round 11 — see _DEMOTED notes
     # round-7 NEW capability: temperature-based mixture reweighting
     # (XLM-R/mT5 alpha sampling) — slot funded by demoting
     # text_unigram_surprisal
@@ -4181,7 +4308,7 @@ _PROMOTED = [
     # seasonality grid — slots funded by demoting join_salted_skew
     # and pipeline_release_balanced
     "events_rfm_segments",
-    "events_seasonality",
+    # events_seasonality demoted round 11 — see _DEMOTED notes
     # round-7 NEW capability: per-cluster density/transitivity
     # diagnostics — slot funded by demoting text_quality_flags
     "dedup_cluster_density",
@@ -4258,9 +4385,62 @@ _PROMOTED = [
     # exact-Jaccard oracle as the PPJoin twin (slot funded by demoting
     # text_boilerplate — green r6-r9; notes in _DEMOTED)
     "dedup_minhash_lsh",
+    # round-11 promotions (VERDICT r10 next-round #1-#3): the three
+    # never-driver-checked families come under the driver gate. Slots
+    # funded by demoting nine multi-round greens (events_session_funnel,
+    # events_seasonality, sample_quality_percentile, sample_token_budget,
+    # text_bigram_surprisal, pipeline_novelty_curve,
+    # pipeline_release_delta, dedup_containment_survivors,
+    # join_interval_overlap — notes in _DEMOTED).
+    # approximate-ANN contract rows (ann_index_persisted pattern):
+    # recall-vs-exact floor + ranking discipline + per-sim exactness
+    "ann_topk_lsh_verified",
+    "ann_topk_ivf_verified",
+    "ann_topk_pq_verified",
+    "ann_topk_ivfpq_verified",
+    "knn_graph_verified",
+    # first-ever driver rows for the multimodal decode path: REAL
+    # container decode diffed against the synth-parameter recomputation
+    "multimodal_wav_verified",
+    "multimodal_image_verified",
+    # first-ever driver rows for the streaming twins: full-corpus
+    # replay through the real Structured Streaming queries, compared
+    # on the batching-invariant projection
+    "streaming_kanon_replay",
+    "streaming_sentences_replay",
 ]
 
 _DEMOTED = [
+    # round-11 demotions funding the nine verified-twin promotions
+    # (every name below is green in 4-5 committed rounds; family
+    # survivors stay in-window):
+    "events_session_funnel",  # green r6-r10 (five rounds); the
+    # lag/cumsum sessionize + chained-min funnel construction stays
+    # pinned by those rounds + pytest; events family keeps
+    # rolling_outliers / psi_drift / rfm_segments / markov in-window
+    "events_seasonality",  # green r7-r10; plain calendar-grid rollup,
+    # events family survivors as above
+    "sample_quality_percentile",  # green r6-r10; percent_rank gate is
+    # re-verified in-window by sample_exact_stratified (same quantile
+    # machinery) and the sampling family keeps dsir / stratified /
+    # leakage_safe_splits / source_cap_twophase in-window
+    "sample_token_budget",  # green r7-r10; the two-pass distributed
+    # prefix-sum rank construction is the agg_equi_depth_histogram
+    # shape, pinned by four committed rounds + pytest
+    "text_bigram_surprisal",  # green r6-r10; surprisal family keeps
+    # lexical_diversity + the sentence twins in-window
+    "pipeline_novelty_curve",  # green r7-r10; the marginal-novelty
+    # accumulation is pinned by four rounds; pipeline family keeps
+    # release / datasheet / source_overlap / loso_ablation in-window
+    "pipeline_release_delta",  # green r6-r10; the NOT-EXISTS delta
+    # admission is re-verified inside in-window pipeline_release's
+    # composition and stays pinned in pytest goldens
+    "dedup_containment_survivors",  # green r7-r10; the containment
+    # pair machinery is PPJoin-family (in-window dedup_ngram_jaccard /
+    # minhash_lsh / cluster_best verify the same gram+join core)
+    "join_interval_overlap",  # green r6-r10 (five rounds); the
+    # grid-bucketed interval decomposition is pinned by those rounds;
+    # join family keeps join_bucketed_colocated in-window
     # round-6 demotions funding the 19 rows-only → oracle promotions.
     # Every name below is green in CORRECTNESS_r05.json (the full
     # window was 50/50) and in earlier rounds; the BFL/engine names are

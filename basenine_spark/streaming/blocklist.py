@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..engine.db import BasenineDB
 from ..ops.similarity import cosine
+from ..ops.util import stable_round
 
 
 def _with_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -124,8 +125,8 @@ def blocklist_gate_stream(
         .select(
             "doc_id",
             "block_id",
-            F.round(cos, 6).alias("cos"),
-            F.round(jac, 6).alias("jaccard"),
+            stable_round(cos, 6).alias("cos"),
+            stable_round(jac, 6).alias("jaccard"),
             (F.coalesce(cos, F.lit(-2.0)) >= tau_cos).alias("hit_dense"),
             (jac >= tau_jac).alias("hit_lexical"),
         )

@@ -43,6 +43,8 @@ import pandas as pd  # module-level: pandas_udf resolves stringified hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ops.util import stable_round
+
 
 def train_dsir_model(
     docs: DataFrame,
@@ -137,7 +139,7 @@ def dsir_admit_stream(
     ).filter(F.size("buckets") > 0)
     scored = bucketed.select(
         "doc_id",
-        F.round(mean_lw("buckets"), 6).alias("dsir_weight"),
+        stable_round(mean_lw("buckets"), 6).alias("dsir_weight"),
         F.size("buckets").cast("bigint").alias("n_tokens"),
     ).filter(F.col("dsir_weight") >= threshold)
     return (

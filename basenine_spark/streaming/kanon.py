@@ -16,8 +16,16 @@ hoc — the same batch/stream contract as the domain cap
 State design (``applyInPandasWithState`` keyed by the QI triple): the
 group's row count plus the buffered event ids — the buffer is bounded
 by ``k - 1`` PER GROUP by construction (the moment it would reach
-``k`` it flushes), so state never grows with stream length.  The
-stream shuffles only on the QI key.  Reference cited for the
+``k`` it flushes).  Honest bound (ADVICE r10): that bounds state per
+GROUP, not the NUMBER of groups — ``b10 = floor(value / 10)`` has
+unbounded range, so a long-running stream with a drifting value
+distribution accumulates under-``k`` groups indefinitely under the
+default ``NoTimeout``.  Pass ``state_ttl_minutes`` to evict groups
+that stay under ``k`` and idle past the TTL: their buffered rows are
+dropped (they were never released — the conservative direction for a
+privacy gate; a late revival starts the count from zero, so the ``k``
+standard is never weakened, only the flush of a slow group delayed).
+The stream shuffles only on the QI key.  Reference cited for the
 streaming-mode shape: basenine follow-mode streaming
 (``server/server.go:150-209`` dispatch), re-expressed as Structured
 Streaming stateful admission.
@@ -52,12 +60,21 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _kanon_fn(k: int):
+def _kanon_fn(k: int, state_ttl_minutes: int | None = None):
+    ttl_ms = (
+        state_ttl_minutes * 60_000 if state_ttl_minutes is not None else None
+    )
+
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle under-k group past TTL: evict — buffered rows stay
+            # suppressed (nothing was released; conservative direction)
+            state.remove()
+            return
         ids = []
         for pdf in pdfs:
             ids.extend(int(i) for i in pdf["event_id"] if i is not None)
@@ -72,6 +89,8 @@ def _kanon_fn(k: int):
         if n_seen >= k:
             out = sorted(pending) + ids
             state.update((n_seen, []))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             et, hr, b10 = key
             yield pd.DataFrame(
                 {
@@ -84,6 +103,8 @@ def _kanon_fn(k: int):
             )
         else:
             state.update((n_seen, pending + ids))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
 
     return fn
 
@@ -94,6 +115,7 @@ def k_anonymity_stream(
     query_name: str = "kanon_released",
     checkpoint: str | None = None,
     sink_path: str | None = None,
+    state_ttl_minutes: int | None = None,
 ):
     """Start the online k-anonymity gate over a durable BasenineDB's
     log whose documents carry ``{"event_id": …, "event_type": …,
@@ -145,11 +167,13 @@ def k_anonymity_stream(
         .filter(F.col("event_id").isNotNull())
     )
     released = ev.groupBy("et", "hr", "b10").applyInPandasWithState(
-        _kanon_fn(k),
+        _kanon_fn(k, state_ttl_minutes),
         OUT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout,
     )
     ckpt = checkpoint or f"{db._log.path}_kanon_ckpt_{query_name}"
     if sink_path is not None:

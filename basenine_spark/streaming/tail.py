@@ -76,6 +76,23 @@ class TailQuery:
         self.spark: SparkSession = db.spark
         self.query_text = query
         self.prepared: Query = db._prepare(query)
+        if frame_cadence == "scanned" and self.prepared.expr is not None:
+            # fail FAST (ADVICE r10): the scanned cadence keys matches
+            # back to their seq via the injected id, so a query whose
+            # redact could mutate the id column would only surface as
+            # an async ValueError inside the first matching micro-batch
+            # — reject the misconfiguration synchronously instead
+            from ..bfl.compiler import collect_redact_taints
+
+            taints = collect_redact_taints(self.prepared.expr)
+            if taints is None or any(
+                t and t[0] == db.id_col for t in taints
+            ):
+                raise ValueError(
+                    "frame_cadence='scanned' needs the injected id column"
+                    " to key matches back to scanned seqs; the query's"
+                    " redact target is (or may be) the id column"
+                )
         self.limit = self.prepared.limit
         self.on_record = on_record
         self.on_metadata = on_metadata

@@ -137,6 +137,32 @@ HEADLINE = [
     # round-10 late: the exact kNN baseline (quadratic by design — the
     # ground truth the LSH path's recall is pinned against)
     "knn_graph_exact",
+    # round-11 promotions: the approximate-ANN contract rows (each runs
+    # its approx path + the exact twin + the three checks — the timing
+    # is the verification harness, same framing as ann_index_persisted)
+    # and the multimodal roundtrip verifiers (synth + real decode +
+    # recompute + diff)
+    "ann_topk_lsh_verified",
+    "ann_topk_ivf_verified",
+    "ann_topk_pq_verified",
+    "ann_topk_ivfpq_verified",
+    "multimodal_wav_verified",
+    "multimodal_image_verified",
+]
+
+# Round-11 promotions measured ONCE instead of timed()'s 3 runs: each
+# is a full lifecycle (knn_graph_verified runs the 24x5 LSH graph AND
+# the quadratic exact twin over the whole corpus; the streaming
+# replays ingest the corpus into a durable log and run a real
+# Structured Streaming query to exhaustion). Three repetitions would
+# more than double the bench wall-clock to re-measure a verification
+# harness whose cost is dominated by its components, all of which are
+# benched elsewhere (knn_graph_exact in HEADLINE, ingest in
+# insert_15k, the streaming machinery in stream_14k_tail).
+LIFECYCLE_ONCE = [
+    "knn_graph_verified",
+    "streaming_kanon_replay",
+    "streaming_sentences_replay",
 ]
 
 
@@ -208,6 +234,14 @@ def main() -> int:
         mn, med = timed(SPARK_QUERIES[name], SF_DIR)
         timings[name] = mn
         stats[name] = {"min": mn, "median": med}
+
+    for name in LIFECYCLE_ONCE:  # single-run policy — see the list's comment
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     # BASELINE envelope analogs (client_test.go:52-60, 89-147): 15k
     # inserts on one connection; 14k matching records streamed < 20 s
@@ -440,8 +474,88 @@ def main() -> int:
         for name in DOCS10_PLAIN:
             probe10[name] = timed(SPARK_QUERIES[name], f"{scaled10}/plain")[0]
 
+    # -- 10× embeddings probe (VERDICT r10 #4) ----------------------------
+    # The ANN/kNN/coreset/SemDeDup growth curves were unmeasured through
+    # round 10 — for a 100-TB similarity story this was the missing
+    # evidence. Plain 10× replica with shifted ids (fixed query set,
+    # exactly the docs10/plain construction). Two ops are probed at
+    # their own documented scale calibration rather than the sf0.1
+    # registry config, because holding the config fixed at 10× measures
+    # the wrong thing:
+    #  * knn_graph: SRP bits grow with corpus to hold per-bucket
+    #    occupancy ~constant (the op's docstring rule) — candidates
+    #    then scale ~linearly (N × occupancy × tables). Probed at
+    #    24×8 (1×) vs 24×11 (10×): occupancy 39 vs 49. A fixed-bits
+    #    probe would measure the quadratic bucket blowup the
+    #    calibration rule exists to avoid.
+    #  * dedup_semantic: SemDeDup's contract is k ∝ N (cluster size
+    #    bounded ⇒ per-cluster quadratic bounded) — probed at k=8 (1×)
+    #    vs k=80 (10×).
+    # ann_topk_lsh (fixed 10-query set, linear candidates) and
+    # sample_kcenter_coreset (O(kN) map-only) run at registry configs.
+    from basenine_spark.ops import similarity as _sim
+
+    EMB10 = {
+        "ann_topk_lsh": (
+            SPARK_QUERIES["ann_topk_lsh"],
+            SPARK_QUERIES["ann_topk_lsh"],
+        ),
+        "sample_kcenter_coreset": (
+            SPARK_QUERIES["sample_kcenter_coreset"],
+            SPARK_QUERIES["sample_kcenter_coreset"],
+        ),
+        "knn_graph": (
+            lambda s, d: _sim.knn_graph(s, d, tables=24, bits=8),
+            lambda s, d: _sim.knn_graph(s, d, tables=24, bits=11),
+        ),
+        "dedup_semantic": (
+            lambda s, d: _sim.semantic_dedup(s, d, k=8, threshold=0.35),
+            lambda s, d: _sim.semantic_dedup(s, d, k=80, threshold=0.35),
+        ),
+    }
+    probe_emb: dict[str, dict[str, float]] = {}
+    with tempfile.TemporaryDirectory() as scaled_emb:
+        t0 = time.perf_counter()
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_emb = emb.count()
+        (
+            emb.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb)
+            .drop("rep")
+            .repartition(int(CPUS))
+            .write.parquet(f"{scaled_emb}/embeddings.parquet")
+        )
+        build_emb_sec = round(time.perf_counter() - t0, 3)
+        for name, (fn1, fn10) in EMB10.items():
+            probe_emb[name] = {
+                "base": timed(fn1, SF_DIR)[0],
+                "x10": timed(fn10, scaled_emb)[0],
+            }
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # -- per-query budgets (VERDICT r10 #8) -------------------------------
+    # bench_budgets.json pins each query's committed r10 minimum × 2 as
+    # an enforceable ceiling: a breach names the query and flips rc, so
+    # "within 2× of the prior round" is a driver-visible gate instead of
+    # narrative. Budgets apply only at the sf they were pinned at
+    # (sf0.01 smoke runs are not regression evidence), and only to
+    # queries that have one (new promotions get budgets next round).
+    budget_breaches: list[str] = []
+    budget_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_budgets.json"
+    )
+    if os.path.exists(budget_path):
+        with open(budget_path) as fh:
+            budget_doc = json.load(fh)
+        if budget_doc.get("sf") == sf:
+            for name, ceil in budget_doc.get("budgets", {}).items():
+                if name in timings and timings[name] > ceil:
+                    budget_breaches.append(
+                        f"{name}: {timings[name]}s > budget {ceil}s"
+                    )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total_sec",
@@ -450,6 +564,7 @@ def main() -> int:
         "queries": timings,
         "queries_stats": stats,
         "sf": sf,
+        "budget_breaches": budget_breaches,
         "scale_probe": {
             "events_factor": 10,
             "documents_factor": 2,
@@ -463,6 +578,15 @@ def main() -> int:
             "plain": DOCS10_PLAIN,
             "queries": probe10,
         },
+        "scale_probe_emb10": {
+            "embeddings_factor": 10,
+            "build_sec": build_emb_sec,
+            "calibration": {
+                "knn_graph": "24x8 -> 24x11 (occupancy-constant bits)",
+                "dedup_semantic": "k=8 -> k=80 (SemDeDup k ∝ N)",
+            },
+            "queries": probe_emb,
+        },
     }
     # self-contained artifact: the driver's BENCH_r{N}.json keeps only a
     # stdout tail, which has truncated the leading timings in past
@@ -474,6 +598,11 @@ def main() -> int:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps(result))
+    if budget_breaches:
+        print(
+            "BUDGET BREACH: " + "; ".join(budget_breaches), file=sys.stderr
+        )
+        return 1
     return 0
 
 

@@ -134,7 +134,9 @@ def test_extension_surface_inside_window():
         # events_funnel_steps demoted round 8 (chained-min funnel
         # re-verified inside the richer in-window events_session_funnel)
         # funding dedup_clusters_distributed
-        "events_session_funnel",
+        # events_session_funnel demoted round 11 (green r6-r10;
+        # sessionize+funnel construction pinned by five committed
+        # rounds; events family keeps rolling_outliers/psi/rfm/markov)
         # events_cohort_retention demoted round 8 (calendar rollup
         # pinned by 2 green rounds) funding text_scrub_sentences
         "events_rolling_outliers",
@@ -151,15 +153,18 @@ def test_extension_surface_inside_window():
         # sample_token_mixture demoted round 8 (token-mass machinery
         # held by richer in-window sample_temperature_mixture) funding
         # join_bucketed_colocated
-        "sample_quality_percentile",
-        "pipeline_release_delta",
+        # sample_quality_percentile demoted round 11 (green r6-r10;
+        # quantile machinery held by in-window sample_exact_stratified)
+        # pipeline_release_delta demoted round 11 (green r6-r10; the
+        # NOT-EXISTS delta is re-verified inside pipeline_release)
         # pipeline_curriculum_order / dedup_scrub_spans demoted round
         # 10 (green r6-r9; hash-rank construction held by
         # sample_exact_stratified + pack_balanced, span machinery by
         # the sentence-dedup twins) funding the round-10 promotions
         # text_decontaminate_spans demoted round 8 (gram machinery held
         # by in-window dedup_scrub_spans) funding text_dup_sentences
-        "text_bigram_surprisal",
+        # text_bigram_surprisal demoted round 11 (green r6-r10;
+        # family keeps lexical_diversity + sentence twins in-window)
         # text_phrase_search demoted round 10 (green r6-r9; retrieval
         # family held by search_hybrid_rrf) funding the round-10
         # promotions
@@ -177,7 +182,8 @@ def test_extension_surface_inside_window():
         # dedup_minhash_lsh
         "sample_exact_stratified",
         "pipeline_datasheet",
-        "join_interval_overlap",
+        # join_interval_overlap demoted round 11 (green r6-r10; join
+        # family keeps join_bucketed_colocated in-window)
         # pipeline_pack_balanced demoted round 10 (green r6-r9; LPT
         # math pinned in pytest, pipeline_pack in family) funding
         # knn_graph_exact
@@ -189,7 +195,8 @@ def test_extension_surface_inside_window():
         # dedup_containment demoted round 9 (green r7-r8; pair
         # machinery re-verified inside the in-window survivors view)
         # funding embedding_drift_releases
-        "dedup_containment_survivors",
+        # dedup_containment_survivors demoted round 11 (green r7-r10;
+        # PPJoin pair machinery held by ngram_jaccard/minhash_lsh)
         # sample_exact_n demoted round 9 (green r7-r8; family keeps
         # exact_stratified/weighted_draw/temperature_mixture/dsir
         # in-window) funding ann_index_persisted
@@ -197,7 +204,8 @@ def test_extension_surface_inside_window():
         # round 7: NEW hybrid sparse+dense retrieval capability
         "search_hybrid_rrf",
         # round 7: corpus-composition analytics
-        "pipeline_novelty_curve",
+        # pipeline_novelty_curve demoted round 11 (green r7-r10;
+        # pipeline family keeps release/datasheet/overlap/loso)
         "pipeline_source_overlap",
         # round 7 late: quality-aware cluster representatives
         "dedup_cluster_best",
@@ -206,7 +214,8 @@ def test_extension_surface_inside_window():
         # round 7: per-source lexical-diversity diagnostics
         "text_lexical_diversity",
         # round 7: greedy token-budget selection
-        "sample_token_budget",
+        # sample_token_budget demoted round 11 (green r7-r10; the
+        # two-pass prefix-sum rank shape pinned by four rounds)
         # round 7: temperature-based mixture reweighting
         "sample_temperature_mixture",
         # round 7: leakage-safe cluster-keyed splits
@@ -217,7 +226,7 @@ def test_extension_surface_inside_window():
         # agg_heavy_hitters_verified
         # round 7: RFM segmentation + seasonality grid
         "events_rfm_segments",
-        "events_seasonality",
+        # events_seasonality demoted round 11 (green r7-r10)
         # round 7: cluster density/transitivity diagnostics
         "dedup_cluster_density",
         # round 8: the 2 deterministic rows-only → full-oracle
@@ -259,6 +268,17 @@ def test_extension_surface_inside_window():
         "knn_graph_exact",
         # round 10 late: MinHash-LSH pairs under the shared exact oracle
         "dedup_minhash_lsh",
+        # round 11: the three never-driver-checked families under
+        # the gate (VERDICT r10 #1-#3)
+        "ann_topk_lsh_verified",
+        "ann_topk_ivf_verified",
+        "ann_topk_pq_verified",
+        "ann_topk_ivfpq_verified",
+        "knn_graph_verified",
+        "multimodal_wav_verified",
+        "multimodal_image_verified",
+        "streaming_kanon_replay",
+        "streaming_sentences_replay",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

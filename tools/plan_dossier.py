@@ -471,6 +471,63 @@ COMMENTARY: dict[str, str] = {
         "|queries| rows. Timing is write-inclusive by design — the "
         "amortized index-build cost a serving deployment pays once."
     ),
+    # -- round-11 verified-twin contract rows ---------------------------
+    "ann_topk_lsh_verified": (
+        "Contract harness, not a query: runs the SRP-LSH path AND the "
+        "exact broadcast-NLJ twin (both bounded at k x |queries| output "
+        "rows), then three checks — left-semi recall join, one window "
+        "over <=50 rows for ranking discipline, and a per-sim equality "
+        "join against recomputed cosines. Every check is bounded by the "
+        "top-k output size, so the harness cost is the two ANN builds."
+    ),
+    "ann_topk_ivf_verified": (
+        "Same harness shape over the IVF path: the k-means build is a "
+        "bounded driver-side sample (corpus touched once by the "
+        "broadcast-assignment pass), the checks are top-k-bounded."
+    ),
+    "ann_topk_pq_verified": (
+        "Same harness over PQ-ADC. The per-sim exactness check is "
+        "SKIPPED by contract (ADC scores through the codebook LUT, "
+        "approximate by design) — recall floor + ranking discipline "
+        "carry the row."
+    ),
+    "ann_topk_ivfpq_verified": (
+        "Same harness over the composed IVF-PQ index; with "
+        "ann_index_persisted this pins both the scoring contract and "
+        "the persisted-serving parity of the production index shape."
+    ),
+    "knn_graph_verified": (
+        "Runs the 24x5 SRP-LSH graph and the quadratic exact twin over "
+        "the full corpus, then edge-set recall (left-semi), per-node "
+        "ranking discipline (one window over kN rows), and per-edge sim "
+        "equality vs recomputed cosine. Quadratic component is the "
+        "exact twin — deliberate: it IS the ground truth. Benched "
+        "single-run (see bench.py LIFECYCLE_ONCE)."
+    ),
+    "multimodal_wav_verified": (
+        "Two map-only mapInPandas passes (synth+decode vs formula "
+        "recompute) and one doc_id-keyed full-outer diff whose inputs "
+        "are fixed-width feature rows — no payload bytes reach the "
+        "shuffle. Linear at any corpus size."
+    ),
+    "multimodal_image_verified": (
+        "Same shape over the image path; BMP and PNG containers "
+        "alternate per doc so both stdlib codecs are exercised in "
+        "every batch."
+    ),
+    "streaming_kanon_replay": (
+        "Full-lifecycle replay: corpus -> distributed JSON ingest into "
+        "a durable log -> real applyInPandasWithState stream run to "
+        "exhaustion -> batching-invariant released-set projection. "
+        "State is bounded per group (k-1 buffered ids); the shuffle is "
+        "keyed on the QI triple. Benched single-run."
+    ),
+    "streaming_sentences_replay": (
+        "Replay through dropDuplicatesWithinWatermark keyed on the "
+        "sentence hash — state carries 16-byte keys, never sentence "
+        "text; output compared as the batching-invariant admitted key "
+        "set. Benched single-run."
+    ),
 }
 
 
