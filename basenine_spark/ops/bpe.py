@@ -239,3 +239,69 @@ def tokenizer_fertility(
             ).alias("bytes_per_token"),
         )
     )
+
+
+def bpe_roundtrip_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    num_merges: int = 64,
+    top_v: int = 20000,
+) -> DataFrame:
+    """Driver-verified contract row for the BPE family (VERDICT r10:
+    never driver-checked in rounds 1-10). BPE's defining invariant is
+    LOSSLESSNESS: merges only ever concatenate adjacent symbols, so
+    the greedy encoding of any word must concatenate back to the word
+    exactly, with a token count in [1, len(word)]. Checked over every
+    distinct corpus word (the same Arrow-batched encode path
+    ``bpe_token_counts`` ships, merge table broadcast):
+
+    * ``n_lossless_violations``: ``''.join(encode(w)) != w``;
+    * ``n_bound_violations``: token count outside [1, len(w)].
+
+    Ballast: ``n_distinct_words`` — recomputed by the oracle with the
+    same split-on-space / drop-empty rule.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merges = [
+        (r["left"], r["right"], int(r["rank"]))
+        for r in bpe_train(spark, sf_dir, num_merges, top_v).collect()
+    ]
+    ranks = {(l, r): k for l, r, k in merges}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    @pandas_udf("struct<lossless: boolean, bounded: boolean>")
+    def check(words: pd.Series) -> pd.DataFrame:
+        rk = bc.value
+        lossless, bounded = [], []
+        for w in words:
+            toks = _encode_word(w, rk)
+            lossless.append("".join(toks) == w)
+            bounded.append(1 <= len(toks) <= len(w))
+        return pd.DataFrame({"lossless": lossless, "bounded": bounded})
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    row = (
+        words.select(check(F.col("w")).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum((~F.col("c.lossless")).cast("bigint")), F.lit(0)
+            ).alias("nl"),
+            F.coalesce(
+                F.sum((~F.col("c.bounded")).cast("bigint")), F.lit(0)
+            ).alias("nb"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(int(row["n"]), int(row["nl"]), int(row["nb"]))],
+        "n_distinct_words bigint, n_lossless_violations bigint,"
+        " n_bound_violations bigint",
+    )

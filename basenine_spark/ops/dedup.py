@@ -433,6 +433,101 @@ def simhash_near_pairs(
     )
 
 
+def simhash_contract(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """Driver-verified contract row for the SimHash family (VERDICT
+    r10: never driver-checked in rounds 1-10). Two deterministic
+    guarantees:
+
+    * HASH EXACTNESS: :func:`simhash64` (explode → 64 conditional
+      grouped sums → bit reassembly) must equal an independent
+      recomputation through a DIFFERENT expression path — per-doc
+      token-hash arrays folded with higher-order ``aggregate`` bit
+      votes, no explode/groupBy anywhere: ``n_hash_mismatch`` = 0.
+    * PIGEONHOLE RECALL: :func:`simhash_near_pairs` bands the 64-bit
+      hash into 4×16 bits, so any pair within Hamming distance 3
+      shares at least one whole band and MUST be returned (the banding
+      guarantee is exact there; 4-6 is probabilistic and stays pytest
+      territory): ``n_pigeonhole_missed`` = 0, checked against a
+      brute-force all-pairs Hamming scan (broadcast NLJ over the
+      BOUNDED hash table — 8 bytes/doc, never the documents).
+
+    Ballast: ``n_docs`` = docs with non-NULL text (the rows SimHash
+    is defined on).
+    """
+    sims = simhash64(spark, sf_dir).localCheckpoint(eager=True)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # alternate path: same definition (xxhash64 token votes, '' tokens
+    # included — split() keeps them, mirroring the explode path), fold
+    # instead of explode+groupBy
+    hs = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), t -> xxhash64(t))"
+        ).alias("hs"),
+    )
+    bits = [
+        F.when(
+            F.aggregate(
+                F.col("hs"),
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    alt = hs.select(
+        "doc_id", reduce(lambda x, y: x.bitwiseOR(y), bits).alias("alt")
+    )
+    mm = (
+        sims.withColumn("s_p", F.lit(1))
+        .alias("s")
+        .join(alt.withColumn("a_p", F.lit(1)).alias("a"), "doc_id", "full_outer")
+        .select(
+            (
+                F.col("s.s_p").isNull()
+                | F.col("a.a_p").isNull()
+                | (F.col("s.simhash") != F.col("a.alt"))
+            )
+            .cast("bigint")
+            .alias("mm")
+        )
+        .agg(F.coalesce(F.sum("mm"), F.lit(0)).alias("mm"))
+        .collect()[0]["mm"]
+    )
+    pairs = simhash_near_pairs(spark, sf_dir, max_hamming=max_hamming)
+    a, b = sims.alias("a"), F.broadcast(sims).alias("b")
+    brute3 = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+    )
+    missed = (
+        brute3.select("doc_a", "doc_b")
+        .join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .count()
+    )
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(mm), int(missed))],
+        "n_docs bigint, n_hash_mismatch bigint, n_pigeonhole_missed bigint",
+    )
+
+
 def duplicate_clusters(
     spark: SparkSession,
     sf_dir: str,

@@ -1253,3 +1253,66 @@ def image_roundtrip_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(row["n"]), int(row["nf"]), int(row["nm"]))],
         "n_payloads bigint, n_decode_fail bigint, n_mismatch bigint",
     )
+
+
+def phash_roundtrip_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the perceptual-hash path: the pHash of every
+    container-decoded image must equal the pHash of the gradient
+    pixels computed straight from the synth formula — i.e. the
+    BMP/PNG encode → decode roundtrip feeding :func:`image_phash`
+    (and therefore :func:`image_near_dup`'s banded Hamming join) is
+    pixel-exact. Output one row (n_payloads, n_decode_fail,
+    n_mismatch) — the oracle expects (count of doc_id % 3 = 1 docs,
+    0, 0)."""
+    media = synth_media_table(spark, sf_dir).filter(
+        F.col("media_type").startswith("image/")
+    )
+    got = image_phash(media).alias("g")
+
+    schema = "doc_id bigint, ok boolean, phash bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 8, 8 + (did // 2) % 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)),
+                        (yy * 255 // max(h - 1, 1)),
+                        np.full_like(xx, did % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append((did, True, _phash_from_img(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "ok", "phash"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    exp = docs.select("doc_id").mapInPandas(run, schema=schema).alias("e")
+    diff = got.join(exp, "doc_id", "full_outer").select(
+        (
+            F.col("g.ok").isNull()
+            | F.col("e.ok").isNull()
+            | ~F.col("g.ok").eqNullSafe(F.col("e.ok"))
+            | ~F.col("g.phash").eqNullSafe(F.col("e.phash"))
+        ).cast("bigint").alias("mm"),
+        (~F.coalesce(F.col("g.ok"), F.lit(False))).cast("bigint").alias(
+            "fail"
+        ),
+    )
+    row = diff.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("fail"), F.lit(0)).alias("nf"),
+        F.coalesce(F.sum("mm"), F.lit(0)).alias("nm"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(row["n"]), int(row["nf"]), int(row["nm"]))],
+        "n_payloads bigint, n_decode_fail bigint, n_mismatch bigint",
+    )

@@ -1153,6 +1153,263 @@ def knn_graph_contract(
     )
 
 
+def semantic_dedup_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.35,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Driver-verified contract for :func:`semantic_dedup` (SemDeDup):
+    the survivor set's two defining invariants, checked distributedly
+    against a recomputed cluster assignment (the same deterministic
+    k-means recipe the op composes on):
+
+    * MUTUAL DISSIMILARITY: any two kept vectors in the same cluster
+      have cosine < threshold (greedy keep admits a vector only when
+      its max sim to the already-kept set is below the threshold):
+      ``n_kept_pair_violations`` = 0 (sims recomputed unrounded via
+      JVM folds; ``tol`` absorbs accumulation-order ulps).
+    * DROPPED COVERAGE: every non-surviving vector has an EARLIER
+      (smaller vec_id) kept vector in its cluster with cosine ≥
+      threshold — the witness that justified dropping it:
+      ``n_dropped_uncovered`` = 0.
+
+    The within-cluster pair scan is quadratic-per-cluster by the same
+    bound as the op itself (cluster size ≤ N/k expected; the op's
+    ``max_cluster_size`` guard applies at scale). Ballast: ``n_vecs``.
+    """
+    kept = semantic_dedup(
+        spark, sf_dir, k=k, iters=iters, threshold=threshold
+    ).localCheckpoint(eager=True)
+    assigned = embed_clusters(spark, sf_dir, k=k, iters=iters).select(
+        "vec_id", "cluster"
+    )
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        # the op's numpy path treats a zero norm as 1.0 (sim 0 with
+        # everything); mirror that so recomputed sims agree
+        F.when(norm_col(F.col("embedding")) == 0.0, F.lit(1.0))
+        .otherwise(norm_col(F.col("embedding")))
+        .alias("nrm"),
+    )
+    kept_e = kept.join(emb, "vec_id").localCheckpoint(eager=True)
+    a, b = kept_e.alias("a"), kept_e.alias("b")
+    pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    viol1 = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_sim > F.lit(threshold + tol))
+        .count()
+    )
+    dropped = (
+        assigned.join(kept.select("vec_id"), "vec_id", "left_anti")
+        .join(emb, "vec_id")
+        .alias("d")
+    )
+    k2 = kept_e.alias("k2")
+    wit_sim = dot(F.col("d.embedding"), F.col("k2.embedding")) / (
+        F.col("d.nrm") * F.col("k2.nrm")
+    )
+    covered = dropped.join(
+        k2,
+        (F.col("d.cluster") == F.col("k2.cluster"))
+        & (F.col("k2.vec_id") < F.col("d.vec_id"))
+        & (wit_sim >= F.lit(threshold - tol)),
+        "left_semi",
+    )
+    viol2 = dropped.count() - covered.count()
+    n_vecs = load_embeddings(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [(int(n_vecs), int(viol1), int(viol2))],
+        "n_vecs bigint, n_kept_pair_violations bigint,"
+        " n_dropped_uncovered bigint",
+    )
+
+
+def embedding_near_dup_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Driver-verified contract for :func:`embedding_near_dup`.
+
+    Two deterministic guarantees of the SRP-LSH near-dup path:
+
+    * PRECISION is exact by construction (candidates are verified with
+      exact cosine before the threshold) — every returned pair's sim
+      must equal a recomputation from the raw vectors and clear the
+      threshold: ``n_precision_violations`` = 0.
+    * EXACT-DUPLICATE recall is total: bit-identical vectors produce
+      identical SRP buckets in every table (the bucketer is a
+      deterministic function of the vector), so every identical
+      nonzero-norm pair MUST be returned with sim 1.0 (cosine of a
+      vector with itself): ``n_dup_pairs_missed`` = 0. The plain
+      corpus has no identical pairs (the counter is exercised by the
+      emb-fuzz corpus, which plants duplicates); probabilistic recall
+      on sub-identical pairs stays pytest territory.
+
+    Ballast: ``n_vecs`` = valid embedding rows.
+    """
+    approx = embedding_near_dup(spark, sf_dir, threshold=threshold)
+    approx = approx.localCheckpoint(eager=True)
+    prec_viol = approx.filter(
+        F.col("sim").isNull() | (F.col("sim") < threshold)
+    ).count() + _sim_mismatch_count(spark, sf_dir, approx, "vec_a", "vec_b")
+    emb = load_embeddings(spark, sf_dir).filter(
+        norm_col(F.col("embedding")) > 0
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e")
+    )
+    dup_pairs = a.join(b, "e").filter(F.col("vec_a") < F.col("vec_b"))
+    missed = (
+        dup_pairs.select("vec_a", "vec_b")
+        .join(approx.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_anti")
+        .count()
+    )
+    n_vecs = load_embeddings(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [(int(n_vecs), int(prec_viol), int(missed))],
+        "n_vecs bigint, n_precision_violations bigint,"
+        " n_dup_pairs_missed bigint",
+    )
+
+
+def embed_clusters_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 4,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Driver-verified contract for :func:`embed_clusters`: every
+    assignment must be the argmin over the centroid set, and the
+    emitted distance must match a JVM-side recomputation.
+
+    The centroids come from the same deterministic training recipe,
+    but the CHECK is independent of how they were derived: distances
+    to all ``k`` centroids are recomputed with higher-order SQL
+    expressions (a different accumulation path than the numpy batch
+    matmul that produced the assignment), then
+
+    * ``n_argmin_violations``: some other centroid is closer than the
+      assigned one by more than ``tol`` (ties within tol are
+      legitimately engine-ambiguous);
+    * ``n_dist_mismatch``: |recomputed − emitted| > ``tol``.
+
+    Ballast: ``n_vecs``.
+    """
+    assigned = embed_clusters(spark, sf_dir, k=k, iters=iters)
+    C = _kmeans_centroids(
+        load_embeddings(spark, sf_dir).select("vec_id", "embedding"),
+        "embedding",
+        k,
+        iters,
+    )
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in C
+        ]
+    )
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    joined = assigned.join(emb, "vec_id")
+    # dists[i] = sqrt(Σ_d (emb[d] - C[i][d])^2), sequential HOF fold
+    dists = F.transform(
+        cents,
+        lambda c: F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    checked = joined.select(
+        "cluster",
+        "dist",
+        dists.alias("d_all"),
+    ).select(
+        (
+            F.element_at(F.col("d_all"), F.col("cluster") + 1)
+            > F.array_min("d_all") + F.lit(tol)
+        )
+        .cast("bigint")
+        .alias("argmin_viol"),
+        (
+            F.abs(
+                F.element_at(F.col("d_all"), F.col("cluster") + 1)
+                - F.col("dist")
+            )
+            > F.lit(1e-3)  # emitted dist is np.round(.,4): quantized
+        )
+        .cast("bigint")
+        .alias("dist_mm"),
+    )
+    row = checked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("argmin_viol"), F.lit(0)).alias("av"),
+        F.coalesce(F.sum("dist_mm"), F.lit(0)).alias("dm"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(row["n"]), int(row["av"]), int(row["dm"]))],
+        "n_vecs bigint, n_argmin_violations bigint, n_dist_mismatch bigint",
+    )
+
+
+def kcenter_parity_contract(
+    spark: SparkSession, sf_dir: str, k: int = 16
+) -> DataFrame:
+    """Driver-verified parity row for the k-center coreset's two
+    center-shipping paths (VERDICT r8 #8 / the r10 dim-adaptive
+    rewrite): the inline-literal form (dim ≤ ``literal_dim_max``) and
+    the broadcast-join form must select IDENTICAL (rank, vec_id,
+    dist) sequences — both evaluate the same stable-rounded cosine
+    expression, so the full-outer diff is deterministically empty.
+    Output shape follows ann_index_persisted: data-derived ballast
+    (``n_vecs``) + row-count delta + value mismatches, both 0."""
+    lit_path = kcenter_coreset(spark, sf_dir, k=k, literal_dim_max=256)
+    bc_path = kcenter_coreset(spark, sf_dir, k=k, literal_dim_max=0)
+    a = lit_path.withColumn("a_p", F.lit(1)).alias("a")
+    b = bc_path.withColumn("b_p", F.lit(1)).alias("b")
+    diff = a.join(b, ["sel_rank", "vec_id"], "full_outer").select(
+        (
+            F.col("a.a_p").isNull()
+            | F.col("b.b_p").isNull()
+            | ~F.col("a.sel_dist").eqNullSafe(F.col("b.sel_dist"))
+        )
+        .cast("bigint")
+        .alias("mm"),
+        F.coalesce(F.col("a.a_p"), F.lit(0)).cast("bigint").alias("in_a"),
+        F.coalesce(F.col("b.b_p"), F.lit(0)).cast("bigint").alias("in_b"),
+    )
+    row = diff.agg(
+        F.coalesce(F.sum("in_a") - F.sum("in_b"), F.lit(0)).alias("rd"),
+        F.coalesce(F.sum("mm"), F.lit(0)).alias("mm"),
+    ).collect()[0]
+    n_vecs = load_embeddings(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [(int(n_vecs), int(row["rd"]), int(row["mm"]))],
+        "n_vecs bigint, row_delta bigint, n_mismatch bigint",
+    )
+
+
 # -- embedding distribution drift -------------------------------------------
 
 

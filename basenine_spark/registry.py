@@ -4151,6 +4151,113 @@ _register(
 )
 
 _register(
+    "dedup_simhash_verified",
+    lambda s, d: dedup.simhash_contract(s, d),
+    # hash exactness vs an explode-free HOF recomputation + pigeonhole
+    # recall (hamming<=3 pairs MUST appear — the 4x16 banding
+    # guarantee) vs a brute-force scan over the bounded hash table
+    """
+    SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL)
+             AS n_docs,
+           CAST(0 AS BIGINT) AS n_hash_mismatch,
+           CAST(0 AS BIGINT) AS n_pigeonhole_missed
+    """,
+)
+
+_register(
+    "embedding_near_dup_verified",
+    lambda s, d: similarity.embedding_near_dup_contract(s, d),
+    # precision is exact by construction (verified cosine >= threshold,
+    # sims re-derived from raw vectors); exact-duplicate recall is
+    # total (identical vectors co-bucket in every SRP table — the
+    # emb-fuzz corpus plants the duplicates that exercise it)
+    f"""
+    SELECT (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0)
+             AS n_vecs,
+           CAST(0 AS BIGINT) AS n_precision_violations,
+           CAST(0 AS BIGINT) AS n_dup_pairs_missed
+    """,
+)
+
+_register(
+    "embed_clusters_verified",
+    lambda s, d: similarity.embed_clusters_contract(s, d),
+    # every k-means assignment must be the argmin over the centroid
+    # set with the emitted distance, recomputed through JVM HOF
+    # expressions (a different accumulation path than the numpy
+    # assignment)
+    """
+    SELECT (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0)
+             AS n_vecs,
+           CAST(0 AS BIGINT) AS n_argmin_violations,
+           CAST(0 AS BIGINT) AS n_dist_mismatch
+    """,
+)
+
+_register(
+    "sample_kcenter_verified",
+    lambda s, d: similarity.kcenter_parity_contract(s, d),
+    # the dim-adaptive center-shipping rewrite (literal vs broadcast
+    # path) must select identical (rank, vec_id, dist) sequences —
+    # full-outer diff empty, the ann_index_persisted pattern
+    """
+    SELECT (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0)
+             AS n_vecs,
+           CAST(0 AS BIGINT) AS row_delta,
+           CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+
+_register(
+    "dedup_semantic_verified",
+    lambda s, d: similarity.semantic_dedup_contract(s, d),
+    # SemDeDup's two defining invariants over a recomputed cluster
+    # assignment: kept vectors mutually below the threshold within a
+    # cluster, every dropped vector covered by an earlier kept witness
+    """
+    SELECT (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0)
+             AS n_vecs,
+           CAST(0 AS BIGINT) AS n_kept_pair_violations,
+           CAST(0 AS BIGINT) AS n_dropped_uncovered
+    """,
+)
+
+_register(
+    "multimodal_phash_verified",
+    multimodal.phash_roundtrip_verified,
+    # the perceptual hash of every container-decoded image equals the
+    # pHash of the synth-formula pixels — pixel-exact decode feeding
+    # the banded Hamming near-dup join
+    """
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 3 = 1)
+             AS n_payloads,
+           CAST(0 AS BIGINT) AS n_decode_fail,
+           CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+
+_register(
+    "text_bpe_verified",
+    lambda s, d: bpe.bpe_roundtrip_contract(s, d),
+    # BPE losslessness over every distinct corpus word: the greedy
+    # encode must concatenate back to the word with a token count in
+    # [1, len(word)] — the merge table and Arrow encode path are the
+    # ones bpe_token_counts ships
+    """
+    SELECT (SELECT count(DISTINCT w) FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL) t
+            WHERE w <> '') AS n_distinct_words,
+           CAST(0 AS BIGINT) AS n_lossless_violations,
+           CAST(0 AS BIGINT) AS n_bound_violations
+    """,
+)
+
+_register(
     "streaming_sentences_replay",
     lambda s, d: streaming_replay.sentence_scrub_replay(s, d),
     # full corpus replayed through the ONLINE keep-first sentence
@@ -4228,9 +4335,9 @@ _PROMOTED = [
     # events_funnel_steps demoted round 8 — see _DEMOTED notes
     # events_session_funnel demoted round 11 — see _DEMOTED notes
     # events_cohort_retention demoted round 8 — see _DEMOTED notes
-    "events_rolling_outliers",
+    # events_rolling_outliers demoted round 11 (late) — see _DEMOTED notes
     # events_expectations demoted round 10 — see _DEMOTED notes
-    "events_psi_drift",
+    # events_psi_drift demoted round 11 (late) — see _DEMOTED notes
     # events_skew_profile demoted round 10 — see _DEMOTED notes
     # sample_splits demoted round 7 — see _DEMOTED notes
     # sample_token_mixture demoted round 8 — see _DEMOTED notes
@@ -4250,8 +4357,8 @@ _PROMOTED = [
     # sample_quality_topk, dedup_incremental — all multi-round green,
     # families held per the _DEMOTED notes)
     # text_boilerplate demoted round 10 — see _DEMOTED notes
-    "sample_exact_stratified",
-    "pipeline_datasheet",
+    # sample_exact_stratified demoted round 11 (late) — see _DEMOTED notes
+    # pipeline_datasheet demoted round 11 (late) — see _DEMOTED notes
     # cross-entity interval-overlap join (grid-bucketed, no cartesian):
     # a NEW join capability — slot funded by demoting multimodal_meta
     # (green r2-r5; the multimodal family is pinned by the real-decode
@@ -4277,11 +4384,11 @@ _PROMOTED = [
     # novelty curve + source-overlap matrix) — slots funded by demoting
     # ts_gap_fill_hourly and text_chunks
     # pipeline_novelty_curve demoted round 11 — see _DEMOTED notes
-    "pipeline_source_overlap",
+    # pipeline_source_overlap demoted round 11 (late) — see _DEMOTED notes
     # round-7 late promotion: quality-aware cluster representatives via
     # the recursive-CTE components oracle — slot funded by demoting
     # pii_scrub_events
-    "dedup_cluster_best",
+    # dedup_cluster_best demoted round 11 (late) — see _DEMOTED notes
     # round-7 NEW capability: DSIR-style importance selection (hashed
     # n-gram likelihood-ratio data selection, Xie et al. 2023) — slot
     # funded by demoting sample_source_cap
@@ -4289,7 +4396,7 @@ _PROMOTED = [
     # round-7 NEW capability: per-source lexical-diversity diagnostics
     # (TTR / distinct-bigram ratio / Zipf slope) — slot funded by
     # demoting dedup_spans
-    "text_lexical_diversity",
+    # text_lexical_diversity demoted round 11 (late) — see _DEMOTED notes
     # round-7 NEW capability: greedy token-budget selection via the
     # distributed two-pass prefix sum — slot funded by demoting
     # text_bm25_topk
@@ -4408,6 +4515,24 @@ _PROMOTED = [
     # on the batching-invariant projection
     "streaming_kanon_replay",
     "streaming_sentences_replay",
+    # round-11 late promotions: five more never-driver families under
+    # the gate (SimHash, SRP near-dup, k-means assignment, the
+    # k-center dim-adaptive parity, BPE losslessness). Slots funded by
+    # demoting events_rolling_outliers, events_psi_drift,
+    # sample_exact_stratified, dedup_cluster_best and
+    # pipeline_source_overlap (all green 4-5 committed rounds; notes
+    # in _DEMOTED).
+    "dedup_simhash_verified",
+    "embedding_near_dup_verified",
+    "embed_clusters_verified",
+    "sample_kcenter_verified",
+    "text_bpe_verified",
+    # + SemDeDup invariants and the pHash decode roundtrip — with
+    # these every operator the r10 verdict named in next-round #1 is
+    # driver-checked. Slots funded by demoting text_lexical_diversity
+    # and pipeline_datasheet (notes in _DEMOTED).
+    "dedup_semantic_verified",
+    "multimodal_phash_verified",
 ]
 
 _DEMOTED = [
@@ -4441,6 +4566,34 @@ _DEMOTED = [
     "join_interval_overlap",  # green r6-r10 (five rounds); the
     # grid-bucketed interval decomposition is pinned by those rounds;
     # join family keeps join_bucketed_colocated in-window
+    # round-11 late demotions funding the five late verified-twin
+    # promotions (each green 4-5 committed rounds):
+    "events_rolling_outliers",  # green r6-r10; the ROWS-frame rolling
+    # z-score window machinery is pinned by five rounds; events family
+    # keeps rfm_segments + markov_transitions in-window
+    "events_psi_drift",  # green r6-r10; the binned-distribution PSI
+    # rollup shares its profile maths with in-window
+    # profile_drift_events (two-release drift over the same aggregates)
+    "sample_exact_stratified",  # green r6-r10; the md5-rank exact
+    # stratum cut is the same deterministic hash-rank construction the
+    # in-window sampling survivors verify (dsir / temperature /
+    # leakage_safe_splits / source_cap_twophase)
+    "dedup_cluster_best",  # green r7-r10; the recursive-CTE components
+    # + quality-representative choice is re-verified in-window by
+    # dedup_clusters_distributed / clusters_lsh (same CTE oracle) and
+    # dedup_cluster_density / operating_curve (same pair machinery)
+    "pipeline_source_overlap",  # green r7-r10; the (source, gram)
+    # postings overlap matrix shares its gram machinery with the
+    # in-window PPJoin family; pipeline family keeps release /
+    # datasheet / loso_ablation in-window
+    "text_lexical_diversity",  # green r7-r10; the TTR/bigram/Zipf
+    # aggregates are plain token rollups whose machinery the in-window
+    # sentence twins and text_bpe_verified exercise; slot funds
+    # dedup_semantic_verified
+    "pipeline_datasheet",  # green r6-r10 (five rounds); the per-source
+    # datasheet rollup shares its aggregates with in-window
+    # pipeline_loso_ablation (same (source,lang) rollup family); slot
+    # funds multimodal_phash_verified
     # round-6 demotions funding the 19 rows-only → oracle promotions.
     # Every name below is green in CORRECTNESS_r05.json (the full
     # window was 50/50) and in earlier rounds; the BFL/engine names are

@@ -148,6 +148,15 @@ HEADLINE = [
     "ann_topk_ivfpq_verified",
     "multimodal_wav_verified",
     "multimodal_image_verified",
+    # round-11 late promotions: SimHash exactness+pigeonhole, SRP
+    # near-dup precision/dup-recall, k-means argmin check, BPE
+    # losslessness
+    "dedup_simhash_verified",
+    "embedding_near_dup_verified",
+    "embed_clusters_verified",
+    "text_bpe_verified",
+    "dedup_semantic_verified",
+    "multimodal_phash_verified",
 ]
 
 # Round-11 promotions measured ONCE instead of timed()'s 3 runs: each
@@ -163,6 +172,9 @@ LIFECYCLE_ONCE = [
     "knn_graph_verified",
     "streaming_kanon_replay",
     "streaming_sentences_replay",
+    # runs the full k-center selection TWICE (literal + broadcast
+    # shipping paths) by construction — the parity IS the row
+    "sample_kcenter_verified",
 ]
 
 

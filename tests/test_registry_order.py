@@ -139,11 +139,13 @@ def test_extension_surface_inside_window():
         # rounds; events family keeps rolling_outliers/psi/rfm/markov)
         # events_cohort_retention demoted round 8 (calendar rollup
         # pinned by 2 green rounds) funding text_scrub_sentences
-        "events_rolling_outliers",
+        # events_rolling_outliers demoted round 11 late (green
+        # r6-r10; events family keeps rfm_segments + markov)
         # events_expectations demoted round 10 (green r6-r9; profile
         # maths held by profile_drift_events + pipeline_datasheet)
         # funding privacy_l_diversity
-        "events_psi_drift",
+        # events_psi_drift demoted round 11 late (green r6-r10;
+        # profile maths held by in-window profile_drift_events)
         # events_skew_profile demoted round 10 (green r6-r9; profiling
         # machinery held by profile_drift_events + pipeline_datasheet)
         # funding the round-10 promotions
@@ -180,8 +182,10 @@ def test_extension_surface_inside_window():
         # text_boilerplate demoted round 10 (green r6-r9; duplicate-
         # line accounting held by the sentence-dedup twins) funding
         # dedup_minhash_lsh
-        "sample_exact_stratified",
-        "pipeline_datasheet",
+        # sample_exact_stratified demoted round 11 late (green
+        # r6-r10; hash-rank cut held by the sampling survivors)
+        # pipeline_datasheet demoted round 11 late (green r6-r10;
+        # (source,lang) rollup family held by pipeline_loso_ablation)
         # join_interval_overlap demoted round 11 (green r6-r10; join
         # family keeps join_bucketed_colocated in-window)
         # pipeline_pack_balanced demoted round 10 (green r6-r9; LPT
@@ -206,13 +210,16 @@ def test_extension_surface_inside_window():
         # round 7: corpus-composition analytics
         # pipeline_novelty_curve demoted round 11 (green r7-r10;
         # pipeline family keeps release/datasheet/overlap/loso)
-        "pipeline_source_overlap",
+        # pipeline_source_overlap demoted round 11 late (green
+        # r7-r10; gram machinery is PPJoin-family)
         # round 7 late: quality-aware cluster representatives
-        "dedup_cluster_best",
+        # dedup_cluster_best demoted round 11 late (green r7-r10;
+        # CTE components held by clusters_distributed/clusters_lsh)
         # round 7: DSIR-style importance selection
         "sample_dsir_select",
         # round 7: per-source lexical-diversity diagnostics
-        "text_lexical_diversity",
+        # text_lexical_diversity demoted round 11 late (green
+        # r7-r10; token rollup machinery held by the sentence twins)
         # round 7: greedy token-budget selection
         # sample_token_budget demoted round 11 (green r7-r10; the
         # two-pass prefix-sum rank shape pinned by four rounds)
@@ -279,6 +286,14 @@ def test_extension_surface_inside_window():
         "multimodal_image_verified",
         "streaming_kanon_replay",
         "streaming_sentences_replay",
+        # round 11 late: five more never-driver families
+        "dedup_simhash_verified",
+        "embedding_near_dup_verified",
+        "embed_clusters_verified",
+        "sample_kcenter_verified",
+        "text_bpe_verified",
+        "dedup_semantic_verified",
+        "multimodal_phash_verified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

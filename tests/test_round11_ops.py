@@ -127,3 +127,101 @@ def test_scanned_cadence_rejects_id_redact_at_init(spark, tmp_path):
     # a redact of a NON-id path stays allowed
     t = TailQuery(db, query='redact("x")', frame_cadence="scanned")
     assert t.frame_cadence == "scanned"
+
+
+# -- round-11 late contracts ---------------------------------------------------
+
+
+def test_simhash_contract_zero(spark):
+    from basenine_spark.ops.dedup import simhash_contract
+
+    row = simhash_contract(spark, SF).collect()[0]
+    assert row["n_docs"] == 500
+    assert row["n_hash_mismatch"] == 0
+    assert row["n_pigeonhole_missed"] == 0
+
+
+def test_embedding_near_dup_contract_zero_and_dup_recall(spark, tmp_path):
+    from basenine_spark.ops.similarity import embedding_near_dup_contract
+
+    row = embedding_near_dup_contract(spark, SF).collect()[0]
+    assert row["n_vecs"] == 500
+    assert row["n_precision_violations"] == 0
+    assert row["n_dup_pairs_missed"] == 0
+
+    # plant exact duplicates: the dup-recall counter must stay zero
+    # BECAUSE the pairs are found, not because there are none
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    cols = {n: t.column(n).to_pylist() for n in t.column_names}
+    n = len(cols["vec_id"])
+    max_id = max(cols["vec_id"])
+    for i in (3, 17, 41):
+        row_copy = {k: cols[k][i] for k in cols}
+        row_copy["vec_id"] = max_id + 1 + i
+        for k in cols:
+            cols[k].append(row_copy[k])
+    out = pa.Table.from_arrays(
+        [pa.array(cols[f.name], type=f.type) for f in t.schema],
+        schema=t.schema,
+    )
+    d = tmp_path / "dupemb"
+    d.mkdir()
+    pq.write_table(out, str(d / "embeddings.parquet"))
+
+    from basenine_spark.ops.similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(spark, str(d)).collect()
+    planted = {(cols["vec_id"][i], max_id + 1 + i) for i in (3, 17, 41)}
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert planted <= got  # identical vectors are ALWAYS found
+    row2 = embedding_near_dup_contract(spark, str(d)).collect()[0]
+    assert row2["n_dup_pairs_missed"] == 0
+    assert row2["n_vecs"] == n + 3
+
+
+def test_embed_clusters_contract_zero(spark):
+    from basenine_spark.ops.similarity import embed_clusters_contract
+
+    row = embed_clusters_contract(spark, SF).collect()[0]
+    assert row["n_vecs"] == 500
+    assert row["n_argmin_violations"] == 0
+    assert row["n_dist_mismatch"] == 0
+
+
+def test_kcenter_parity_contract_zero(spark):
+    from basenine_spark.ops.similarity import kcenter_parity_contract
+
+    row = kcenter_parity_contract(spark, SF).collect()[0]
+    assert row["n_vecs"] == 500
+    assert row["row_delta"] == 0
+    assert row["n_mismatch"] == 0
+
+
+def test_bpe_roundtrip_contract_zero(spark):
+    from basenine_spark.ops.bpe import bpe_roundtrip_contract
+
+    row = bpe_roundtrip_contract(spark, SF).collect()[0]
+    assert row["n_distinct_words"] > 0
+    assert row["n_lossless_violations"] == 0
+    assert row["n_bound_violations"] == 0
+
+
+def test_semantic_dedup_contract_zero(spark):
+    from basenine_spark.ops.similarity import semantic_dedup_contract
+
+    row = semantic_dedup_contract(spark, SF).collect()[0]
+    assert row["n_vecs"] == 500
+    assert row["n_kept_pair_violations"] == 0
+    assert row["n_dropped_uncovered"] == 0
+
+
+def test_phash_roundtrip_verified_zero(spark):
+    from basenine_spark.ops.multimodal import phash_roundtrip_verified
+
+    row = phash_roundtrip_verified(spark, SF).collect()[0]
+    assert row["n_payloads"] > 0
+    assert row["n_decode_fail"] == 0
+    assert row["n_mismatch"] == 0

@@ -528,6 +528,55 @@ COMMENTARY: dict[str, str] = {
         "text; output compared as the batching-invariant admitted key "
         "set. Benched single-run."
     ),
+    "dedup_simhash_verified": (
+        "Hash exactness via a second, explode-free expression path "
+        "(HOF bit votes over per-doc token-hash arrays) diffed "
+        "against the grouped-sums form; pigeonhole recall (hamming<=3 "
+        "MUST be found) vs a broadcast-NLJ brute force over the "
+        "BOUNDED 8-byte/doc hash table — the quadratic scan never "
+        "touches document text."
+    ),
+    "embedding_near_dup_verified": (
+        "Precision is exact by construction (candidates verified with "
+        "exact cosine); the contract re-derives every returned sim "
+        "from raw vectors and checks total recall on EXACT-duplicate "
+        "pairs (identical vectors co-bucket in every SRP table — a "
+        "deterministic guarantee, unlike the probabilistic "
+        "sub-identical recall that stays in pytest)."
+    ),
+    "embed_clusters_verified": (
+        "Argmin audit: distances to all k centroids recomputed with "
+        "JVM higher-order folds (different accumulation path than the "
+        "numpy batch assignment), map-only over the corpus, one "
+        "scalar aggregate out."
+    ),
+    "sample_kcenter_verified": (
+        "Runs the k-center selection through BOTH center-shipping "
+        "paths (inline literals and broadcast 1-row joins — the r10 "
+        "dim-adaptive rewrite) and requires identical (rank, vec_id, "
+        "dist) sequences via an empty full-outer diff. Benched "
+        "single-run (two full selections by construction)."
+    ),
+    "text_bpe_verified": (
+        "BPE losslessness over every distinct corpus word: merge "
+        "table broadcast, Arrow-batched encode, two boolean columns "
+        "aggregated to violation counters — the scan is one distinct "
+        "over the token explode, linear at any corpus size."
+    ),
+    "dedup_semantic_verified": (
+        "SemDeDup invariants: kept vectors mutually below the "
+        "threshold within a cluster; every dropped vector covered by "
+        "an earlier kept witness. Both checks are cluster-keyed joins "
+        "— quadratic PER CLUSTER by the same bound as the op itself "
+        "(max_cluster_size is the skew guard at scale), never "
+        "corpus-quadratic."
+    ),
+    "multimodal_phash_verified": (
+        "pHash of container-decoded pixels vs pHash of the synth "
+        "formula pixels — two map-only Arrow passes and one "
+        "doc_id-keyed diff of (ok, 8-byte hash) rows; pins the decode "
+        "feeding the banded Hamming near-dup join."
+    ),
 }
 
 
