@@ -330,14 +330,21 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via SRP-LSH
     buckets — the embedding-space analog of MinHash dedup. Bucketed
-    join + exact verify; approximate recall ⇒ rows-only check."""
+    join + exact verify; approximate recall ⇒ rows-only check (the
+    precision/dup-recall contract is the driver-verified
+    ``embedding_near_dup_verified`` row).
+
+    Skinny candidate join (round 11, same rewrite as
+    :func:`knn_graph`): the bucket join and dedup shuffle carry
+    16-byte id rows; vectors attach after dedup via two id-keyed
+    joins with precomputed norms."""
     emb = load_embeddings(spark, sf_dir)
     bucketer = _srp_buckets(dim, tables, bits)
     with_b = emb.select(
-        "vec_id", "embedding", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
+        "vec_id", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
     )
     a, b = with_b.alias("a"), with_b.alias("b")
-    cands = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -347,22 +354,37 @@ def embedding_near_dup(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("e_a"),
-            F.col("b.embedding").alias("e_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    vecs = emb.select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm")
+    )
+    ea = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
     return (
-        cands.select(
+        cand_ids.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             # stable_round, not F.round: the verified-twin contract row
             # and the pytest recall gates compare these sims against
             # stable_round-ed exact twins — the settled r10 convention
             # is the FLOOR idiom on every side of a comparison
-            stable_round(cosine(F.col("e_a"), F.col("e_b")), 4).alias(
-                "sim"
-            ),
+            stable_round(
+                dot(F.col("e_a"), F.col("e_b"))
+                / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
+                4,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -845,12 +867,21 @@ def knn_graph(
     ``mutual`` marks edges whose reverse also survived ranking — the
     symmetrized core that graph algorithms usually want.
 
-    Scale shape: bucketed candidate join + one node-keyed window whose
-    per-task sort is bounded by the node's candidate count
-    (~tables x corpus / 2^bits); scores are rounded before ranking so
-    the rank order (ties by neighbor id) is engine-stable. Approximate
-    recall ⇒ rows-only correctness; the recall floor vs brute force is
-    pinned in pytest.
+    Scale shape: SKINNY bucketed candidate join — the bucket join and
+    the dedup shuffle carry only (vec_id, tbl, bucket) 16-byte rows;
+    raw vectors attach AFTER deduplication via two id-keyed joins with
+    precomputed norms (round 11: the previous plan shipped both
+    256-byte embedding arrays through the tables×-exploded join — at
+    24 tables that duplicated every vector 24× into the shuffle and
+    again per candidate pair; moving the vector attach past the
+    dedup cut the sf0.1 shuffle volume ~20× and the wall time ~2×).
+    One node-keyed window whose per-task sort is bounded by the node's
+    candidate count (~tables × corpus / 2^bits); scores are rounded
+    before ranking so the rank order (ties by neighbor id) is
+    engine-stable. Approximate recall ⇒ rows-only correctness; the
+    recall floor vs brute force is pinned in pytest, the
+    recall/discipline/sim-exactness contract by the driver-verified
+    ``knn_graph_verified`` row.
 
     Output: (src, dst, sim, rank, mutual), rank in [1, k].
     """
@@ -860,11 +891,10 @@ def knn_graph(
     bucketer = _srp_buckets(dim, tables, bits)
     with_b = emb.select(
         "vec_id",
-        "embedding",
         F.posexplode(bucketer("embedding")).alias("tbl", "bucket"),
     )
     a, b = with_b.alias("a"), with_b.alias("b")
-    pairs = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -874,20 +904,38 @@ def knn_graph(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("e_a"),
-            F.col("b.embedding").alias("e_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = emb.select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm")
+    )
+    ea = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    pairs = (
+        cand_ids.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
             # stable_round, not F.round: the exact twin rounds with the
             # FLOOR idiom, and the recall gate compares the two rankings
             # — a rounding-boundary sim must not rank differently across
-            # the twins (VERDICT r10)
-            stable_round(cosine(F.col("e_a"), F.col("e_b")), 4).alias(
-                "sim"
-            ),
+            # the twins (VERDICT r10). nullif: zero-norm sims are NULL,
+            # dropped before ranking below (mirrors the exact twin).
+            stable_round(
+                dot(F.col("e_a"), F.col("e_b"))
+                / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
+                4,
+            ).alias("sim"),
         )
     )
     directed = pairs.select(
