@@ -1316,3 +1316,83 @@ def phash_roundtrip_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(row["n"]), int(row["nf"]), int(row["nm"]))],
         "n_payloads bigint, n_decode_fail bigint, n_mismatch bigint",
     )
+
+
+def spectral_roundtrip_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver row for the spectral path: the Hann/rfft profile of
+    every container-decoded WAV must equal the profile of the signal
+    regenerated straight from the synth formula (sine of id-derived
+    frequency/length, PCM16-quantized exactly as the container carries
+    it) — i.e. the RIFF decode feeding the spectrogram (and the audio
+    fingerprint built on it) is sample-exact. Output one row
+    (n_payloads, n_decode_fail, n_mismatch) — the oracle expects
+    (count of doc_id % 3 = 0 docs, 0, 0)."""
+    media = synth_media_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    got = wav_spectral_features(media).alias("g")
+
+    schema = (
+        "doc_id bigint, ok boolean, n_frames bigint, "
+        "dominant_hz double, centroid_hz double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = int(doc_id)
+                sr = 8000
+                freq = 100 + (did % 40) * 10
+                n = 400 + (int(n_chars or 0) % 400)
+                t = np.arange(n) / sr
+                s = np.clip(0.5 * np.sin(2 * np.pi * freq * t), -1.0, 1.0)
+                x = (s * (2**15 - 1)).astype("<i2").astype(np.float64) / 2**15
+                prof = _spectral_profile(x, sr)
+                if prof is None:
+                    rows.append((did, False, 0, 0.0, 0.0))
+                else:
+                    nf, dom, cen = prof
+                    rows.append(
+                        (did, True, nf, round(dom, 3), round(cen, 3))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ok", "n_frames", "dominant_hz",
+                    "centroid_hz",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    exp = docs.select("doc_id", "n_chars").mapInPandas(
+        run, schema=schema
+    ).alias("e")
+    fields = ["ok", "n_frames", "dominant_hz", "centroid_hz"]
+    mism = F.lit(False)
+    for f in fields:
+        mism = mism | ~F.col(f"g.{f}").eqNullSafe(F.col(f"e.{f}"))
+    diff = got.join(exp, "doc_id", "full_outer").select(
+        (
+            F.col("g.ok").isNull() | F.col("e.ok").isNull() | mism
+        ).cast("bigint").alias("mm"),
+        (~F.coalesce(F.col("g.ok"), F.lit(False))).cast("bigint").alias(
+            "fail"
+        ),
+    )
+    row = diff.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("fail"), F.lit(0)).alias("nf"),
+        F.coalesce(F.sum("mm"), F.lit(0)).alias("nm"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(row["n"]), int(row["nf"]), int(row["nm"]))],
+        "n_payloads bigint, n_decode_fail bigint, n_mismatch bigint",
+    )

@@ -195,32 +195,47 @@ def ann_topk_lsh(
     """
     emb = load_embeddings(spark, sf_dir)
     bucketer = _srp_buckets(dim, tables, bits)
-    # norm computed ONCE per vector, before the per-table explode —
-    # candidate scoring then costs one dot per pair (see _scored)
+    # SKINNY bucket join (round 11, same rewrite as knn_graph): the
+    # exploded corpus side and the candidate-dedup shuffle carry only
+    # (vec_id, tbl, bucket) — the previous shape shipped each corpus
+    # vector + norm through the tables× explode and again per
+    # candidate into the dedup exchange. Vectors and norms (computed
+    # ONCE per vector) attach after dedup via id-keyed joins, so
+    # scoring still costs one dot per pair (see _scored).
     with_b = emb.select(
         "vec_id",
-        "embedding",
-        norm_col(F.col("embedding")).alias("nrm"),
         F.posexplode(bucketer("embedding")).alias("tbl", "bucket"),
     )
     q = with_b.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        "tbl",
-        "bucket",
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
     c = with_b.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-        "tbl",
-        "bucket",
+        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
     )
-    cands = (
+    cand_ids = (
         q.join(c, ["tbl", "bucket"])
-        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_nrm", "c_nrm")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    vecs = emb.select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm")
+    )
+    cands = cand_ids.join(
+        F.broadcast(
+            vecs.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            )
+        ),
+        "query_id",
+    ).join(
+        vecs.filter(F.col("vec_id") >= n_queries).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        ),
+        "neighbor_id",
     )
     return _rank_topk(_scored(cands), k)
 

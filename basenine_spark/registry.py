@@ -4241,6 +4241,20 @@ _register(
 )
 
 _register(
+    "multimodal_spectral_verified",
+    multimodal.spectral_roundtrip_verified,
+    # the Hann/rfft spectral profile of every container-decoded WAV
+    # equals the profile of the formula-regenerated signal — the
+    # decode feeding the spectrogram/audio-fingerprint is sample-exact
+    """
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+             AS n_payloads,
+           CAST(0 AS BIGINT) AS n_decode_fail,
+           CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+
+_register(
     "text_bpe_verified",
     lambda s, d: bpe.bpe_roundtrip_contract(s, d),
     # BPE losslessness over every distinct corpus word: the greedy
@@ -4392,7 +4406,7 @@ _PROMOTED = [
     # round-7 NEW capability: DSIR-style importance selection (hashed
     # n-gram likelihood-ratio data selection, Xie et al. 2023) — slot
     # funded by demoting sample_source_cap
-    "sample_dsir_select",
+    # sample_dsir_select demoted round 11 (late) — see _DEMOTED notes
     # round-7 NEW capability: per-source lexical-diversity diagnostics
     # (TTR / distinct-bigram ratio / Zipf slope) — slot funded by
     # demoting dedup_spans
@@ -4533,6 +4547,9 @@ _PROMOTED = [
     # and pipeline_datasheet (notes in _DEMOTED).
     "dedup_semantic_verified",
     "multimodal_phash_verified",
+    # + the spectral/audio-fingerprint decode roundtrip (slot funded
+    # by demoting sample_dsir_select — green r7-r10; notes in _DEMOTED)
+    "multimodal_spectral_verified",
 ]
 
 _DEMOTED = [
@@ -4594,6 +4611,11 @@ _DEMOTED = [
     # datasheet rollup shares its aggregates with in-window
     # pipeline_loso_ablation (same (source,lang) rollup family); slot
     # funds multimodal_phash_verified
+    "sample_dsir_select",  # green r7-r10; the hashed-bucket
+    # likelihood-ratio machinery keeps its streaming admission twin
+    # pinned in pytest and the sampling family keeps
+    # temperature_mixture / leakage_safe_splits / source_cap_twophase
+    # in-window; slot funds multimodal_spectral_verified
     # round-6 demotions funding the 19 rows-only → oracle promotions.
     # Every name below is green in CORRECTNESS_r05.json (the full
     # window was 50/50) and in earlier rounds; the BFL/engine names are

@@ -157,6 +157,7 @@ HEADLINE = [
     "text_bpe_verified",
     "dedup_semantic_verified",
     "multimodal_phash_verified",
+    "multimodal_spectral_verified",
 ]
 
 # Round-11 promotions measured ONCE instead of timed()'s 3 runs: each

@@ -216,7 +216,8 @@ def test_extension_surface_inside_window():
         # dedup_cluster_best demoted round 11 late (green r7-r10;
         # CTE components held by clusters_distributed/clusters_lsh)
         # round 7: DSIR-style importance selection
-        "sample_dsir_select",
+        # sample_dsir_select demoted round 11 late (green r7-r10;
+        # sampling family keeps temperature/leakage/twophase)
         # round 7: per-source lexical-diversity diagnostics
         # text_lexical_diversity demoted round 11 late (green
         # r7-r10; token rollup machinery held by the sentence twins)
@@ -294,6 +295,7 @@ def test_extension_surface_inside_window():
         "text_bpe_verified",
         "dedup_semantic_verified",
         "multimodal_phash_verified",
+        "multimodal_spectral_verified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -225,3 +225,12 @@ def test_phash_roundtrip_verified_zero(spark):
     assert row["n_payloads"] > 0
     assert row["n_decode_fail"] == 0
     assert row["n_mismatch"] == 0
+
+
+def test_spectral_roundtrip_verified_zero(spark):
+    from basenine_spark.ops.multimodal import spectral_roundtrip_verified
+
+    row = spectral_roundtrip_verified(spark, SF).collect()[0]
+    assert row["n_payloads"] > 0
+    assert row["n_decode_fail"] == 0
+    assert row["n_mismatch"] == 0

@@ -577,6 +577,12 @@ COMMENTARY: dict[str, str] = {
         "doc_id-keyed diff of (ok, 8-byte hash) rows; pins the decode "
         "feeding the banded Hamming near-dup join."
     ),
+    "multimodal_spectral_verified": (
+        "Hann/rfft spectral profile of container-decoded WAVs vs the "
+        "profile of formula-regenerated PCM — same two-pass map-only "
+        "shape as the other roundtrip verifiers; pins the decode "
+        "feeding the spectrogram and audio fingerprint."
+    ),
 }
 
 
