@@ -4285,6 +4285,175 @@ _register(
     """,
 )
 
+_register(
+    "streaming_dedup_replay",
+    lambda s, d: streaming_replay.dedup_replay(s, d),
+    # full corpus replayed through the watermarked exact-dedup stream
+    # (dropDuplicatesWithinWatermark on md5(text), horizon covering
+    # the replay); the admitted key set equals DISTINCT md5(text) and
+    # one row per admission pins exactly-once emission
+    """
+    SELECT DISTINCT md5(text) AS content_key FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY content_key
+    """,
+)
+
+_register(
+    "streaming_windows_replay",
+    lambda s, d: streaming_replay.windows_replay(s, d),
+    # watermarked tumbling-window counts replayed to exhaustion;
+    # update-mode refreshes are monotone per group so the final
+    # (max) count per hour window equals the batch rollup — the
+    # time-sorted ingest means the watermark never drops a row
+    """
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) * 3600000
+             AS window_start_ms,
+           coalesce(event_type, '(null)') AS event_type,
+           count(*) AS cnt
+    FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+_register(
+    "streaming_source_cap_replay",
+    lambda s, d: streaming_replay.source_cap_replay(s, d),
+    # online per-source admission cap: WHICH docs are admitted is
+    # batch-boundary-dependent, but the per-source admitted count and
+    # the contiguous rank sequence 1..n are invariant — all three
+    # projections must equal least(total, cap)
+    """
+    SELECT source,
+           LEAST(count(*), 10) AS n_admitted,
+           LEAST(count(*), 10) AS max_rank,
+           LEAST(count(*), 10) AS n_ranks
+    FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    GROUP BY source ORDER BY source
+    """,
+)
+
+_register(
+    "streaming_rfm_replay",
+    lambda s, d: streaming_replay.rfm_replay(s, d),
+    # online RFM run to exhaustion; the highest-frequency emission per
+    # user is the final one and must equal the batch per-user
+    # aggregate (metrics-only mode; monetary re-rounded through the
+    # engine-stable idiom on both sides)
+    """
+    SELECT user_id,
+           max(epoch_ms(ts)) AS recency_ms,
+           count(*) AS frequency,
+           round(round(sum(coalesce(value, 0)), 4), 4) AS monetary
+    FROM events
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      AND user_id IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+_register(
+    "streaming_sessions_replay",
+    lambda s, d: streaming_replay.sessions_replay(s, d),
+    # stateful gap sessionization replayed to exhaustion: the CLOSED
+    # set (sessions superseded by a later out-of-gap event) is
+    # batching-invariant under time-sorted ingest; each user's final
+    # session stays open in state, so the oracle is the batch
+    # sessionization minus each user's last session
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ), o AS (
+      SELECT user_id, ts_ms,
+             CASE WHEN ts_ms - lag(ts_ms) OVER
+                    (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), s AS (
+      SELECT user_id, ts_ms,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), g AS (
+      SELECT user_id, sid,
+             min(ts_ms) AS session_start_ms,
+             max(ts_ms) AS session_end_ms,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_ms, session_end_ms, n_events
+    FROM (SELECT g.*, row_number() OVER
+            (PARTITION BY user_id ORDER BY sid DESC) AS rn FROM g)
+    WHERE rn > 1
+    ORDER BY user_id, session_start_ms
+    """,
+)
+
+_register(
+    "streaming_quality_replay",
+    lambda s, d: streaming_replay.quality_monitor_replay(s, d),
+    # windowed data-quality monitor replayed to exhaustion: final
+    # (max) counters per hour window equal the batch conditional
+    # sums; NULL predicate results count as violations on both sides
+    """
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) * 3600000
+             AS window_start_ms,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS v_value,
+           CAST(sum(CASE WHEN event_type IN
+                      ('click','view','purchase','signup','error')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS v_type
+    FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+_register(
+    "streaming_asof_replay",
+    lambda s, d: streaming_replay.asof_replay(s, d),
+    # stream-stream attribution join (purchases x same-user clicks in
+    # a 30-minute lookback) replayed to exhaustion; the emitted pair
+    # multiset projected to (user, purchase_ms, click_ms) equals the
+    # batch range join — time-sorted ingest keeps every candidate
+    # click inside the join state when its purchase arrives
+    """
+    SELECT p.user_id AS purchase_user,
+           epoch_ms(p.ts) AS purchase_ms,
+           epoch_ms(c.ts) AS click_ms
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 1800000
+                            AND epoch_ms(p.ts)
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND p.event_id IS NOT NULL AND p.ts IS NOT NULL
+      AND c.event_id IS NOT NULL AND c.ts IS NOT NULL
+    ORDER BY purchase_user, purchase_ms, click_ms
+    """,
+)
+
+_register(
+    "streaming_exposure_replay",
+    lambda s, d: streaming_replay.exposure_replay(s, d),
+    # grid-decomposed cross-user incident-exposure stream-stream join
+    # replayed to exhaustion; each pair matches on exactly one grid
+    # cell so the emitted multiset equals the batch range join
+    """
+    SELECT epoch_ms(e.ts) AS error_ms,
+           a.user_id AS act_user,
+           epoch_ms(a.ts) AS act_ms
+    FROM events e JOIN events a
+      ON a.event_type <> 'error'
+     AND epoch_ms(a.ts) BETWEEN epoch_ms(e.ts) - 300000
+                            AND epoch_ms(e.ts) + 300000
+    WHERE e.event_type = 'error'
+      AND e.event_id IS NOT NULL AND e.ts IS NOT NULL
+      AND a.event_id IS NOT NULL AND a.ts IS NOT NULL
+    ORDER BY error_ms, act_user, act_ms
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Driver ordering
 # ---------------------------------------------------------------------------
@@ -4326,7 +4495,7 @@ _PROMOTED = [
     # join_salted_skew demoted round 7 — see _DEMOTED notes
     # pipeline_shards demoted round 7 — see _DEMOTED notes
     # profile_orders demoted late round 6 — see _DEMOTED notes
-    "pipeline_release",
+    # pipeline_release demoted round 11 (replay wave) — see _DEMOTED
     # text_vocab_topk demoted late round 6 — see _DEMOTED notes
     # text_quality_flags demoted round 7 — see _DEMOTED notes
     # join_asof_tolerance demoted round 7 — see _DEMOTED notes
@@ -4390,7 +4559,8 @@ _PROMOTED = [
     # richer survivors view stays in-window over the same pairs)
     # dedup_containment_survivors demoted round 11 — see _DEMOTED notes
     # sample_exact_n demoted round 9 — see _DEMOTED notes
-    "validate_golden_errors",
+    # validate_golden_errors demoted round 11 (replay wave) — see
+    # _DEMOTED notes
     # round-7 NEW capability: query-by-example hybrid retrieval (BM25 +
     # cosine fused by RRF) — slot funded by demoting sample_splits
     "search_hybrid_rrf",
@@ -4418,7 +4588,8 @@ _PROMOTED = [
     # round-7 NEW capability: temperature-based mixture reweighting
     # (XLM-R/mT5 alpha sampling) — slot funded by demoting
     # text_unigram_surprisal
-    "sample_temperature_mixture",
+    # sample_temperature_mixture demoted round 11 (replay wave) — see
+    # _DEMOTED notes
     # round-7 NEW capability: leakage-safe cluster-keyed split
     # assignment — slot funded by demoting agg_cube_orders
     "sample_leakage_safe_splits",
@@ -4428,11 +4599,13 @@ _PROMOTED = [
     # round-7 NEW capabilities: RFM behavioral segmentation +
     # seasonality grid — slots funded by demoting join_salted_skew
     # and pipeline_release_balanced
-    "events_rfm_segments",
+    # events_rfm_segments demoted round 11 (replay wave) — see
+    # _DEMOTED notes (streaming_rfm_replay is the family successor)
     # events_seasonality demoted round 11 — see _DEMOTED notes
     # round-7 NEW capability: per-cluster density/transitivity
     # diagnostics — slot funded by demoting text_quality_flags
-    "dedup_cluster_density",
+    # dedup_cluster_density demoted round 11 (replay wave) — see
+    # _DEMOTED notes
     # round-8 promotions (VERDICT r7 #8): former rows-only entries with
     # fully deterministic outputs, now carrying exact DuckDB oracles.
     # Slots funded by demoting agg_equi_depth_histogram and
@@ -4440,8 +4613,10 @@ _PROMOTED = [
     # rows (fetch_backward, redact_row_backend,
     # insertion_filter_roundtrip, log_roundtrip_query) keep their
     # window seats unchanged.
-    "sample_source_cap_twophase",
-    "dedup_operating_curve",
+    # sample_source_cap_twophase demoted round 11 (replay wave) — see
+    # _DEMOTED notes (streaming_source_cap_replay is the successor)
+    # dedup_operating_curve demoted round 11 (replay wave) — see
+    # _DEMOTED notes
     # round-8 promotion (VERDICT r7 #5): the FORCED-distributed
     # min-label clustering path under the driver's exact check (same
     # recursive-CTE oracle as dedup_clusters — identical output, 100-TB
@@ -4451,7 +4626,8 @@ _PROMOTED = [
     # al. 2020 / Lee et al. 2022) — per-doc duplicate-sentence ratio +
     # keep-first scrub, exact oracles from birth. Slots funded by
     # demoting text_decontaminate_spans and events_cohort_retention.
-    "text_dup_sentences",
+    # text_dup_sentences demoted round 11 (replay wave) — see
+    # _DEMOTED notes (text_scrub_sentences stays in-window)
     "text_scrub_sentences",
     # round-8 promotion: the bucketed co-located join (zero-exchange
     # SMJ — the pre-shuffled 100-TB fact/fact layout), implemented and
@@ -4550,9 +4726,61 @@ _PROMOTED = [
     # + the spectral/audio-fingerprint decode roundtrip (slot funded
     # by demoting sample_dsir_select — green r7-r10; notes in _DEMOTED)
     "multimodal_spectral_verified",
+    # round-11 batch-replay wave: eight MORE streaming twins under the
+    # driver gate (exact-dedup, windowed counts, source-cap, RFM, gap
+    # sessionization, quality monitor, and BOTH stream-stream joins) —
+    # full-value oracles on the batching-invariant projection, the
+    # kanon/sentences replay pattern. Slots funded by demoting eight
+    # multi-round greens (pipeline_release, validate_golden_errors,
+    # sample_temperature_mixture, events_rfm_segments,
+    # dedup_cluster_density, text_dup_sentences,
+    # sample_source_cap_twophase, dedup_operating_curve — notes in
+    # _DEMOTED).
+    "streaming_dedup_replay",
+    "streaming_windows_replay",
+    "streaming_source_cap_replay",
+    "streaming_rfm_replay",
+    "streaming_sessions_replay",
+    "streaming_quality_replay",
+    "streaming_asof_replay",
+    "streaming_exposure_replay",
 ]
 
 _DEMOTED = [
+    # round-11 replay-wave demotions funding the eight streaming
+    # batch-replay promotions (each green 4+ committed rounds; family
+    # survivors stay in-window):
+    "pipeline_release",  # green r4-r10 (seven rounds) — the longest-
+    # green extension entry; the curate->mixture->manifest composition
+    # stays pinned by those rounds + the budget gate, and the pipeline
+    # family keeps pipeline_loso_ablation in-window
+    "validate_golden_errors",  # green r7-r10; every golden error
+    # string is separately pinned by the ported server_test.go wire
+    # goldens in pytest, and the engine family keeps its four
+    # mid-registry rows (fetch_backward, redact_row_backend,
+    # insertion_filter_roundtrip, log_roundtrip_query) in-window
+    "sample_temperature_mixture",  # green r7-r10; the alpha-sampling
+    # reweight shares its per-source scaffolding with in-window
+    # sample_leakage_safe_splits; sampling family survivor noted there
+    "events_rfm_segments",  # green r7-r10; DIRECT family successor
+    # in-window: streaming_rfm_replay re-verifies the per-user metric
+    # aggregation end-to-end through the online twin (the ntile
+    # scoring boundary fit stays pytest-pinned)
+    "dedup_cluster_density",  # green r7-r10; the degree-ordered
+    # triangle counting is pinned by four rounds + pytest; dedup
+    # family keeps exact/ngram/minhash_lsh/clusters_lsh/
+    # clusters_distributed in-window
+    "text_dup_sentences",  # green r8-r10; the richer scrub twin
+    # text_scrub_sentences AND the online sentence scrub replay stay
+    # in-window over the same sentence-split core
+    "sample_source_cap_twophase",  # green r8-r10; DIRECT family
+    # successor in-window: streaming_source_cap_replay verifies the
+    # same at-most-cap-per-source invariant through the online
+    # admission twin (the hash-rank competitive selection stays
+    # pytest-pinned)
+    "dedup_operating_curve",  # green r8-r10; the threshold-sweep
+    # rollup is a projection of the PPJoin pair core that
+    # dedup_ngram_jaccard keeps verifying in-window
     # round-11 demotions funding the nine verified-twin promotions
     # (every name below is green in 4-5 committed rounds; family
     # survivors stay in-window):

@@ -2,10 +2,10 @@
 
 The 17 streaming modules carry pytest agreement contracts but had zero
 driver visibility in rounds 1-10: their semantics were never checked
-against a DuckDB oracle. Two of them have EXACT batch semantics whose
-final output is batching-invariant, so a full replay of the static
+against a DuckDB oracle. Round 11 brought the twins whose final output
+is batching-invariant under the gate: a full replay of the static
 corpus through the real Structured Streaming query produces a result a
-SQL oracle can recompute:
+SQL oracle can recompute. The first two (r11 early):
 
 * k-anonymity gate (:mod:`.kanon`): the released SET is exactly "every
   row whose level-1 QI group total reaches k" — independent of how the
@@ -38,6 +38,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..engine.db import BasenineDB
 from ..sources.tables import load_table
@@ -88,6 +89,436 @@ def kanon_replay(
                    CAST(qi_hour AS BIGINT) AS qi_hour,
                    CAST(qi_band AS BIGINT) AS qi_band
             FROM {qname} ORDER BY event_id
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _events_json(
+    spark: SparkSession,
+    sf_dir: str,
+    cols: dict[str, str],
+    require: tuple[str, ...] = (),
+):
+    """Events table → one JSON line per row carrying ``cols`` (a
+    {json_field: source_column} map; ``load_table`` normalizes the
+    event time to epoch-millis ``ts_ms``), ordered by event time so
+    the replayed stream's watermark can never drop a late row —
+    arrival order IS event-time order, whatever the micro-batch
+    boundaries. Null ``ts_ms`` / ``event_id`` rows are dropped (no
+    event time / identity), plus any columns in ``require``; other
+    per-field nulls flow through (``to_json`` omits the key, the
+    stream reads null — the twin's own null policy applies)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("ts_ms").isNotNull()
+    )
+    for c in require:
+        ev = ev.filter(F.col(c).isNotNull())
+    struct_cols = [F.col(src).alias(dst) for dst, src in cols.items()]
+    return ev.orderBy("ts_ms", "event_id").select(
+        F.to_json(F.struct(*struct_cols)).alias("j")
+    )
+
+
+def _drain_stateful(sq, expected_rows: int, poll_s: float = 0.25) -> None:
+    """Wait until a continuously-triggered STATEFUL query has consumed
+    every ingested row, then return (caller stops the query).
+
+    ``processAllAvailable`` is unusable here: a stateful operator with
+    ProcessingTimeTimeout registrations keeps the micro-batch engine
+    in an endless no-data "cleaning up state" commit loop (observed
+    live: hundreds of zero-input commits; Available-Now does not
+    bound it either). The static-log replay has a stronger signal:
+    the source is a fixed file set, so once the cumulative
+    ``numInputRows`` across progress events reaches the ingested
+    count AND a trailing zero-input batch has committed, every datum
+    has been folded into state/output and nothing new can ever
+    arrive."""
+    import time
+
+    seen_ids: set[str] = set()
+    total = 0
+    trailing_zero = False
+    while not (total >= expected_rows and trailing_zero):
+        time.sleep(poll_s)
+        for p in sq.recentProgress:
+            pid = f"{p['id']}/{p['batchId']}"
+            if pid in seen_ids:
+                continue
+            seen_ids.add(pid)
+            total += p["numInputRows"]
+        lp = sq.lastProgress
+        trailing_zero = bool(lp) and lp["numInputRows"] == 0
+        if sq.exception() is not None:
+            raise RuntimeError(str(sq.exception()))
+
+
+def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table through the ONLINE exact-dedup
+    stream (watermarked ``dropDuplicatesWithinWatermark`` on the md5
+    of the JSON-extracted text) with a horizon covering the whole
+    replay, and return the admitted content-key set — one row per
+    admission, so a double emission changes the row count. Oracle:
+    DISTINCT md5(text) of the corpus."""
+    from .dedup import dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_dedup_replay_")
+    qname = f"dedup_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .select(
+                F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias("j")
+            )
+            .orderBy("j")
+        )
+        db.insert_json([r["j"] for r in docs.collect()])
+        sq = dedup_stream(
+            db,
+            json_key="$.text",
+            horizon_seconds=86_400 * 365,
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"SELECT content_hash AS content_key FROM {qname} "
+            "ORDER BY content_key"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the watermarked tumbling-window
+    count stream and return the FINAL count per (hour window,
+    event_type). Update-mode emissions are monotone per group (each
+    refresh supersedes the last), so the final value is ``max(cnt)``
+    — batching-invariant because the time-sorted ingest means the
+    watermark never drops a row. Oracle: the batch hourly rollup."""
+    from .windows import windowed_counts_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_windows_replay_")
+    qname = f"win_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = _events_json(
+            spark,
+            sf_dir,
+            {"event_id": "event_id", "event_type": "event_type",
+             "ts_ms": "ts_ms"},
+        )
+        db.insert_json([r["j"] for r in ev.collect()])
+        sq = windowed_counts_stream(
+            db,
+            window="1 hour",
+            watermark="10 minutes",
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT window_start_ms,
+                   coalesce(key, '(null)') AS event_type,
+                   max(cnt) AS cnt
+            FROM {qname}
+            GROUP BY window_start_ms, key
+            ORDER BY window_start_ms, event_type
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def source_cap_replay(
+    spark: SparkSession, sf_dir: str, cap: int = 10
+) -> DataFrame:
+    """Replay the documents table through the ONLINE per-source
+    admission cap. WHICH documents are admitted depends on the
+    micro-batch boundaries (first-``cap`` in arrival order), but the
+    per-source admitted COUNT and the rank sequence 1..n are
+    batching-invariant: exactly ``least(total, cap)`` contiguous
+    ranks. Oracle: least(count, cap) three ways."""
+    from .source_cap import source_cap_admit_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_scap_replay_")
+    qname = f"scap_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(
+                F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+            )
+            .select(
+                F.to_json(
+                    F.struct(F.col("doc_id"), F.col("source"))
+                ).alias("j")
+            )
+            .orderBy("j")
+        )
+        db.insert_json([r["j"] for r in docs.collect()])
+        sq = source_cap_admit_stream(
+            db, cap=cap, query_name=qname, checkpoint=f"{tmp}/ckpt"
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT source,
+                   count(*) AS n_admitted,
+                   max(cap_rank) AS max_rank,
+                   count(DISTINCT cap_rank) AS n_ranks
+            FROM {qname} GROUP BY source ORDER BY source
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def rfm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the ONLINE RFM stream
+    (metrics-only mode — no boundary snapshot) and return the FINAL
+    per-user metrics: the emission with the highest frequency is the
+    last one (frequency is strictly increasing per touched batch).
+    recency/frequency are exact integers; monetary re-rounds through
+    the engine-stable FLOOR idiom on both sides. Oracle: the batch
+    per-user aggregate."""
+    from ..ops.util import stable_round
+    from .rfm import rfm_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_rfm_replay_")
+    qname = f"rfm_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = _events_json(
+            spark,
+            sf_dir,
+            {"user_id": "user_id", "ts_ms": "ts_ms", "value": "value"},
+        )
+        db.insert_json([r["j"] for r in ev.collect()])
+        sq = rfm_stream(db, query_name=qname, checkpoint=f"{tmp}/ckpt")
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        final = (
+            spark.table(qname)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("frequency").desc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "recency_ms",
+                "frequency",
+                stable_round(F.col("monetary"), 4).alias("monetary"),
+            )
+            .orderBy("user_id")
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the stateful gap
+    sessionization stream and return every CLOSED session. A session
+    closes only when a strictly-later event exceeds the gap, so the
+    closed set is batching-invariant under time-sorted ingest; each
+    user's final (still-open) session lives in state and is excluded
+    from the oracle — the idle timeout is set far past the replay
+    wall-clock so it cannot fire and make the result timing-dependent.
+    Oracle: the batch sessionization minus each user's last session."""
+    from .sessions import session_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_sessions_replay_")
+    qname = f"sess_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = _events_json(
+            spark,
+            sf_dir,
+            {"user_id": "user_id", "ts_ms": "ts_ms"},
+            require=("user_id",),
+        )
+        lines = [r["j"] for r in ev.collect()]
+        db.insert_json(lines)
+        sq = session_stream(
+            db,
+            gap_minutes=30,
+            idle_timeout_seconds=86_400,
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            _drain_stateful(sq, expected_rows=len(lines))
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT user_id, session_start_ms, session_end_ms, n_events
+            FROM {qname}
+            ORDER BY user_id, session_start_ms
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def quality_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the windowed data-quality
+    monitor (two declarative rules) and return the FINAL violation
+    counters per hour window — update-mode counters are monotone, so
+    the final value per window is the max. NULL predicate results
+    count as violations (the batch gate's conservative reading), which
+    the oracle reproduces with the same CASE shape."""
+    from .quality_monitor import quality_monitor_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_qmon_replay_")
+    qname = f"qmon_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = _events_json(
+            spark,
+            sf_dir,
+            {"event_id": "event_id", "event_type": "event_type",
+             "ts_ms": "ts_ms", "value": "value"},
+        )
+        db.insert_json([r["j"] for r in ev.collect()])
+        sq = quality_monitor_stream(
+            db,
+            rules={
+                "v_value": F.col("value") >= 0,
+                "v_type": F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+            },
+            window="1 hour",
+            watermark="10 minutes",
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT window_start_ms,
+                   max(n_rows) AS n_rows,
+                   max(v_value) AS v_value,
+                   max(v_type) AS v_type
+            FROM {qname} GROUP BY window_start_ms
+            ORDER BY window_start_ms
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the stream-stream attribution
+    join (purchases ⋈ same-user clicks within a 30-minute lookback)
+    and return the emitted pair multiset projected to
+    (purchase_user, purchase_ms, click_ms) — the log-assigned ids are
+    ingest-order artifacts and are projected away. Time-sorted ingest
+    keeps every candidate click inside the join state when its
+    purchase arrives (eviction lags the watermark by the full
+    horizon), so the pair set equals the batch range join."""
+    from .asof import attribution_join_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_asof_replay_")
+    qname = f"asof_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = _events_json(
+            spark,
+            sf_dir,
+            {"user": "user_id", "event_type": "event_type",
+             "ts_ms": "ts_ms"},
+        )
+        db.insert_json([r["j"] for r in ev.collect()])
+        sq = attribution_join_stream(
+            db,
+            horizon_minutes=30,
+            watermark="10 minutes",
+            user_field="user",
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT CAST(purchase_user AS BIGINT) AS purchase_user,
+                   purchase_ms, click_ms
+            FROM {qname}
+            ORDER BY purchase_user, purchase_ms, click_ms
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def exposure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the grid-decomposed
+    stream-stream incident-exposure join (every activity within ±5
+    minutes of an error, cross-user) and return the pair multiset
+    projected to (error_ms, act_user, act_ms). The grid decomposition
+    guarantees each pair matches on exactly one cell, so multiplicity
+    equals the batch range join's."""
+    from .exposure import incident_exposure_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_expo_replay_")
+    qname = f"expo_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = _events_json(
+            spark,
+            sf_dir,
+            {"user": "user_id", "event_type": "event_type",
+             "ts_ms": "ts_ms"},
+        )
+        db.insert_json([r["j"] for r in ev.collect()])
+        sq = incident_exposure_stream(
+            db,
+            pad_minutes=5,
+            grid_minutes=10,
+            watermark="10 minutes",
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT error_ms,
+                   CAST(act_user AS BIGINT) AS act_user,
+                   act_ms
+            FROM {qname}
+            ORDER BY error_ms, act_user, act_ms
             """
         ).localCheckpoint(eager=True)
     finally:

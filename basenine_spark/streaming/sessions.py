@@ -98,6 +98,7 @@ def session_stream(
     idle_timeout_seconds: int = 5,
     query_name: str = "sessions",
     checkpoint: str | None = None,
+    available_now: bool = False,
 ):
     """Start the stateful sessionization stream over a durable
     BasenineDB's log; closed sessions land in the in-memory table
@@ -109,7 +110,18 @@ def session_stream(
     across JVM restarts — a same-name restart resumes *offsets and
     state* but the memory table restarts empty, so pre-restart output
     rows never reappear; pair the stable checkpoint with a durable
-    sink when replay-safe output matters. Returns the StreamingQuery."""
+    sink when replay-safe output matters. Returns the StreamingQuery.
+
+    ``available_now=True`` runs an Available-Now trigger: the query
+    drains everything already in the log and then terminates on its
+    own (``awaitTermination`` instead of ``processAllAvailable``).
+    This is the batch-replay mode — with a continuous trigger the
+    ProcessingTimeTimeout registrations keep the engine in a no-data
+    "cleaning up state" batch loop that ``processAllAvailable`` never
+    sees the end of, so a bounded replay MUST use this flag. Idle
+    timeouts do not fire under Available-Now (the query stops first);
+    the final still-open session per user stays in state, which is
+    exactly the closed-set contract the replay oracle checks."""
     if db._log is None:
         raise ValueError("session_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
@@ -126,7 +138,7 @@ def session_stream(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
-    return (
+    writer = (
         sessions.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
@@ -134,5 +146,7 @@ def session_stream(
             "checkpointLocation",
             checkpoint or f"{db._log.path}_sessions_ckpt_{query_name}",
         )
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -176,6 +176,17 @@ LIFECYCLE_ONCE = [
     # runs the full k-center selection TWICE (literal + broadcast
     # shipping paths) by construction — the parity IS the row
     "sample_kcenter_verified",
+    # round-11 replay wave: each ingests the corpus into a durable log
+    # and runs a real Structured Streaming query to exhaustion (same
+    # single-run rationale as the kanon/sentences replays above)
+    "streaming_dedup_replay",
+    "streaming_windows_replay",
+    "streaming_source_cap_replay",
+    "streaming_rfm_replay",
+    "streaming_sessions_replay",
+    "streaming_quality_replay",
+    "streaming_asof_replay",
+    "streaming_exposure_replay",
 ]
 
 

@@ -107,7 +107,7 @@ def test_extension_surface_inside_window():
         # rounds + plan test) funding events_rfm_segments
         # profile_orders demoted late round 6 (profiling family held by
         # pipeline_datasheet/expectations/skew) funding sample_effective_mass
-        "pipeline_release",
+        # pipeline_release: demoted round 11 (replay wave)
         # text_vocab_topk demoted late round 6 (token-count family held
         # by quality_flags/bm25/surprisal) funding pipeline_pack_balanced
         # text_quality_flags demoted round 7 (gates re-verified inside
@@ -204,7 +204,7 @@ def test_extension_surface_inside_window():
         # sample_exact_n demoted round 9 (green r7-r8; family keeps
         # exact_stratified/weighted_draw/temperature_mixture/dsir
         # in-window) funding ann_index_persisted
-        "validate_golden_errors",
+        # validate_golden_errors: demoted round 11 (replay wave)
         # round 7: NEW hybrid sparse+dense retrieval capability
         "search_hybrid_rrf",
         # round 7: corpus-composition analytics
@@ -225,7 +225,7 @@ def test_extension_surface_inside_window():
         # sample_token_budget demoted round 11 (green r7-r10; the
         # two-pass prefix-sum rank shape pinned by four rounds)
         # round 7: temperature-based mixture reweighting
-        "sample_temperature_mixture",
+        # sample_temperature_mixture: demoted round 11 (replay wave)
         # round 7: leakage-safe cluster-keyed splits
         "sample_leakage_safe_splits",
         # sample_weighted_draw demoted round 10 (green r7-r9; the
@@ -233,20 +233,20 @@ def test_extension_surface_inside_window():
         # sample_exact_stratified verifies) funding
         # agg_heavy_hitters_verified
         # round 7: RFM segmentation + seasonality grid
-        "events_rfm_segments",
+        # events_rfm_segments: demoted round 11 (replay wave)
         # events_seasonality demoted round 11 (green r7-r10)
         # round 7: cluster density/transitivity diagnostics
-        "dedup_cluster_density",
+        # dedup_cluster_density: demoted round 11 (replay wave)
         # round 8: the 2 deterministic rows-only → full-oracle
         # promotions (VERDICT r7 #8) — the mega-domain cap's scale path
         # and the PPJoin threshold operating curve
-        "sample_source_cap_twophase",
-        "dedup_operating_curve",
+        # sample_source_cap_twophase: demoted round 11 (replay wave)
+        # dedup_operating_curve: demoted round 11 (replay wave)
         # round 8: the forced-distributed clustering path (same oracle
         # as dedup_clusters; the 100-TB plan under the driver's check)
         "dedup_clusters_distributed",
         # round 8: C4-style sentence-level dedup (ratio + keep-first)
-        "text_dup_sentences",
+        # text_dup_sentences: demoted round 11 (replay wave)
         "text_scrub_sentences",
         # round 8: bucketed co-located join under the driver's check
         "join_bucketed_colocated",
@@ -296,6 +296,16 @@ def test_extension_surface_inside_window():
         "dedup_semantic_verified",
         "multimodal_phash_verified",
         "multimodal_spectral_verified",
+        # round-11 replay wave: eight more streaming twins replayed
+        # under full-value oracles
+        "streaming_dedup_replay",
+        "streaming_windows_replay",
+        "streaming_source_cap_replay",
+        "streaming_rfm_replay",
+        "streaming_sessions_replay",
+        "streaming_quality_replay",
+        "streaming_asof_replay",
+        "streaming_exposure_replay",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
