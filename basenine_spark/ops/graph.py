@@ -102,3 +102,78 @@ def knn_pagerank(
         spark, sf_dir, k=k, tables=tables, bits=bits
     ).select("src", "dst")
     return pagerank(edges, iters=iters)
+
+
+def pagerank_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    iters: int = 5,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Driver-verified contract for :func:`knn_pagerank` (never
+    driver-checked in rounds 1-11): the distributed rank vector is
+    diffed against an INDEPENDENT driver-side numpy power iteration
+    over the collected edge list — same damping, same dangling-mass
+    redistribution, same iteration count, a different execution
+    substrate entirely.
+
+    The edge list is bounded by construction (N×k rows — the same
+    bounded-collect class as the count-gated union-find fast path),
+    the node universe and both vectors are one small collect each.
+    Ranks are compared at the op's emitted stable_round(.,6)
+    resolution with ``tol`` absorbing the distributed sum's
+    accumulation-order ulps: ``n_rank_mismatch`` = 0, and the numpy
+    vector's total mass must stay 1 within ``tol`` every iteration
+    (``n_mass_violations`` = 0). Ballast: ``n_vecs`` (SQL-derivable;
+    the graph's node count depends on the LSH bucketing and is
+    asserted only to be positive)."""
+    import numpy as np
+
+    edges_df = similarity.knn_graph(spark, sf_dir, k=k).select(
+        "src", "dst"
+    ).localCheckpoint(eager=True)
+    ranks_df = pagerank(edges_df, damping=damping, iters=iters)
+
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    got = {r["node"]: r["rank"] for r in ranks_df.collect()}
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    mass_viol = 0
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += rank[idx[s]] / out_deg[idx[s]]
+        dangling = rank[out_deg == 0].sum()
+        rank = (
+            (1.0 - damping) / n
+            + damping * dangling / n
+            + damping * contrib
+        )
+        if abs(rank.sum() - 1.0) > tol:
+            mass_viol += 1
+
+    # compare the emitted (stable-rounded) rank against the RAW numpy
+    # rank: emitted is within 0.5 ulp of the distributed raw value and
+    # the two raw vectors agree within tol, so the bound below cannot
+    # false-positive at a rounding-grid boundary (comparing two
+    # independently-rounded values could differ by a full grid step)
+    scale = 1e6
+    mism = 0
+    for node, emitted in got.items():
+        if abs(emitted - rank[idx[node]]) > 0.5 / scale + tol:
+            mism += 1
+    mism += len(set(nodes) - set(got))  # node sets must agree too
+
+    n_vecs = similarity.load_embeddings(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [(int(n_vecs), int(mass_viol), int(mism))],
+        "n_vecs bigint, n_mass_violations bigint, n_rank_mismatch bigint",
+    )

@@ -167,3 +167,131 @@ def zorder_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("zorder", z_hit, z_total), ("id_order", id_hit, id_total)],
         "layout string, files_hit int, files_total int",
     )
+
+
+def zorder_contract(spark: SparkSession, sf_dir: str, bits: int = 10) -> DataFrame:
+    """Driver-verified contract for the Z-order layout family (never
+    driver-checked in rounds 1-11). Two deterministic guarantees:
+
+    * MORTON EXACTNESS: for every row, extracting bit ``2i`` / ``2i+1``
+      of the constructed key must give back bit ``i`` of the x / y
+      bucket index — the inverse de-interleave as an independent
+      expression path (extraction vs construction):
+      ``n_bit_violations`` = 0.
+    * PRUNING SOUNDNESS (no false negatives): after a real
+      :func:`zorder_write`, every row inside the benchmark box must
+      live in a file whose parquet-footer stats overlap the box —
+      footer-based file skipping can never drop a matching row:
+      ``n_rows_in_skipped_files`` = 0. (The *advantage* of the layout
+      is measured by ``zorder_effectiveness`` and pytest-gated; this
+      row pins its CORRECTNESS.)
+
+    Ballast: ``n_rows`` = events with non-NULL (user_id, value) — the
+    rows the layout is defined on.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    df = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    n_rows = df.count()
+    bounds = df.agg(
+        F.min("user_id").alias("x_lo"),
+        F.max("user_id").alias("x_hi"),
+        F.min("value").alias("y_lo"),
+        F.max("value").alias("y_hi"),
+    ).collect()[0]
+    xb = _bucketize(
+        F.col("user_id").cast("double"),
+        F.lit(float(bounds["x_lo"])),
+        F.lit(float(bounds["x_hi"])),
+        bits,
+    )
+    yb = _bucketize(
+        F.col("value").cast("double"),
+        F.lit(float(bounds["y_lo"])),
+        F.lit(float(bounds["y_hi"])),
+        bits,
+    )
+    keyed = df.select(
+        xb.alias("xb"), yb.alias("yb"), morton_key(xb, yb, bits).alias("z")
+    )
+    # inverse path: de-interleave the constructed key bit by bit
+    x_back = F.lit(0).cast("bigint")
+    y_back = F.lit(0).cast("bigint")
+    for i in range(bits):
+        x_back = x_back + (
+            F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1))
+            * F.lit(1 << i)
+        )
+        y_back = y_back + (
+            F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1))
+            * F.lit(1 << i)
+        )
+    n_bit_violations = keyed.filter(
+        (x_back != F.col("xb")) | (y_back != F.col("yb"))
+    ).count()
+
+    tmp = tempfile.mkdtemp(prefix="zorder_contract_")
+    try:
+        dest = zorder_write(spark, sf_dir, f"{tmp}/z", bits=bits)
+        box = dict(
+            x_col="user_id",
+            x_range=(2, 4),
+            y_col="value",
+            y_range=(10.0, 25.0),
+        )
+        # footer-overlap decision per file (the skip list)...
+        overlap_files = set()
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for fpath in glob.glob(os.path.join(dest, "*.parquet")):
+            md = pq.read_metadata(fpath)
+            names = md.schema.to_arrow_schema().names
+            xi, yi = names.index("user_id"), names.index("value")
+            x_lo = min(md.row_group(g).column(xi).statistics.min
+                       for g in range(md.num_row_groups))
+            x_hi = max(md.row_group(g).column(xi).statistics.max
+                       for g in range(md.num_row_groups))
+            y_lo = min(md.row_group(g).column(yi).statistics.min
+                       for g in range(md.num_row_groups))
+            y_hi = max(md.row_group(g).column(yi).statistics.max
+                       for g in range(md.num_row_groups))
+            if (x_hi >= box["x_range"][0] and x_lo <= box["x_range"][1]
+                    and y_hi >= box["y_range"][0]
+                    and y_lo <= box["y_range"][1]):
+                overlap_files.add(os.path.basename(fpath))
+        # ...vs the rows actually inside the box, attributed to files
+        in_box = (
+            spark.read.parquet(dest)
+            .withColumn(
+                "f",
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ),
+            )
+            .filter(
+                (F.col("user_id") >= box["x_range"][0])
+                & (F.col("user_id") <= box["x_range"][1])
+                & (F.col("value") >= box["y_range"][0])
+                & (F.col("value") <= box["y_range"][1])
+            )
+            .groupBy("f")
+            .count()
+            .collect()
+        )
+        n_missed = sum(
+            int(r["count"]) for r in in_box
+            if r["f"] not in overlap_files
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_rows), int(n_bit_violations), int(n_missed))],
+        "n_rows bigint, n_bit_violations bigint,"
+        " n_rows_in_skipped_files bigint",
+    )

@@ -1396,3 +1396,67 @@ def spectral_roundtrip_verified(
         [(int(row["n"]), int(row["nf"]), int(row["nm"]))],
         "n_payloads bigint, n_decode_fail bigint, n_mismatch bigint",
     )
+
+
+def media_near_dup_contract(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """Driver-verified contract for the banded Hamming near-dup family
+    over REAL decoded media (never driver-checked in rounds 1-11):
+    :func:`image_near_dup` (pHash over BMP/PNG) and
+    :func:`audio_near_dup` (spectral-shape fingerprint over WAV) are
+    both diffed, pair-for-pair INCLUDING the emitted distance, against
+    a brute-force all-pairs ``bit_count(xor)`` scan over the bounded
+    fingerprint tables (8 bytes/doc — the simhash_contract shape).
+    The pigeonhole guarantee makes recall EXACT at ``max_hamming <=
+    7`` (8 bands x 8 bits: <=7 differing bits leave one band intact),
+    so BOTH directions of the diff are deterministically empty:
+    ``*_missed`` (brute pair the banded join dropped) and ``*_wrong``
+    (banded pair absent from brute force — a false positive or a
+    mis-computed distance). Ballast: payload counts by the synth
+    routing (doc_id % 3)."""
+    media = synth_media_table(spark, sf_dir)
+    imgs = media.filter(F.col("media_type").startswith("image/"))
+    ih = (
+        image_phash(imgs)
+        .filter(F.col("ok"))
+        .select("doc_id", "phash")
+        .localCheckpoint(eager=True)
+    )
+    wavs = media.filter(F.col("media_type") == "audio/wav")
+    ah = (
+        audio_fingerprint(wavs)
+        .filter(F.col("ok"))
+        .select("doc_id", "afp")
+        .localCheckpoint(eager=True)
+    )
+
+    def diff_counts(hashes: DataFrame, col: str) -> tuple[int, int]:
+        banded = hamming_near_dup(hashes, col, max_hamming)
+        a, b = hashes.alias("a"), F.broadcast(hashes).alias("b")
+        brute = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                F.bit_count(
+                    F.col(f"a.{col}").bitwiseXOR(F.col(f"b.{col}"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        cols = ["doc_id_a", "doc_id_b", "hamming"]
+        missed = brute.join(banded, cols, "left_anti").count()
+        wrong = banded.join(brute, cols, "left_anti").count()
+        return missed, wrong
+
+    img_missed, img_wrong = diff_counts(ih, "phash")
+    aud_missed, aud_wrong = diff_counts(ah, "afp")
+    n_images = ih.count()
+    n_audio = ah.count()
+    return spark.createDataFrame(
+        [(int(n_images), int(n_audio), int(img_missed), int(img_wrong),
+          int(aud_missed), int(aud_wrong))],
+        "n_images bigint, n_audio bigint, img_missed bigint,"
+        " img_wrong bigint, aud_missed bigint, aud_wrong bigint",
+    )

@@ -2114,3 +2114,93 @@ def kcenter_coreset(
     return spark.createDataFrame(
         selected, "sel_rank int, vec_id long, sel_dist double"
     )
+
+
+def triplets_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    sim_floor: float = 0.2,
+    salt: str = "neg",
+) -> DataFrame:
+    """Driver-verified contract for :func:`contrastive_triplets` (never
+    driver-checked in rounds 1-11). Four deterministic guarantees over
+    every emitted triplet:
+
+    * NEGATIVE FORMULA: ``negative`` must equal
+      ``pmod(xxhash64(anchor, positive, salt), n_vecs)`` — the
+      RNG-free closed-form draw, recomputed in place:
+      ``n_formula_violations`` = 0.
+    * EXCLUSION: the negative is never the anchor, the positive, or
+      any of the anchor's k-NN neighbors (the documented drop-not-
+      redraw policy): ``n_exclusion_violations`` = 0.
+    * POSITIVE PROVENANCE + SIM: every (anchor, positive, pos_sim) is
+      an edge of the same kNN graph with sim >= floor, and ``pos_sim``
+      equals the engine-stable rounded exact cosine recomputed from
+      the raw vectors: ``n_pos_violations`` = 0.
+    * NEGATIVE SIM: ``neg_sim`` equals the same recomputation for the
+      (anchor, negative) pair: ``n_neg_sim_mismatch`` = 0.
+
+    Ballast: ``n_vecs`` (SQL-derivable); the triplet count itself
+    depends on the LSH bucketing and is pinned positive in pytest.
+    """
+    trip = contrastive_triplets(
+        spark, sf_dir, k=k, sim_floor=sim_floor, salt=salt
+    ).localCheckpoint(eager=True)
+    n_vecs = load_embeddings(spark, sf_dir).count()
+
+    formula = F.pmod(
+        F.xxhash64(F.col("anchor"), F.col("positive"), F.lit(salt)),
+        F.lit(n_vecs),
+    )
+    n_formula = trip.filter(F.col("negative") != formula).count()
+
+    edges = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
+    n_excl = (
+        trip.filter(
+            (F.col("negative") == F.col("anchor"))
+            | (F.col("negative") == F.col("positive"))
+        ).count()
+        + trip.join(
+            edges.select(
+                F.col("src").alias("anchor"),
+                F.col("dst").alias("negative"),
+            ),
+            ["anchor", "negative"],
+            "left_semi",
+        ).count()
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("e_a"))
+    ep = emb.select(F.col("vec_id").alias("positive"), F.col("embedding").alias("e_p"))
+    en = emb.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("e_n"))
+    enriched = trip.join(ea, "anchor").join(ep, "positive").join(en, "negative")
+    good_edges = edges.filter(F.col("sim") >= sim_floor).select(
+        F.col("src").alias("anchor"),
+        F.col("dst").alias("positive"),
+        F.col("sim").alias("edge_sim"),
+    )
+    n_pos = (
+        enriched.join(good_edges, ["anchor", "positive"], "left")
+        .filter(
+            F.col("edge_sim").isNull()
+            | (F.col("edge_sim") != F.col("pos_sim"))
+            | (
+                stable_round(cosine(F.col("e_a"), F.col("e_p")), 4)
+                != F.col("pos_sim")
+            )
+        )
+        .count()
+    )
+    n_neg_sim = enriched.filter(
+        stable_round(cosine(F.col("e_a"), F.col("e_n")), 4)
+        != F.col("neg_sim")
+    ).count()
+    return spark.createDataFrame(
+        [(int(n_vecs), int(n_formula), int(n_excl), int(n_pos),
+          int(n_neg_sim))],
+        "n_vecs bigint, n_formula_violations bigint,"
+        " n_exclusion_violations bigint, n_pos_violations bigint,"
+        " n_neg_sim_mismatch bigint",
+    )

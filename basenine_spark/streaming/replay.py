@@ -36,6 +36,7 @@ import shutil
 import tempfile
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -474,6 +475,453 @@ def asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                    purchase_ms, click_ms
             FROM {qname}
             ORDER BY purchase_user, purchase_ms, click_ms
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def semdedup_replay_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.35,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Replay the embeddings table through the ONLINE SemDeDup
+    admission stream and verify the admitted set's two defining
+    invariants (the same checks `dedup_semantic_verified` runs for the
+    batch op — implementation-independent, so they hold across any
+    micro-batching):
+
+    * MUTUAL DISSIMILARITY: no two admitted vectors in one cluster
+      with cosine > threshold (+tol for accumulation-order ulps);
+    * DROPPED COVERAGE: every non-admitted vector has an earlier
+      admitted witness at >= threshold (−tol) in its cluster.
+
+    Cluster routing uses the deterministic bounded-sample k-means
+    centroids (`_kmeans_centroids`) on BOTH sides; `max_kept` is set
+    above any cluster size so remembered == admitted. Embeddings are
+    cast to double BEFORE the JSON ingest so the stream parses exactly
+    the float-widened doubles the checker recomputes with."""
+    from ..ops.similarity import (
+        _kmeans_centroids,
+        dot,
+        embed_clusters,
+        load_embeddings,
+        norm_col,
+    )
+    from .semdedup import semantic_admit_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_semdedup_replay_")
+    qname = f"semdd_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        emb = (
+            load_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id").isNotNull())
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+        )
+        lines = (
+            emb.orderBy("vec_id")
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("vec_id"), F.col("e").alias("embedding")
+                    )
+                ).alias("j")
+            )
+            .collect()
+        )
+        db.insert_json([r["j"] for r in lines])
+        cents = _kmeans_centroids(
+            load_embeddings(spark, sf_dir), "embedding", k, iters
+        )
+        sq = semantic_admit_stream(
+            db,
+            cents,
+            threshold=threshold,
+            max_kept=1_000_000,
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        admitted = spark.sql(
+            f"SELECT vec_id, cluster FROM {qname}"
+        ).localCheckpoint(eager=True)
+
+        assigned = (
+            embed_clusters(spark, sf_dir, k=k, iters=iters)
+            .filter(F.col("vec_id").isNotNull())
+            .select("vec_id", "cluster")
+        )
+        embn = load_embeddings(spark, sf_dir).filter(
+            F.col("vec_id").isNotNull()
+        ).select(
+            "vec_id",
+            "embedding",
+            F.when(norm_col(F.col("embedding")) == 0.0, F.lit(1.0))
+            .otherwise(norm_col(F.col("embedding")))
+            .alias("nrm"),
+        )
+        kept_e = admitted.join(embn, "vec_id").localCheckpoint(eager=True)
+        a, b = kept_e.alias("a"), kept_e.alias("b")
+        pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nrm") * F.col("b.nrm")
+        )
+        viol1 = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(pair_sim > F.lit(threshold + tol))
+            .count()
+        )
+        dropped = (
+            assigned.join(admitted.select("vec_id"), "vec_id", "left_anti")
+            .join(embn, "vec_id")
+            .alias("d")
+        )
+        k2 = kept_e.alias("k2")
+        wit_sim = dot(F.col("d.embedding"), F.col("k2.embedding")) / (
+            F.col("d.nrm") * F.col("k2.nrm")
+        )
+        covered = dropped.join(
+            k2,
+            (F.col("d.cluster") == F.col("k2.cluster"))
+            & (F.col("k2.vec_id") < F.col("d.vec_id"))
+            & (wit_sim >= F.lit(threshold - tol)),
+            "left_semi",
+        )
+        viol2 = dropped.count() - covered.count()
+        n_vecs = (
+            load_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id").isNotNull())
+            .count()
+        )
+        return spark.createDataFrame(
+            [(int(n_vecs), int(viol1), int(viol2))],
+            "n_vecs bigint, n_kept_pair_violations bigint,"
+            " n_dropped_uncovered bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def dsir_replay_contract(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.0
+) -> DataFrame:
+    """Replay the documents table through the STATELESS DSIR admission
+    gate (frozen hashed log-ratio model, trained by the real batch
+    trainer on lang='fr' as the target slice) and diff the admitted
+    rows against a batch scoring pass built from the same broadcast
+    model and the same Arrow scorer — the stream side differs only in
+    running over the durable log through Structured Streaming, so
+    (doc_id, rounded weight, n_tokens) must agree row-for-row:
+    mismatch counters are deterministically zero."""
+    from ..ops.util import stable_round
+    from .dsir import dsir_admit_stream, train_dsir_model
+
+    tmp = tempfile.mkdtemp(prefix="bn_dsir_replay_")
+    qname = f"dsir_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        lines = (
+            docs.select(
+                F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
+                    "j"
+                )
+            )
+            .orderBy("j")
+            .collect()
+        )
+        db.insert_json([r["j"] for r in lines])
+        model = train_dsir_model(
+            docs, F.col("lang") == "fr", n_buckets=4096
+        )
+        sq = dsir_admit_stream(
+            db, model, threshold=threshold, query_name=qname
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        stream_rows = spark.sql(
+            f"SELECT doc_id, dsir_weight, n_tokens FROM {qname}"
+        ).localCheckpoint(eager=True)
+
+        # batch twin of the scoring pass: same bucket expression, same
+        # broadcast model, same Arrow mean — over the table instead of
+        # the replayed log
+        from pyspark.sql.functions import pandas_udf
+
+        n_buckets = len(model)
+        bc = spark.sparkContext.broadcast(model)
+
+        @pandas_udf("double")
+        def mean_lw(buckets: pd.Series) -> pd.Series:
+            import numpy as np
+
+            m = np.asarray(bc.value)
+
+            def score(bs):
+                return float(np.mean(m[np.asarray(bs, dtype=np.int64)]))
+
+            return buckets.map(score)
+
+        batch_rows = (
+            docs.select(
+                "doc_id",
+                F.expr(
+                    "transform(filter(split(text, ' '), t -> t != ''),"
+                    f" t -> pmod(xxhash64(t), {n_buckets}))"
+                ).alias("buckets"),
+            )
+            .filter(F.size("buckets") > 0)
+            .select(
+                "doc_id",
+                stable_round(mean_lw("buckets"), 6).alias("dsir_weight"),
+                F.size("buckets").cast("bigint").alias("n_tokens"),
+            )
+            .filter(F.col("dsir_weight") >= threshold)
+        )
+        s, bt = stream_rows.alias("s"), batch_rows.alias("b")
+        diff = s.join(
+            bt,
+            (F.col("s.doc_id") == F.col("b.doc_id"))
+            & (F.col("s.dsir_weight") == F.col("b.dsir_weight"))
+            & (F.col("s.n_tokens") == F.col("b.n_tokens")),
+            "full_outer",
+        ).filter(
+            F.col("s.doc_id").isNull() | F.col("b.doc_id").isNull()
+        )
+        n_mismatch = diff.count()
+        return spark.createDataFrame(
+            [(int(docs.count()), int(n_mismatch))],
+            "n_docs bigint, n_mismatch bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def anomaly_replay_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    z_threshold: float = 3.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """Replay the events table through the ONLINE Welford outlier
+    stream (id-sorted ingest, so the fold order is the event_id order
+    on every path) and diff the flagged set against a single-pass
+    batch recompute of the identical per-key expanding fold. The
+    streaming state carries exact doubles between micro-batches, so
+    the two folds are bit-identical whatever the batch boundaries —
+    the flagged (event_id, zscore) sets match exactly."""
+    from .anomaly import anomaly_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_anom_replay_")
+    qname = f"anom_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id").isNotNull()
+        )
+        lines = (
+            ev.orderBy("event_id")
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("event_id"),
+                        F.col("event_type"),
+                        F.col("value"),
+                    )
+                ).alias("j")
+            )
+            .collect()
+        )
+        db.insert_json([r["j"] for r in lines])
+        sq = anomaly_stream(
+            db,
+            z_threshold=z_threshold,
+            min_n=min_n,
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        stream_rows = spark.sql(
+            f"SELECT event_id, event_type, zscore FROM {qname}"
+        ).localCheckpoint(eager=True)
+
+        # batch twin: the same leak-free expanding Welford fold, one
+        # pandas group per event_type key (arithmetic identical to the
+        # streaming fold's, including the native round on the emitted
+        # z — both sides of THIS comparison, never a DuckDB side)
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = [
+                (int(e), float(v))
+                for e, v in zip(pdf["event_id"], pdf["value"])
+                if pd.notna(e) and pd.notna(v)
+            ]
+            rows.sort()
+            n, mean, m2 = 0, 0.0, 0.0
+            out = []
+            for eid, val in rows:
+                if n >= min_n:
+                    var = m2 / (n - 1) if n > 1 else 0.0
+                    if var > 0:
+                        z = (val - mean) / var**0.5
+                        if abs(z) >= z_threshold:
+                            out.append(
+                                (eid, pdf["event_type"].iloc[0], round(z, 4))
+                            )
+                n += 1
+                d = val - mean
+                mean += d / n
+                m2 += d * (val - mean)
+            return pd.DataFrame(
+                out, columns=["event_id", "event_type", "zscore"]
+            )
+
+        batch_rows = (
+            ev.select("event_id", "event_type", "value")
+            # anomaly_stream's own null policy: event_type (and
+            # event_id/value, which the fold drops anyway) are
+            # null-filtered BEFORE the stateful stage — mirror it
+            .filter(F.col("event_type").isNotNull())
+            .groupBy("event_type")
+            .applyInPandas(
+                fold, "event_id long, event_type string, zscore double"
+            )
+        )
+        s, bt = stream_rows.alias("s"), batch_rows.alias("b")
+        diff = s.join(
+            bt,
+            (F.col("s.event_id") == F.col("b.event_id"))
+            & (F.col("s.zscore") == F.col("b.zscore")),
+            "full_outer",
+        ).filter(
+            F.col("s.event_id").isNull() | F.col("b.event_id").isNull()
+        )
+        n_mismatch = diff.count()
+        return spark.createDataFrame(
+            [(int(ev.count()), int(n_mismatch))],
+            "n_events bigint, n_mismatch bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def blocklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table through the STATELESS blocklist
+    gate (lexical axis: 3-gram Jaccard against a deterministic
+    blocklist slice — every 37th doc). No keyed state, so the hit set
+    is trivially batching-invariant; the oracle recomputes the same
+    Jaccard from string trigrams (the hashed-vs-string shingle
+    equivalence the PPJoin oracle established). Dense gating is
+    pytest-pinned (the documents table carries no embeddings)."""
+    from .blocklist import blocklist_gate_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_blk_replay_")
+    qname = f"blk_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        lines = (
+            docs.select(
+                F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
+                    "j"
+                )
+            )
+            .orderBy("j")
+            .collect()
+        )
+        db.insert_json([r["j"] for r in lines])
+        block = docs.filter(F.col("doc_id") % 37 == 0).select(
+            F.col("doc_id").alias("block_id"),
+            "text",
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+        sq = blocklist_gate_stream(
+            db,
+            block,
+            tau_cos=0.9,
+            tau_jac=0.5,
+            n=3,
+            query_name=qname,
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT doc_id, block_id, jaccard
+            FROM {qname} WHERE hit_lexical
+            ORDER BY doc_id, block_id
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table through the order-tolerant streaming
+    funnel at ``order_tolerance_ms=0`` (every event folds the moment
+    its batch lands — nothing is ever buffered, so no quiescence
+    timeout is ever registered per key). Under
+    time-sorted ingest the greedy fold in event-time order IS the
+    chained-min derivation, so the emitted (user, step, ts) set equals
+    the batch funnel oracle, one row per filled step."""
+    from .funnel import funnel_stream
+
+    tmp = tempfile.mkdtemp(prefix="bn_funnel_replay_")
+    qname = f"funnel_replay_{uuid.uuid4().hex[:12]}"
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        ev = _events_json(
+            spark,
+            sf_dir,
+            {"user_id": "user_id", "event_type": "event_type",
+             "ts_ms": "ts_ms"},
+            require=("user_id",),
+        )
+        lines = [r["j"] for r in ev.collect()]
+        db.insert_json(lines)
+        sq = funnel_stream(
+            db,
+            steps=("view", "click", "purchase"),
+            query_name=qname,
+            checkpoint=f"{tmp}/ckpt",
+            order_tolerance_ms=0,
+        )
+        try:
+            # the ProcessingTimeTimeout MODE alone keeps the engine in
+            # the no-data cleanup-commit loop even though tolerance=0
+            # never registers a per-key timeout — drain by input-row
+            # accounting, as in sessions_replay
+            _drain_stateful(sq, expected_rows=len(lines))
+        finally:
+            sq.stop()
+        return spark.sql(
+            f"""
+            SELECT user_id, step_idx, ts_ms
+            FROM {qname} ORDER BY user_id, step_idx
             """
         ).localCheckpoint(eager=True)
     finally:

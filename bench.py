@@ -187,6 +187,19 @@ LIFECYCLE_ONCE = [
     "streaming_quality_replay",
     "streaming_asof_replay",
     "streaming_exposure_replay",
+    # round-11 second waves: wave-2 replays and the contract rows for
+    # the last never-driver-checked families — each is a full
+    # verification lifecycle (stream-to-exhaustion or op + brute-force
+    # twin), single-run by the same policy
+    "streaming_blocklist_replay",
+    "streaming_funnel_replay",
+    "streaming_semdedup_replay",
+    "streaming_dsir_replay",
+    "streaming_anomaly_replay",
+    "knn_pagerank_verified",
+    "layout_zorder_verified",
+    "embedding_triplets_verified",
+    "multimodal_hamming_verified",
 ]
 
 

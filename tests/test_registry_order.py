@@ -66,9 +66,9 @@ def test_promoted_and_demoted_disjoint():
 def test_extension_surface_inside_window():
     names = list(SPARK_QUERIES)[:WINDOW]
     required = {
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "ann_topk",
+        # dedup_exact: demoted round 11 (contract wave)
+        # dedup_ngram_jaccard: demoted round 11 (contract wave)
+        # ann_topk: demoted round 11 (contract wave)
         # multimodal_meta demoted late round 6 (family pinned by the
         # real-decode pytest surface) to fund join_interval_overlap
         # round-6 demotions (each multi-round green; family keeps an
@@ -206,7 +206,7 @@ def test_extension_surface_inside_window():
         # in-window) funding ann_index_persisted
         # validate_golden_errors: demoted round 11 (replay wave)
         # round 7: NEW hybrid sparse+dense retrieval capability
-        "search_hybrid_rrf",
+        # search_hybrid_rrf: demoted round 11 (replay wave 2)
         # round 7: corpus-composition analytics
         # pipeline_novelty_curve demoted round 11 (green r7-r10;
         # pipeline family keeps release/datasheet/overlap/loso)
@@ -227,7 +227,7 @@ def test_extension_surface_inside_window():
         # round 7: temperature-based mixture reweighting
         # sample_temperature_mixture: demoted round 11 (replay wave)
         # round 7: leakage-safe cluster-keyed splits
-        "sample_leakage_safe_splits",
+        # sample_leakage_safe_splits: demoted round 11 (replay wave 2)
         # sample_weighted_draw demoted round 10 (green r7-r9; the
         # ES hash-keyed draw is the same construction in-window
         # sample_exact_stratified verifies) funding
@@ -247,15 +247,15 @@ def test_extension_surface_inside_window():
         "dedup_clusters_distributed",
         # round 8: C4-style sentence-level dedup (ratio + keep-first)
         # text_dup_sentences: demoted round 11 (replay wave)
-        "text_scrub_sentences",
+        # text_scrub_sentences: demoted round 11 (replay wave 2)
         # round 8: bucketed co-located join under the driver's check
-        "join_bucketed_colocated",
+        # join_bucketed_colocated: demoted round 11 (replay wave 2)
         # round 8: first-order Markov transition matrix
-        "events_markov_transitions",
+        # events_markov_transitions: demoted round 11 (replay wave 2)
         # round 9: the 3 rows-only → full-oracle promotions (VERDICT
         # r8 #3) — two-release profile drift, per-dimension embedding
         # drift, and the persisted-ANN lifecycle parity diff
-        "profile_drift_events",
+        # profile_drift_events: demoted round 11 (contract wave)
         "embedding_drift_releases",
         "ann_index_persisted",
         # round 10: the 2 rows-only → full-oracle promotions (VERDICT
@@ -306,6 +306,18 @@ def test_extension_surface_inside_window():
         "streaming_quality_replay",
         "streaming_asof_replay",
         "streaming_exposure_replay",
+        # replay wave 2: blocklist/funnel full-value oracles + the
+        # semdedup/dsir/anomaly contract rows
+        "streaming_blocklist_replay",
+        "streaming_funnel_replay",
+        "streaming_semdedup_replay",
+        "streaming_dsir_replay",
+        "streaming_anomaly_replay",
+        # contract wave: the last never-driver-checked families
+        "knn_pagerank_verified",
+        "layout_zorder_verified",
+        "embedding_triplets_verified",
+        "multimodal_hamming_verified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -234,3 +234,39 @@ def test_spectral_roundtrip_verified_zero(spark):
     assert row["n_payloads"] > 0
     assert row["n_decode_fail"] == 0
     assert row["n_mismatch"] == 0
+
+
+# -- round-11 contract wave: the last never-driver-checked families ---------
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_pagerank_contract_zero_counters(spark):
+    from basenine_spark.ops.graph import pagerank_contract
+
+    rows = [tuple(r) for r in pagerank_contract(spark, SF_SMALL).collect()]
+    assert len(rows) == 1 and rows[0][1] == 0 and rows[0][2] == 0, rows
+
+
+def test_zorder_contract_zero_counters(spark):
+    from basenine_spark.ops.layout import zorder_contract
+
+    rows = [tuple(r) for r in zorder_contract(spark, SF_SMALL).collect()]
+    assert len(rows) == 1 and rows[0][1] == 0 and rows[0][2] == 0, rows
+
+
+def test_triplets_contract_zero_counters(spark):
+    from basenine_spark.ops.similarity import triplets_contract
+
+    rows = [tuple(r) for r in triplets_contract(spark, SF_SMALL).collect()]
+    assert len(rows) == 1 and all(v == 0 for v in rows[0][1:]), rows
+
+
+def test_media_hamming_contract_zero_counters(spark):
+    from basenine_spark.ops.multimodal import media_near_dup_contract
+
+    rows = [
+        tuple(r) for r in media_near_dup_contract(spark, SF_SMALL).collect()
+    ]
+    assert len(rows) == 1 and all(v == 0 for v in rows[0][2:]), rows
+    assert rows[0][0] > 0 and rows[0][1] > 0

@@ -110,7 +110,8 @@ def test_asof_replay_matches_batch_range_join(spark):
 @pytest.mark.parametrize(
     "fn_name",
     ["dedup_replay", "windows_replay", "source_cap_replay",
-     "quality_monitor_replay", "exposure_replay"],
+     "quality_monitor_replay", "exposure_replay", "blocklist_replay",
+     "funnel_replay"],
 )
 def test_other_replays_produce_rows(spark, fn_name):
     """The remaining replay rows carry full-value driver oracles at
@@ -120,3 +121,19 @@ def test_other_replays_produce_rows(spark, fn_name):
 
     df = getattr(replay, fn_name)(spark, SF)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize(
+    "fn_name",
+    ["semdedup_replay_contract", "dsir_replay_contract",
+     "anomaly_replay_contract"],
+)
+def test_contract_replays_zero_counters(spark, fn_name):
+    """The stream-vs-batch contract rows: every violation/mismatch
+    counter must be deterministically zero at sf0.001 too (the driver
+    pins sf0.01 + the fuzz corpora)."""
+    from basenine_spark.streaming import replay
+
+    rows = [tuple(r) for r in getattr(replay, fn_name)(spark, SF).collect()]
+    assert len(rows) == 1
+    assert all(v == 0 for v in rows[0][1:]), rows
