@@ -1460,3 +1460,67 @@ def media_near_dup_contract(
         "n_images bigint, n_audio bigint, img_missed bigint,"
         " img_wrong bigint, aud_missed bigint, aud_wrong bigint",
     )
+
+
+def asset_routing_contract(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """Driver-verified contract for :func:`asset_near_dup`'s UNIQUE
+    content — the modality routing and the text star shape (its
+    image/audio pair lists are the components
+    ``multimodal_hamming_verified`` already diffs against brute
+    force). Deterministic guarantees:
+
+    * ROUTING: a pair never spans modalities, and each side's doc_id
+      matches the synth routing for its labeled modality
+      (``doc_id % 3``: 0 audio, 1 image, 2 text):
+      ``n_routing_violations`` = 0.
+    * TEXT STAR: every text pair has distance 0, and its canonical
+      side is the MINIMUM doc_id of the payload-hash group (the g-1
+      star shape, never O(g^2) all-pairs):
+      ``n_text_star_violations`` = 0.
+    * BOUNDS: every image/audio distance lies in [0, max_hamming]:
+      ``n_bound_violations`` = 0.
+
+    Ballast: ``n_docs``.
+    """
+    pairs = asset_near_dup(
+        spark,
+        sf_dir,
+        image_hamming=max_hamming,
+        audio_hamming=max_hamming,
+    ).localCheckpoint(eager=True)
+    mod_of = {"audio": 0, "image": 1, "text": 2}
+    routing_pred = None
+    for m, r in mod_of.items():
+        bad = (F.col("modality") == m) & (
+            (F.col("doc_id_a") % 3 != r) | (F.col("doc_id_b") % 3 != r)
+        )
+        routing_pred = bad if routing_pred is None else (routing_pred | bad)
+    n_routing = pairs.filter(routing_pred).count()
+
+    media = synth_media_table(spark, sf_dir)
+    texts = media.filter(F.col("media_type") == "text/plain").select(
+        "doc_id", F.md5(F.col("payload")).alias("h")
+    )
+    canon = texts.groupBy("h").agg(F.min("doc_id").alias("min_id"))
+    tp = pairs.filter(F.col("modality") == "text")
+    n_text_star = (
+        tp.filter(F.col("distance") != 0).count()
+        + tp.join(
+            texts.select(F.col("doc_id").alias("doc_id_b"), "h"), "doc_id_b"
+        )
+        .join(canon, "h")
+        .filter(F.col("doc_id_a") != F.col("min_id"))
+        .count()
+    )
+    n_bounds = pairs.filter(
+        (F.col("modality") != "text")
+        & ((F.col("distance") < 0) | (F.col("distance") > max_hamming))
+    ).count()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_routing), int(n_text_star), int(n_bounds))],
+        "n_docs bigint, n_routing_violations bigint,"
+        " n_text_star_violations bigint, n_bound_violations bigint",
+    )

@@ -87,3 +87,95 @@ def quality_model_scores(
     return scored.select(
         "doc_id", "source", stable_round(prob_one, 4).alias("quality_prob")
     )
+
+
+def quality_scoring_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    reference_source: str = "src0",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Driver-verified contract for :func:`quality_model_scores` (never
+    driver-checked in rounds 1-11; the TRAINING floats are layout-
+    sensitive, so the model fit stays pytest territory — this row pins
+    the SCORING path, which is what every production batch reuses).
+    Every emitted probability must equal ``sigmoid(w . tf + b)``
+    recomputed from the trained coefficients through a different
+    substrate — a broadcast numpy weight vector applied to the sparse
+    HashingTF indices in an Arrow batch, vs ``model.transform``'s
+    MLlib vector dot. The op emits stable_round(p, 4); the
+    recomputation must land within half a grid step (+``tol`` for
+    accumulation-order ulps): ``n_score_mismatch`` = 0. Ballast:
+    ``n_docs`` (non-NULL text)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_docs = docs.count()
+    feats = _featurize(docs)
+    pos = feats.filter(F.col("source") == reference_source).withColumn(
+        "label", F.lit(1.0)
+    )
+    neg = (
+        feats.filter(F.col("source") != reference_source)
+        .filter(
+            _bucket("qmodel", F.col("doc_id"))
+            < F.lit("%08x" % int(0.5 * 0x100000000))
+        )
+        .withColumn("label", F.lit(0.0))
+    )
+    lr = LogisticRegression(
+        maxIter=25, regParam=1e-4, standardization=False, tol=1e-7
+    )
+    model = lr.fit(pos.unionByName(neg).select("features", "label"))
+
+    w = model.coefficients.toArray()  # dense (2^18,) float64, ~2 MiB
+    b = float(model.intercept)
+    bc = spark.sparkContext.broadcast(w)
+
+    # manual substrate: SparseVector rows scored with the broadcast
+    # numpy weight vector on the RDD path (pandas UDFs cannot carry
+    # VectorUDT; the per-row Python here is a verification twin over
+    # a bounded corpus, not a production path)
+    def _score_part(rows):
+        import numpy as np
+
+        wv = bc.value
+        for r in rows:
+            v = r["features"]
+            idx = np.asarray(v.indices, dtype=np.int64)
+            val = np.asarray(v.values, dtype=np.float64)
+            m = float(wv[idx] @ val) + b
+            yield (int(r["doc_id"]), 1.0 / (1.0 + float(np.exp(-m))))
+
+    manual = spark.createDataFrame(
+        feats.select("doc_id", "features").rdd.mapPartitions(_score_part),
+        "doc_id bigint, p_manual double",
+    )
+
+    from pyspark.ml.functions import vector_to_array as v2a
+
+    scored = model.transform(feats.select("doc_id", "features"))
+    emitted = scored.select(
+        "doc_id",
+        stable_round(
+            F.element_at(v2a(F.col("probability")), 2), 4
+        ).alias("quality_prob"),
+    )
+    n_mism = (
+        emitted.join(manual, "doc_id", "full_outer")
+        .filter(
+            F.col("quality_prob").isNull()
+            | F.col("p_manual").isNull()
+            | (
+                F.abs(F.col("quality_prob") - F.col("p_manual"))
+                > F.lit(0.5e-4 + tol)
+            )
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_mism))],
+        "n_docs bigint, n_score_mismatch bigint",
+    )

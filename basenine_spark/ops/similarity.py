@@ -1542,6 +1542,7 @@ def contrastive_triplets(
     tables: int = 24,
     bits: int = 5,
     salt: str = "neg",
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """(anchor, positive, negative) triplet mining for contrastive /
     metric-learning training — positives are the anchor's nearest
@@ -1562,9 +1563,12 @@ def contrastive_triplets(
     exactly for the mined negative.
     """
     n_vecs = load_embeddings(spark, sf_dir).count()
-    edges = knn_graph(spark, sf_dir, k=k, tables=tables, bits=bits).filter(
-        F.col("sim") >= sim_floor
-    )
+    # ``edges``: pass a precomputed knn_graph(k=k) to skip rebuilding
+    # the LSH graph (the verified-twin contract reuses one build for
+    # both the mining pass and the provenance checks)
+    if edges is None:
+        edges = knn_graph(spark, sf_dir, k=k, tables=tables, bits=bits)
+    edges = edges.filter(F.col("sim") >= sim_floor)
     cand = edges.select(
         F.col("src").alias("anchor"),
         F.col("dst").alias("positive"),
@@ -2144,8 +2148,9 @@ def triplets_contract(
     Ballast: ``n_vecs`` (SQL-derivable); the triplet count itself
     depends on the LSH bucketing and is pinned positive in pytest.
     """
+    edges = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
     trip = contrastive_triplets(
-        spark, sf_dir, k=k, sim_floor=sim_floor, salt=salt
+        spark, sf_dir, k=k, sim_floor=sim_floor, salt=salt, edges=edges
     ).localCheckpoint(eager=True)
     n_vecs = load_embeddings(spark, sf_dir).count()
 
@@ -2155,7 +2160,6 @@ def triplets_contract(
     )
     n_formula = trip.filter(F.col("negative") != formula).count()
 
-    edges = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
     n_excl = (
         trip.filter(
             (F.col("negative") == F.col("anchor"))

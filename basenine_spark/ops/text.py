@@ -1105,3 +1105,66 @@ def scrub_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("occ_rank") == 1)
         .select("doc_id", "sent_idx", "sentence")
     )
+
+
+def normalized_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified contract for :func:`normalized_dedup` (never
+    driver-checked in rounds 1-11; no DuckDB twin exists — DuckDB has
+    no NFKC). Three deterministic guarantees:
+
+    * IDEMPOTENCE: applying the NFKC+casefold pass to its own output
+      changes nothing — ``normalize(normalize(t)) == normalize(t)``
+      for every document (a real Unicode property of NFKC∘casefold on
+      its image, and the property the dedup key depends on):
+      ``n_idempotence_violations`` = 0.
+    * GROUPING EQUIVALENCE: the (md5-hash keyed) dedup groups must
+      equal a direct string-keyed group-by on the normalized text —
+      same (survivor, count) per group, which pins both the md5
+      keying (collision-freedom on this corpus) and the group-by
+      machinery through a different plan: ``n_group_mismatch`` = 0.
+    * COVERAGE: group counts sum back to the document total:
+      ``n_coverage_delta`` = 0.
+
+    Ballast: ``n_docs`` (non-NULL text).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_docs = docs.count()
+    normed = normalize_nfkc(docs).localCheckpoint(eager=True)
+    again = normalize_nfkc(normed, col="text_norm", out_col="text_norm2")
+    n_idem = again.filter(
+        ~F.col("text_norm2").eqNullSafe(F.col("text_norm"))
+    ).count()
+
+    hashed = normalized_dedup(spark, sf_dir).select(
+        "norm_hash", "doc_id", "dup_cnt"
+    )
+    direct = (
+        normed.groupBy("text_norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+        .select(F.md5("text_norm").alias("norm_hash"), "doc_id", "dup_cnt")
+    )
+    # presence markers: a name-list full_outer join COALESCES the join
+    # columns, so one-sided rows are detected by the marker being
+    # null, never by the (always-populated) key columns
+    n_group = (
+        hashed.withColumn("h_p", F.lit(1))
+        .join(
+            direct.withColumn("d_p", F.lit(1)),
+            ["norm_hash", "doc_id", "dup_cnt"],
+            "full_outer",
+        )
+        .filter(F.col("h_p").isNull() | F.col("d_p").isNull())
+        .count()
+    )
+    total = hashed.agg(F.coalesce(F.sum("dup_cnt"), F.lit(0))).collect()[0][0]
+    n_cover = abs(int(total) - int(n_docs))
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_idem), int(n_group), int(n_cover))],
+        "n_docs bigint, n_idempotence_violations bigint,"
+        " n_group_mismatch bigint, n_coverage_delta bigint",
+    )

@@ -200,6 +200,11 @@ LIFECYCLE_ONCE = [
     "layout_zorder_verified",
     "embedding_triplets_verified",
     "multimodal_hamming_verified",
+    # round-11 final wave: the last never-driver-checked families
+    "text_normalized_verified",
+    "text_fertility_verified",
+    "text_quality_verified",
+    "multimodal_asset_verified",
 ]
 
 

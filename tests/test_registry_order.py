@@ -256,8 +256,8 @@ def test_extension_surface_inside_window():
         # r8 #3) — two-release profile drift, per-dimension embedding
         # drift, and the persisted-ANN lifecycle parity diff
         # profile_drift_events: demoted round 11 (contract wave)
-        "embedding_drift_releases",
-        "ann_index_persisted",
+        # embedding_drift_releases: demoted round 11 (final wave)
+        # ann_index_persisted: demoted round 11 (final wave)
         # round 10: the 2 rows-only → full-oracle promotions (VERDICT
         # r9 #7) — the LSH banding path under the exact recursive-CTE
         # oracle, and the frequent-items sketch under the
@@ -273,9 +273,9 @@ def test_extension_surface_inside_window():
         "agg_quantiles_verified",
         "agg_hll_verified",
         # round 10 late: the exact kNN baseline under the full oracle
-        "knn_graph_exact",
+        # knn_graph_exact: demoted round 11 (final wave)
         # round 10 late: MinHash-LSH pairs under the shared exact oracle
-        "dedup_minhash_lsh",
+        # dedup_minhash_lsh: demoted round 11 (final wave)
         # round 11: the three never-driver-checked families under
         # the gate (VERDICT r10 #1-#3)
         "ann_topk_lsh_verified",
@@ -318,6 +318,11 @@ def test_extension_surface_inside_window():
         "layout_zorder_verified",
         "embedding_triplets_verified",
         "multimodal_hamming_verified",
+        # final wave: the last families with no driver row of any kind
+        "text_normalized_verified",
+        "text_fertility_verified",
+        "text_quality_verified",
+        "multimodal_asset_verified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

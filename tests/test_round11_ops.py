@@ -270,3 +270,64 @@ def test_media_hamming_contract_zero_counters(spark):
     ]
     assert len(rows) == 1 and all(v == 0 for v in rows[0][2:]), rows
     assert rows[0][0] > 0 and rows[0][1] > 0
+
+
+def test_normalized_dedup_contract_zero_counters(spark):
+    from basenine_spark.ops.text import normalized_dedup_contract
+
+    rows = [
+        tuple(r) for r in normalized_dedup_contract(spark, SF_SMALL).collect()
+    ]
+    assert len(rows) == 1 and all(v == 0 for v in rows[0][1:]), rows
+
+
+def test_quality_scoring_contract_zero_counters(spark):
+    from basenine_spark.ops.quality_model import quality_scoring_contract
+
+    rows = [
+        tuple(r)
+        for r in quality_scoring_contract(spark, SF_SMALL).collect()
+    ]
+    assert len(rows) == 1 and rows[0][1] == 0, rows
+
+
+def test_asset_routing_contract_zero_counters(spark):
+    from basenine_spark.ops.multimodal import asset_routing_contract
+
+    rows = [
+        tuple(r) for r in asset_routing_contract(spark, SF_SMALL).collect()
+    ]
+    assert len(rows) == 1 and all(v == 0 for v in rows[0][1:]), rows
+
+
+def test_fertility_char_baseline_is_chars_per_word(spark):
+    """num_merges=0 makes the BPE encode the identity on characters:
+    token count per doc equals the summed word lengths — the fixed
+    point the driver's full SQL oracle relies on."""
+    from pyspark.sql import functions as F
+
+    from basenine_spark.ops.bpe import tokenizer_fertility
+    from basenine_spark.sources.tables import load_table
+
+    out = {r["source"]: r for r in
+           tokenizer_fertility(spark, SF_SMALL, num_merges=0).collect()}
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    want = {
+        r["source"]: r
+        for r in docs.select(
+            "source",
+            F.aggregate(
+                F.filter(F.split("text", " "), lambda w: w != ""),
+                F.lit(0),
+                lambda acc, w: acc + F.length(w),
+            ).alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("n_toks"))
+        .collect()
+    }
+    assert set(out) == set(want)
+    for src, row in out.items():
+        assert row["n_bpe_tokens"] == want[src]["n_toks"], src
