@@ -424,6 +424,121 @@ class BasenineDB:
         self._insert_counter = base + written
         return [index_to_id(base + i) for i in range(written)]
 
+    def insert_json_df(self, df) -> int:
+        """Bulk INSERT of a DataFrame holding ONE string column of
+        JSON lines — the backfill path (durable mode only): unlike
+        :meth:`insert_json` (the wire-protocol shape, where the server
+        necessarily holds the batch it read off the socket), the batch
+        here never materializes on the driver. Per-record work
+        (validation, insertion filter + redact, id stamping) runs on
+        executors; batch-schema maintenance uses Spark's own
+        DISTRIBUTED JSON inference instead of the driver-side parse;
+        the driver advances the id counter and merges schemas.
+        Returns the number of records written (ids are contiguous
+        from the pre-call counter in the DataFrame's partition
+        order)."""
+        if self._log is None:
+            raise ValueError(
+                "insert_json_df requires a durable (path-backed) db — "
+                "the non-durable mode is the wire surface, use "
+                "insert_json"
+            )
+        flt_text = (
+            expand_macros(self.macros, self.insertion_filter)
+            if self.insertion_filter
+            else ""
+        )
+        first_new_seq = self._log.total_written
+        pure_paths = None
+        if flt_text:
+            from ..bfl.compiler import pure_redact_paths
+
+            flt_q = parse(flt_text)
+            if flt_q.expr is not None:
+                pure_paths = pure_redact_paths(flt_q.expr)
+        batch = None
+        shred = None
+        inferred = None
+        if not flt_text or pure_paths is not None:
+            from pyspark.sql import types as T
+
+            # distributed inference over the batch itself — the same
+            # promotion rules the driver-side infer_batch_schema
+            # mirrors, evaluated by Spark's JSON reader on executors
+            try:
+                inferred = self.spark.read.json(
+                    df.rdd.map(lambda r: r[0])
+                ).schema
+            except Exception:
+                # empty batch (or all-corrupt, which append_df rejects
+                # anyway): nothing to infer, nothing will be written
+                inferred = None
+            if inferred is None or not inferred.fields:
+                inferred = None
+                batch = None
+            else:
+                batch = merge_types(
+                    inferred,
+                    T.StructType(
+                        [T.StructField(ID_COL, T.StringType(), True)]
+                    ),
+                )
+            if batch is not None:
+                from .schema import override_path_string
+
+                for p in pure_paths or []:
+                    batch = override_path_string(batch, p)
+                if self._shred_ok:
+                    merged_candidate = (
+                        batch
+                        if self._schema_acc is None
+                        else merge_types(self._schema_acc, batch)
+                    )
+                    old_ws = (
+                        shred_write_schema(self._schema_acc)
+                        if self._schema_acc is not None
+                        else None
+                    )
+                    new_ws = shred_write_schema(merged_candidate)
+                    if old_ws is None or common_leaves_unchanged(
+                        old_ws, new_ws
+                    ):
+                        shred = shred_write_schema(batch)
+                        if not shred.fields:
+                            shred = None
+        written = self._log.append_df(
+            df, insertion_filter_text=flt_text, shred_schema=shred
+        )
+        self._insert_counter = self._log.total_written
+        if shred is None and self._log.total_written > first_new_seq:
+            self._shred_ok = False
+        if batch is None and self._log.total_written > first_new_seq:
+            appended = (
+                self._log.scan()
+                .filter(F.col("seq") >= first_new_seq)
+                .select("value")
+            )
+            batch = self.spark.read.json(
+                appended.rdd.map(lambda r: r.value)
+            ).schema
+        if batch is not None and (
+            self._log.total_written > first_new_seq or inferred is not None
+        ):
+            merged = (
+                batch
+                if self._schema_acc is None
+                else merge_types(self._schema_acc, batch)
+            )
+            if merged != self._schema_acc:
+                self._schema_acc = merged
+                self._typed_schema = finalize_type(merged)
+        if inferred is not None:
+            self._known_keys |= set(inferred.fieldNames())
+        elif batch is not None:
+            self._known_keys |= set(batch.fieldNames()) - {ID_COL}
+        self._save_state()
+        return written
+
     # -- query plumbing ---------------------------------------------------
 
     def _prepare(self, query: str) -> Query:

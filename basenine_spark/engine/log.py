@@ -233,6 +233,100 @@ class DocumentLog:
         self._maybe_rotate()
         return ids
 
+    def append_df(
+        self,
+        df,
+        insertion_filter_text: str = "",
+        shred_schema: Optional[T.StructType] = None,
+    ) -> int:
+        """Bulk distributed ingest: ``df`` holds ONE string column of
+        JSON lines — the backfill shape, where the corpus is already
+        in cluster storage and must never materialize on the driver
+        (:meth:`append` is the wire-protocol shape: the server holds
+        the batch it just read off the socket).
+
+        Same validate → insertion filter (+redact) → contiguous-id →
+        Parquet-append pipeline as :meth:`append`, with the driver
+        touching only the sequence counter: validation is an
+        executor-side parse inside the count job (all-or-none — a
+        malformed line fails the job before any id is assigned or row
+        written), ids follow the DataFrame's partition order
+        (``zipWithIndex`` — order-stable, no shuffle), and only the
+        COUNT returns (a 100-TB backfill has no use for a driver-side
+        id list; the ids are ``base..base+written-1`` by contract)."""
+        rdd = df.rdd.map(lambda r: r[0])
+
+        if insertion_filter_text:
+            flt_text = insertion_filter_text
+
+            def apply_filter(part_it: Iterator[str]) -> Iterator[str]:
+                from ..bfl import parse as _parse
+                from ..bfl.pyeval import eval_query as _eval
+
+                parsed = _parse(flt_text)
+                for line in part_it:
+                    # eval parses every line — malformed JSON raises
+                    # here, failing the batch before any id exists
+                    truth, doc = _eval(parsed, line)
+                    if truth:
+                        yield doc
+
+            rdd = rdd.mapPartitions(apply_filter)
+        else:
+
+            def validate(part_it: Iterator[str]) -> Iterator[str]:
+                import json as _json
+
+                for line in part_it:
+                    _json.loads(line)  # all-or-none, executor-side
+                    yield line
+
+            rdd = rdd.mapPartitions(validate)
+
+        base = self._count
+        rdd = rdd.cache()  # zipWithIndex triggers a count job; reuse it
+        written = rdd.count()
+        with_idx = rdd.zipWithIndex()
+
+        def stamp(pairs: Iterator[tuple]) -> Iterator[tuple]:
+            import json as _json
+
+            for doc, idx in pairs:
+                seq = base + idx
+                obj = _json.loads(doc)
+                rid = "%024d" % seq
+                obj["id"] = rid
+                ts = obj.get("timestamp")
+                doc_ts = (
+                    int(ts)
+                    if isinstance(ts, (int, float))
+                    and not isinstance(ts, bool)
+                    else None
+                )
+                yield (
+                    seq,
+                    rid,
+                    _json.dumps(obj, separators=(",", ":")),
+                    doc_ts,
+                )
+
+        part = self._part
+        rows = with_idx.mapPartitions(stamp).map(lambda r: r + (part,))
+        out = self.spark.createDataFrame(rows, LOG_SCHEMA)
+        if shred_schema is not None and shred_schema.fields:
+            out = out.withColumn(
+                "doc", F.from_json(F.col("value"), shred_schema)
+            )
+        if written:
+            out.write.mode("append").partitionBy("part").parquet(self.path)
+        rdd.unpersist()
+
+        self._count = base + written
+        if written and self.retention_bytes > 0:
+            self._refresh_part_ts(part)
+        self._maybe_rotate()
+        return written
+
     def _refresh_part_ts(self, part: int) -> None:
         try:
             footer = (self._footer_stats() or {}).get(part)

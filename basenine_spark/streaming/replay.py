@@ -23,11 +23,13 @@ SQL oracle can recompute. The first two (r11 early):
 
 Each replay builds a throwaway durable BasenineDB, ingests the corpus
 table as JSON documents through the real INSERT path, runs the real
-streaming query to exhaustion (``processAllAvailable``), and returns
-the batching-invariant projection. Driver-side work is bounded: the
-corpus rows pass through ``insert_json``'s distributed ingest; only
-the JSON lines are collected once (the same bounded shape every wire
-test uses).
+streaming query to exhaustion (``processAllAvailable``, or input-row
+accounting for ProcessingTimeTimeout queries), and returns the
+batching-invariant projection. Ingest uses ``insert_json_df`` — the
+bulk backfill path — so the corpus never materializes on the driver;
+ids (and therefore arrival order) follow the sorted DataFrame's
+partition order, the same guarantee the previous collect-then-insert
+shape relied on.
 """
 
 from __future__ import annotations
@@ -74,7 +76,7 @@ def kanon_replay(
             )
             .orderBy("j")
         )
-        db.insert_json([r["j"] for r in ev.collect()])
+        db.insert_json_df(ev)
         sq = k_anonymity_stream(
             db, k=k, query_name=qname, checkpoint=f"{tmp}/ckpt"
         )
@@ -176,7 +178,7 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("j")
         )
-        db.insert_json([r["j"] for r in docs.collect()])
+        db.insert_json_df(docs)
         sq = dedup_stream(
             db,
             json_key="$.text",
@@ -215,7 +217,7 @@ def windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": "event_id", "event_type": "event_type",
              "ts_ms": "ts_ms"},
         )
-        db.insert_json([r["j"] for r in ev.collect()])
+        db.insert_json_df(ev)
         sq = windowed_counts_stream(
             db,
             window="1 hour",
@@ -268,7 +270,7 @@ def source_cap_replay(
             )
             .orderBy("j")
         )
-        db.insert_json([r["j"] for r in docs.collect()])
+        db.insert_json_df(docs)
         sq = source_cap_admit_stream(
             db, cap=cap, query_name=qname, checkpoint=f"{tmp}/ckpt"
         )
@@ -309,7 +311,7 @@ def rfm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             {"user_id": "user_id", "ts_ms": "ts_ms", "value": "value"},
         )
-        db.insert_json([r["j"] for r in ev.collect()])
+        db.insert_json_df(ev)
         sq = rfm_stream(db, query_name=qname, checkpoint=f"{tmp}/ckpt")
         try:
             sq.processAllAvailable()
@@ -360,8 +362,7 @@ def sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": "user_id", "ts_ms": "ts_ms"},
             require=("user_id",),
         )
-        lines = [r["j"] for r in ev.collect()]
-        db.insert_json(lines)
+        n_ingested = db.insert_json_df(ev)
         sq = session_stream(
             db,
             gap_minutes=30,
@@ -370,7 +371,7 @@ def sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=f"{tmp}/ckpt",
         )
         try:
-            _drain_stateful(sq, expected_rows=len(lines))
+            _drain_stateful(sq, expected_rows=n_ingested)
         finally:
             sq.stop()
         return spark.sql(
@@ -403,7 +404,7 @@ def quality_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": "event_id", "event_type": "event_type",
              "ts_ms": "ts_ms", "value": "value"},
         )
-        db.insert_json([r["j"] for r in ev.collect()])
+        db.insert_json_df(ev)
         sq = quality_monitor_stream(
             db,
             rules={
@@ -456,7 +457,7 @@ def asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user": "user_id", "event_type": "event_type",
              "ts_ms": "ts_ms"},
         )
-        db.insert_json([r["j"] for r in ev.collect()])
+        db.insert_json_df(ev)
         sq = attribution_join_stream(
             db,
             horizon_minutes=30,
@@ -526,18 +527,15 @@ def semdedup_replay_contract(
                 F.col("embedding").cast("array<double>").alias("e"),
             )
         )
-        lines = (
-            emb.orderBy("vec_id")
-            .select(
+        db.insert_json_df(
+            emb.orderBy("vec_id").select(
                 F.to_json(
                     F.struct(
                         F.col("vec_id"), F.col("e").alias("embedding")
                     )
                 ).alias("j")
             )
-            .collect()
         )
-        db.insert_json([r["j"] for r in lines])
         cents = _kmeans_centroids(
             load_embeddings(spark, sf_dir), "embedding", k, iters
         )
@@ -637,16 +635,13 @@ def dsir_replay_contract(
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
-        lines = (
+        db.insert_json_df(
             docs.select(
                 F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
                     "j"
                 )
-            )
-            .orderBy("j")
-            .collect()
+            ).orderBy("j")
         )
-        db.insert_json([r["j"] for r in lines])
         model = train_dsir_model(
             docs, F.col("lang") == "fr", n_buckets=4096
         )
@@ -737,9 +732,8 @@ def anomaly_replay_contract(
         ev = load_table(spark, sf_dir, "events").filter(
             F.col("event_id").isNotNull()
         )
-        lines = (
-            ev.orderBy("event_id")
-            .select(
+        db.insert_json_df(
+            ev.orderBy("event_id").select(
                 F.to_json(
                     F.struct(
                         F.col("event_id"),
@@ -748,9 +742,7 @@ def anomaly_replay_contract(
                     )
                 ).alias("j")
             )
-            .collect()
         )
-        db.insert_json([r["j"] for r in lines])
         sq = anomaly_stream(
             db,
             z_threshold=z_threshold,
@@ -842,16 +834,13 @@ def blocklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
-        lines = (
+        db.insert_json_df(
             docs.select(
                 F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
                     "j"
                 )
-            )
-            .orderBy("j")
-            .collect()
+            ).orderBy("j")
         )
-        db.insert_json([r["j"] for r in lines])
         block = docs.filter(F.col("doc_id") % 37 == 0).select(
             F.col("doc_id").alias("block_id"),
             "text",
@@ -901,8 +890,7 @@ def funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              "ts_ms": "ts_ms"},
             require=("user_id",),
         )
-        lines = [r["j"] for r in ev.collect()]
-        db.insert_json(lines)
+        n_ingested = db.insert_json_df(ev)
         sq = funnel_stream(
             db,
             steps=("view", "click", "purchase"),
@@ -915,7 +903,7 @@ def funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the no-data cleanup-commit loop even though tolerance=0
             # never registers a per-key timeout — drain by input-row
             # accounting, as in sessions_replay
-            _drain_stateful(sq, expected_rows=len(lines))
+            _drain_stateful(sq, expected_rows=n_ingested)
         finally:
             sq.stop()
         return spark.sql(
@@ -947,7 +935,7 @@ def exposure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user": "user_id", "event_type": "event_type",
              "ts_ms": "ts_ms"},
         )
-        db.insert_json([r["j"] for r in ev.collect()])
+        db.insert_json_df(ev)
         sq = incident_exposure_stream(
             db,
             pad_minutes=5,
@@ -995,7 +983,7 @@ def sentence_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("j")
         )
-        db.insert_json([r["j"] for r in docs.collect()])
+        db.insert_json_df(docs)
         sq = sentence_scrub_stream(
             db,
             horizon_seconds=86_400,  # covers any replay wall-clock

@@ -311,6 +311,25 @@ def main() -> int:
             best = dt if best is None or dt < best else best
         timings["insert_15k"] = round(best, 3)
 
+        # bulk backfill analog: the SAME 15k batch through
+        # insert_json_df (no driver materialization — validation,
+        # filter+redact, id stamping and schema inference all
+        # executor-side). The delta vs insert_15k is the driver-side
+        # parse/serialize cost the bulk path removes.
+        bulk_df = spark.createDataFrame(
+            [(l,) for l in lines], "j string"
+        ).repartition(int(CPUS))
+        bulk_df.count()  # materialize the input before the clock
+        best_bulk = None
+        for attempt in range(2):
+            db_b = BasenineDB(spark, path=f"{tmp}/bulk_store_{attempt}")
+            db_b.set_insertion_filter('redact("secret")')
+            t0 = time.perf_counter()
+            db_b.insert_json_df(bulk_df)
+            dt = time.perf_counter() - t0
+            best_bulk = dt if best_bulk is None or dt < best_bulk else best_bulk
+        timings["bulk_ingest_15k"] = round(best_bulk, 3)
+
         # durable-mode BFL query: shredded parquet scan (typed doc
         # column written at ingest) — no query-time JSON parse
         t0 = time.perf_counter()

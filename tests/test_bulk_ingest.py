@@ -1,0 +1,114 @@
+"""Bulk distributed ingest (`insert_json_df` / `BulkLog.append_df`).
+
+`insert_json` is the wire-protocol shape — the server necessarily
+holds the batch it just read off the socket. The backfill shape is
+different: the corpus is already in cluster storage, and loading it
+through a driver-side list would bottleneck a 100-TB restore on one
+process. `insert_json_df` keeps every stage on executors (validation
+inside the count job, filter+redact, id stamping, schema inference via
+Spark's distributed JSON reader) — these tests pin its parity with the
+wire path.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lines_df(spark, n=60):
+    from basenine_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .limit(n)
+        .select(
+            F.to_json(
+                F.struct(F.col("doc_id"), F.col("text"), F.col("lang"))
+            ).alias("j")
+        )
+        .orderBy("j")
+    )
+    return docs
+
+
+def test_bulk_matches_wire_ingest(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+
+    df = _lines_df(spark)
+    lines = [r["j"] for r in df.collect()]
+
+    wire = BasenineDB(spark, path=str(tmp_path / "wire"))
+    wire.insert_json(lines)
+    bulk = BasenineDB(spark, path=str(tmp_path / "bulk"))
+    written = bulk.insert_json_df(df)
+
+    assert written == len(lines)
+    w_rows = sorted(
+        (r["id"], r["value"]) for r in wire._log.scan().collect()
+    )
+    b_rows = sorted(
+        (r["id"], r["value"]) for r in bulk._log.scan().collect()
+    )
+    assert w_rows == b_rows  # identical ids AND stored payloads
+    # schema maintenance must agree with the wire path's
+    assert bulk._typed_schema is not None
+    assert set(bulk._typed_schema.fieldNames()) == set(
+        wire._typed_schema.fieldNames()
+    )
+
+
+def test_bulk_applies_insertion_filter_and_redact(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+
+    df = _lines_df(spark)
+    db = BasenineDB(spark, path=str(tmp_path / "flt"))
+    db.set_insertion_filter('lang == "en" and redact("text")')
+    written = db.insert_json_df(df)
+    rows = db._log.scan().select("value").collect()
+    assert written == len(rows)
+    assert 0 < written < df.count()  # the lang gate dropped some
+    for r in rows:
+        doc = json.loads(r["value"])
+        assert doc["lang"] == "en"
+        assert doc["text"] == "[REDACTED]"
+
+
+def test_bulk_rejects_malformed_batch_all_or_none(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+
+    good = _lines_df(spark, n=10)
+    bad = good.unionAll(spark.createDataFrame([("{not json",)], "j string"))
+    db = BasenineDB(spark, path=str(tmp_path / "bad"))
+    with pytest.raises(Exception):
+        db.insert_json_df(bad)
+    assert db._log.total_written == 0  # no orphaned ids...
+    import glob
+
+    # ...and no rows on disk (an empty log has no parquet to scan)
+    assert glob.glob(f"{db._log.path}/**/*.parquet", recursive=True) == []
+
+
+def test_bulk_continues_wire_id_sequence(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+
+    df = _lines_df(spark, n=8)
+    lines = [r["j"] for r in df.collect()]
+    db = BasenineDB(spark, path=str(tmp_path / "mix"))
+    db.insert_json(lines[:3])
+    db.insert_json_df(spark.createDataFrame([(l,) for l in lines[3:]], "j string"))
+    ids = sorted(r["id"] for r in db._log.scan().collect())
+    assert ids == ["%024d" % i for i in range(len(lines))]
+
+
+def test_bulk_preserves_shredded_storage(spark, tmp_path):
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark, path=str(tmp_path / "shred"))
+    db.insert_json_df(_lines_df(spark, n=12))
+    assert db._shred_ok  # bulk inference kept the shredded write path
+    raw = spark.read.parquet(db._log.path)
+    assert "doc" in raw.columns
