@@ -424,7 +424,7 @@ class BasenineDB:
         self._insert_counter = base + written
         return [index_to_id(base + i) for i in range(written)]
 
-    def insert_json_df(self, df) -> int:
+    def insert_json_df(self, df, schema_sampling_ratio: float = 1.0) -> int:
         """Bulk INSERT of a DataFrame holding ONE string column of
         JSON lines — the backfill path (durable mode only): unlike
         :meth:`insert_json` (the wire-protocol shape, where the server
@@ -436,7 +436,18 @@ class BasenineDB:
         the driver advances the id counter and merges schemas.
         Returns the number of records written (ids are contiguous
         from the pre-call counter in the DataFrame's partition
-        order)."""
+        order).
+
+        ``schema_sampling_ratio`` < 1.0 passes Spark's JSON
+        ``samplingRatio`` to the inference scan — at backfill scale
+        the batch-schema pass need not read every record (the stored
+        docs stay the record of truth; an unseen rare key is learned
+        by the next batch that carries it, the same additive-merge
+        behavior as the wire path). The shredded write schema derives
+        from the same inference, so a sampled ratio trades one full
+        scan for the (remote) possibility that a rare key misses this
+        batch's shredded columns and reads via from_json instead —
+        still exact."""
         if self._log is None:
             raise ValueError(
                 "insert_json_df requires a durable (path-backed) db — "
@@ -466,9 +477,12 @@ class BasenineDB:
             # promotion rules the driver-side infer_batch_schema
             # mirrors, evaluated by Spark's JSON reader on executors
             try:
-                inferred = self.spark.read.json(
-                    df.rdd.map(lambda r: r[0])
-                ).schema
+                reader = self.spark.read
+                if schema_sampling_ratio < 1.0:
+                    reader = reader.option(
+                        "samplingRatio", schema_sampling_ratio
+                    )
+                inferred = reader.json(df.rdd.map(lambda r: r[0])).schema
             except Exception:
                 # empty batch (or all-corrupt, which append_df rejects
                 # anyway): nothing to infer, nothing will be written

@@ -284,7 +284,14 @@ class DocumentLog:
             rdd = rdd.mapPartitions(validate)
 
         base = self._count
-        rdd = rdd.cache()  # zipWithIndex triggers a count job; reuse it
+        # MEMORY_AND_DISK, not the RDD-default MEMORY_ONLY: a backfill
+        # batch larger than cluster memory must SPILL between the
+        # count/validation job and the zipWithIndex+write job — an
+        # evicted MEMORY_ONLY partition would silently recompute from
+        # the source (correct but a second full read of a huge input)
+        from pyspark import StorageLevel
+
+        rdd = rdd.persist(StorageLevel.MEMORY_AND_DISK)
         written = rdd.count()
         with_idx = rdd.zipWithIndex()
 
