@@ -441,13 +441,17 @@ class BasenineDB:
         ``schema_sampling_ratio`` < 1.0 passes Spark's JSON
         ``samplingRatio`` to the inference scan — at backfill scale
         the batch-schema pass need not read every record (the stored
-        docs stay the record of truth; an unseen rare key is learned
-        by the next batch that carries it, the same additive-merge
-        behavior as the wire path). The shredded write schema derives
-        from the same inference, so a sampled ratio trades one full
-        scan for the (remote) possibility that a rare key misses this
-        batch's shredded columns and reads via from_json instead —
-        still exact."""
+        docs stay the record of truth). Caveat, and the difference
+        from the wire path (which parses EVERY record into the
+        schema accumulator): a rare key absent from the sampled
+        inference is also absent from the accumulated typed schema,
+        so typed-view reads (typed columns AND the from_json
+        fallback, which uses the same accumulated schema) silently
+        lack that field until a later batch happens to sample it —
+        the stored payload stays exact, but typed-view visibility of
+        the rare key is delayed, not merely un-shredded. Use the
+        default full-pass ratio when the batch may carry keys seen
+        nowhere else."""
         if self._log is None:
             raise ValueError(
                 "insert_json_df requires a durable (path-backed) db — "
@@ -461,16 +465,38 @@ class BasenineDB:
         )
         first_new_seq = self._log.total_written
         pure_paths = None
+        flt_q = None
         if flt_text:
             from ..bfl.compiler import pure_redact_paths
 
             flt_q = parse(flt_text)
             if flt_q.expr is not None:
                 pure_paths = pure_redact_paths(flt_q.expr)
+        # Pure-predicate fast path (VERDICT r11): a non-mutating filter
+        # compiles to a Column predicate over a full-pass inferred
+        # schema and runs JVM-side BEFORE append_df — the bulk filter
+        # is then a vectorized parquet-speed scan, not a Python pool
+        # (mirrors the query path's compile_filter ladder at
+        # _apply_bfl). Falls back to the exact row backend whenever the
+        # batch fails JVM JSON validation, the filter doesn't compile
+        # (redact, dynamic shapes), or inference yields nothing.
+        send_filter_text = flt_text
+        prevalidated = False
+        if (
+            flt_text
+            and pure_paths is None
+            and flt_q is not None
+            and flt_q.expr is not None
+        ):
+            fast_df = self._bulk_filter_column(df, flt_q)
+            if fast_df is not None:
+                df = fast_df
+                send_filter_text = ""
+                prevalidated = True
         batch = None
         shred = None
         inferred = None
-        if not flt_text or pure_paths is not None:
+        if not send_filter_text or pure_paths is not None:
             from pyspark.sql import types as T
 
             # distributed inference over the batch itself — the same
@@ -521,7 +547,10 @@ class BasenineDB:
                         if not shred.fields:
                             shred = None
         written = self._log.append_df(
-            df, insertion_filter_text=flt_text, shred_schema=shred
+            df,
+            insertion_filter_text=send_filter_text,
+            shred_schema=shred,
+            prevalidated=prevalidated,
         )
         self._insert_counter = self._log.total_written
         if shred is None and self._log.total_written > first_new_seq:
@@ -552,6 +581,69 @@ class BasenineDB:
             self._known_keys |= set(batch.fieldNames()) - {ID_COL}
         self._save_state()
         return written
+
+    def _bulk_filter_column(self, df, q: Query):
+        """Compile a pure (non-mutating) insertion filter to a Column
+        predicate and apply it to a bulk batch JVM-side. Returns the
+        filtered single-column DataFrame of surviving JSON lines, or
+        None when the batch must take the exact Python row backend:
+
+        * any line fails JVM JSON validation (``try_parse_json`` null,
+          or a null line) — the row path owns the all-or-none failure
+          semantics, so a single malformed line routes the WHOLE batch
+          there (where it raises before any id is assigned);
+        * the filter doesn't compile (``UnsupportedBFL``: redact,
+          recursive descent over typed columns, dynamic shapes);
+        * full-pass schema inference yields no fields (empty batch).
+
+        The compile schema comes from a FULL-pass inference over the
+        batch regardless of ``schema_sampling_ratio`` — a sampled
+        schema missing a key the filter reads would collapse the
+        predicate to false for every row carrying it, which the
+        per-document row backend would never do. Full-pass inference
+        sees every key, so missing-path collapse triggers exactly when
+        the row backend's P14/P15 collapse would."""
+        # mutating filters can never take this path — skip them BEFORE
+        # paying the validation count and the full inference pass
+        taints = collect_redact_taints(q.expr)
+        if taints is None or taints:
+            return None
+        col0 = df.columns[0]
+        lines = df.select(F.col(col0).alias("value"))
+        n_bad = lines.filter(
+            F.col("value").isNull()
+            | F.try_parse_json(F.col("value")).isNull()
+        ).count()
+        if n_bad:
+            return None
+        try:
+            full = self.spark.read.json(
+                lines.rdd.map(lambda r: r[0])
+            ).schema
+        except Exception:
+            return None
+        if not full.fields:
+            return None
+        typed = finalize_type(full)
+        raw = "__bn_raw_line__"
+        doc = "__bn_doc__"
+        if raw in set(typed.fieldNames()) or doc in set(typed.fieldNames()):
+            return None  # a document key shadows our plumbing columns
+        try:
+            comp = compile_filter(Query(expr=q.expr, text=q.text), typed)
+        except UnsupportedBFL:
+            return None
+        if comp.predicate is None:
+            return lines
+        flat = lines.select(
+            F.col("value").alias(raw),
+            F.from_json(F.col("value"), typed).alias(doc),
+        ).select(raw, f"{doc}.*")
+        # limit() inside an insertion filter is ignored, matching the
+        # row backend (eval_query evaluates truthiness only)
+        return flat.filter(comp.predicate).select(
+            F.col(raw).alias("value")
+        )
 
     # -- query plumbing ---------------------------------------------------
 

@@ -238,6 +238,7 @@ class DocumentLog:
         df,
         insertion_filter_text: str = "",
         shred_schema: Optional[T.StructType] = None,
+        prevalidated: bool = False,
     ) -> int:
         """Bulk distributed ingest: ``df`` holds ONE string column of
         JSON lines — the backfill shape, where the corpus is already
@@ -253,7 +254,14 @@ class DocumentLog:
         written), ids follow the DataFrame's partition order
         (``zipWithIndex`` — order-stable, no shuffle), and only the
         COUNT returns (a 100-TB backfill has no use for a driver-side
-        id list; the ids are ``base..base+written-1`` by contract)."""
+        id list; the ids are ``base..base+written-1`` by contract).
+
+        ``prevalidated=True`` means the caller already validated every
+        line JVM-side AND applied any insertion filter as a Column
+        predicate (the pure-filter fast path in
+        ``BasenineDB._bulk_filter_column``) — the per-line Python
+        validation parse is skipped; only the id-stamping stage runs
+        in Python."""
         rdd = df.rdd.map(lambda r: r[0])
 
         if insertion_filter_text:
@@ -272,7 +280,7 @@ class DocumentLog:
                         yield doc
 
             rdd = rdd.mapPartitions(apply_filter)
-        else:
+        elif not prevalidated:
 
             def validate(part_it: Iterator[str]) -> Iterator[str]:
                 import json as _json

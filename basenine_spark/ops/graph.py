@@ -134,6 +134,17 @@ def pagerank_contract(
     edges_df = similarity.knn_graph(spark, sf_dir, k=k).select(
         "src", "dst"
     ).localCheckpoint(eager=True)
+
+    n_vecs = similarity.load_embeddings(spark, sf_dir).count()
+    if edges_df.limit(1).count() == 0:
+        # degenerate input (empty graph): zero violations over zero
+        # nodes, not a 1.0/0 crash — the contract row stays comparable
+        return spark.createDataFrame(
+            [(int(n_vecs), 0, 0)],
+            "n_vecs bigint, n_mass_violations bigint,"
+            " n_rank_mismatch bigint",
+        )
+
     ranks_df = pagerank(edges_df, damping=damping, iters=iters)
 
     edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
@@ -172,7 +183,6 @@ def pagerank_contract(
             mism += 1
     mism += len(set(nodes) - set(got))  # node sets must agree too
 
-    n_vecs = similarity.load_embeddings(spark, sf_dir).count()
     return spark.createDataFrame(
         [(int(n_vecs), int(mass_viol), int(mism))],
         "n_vecs bigint, n_mass_violations bigint, n_rank_mismatch bigint",

@@ -98,6 +98,34 @@ def zorder_write(
     return dest
 
 
+def _footer_minmax(md, col_idx: int):
+    """(lo, hi) across a file's row groups from the parquet footer, or
+    None when ANY row group lacks min/max statistics (a stats-less
+    writer, or a type parquet keeps no stats for) — mirroring the
+    None/has_min_max guard in ``engine/log._footer_stats``; callers
+    must treat None as "cannot prune" (the conservative decision a
+    stats-driven scan makes)."""
+    los, his = [], []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        los.append(st.min)
+        his.append(st.max)
+    return min(los), max(his)
+
+
+def _file_overlaps_box(md, xi: int, yi: int, x_range, y_range) -> bool:
+    """Footer-stats skip decision for one file: True when the file's
+    min/max envelope intersects the box, or when stats are missing
+    (no stats → cannot prove disjoint → must scan)."""
+    xs, ys = _footer_minmax(md, xi), _footer_minmax(md, yi)
+    if xs is None or ys is None:
+        return True
+    return (xs[1] >= x_range[0] and xs[0] <= x_range[1]
+            and ys[1] >= y_range[0] and ys[0] <= y_range[1])
+
+
 def files_overlapping_box(
     path: str,
     x_col: str,
@@ -119,12 +147,8 @@ def files_overlapping_box(
         md = pq.read_metadata(f)
         schema_names = md.schema.to_arrow_schema().names
         xi, yi = schema_names.index(x_col), schema_names.index(y_col)
-        x_lo = min(md.row_group(g).column(xi).statistics.min for g in range(md.num_row_groups))
-        x_hi = max(md.row_group(g).column(xi).statistics.max for g in range(md.num_row_groups))
-        y_lo = min(md.row_group(g).column(yi).statistics.min for g in range(md.num_row_groups))
-        y_hi = max(md.row_group(g).column(yi).statistics.max for g in range(md.num_row_groups))
         total += 1
-        if x_hi >= x_range[0] and x_lo <= x_range[1] and y_hi >= y_range[0] and y_lo <= y_range[1]:
+        if _file_overlaps_box(md, xi, yi, x_range, y_range):
             overlap += 1
     return overlap, total
 
@@ -253,17 +277,9 @@ def zorder_contract(spark: SparkSession, sf_dir: str, bits: int = 10) -> DataFra
             md = pq.read_metadata(fpath)
             names = md.schema.to_arrow_schema().names
             xi, yi = names.index("user_id"), names.index("value")
-            x_lo = min(md.row_group(g).column(xi).statistics.min
-                       for g in range(md.num_row_groups))
-            x_hi = max(md.row_group(g).column(xi).statistics.max
-                       for g in range(md.num_row_groups))
-            y_lo = min(md.row_group(g).column(yi).statistics.min
-                       for g in range(md.num_row_groups))
-            y_hi = max(md.row_group(g).column(yi).statistics.max
-                       for g in range(md.num_row_groups))
-            if (x_hi >= box["x_range"][0] and x_lo <= box["x_range"][1]
-                    and y_hi >= box["y_range"][0]
-                    and y_lo <= box["y_range"][1]):
+            if _file_overlaps_box(
+                md, xi, yi, box["x_range"], box["y_range"]
+            ):
                 overlap_files.add(os.path.basename(fpath))
         # ...vs the rows actually inside the box, attributed to files
         in_box = (

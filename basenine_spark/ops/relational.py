@@ -644,15 +644,21 @@ def bucketed_revenue_join(
     sorted merges come free; the only remaining exchange is the final
     small aggregation.
 
-    Tables are written into the session catalog (`bn_bkt_*`) —
-    idempotent overwrite; callers own cleanup (tests drop them).
-    Stale warehouse directories from a PREVIOUS session are removed
-    first: a fresh catalog does not know the old table, so
-    ``saveAsTable`` would fail with LOCATION_ALREADY_EXISTS on the
-    leftover path (a managed-table location is owned by this op, never
-    user data).
+    Tables are written into the session catalog with PER-PROCESS
+    names (``bn_bkt_*_p<pid>``): a shared warehouse dir is the normal
+    layout when several local sweeps run concurrently (two driver_sim
+    fuzz sweeps, pytest next to a bench), and unsuffixed names made
+    them race on the same managed-table location (the documented
+    r10/r11 219/220 artifact). Per-pid names make concurrent writers
+    disjoint by construction; within a process the write is an
+    idempotent overwrite. Stale directories are GC'd first — only
+    those whose owning pid is provably dead (``/proc/<pid>`` gone) or
+    the legacy unsuffixed names, so a live concurrent sweep's tables
+    are never touched (a managed-table location under ``bn_bkt_`` is
+    owned by this op, never user data).
     """
     import os
+    import re
     import shutil
 
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -660,23 +666,40 @@ def bucketed_revenue_join(
     wh = spark.conf.get("spark.sql.warehouse.dir")
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
-    for t in ("bn_bkt_orders", "bn_bkt_lineitem"):
+    pid = os.getpid()
+    t_orders = f"bn_bkt_orders_p{pid}"
+    t_lineitem = f"bn_bkt_lineitem_p{pid}"
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if not d.startswith("bn_bkt_"):
+                continue
+            m = re.search(r"_p(\d+)$", d)
+            owner = int(m.group(1)) if m else None
+            dead = owner is None or (
+                owner != pid
+                and os.path.isdir("/proc")
+                and not os.path.exists(f"/proc/{owner}")
+            )
+            if dead:
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+    for t in (t_orders, t_lineitem):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     (
         orders.write.bucketBy(buckets, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
-        .saveAsTable("bn_bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         lineitem.write.bucketBy(buckets, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
-        .saveAsTable("bn_bkt_lineitem")
+        .saveAsTable(t_lineitem)
     )
-    li = spark.table("bn_bkt_lineitem").hint("merge")
-    od = spark.table("bn_bkt_orders").hint("merge")
+    li = spark.table(t_lineitem).hint("merge")
+    od = spark.table(t_orders).hint("merge")
     joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
     return (
         joined.groupBy("o_orderstatus")

@@ -1568,6 +1568,12 @@ def contrastive_triplets(
     # both the mining pass and the provenance checks)
     if edges is None:
         edges = knn_graph(spark, sf_dir, k=k, tables=tables, bits=bits)
+    # The exclusion set is the FULL k-NN neighbor list ("any of the
+    # anchor's k-NN neighbors", per the drop policy above) — the
+    # sim_floor filter applies only to which edges become positives.
+    # triplets_contract builds its exclusion set from the same
+    # unfiltered graph; keeping the two consistent is load-bearing.
+    all_edges = edges
     edges = edges.filter(F.col("sim") >= sim_floor)
     cand = edges.select(
         F.col("src").alias("anchor"),
@@ -1582,7 +1588,7 @@ def contrastive_triplets(
         (F.col("negative") != F.col("anchor"))
         & (F.col("negative") != F.col("positive"))
     ).join(
-        edges.select(
+        all_edges.select(
             F.col("src").alias("anchor"), F.col("dst").alias("negative")
         ),
         ["anchor", "negative"],

@@ -124,7 +124,9 @@ def _events_json(
     )
 
 
-def _drain_stateful(sq, expected_rows: int, poll_s: float = 0.25) -> None:
+def _drain_stateful(
+    sq, expected_rows: int, poll_s: float = 0.25, timeout_s: float = 600.0
+) -> None:
     """Wait until a continuously-triggered STATEFUL query has consumed
     every ingested row, then return (caller stops the query).
 
@@ -137,13 +139,27 @@ def _drain_stateful(sq, expected_rows: int, poll_s: float = 0.25) -> None:
     ``numInputRows`` across progress events reaches the ingested
     count AND a trailing zero-input batch has committed, every datum
     has been folded into state/output and nothing new can ever
-    arrive."""
+    arrive.
+
+    ``recentProgress`` is a bounded ring buffer (default 100 entries)
+    — with a 0.25 s poll against sub-second micro-batches it cannot
+    overflow between polls in practice, but a stalled query would
+    otherwise spin forever, so ``timeout_s`` bounds the wait: on
+    expiry we raise with the last progress snapshot instead of
+    hanging a bench/driver run indefinitely."""
     import time
 
     seen_ids: set[str] = set()
     total = 0
     trailing_zero = False
+    deadline = time.monotonic() + timeout_s
     while not (total >= expected_rows and trailing_zero):
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"_drain_stateful: {total}/{expected_rows} rows after "
+                f"{timeout_s:.0f}s (trailing_zero={trailing_zero}); "
+                f"last progress: {sq.lastProgress}"
+            )
         time.sleep(poll_s)
         for p in sq.recentProgress:
             pid = f"{p['id']}/{p['batchId']}"

@@ -98,7 +98,6 @@ def session_stream(
     idle_timeout_seconds: int = 5,
     query_name: str = "sessions",
     checkpoint: str | None = None,
-    available_now: bool = False,
 ):
     """Start the stateful sessionization stream over a durable
     BasenineDB's log; closed sessions land in the in-memory table
@@ -112,16 +111,14 @@ def session_stream(
     rows never reappear; pair the stable checkpoint with a durable
     sink when replay-safe output matters. Returns the StreamingQuery.
 
-    ``available_now=True`` runs an Available-Now trigger: the query
-    drains everything already in the log and then terminates on its
-    own (``awaitTermination`` instead of ``processAllAvailable``).
-    This is the batch-replay mode — with a continuous trigger the
-    ProcessingTimeTimeout registrations keep the engine in a no-data
-    "cleaning up state" batch loop that ``processAllAvailable`` never
-    sees the end of, so a bounded replay MUST use this flag. Idle
-    timeouts do not fire under Available-Now (the query stops first);
-    the final still-open session per user stays in state, which is
-    exactly the closed-set contract the replay oracle checks."""
+    Bounded replays (sessions_replay / funnel_replay) run this with
+    the default continuous trigger and wait via
+    ``replay._drain_stateful`` — ``processAllAvailable`` never
+    returns because the ProcessingTimeTimeout registrations keep the
+    engine in a no-data "cleaning up state" batch loop, and observed
+    live an Available-Now trigger does not bound that loop either
+    (see ``replay._drain_stateful``'s docstring), so input-row
+    accounting is the supported bounded-replay mechanism."""
     if db._log is None:
         raise ValueError("session_stream requires a durable (path-backed) db")
     from ..engine.log import LOG_SCHEMA
@@ -147,6 +144,4 @@ def session_stream(
             checkpoint or f"{db._log.path}_sessions_ckpt_{query_name}",
         )
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -131,3 +131,94 @@ def test_bulk_sampled_inference_still_exact_storage(spark, tmp_path):
         (r["id"], r["value"]) for r in sampled._log.scan().collect()
     )
     assert f_rows == s_rows
+
+
+def test_bulk_pure_filter_matches_wire(spark, tmp_path):
+    """A pure (non-mutating) insertion filter takes the vectorized
+    Column fast path on the bulk route (r12) — stored rows, ids, and
+    schema maintenance must still match the wire path's row-evaluated
+    semantics exactly."""
+    from basenine_spark.engine.db import BasenineDB
+
+    df = _lines_df(spark)
+    lines = [r["j"] for r in df.collect()]
+
+    wire = BasenineDB(spark, path=str(tmp_path / "wire"))
+    wire.set_insertion_filter('lang == "en"')
+    wire.insert_json(lines)
+    bulk = BasenineDB(spark, path=str(tmp_path / "bulk"))
+    bulk.set_insertion_filter('lang == "en"')
+    written = bulk.insert_json_df(df)
+
+    assert 0 < written < len(lines)  # the gate dropped some rows
+    w_rows = sorted(
+        (r["id"], r["value"]) for r in wire._log.scan().collect()
+    )
+    b_rows = sorted(
+        (r["id"], r["value"]) for r in bulk._log.scan().collect()
+    )
+    assert w_rows == b_rows
+    # and the fast path KEPT shredded storage (the row backend marks
+    # the db _shred_ok=False for predicate filters; the Column path
+    # knows the stored-batch schema, so shredding survives)
+    assert bulk._shred_ok
+
+
+def test_bulk_pure_filter_plan_has_no_python_stage(spark, tmp_path):
+    """The compiled bulk-filter plan must be JVM-only: from_json +
+    Filter, no BatchEvalPython / PythonRDD / mapPartitions stage."""
+    from basenine_spark.bfl import parse
+    from basenine_spark.engine.db import BasenineDB
+
+    db = BasenineDB(spark, path=str(tmp_path / "plan"))
+    flt = db._bulk_filter_column(_lines_df(spark), parse('lang == "en"'))
+    assert flt is not None
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" in plan
+    for marker in ("BatchEvalPython", "PythonRDD", "EvalPython"):
+        assert marker not in plan, plan
+
+
+def test_bulk_pure_filter_malformed_batch_still_all_or_none(spark, tmp_path):
+    """A malformed line routes the whole batch to the row backend,
+    which raises before any id is assigned — the Column fast path must
+    not silently drop bad lines via a null from_json."""
+    import glob
+
+    from basenine_spark.engine.db import BasenineDB
+
+    good = _lines_df(spark, n=10)
+    bad = good.unionAll(
+        spark.createDataFrame([("{not json",)], "j string")
+    )
+    db = BasenineDB(spark, path=str(tmp_path / "badflt"))
+    db.set_insertion_filter('lang == "en"')
+    with pytest.raises(Exception):
+        db.insert_json_df(bad)
+    assert db._log.total_written == 0
+    assert glob.glob(f"{db._log.path}/**/*.parquet", recursive=True) == []
+
+
+def test_bulk_pure_filter_missing_key_collapses(spark, tmp_path):
+    """Rows lacking the filtered key collapse to false on BOTH paths
+    (P14/P15): bulk Column path vs wire row path, same survivors."""
+    import json as _json
+
+    from basenine_spark.engine.db import BasenineDB
+
+    lines = [
+        _json.dumps({"n": 1, "grade": 9}),
+        _json.dumps({"n": 2}),  # no grade -> collapse -> dropped
+        _json.dumps({"n": 3, "grade": 2}),
+        _json.dumps({"n": 4, "grade": "11"}),  # string-coerced cmp
+    ]
+    wire = BasenineDB(spark, path=str(tmp_path / "wire2"))
+    wire.set_insertion_filter("grade > 5")
+    wire.insert_json(lines)
+    bulk = BasenineDB(spark, path=str(tmp_path / "bulk2"))
+    bulk.set_insertion_filter("grade > 5")
+    bulk.insert_json_df(spark.createDataFrame([(l,) for l in lines], "j string"))
+    w = sorted(r["value"] for r in wire._log.scan().collect())
+    b = sorted(r["value"] for r in bulk._log.scan().collect())
+    assert w == b
+    assert len(b) == 2  # n=1 (9>5) and n=4 ("11">5)

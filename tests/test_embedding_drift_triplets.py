@@ -117,6 +117,29 @@ def test_triplet_exclusion_rules(spark, triplets):
         assert (t["anchor"], t["negative"]) not in edges
 
 
+def test_triplet_exclusion_includes_below_floor_neighbors(spark):
+    # regression (r12): the exclusion anti-join must use the FULL k-NN
+    # neighbor list, not just edges above sim_floor — with a high
+    # floor most edges are below it, so a hash-drawn negative equal
+    # to a below-floor neighbor would previously have slipped through
+    high_floor = 0.9
+    trips = similarity.contrastive_triplets(
+        spark, SF, sim_floor=high_floor
+    ).collect()
+    edges = [
+        (r["src"], r["dst"], r["sim"])
+        for r in similarity.knn_graph(spark, SF, k=3).collect()
+    ]
+    below = {(s, d) for s, d, sim in edges if sim < high_floor}
+    assert below, "floor too low to exercise the below-floor class"
+    all_edges = {(s, d) for s, d, _ in edges}
+    for t in trips:
+        assert (t["anchor"], t["negative"]) not in all_edges
+    # and the positives themselves still respect the floor
+    for t in trips:
+        assert t["pos_sim"] >= high_floor
+
+
 def test_triplet_margin(triplets):
     # on the label-clustered corpus a hash-random negative should lose
     # to the mined positive almost always

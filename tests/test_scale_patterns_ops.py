@@ -288,8 +288,11 @@ def test_bucketed_join_has_no_shuffle_below_join(spark):
         }
         assert got == plain
     finally:
-        spark.sql("DROP TABLE IF EXISTS bn_bkt_orders")
-        spark.sql("DROP TABLE IF EXISTS bn_bkt_lineitem")
+        import os
+
+        pid = os.getpid()
+        spark.sql(f"DROP TABLE IF EXISTS bn_bkt_orders_p{pid}")
+        spark.sql(f"DROP TABLE IF EXISTS bn_bkt_lineitem_p{pid}")
 
 
 def test_quality_topk_approximate_tracks_exact(spark):

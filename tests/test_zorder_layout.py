@@ -88,3 +88,25 @@ def test_query_results_identical_across_layouts(spark, tmp_path):
         .collect()
     )
     assert got == expect
+
+
+def test_statsless_footer_treated_as_overlapping(tmp_path):
+    # regression (r12): a footer with no min/max statistics must count
+    # as overlapping (cannot prove disjoint -> must scan), not crash
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({"user_id": [100, 200], "value": [900.0, 950.0]})
+    d = tmp_path / "nostats"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part-0.parquet"), write_statistics=False)
+    # the data is far OUTSIDE the box; only the missing-stats guard
+    # can make this file count as overlapping
+    hit, total = layout.files_overlapping_box(
+        str(d), "user_id", (2, 4), "value", (10.0, 25.0)
+    )
+    assert (hit, total) == (1, 1)
+
+    md = pq.read_metadata(str(d / "part-0.parquet"))
+    assert layout._footer_minmax(md, 0) is None
+    assert layout._file_overlaps_box(md, 0, 1, (2, 4), (10.0, 25.0))
