@@ -65,6 +65,7 @@ from .schema import (
     common_leaves_unchanged,
     finalize_type,
     infer_batch_schema,
+    infer_json_lines_schema,
     merge_types,
     schema_from_json,
     schema_to_json,
@@ -490,7 +491,12 @@ class BasenineDB:
         ):
             fast_df = self._bulk_filter_column(df, flt_q)
             if fast_df is not None:
-                df = fast_df
+                from pyspark import StorageLevel
+
+                # the filtered lines are read twice (stored-schema
+                # inference, then append) — persist so the from_json
+                # filter runs once; spills past memory like append_df
+                df = fast_df.persist(StorageLevel.MEMORY_AND_DISK)
                 send_filter_text = ""
                 prevalidated = True
         batch = None
@@ -501,14 +507,12 @@ class BasenineDB:
 
             # distributed inference over the batch itself — the same
             # promotion rules the driver-side infer_batch_schema
-            # mirrors, evaluated by Spark's JSON reader on executors
+            # mirrors, evaluated by Spark's JSON reader JVM-side (no
+            # Python round-trip; see infer_json_lines_schema)
             try:
-                reader = self.spark.read
-                if schema_sampling_ratio < 1.0:
-                    reader = reader.option(
-                        "samplingRatio", schema_sampling_ratio
-                    )
-                inferred = reader.json(df.rdd.map(lambda r: r[0])).schema
+                inferred = infer_json_lines_schema(
+                    self.spark, df, schema_sampling_ratio
+                )
             except Exception:
                 # empty batch (or all-corrupt, which append_df rejects
                 # anyway): nothing to infer, nothing will be written
@@ -552,6 +556,8 @@ class BasenineDB:
             shred_schema=shred,
             prevalidated=prevalidated,
         )
+        if prevalidated:
+            df.unpersist()
         self._insert_counter = self._log.total_written
         if shred is None and self._log.total_written > first_new_seq:
             self._shred_ok = False
@@ -561,9 +567,7 @@ class BasenineDB:
                 .filter(F.col("seq") >= first_new_seq)
                 .select("value")
             )
-            batch = self.spark.read.json(
-                appended.rdd.map(lambda r: r.value)
-            ).schema
+            batch = infer_json_lines_schema(self.spark, appended)
         if batch is not None and (
             self._log.total_written > first_new_seq or inferred is not None
         ):
@@ -610,19 +614,17 @@ class BasenineDB:
             return None
         col0 = df.columns[0]
         lines = df.select(F.col(col0).alias("value"))
-        n_bad = lines.filter(
-            F.col("value").isNull()
-            | F.try_parse_json(F.col("value")).isNull()
-        ).count()
-        if n_bad:
-            return None
         try:
-            full = self.spark.read.json(
-                lines.rdd.map(lambda r: r[0])
-            ).schema
+            full = infer_json_lines_schema(self.spark, lines)
         except Exception:
             return None
         if not full.fields:
+            return None
+        if "_corrupt_record" in full.fieldNames():
+            # a malformed or null line somewhere in the batch (or a
+            # document key literally named _corrupt_record): route the
+            # WHOLE batch to the row backend, which owns the
+            # all-or-none failure semantics
             return None
         typed = finalize_type(full)
         raw = "__bn_raw_line__"

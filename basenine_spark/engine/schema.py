@@ -225,3 +225,37 @@ def _shred_canon(dt: T.DataType) -> Optional[T.DataType]:
                 fields.append(T.StructField(f.name, ft, True))
         return T.StructType(fields) if fields else None
     return dt
+
+
+def infer_json_lines_schema(spark, lines_df, sampling_ratio: float = 1.0):
+    """Distributed JSON schema inference over a single-string-column
+    DataFrame of JSON lines, staying JVM-side end-to-end.
+
+    ``spark.read.json(rdd)`` (the PySpark-visible spelling) round-trips
+    every line JVM -> Python worker -> JVM just to re-wrap the strings —
+    at backfill scale that's a full extra serialization of the corpus.
+    The Scala API reads a ``Dataset[String]`` directly; we reach it via
+    the public ``Encoders.STRING`` + ``DataFrameReader.json(Dataset)``
+    surface. Falls back to the RDD spelling if the gateway call fails.
+
+    Returns the inferred ``StructType``. PERMISSIVE-mode inference
+    surfaces malformed lines as a ``_corrupt_record`` field in the
+    result — callers that need all-or-none validation check for it
+    (a document key literally named ``_corrupt_record`` false-positives
+    toward the safe path)."""
+    from pyspark.sql import DataFrame as _PyDF
+
+    col0 = lines_df.columns[0]
+    one_col = lines_df.select(col0)
+    try:
+        enc = spark._jvm.org.apache.spark.sql.Encoders.STRING()
+        jds = getattr(one_col._jdf, "as")(enc)
+        reader = spark._jsparkSession.read()
+        if sampling_ratio < 1.0:
+            reader = reader.option("samplingRatio", str(sampling_ratio))
+        return _PyDF(reader.json(jds), spark).schema
+    except Exception:
+        reader = spark.read
+        if sampling_ratio < 1.0:
+            reader = reader.option("samplingRatio", sampling_ratio)
+        return reader.json(one_col.rdd.map(lambda r: r[0])).schema
