@@ -433,6 +433,93 @@ def simhash_near_pairs(
     )
 
 
+def simhash60_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash with an ENGINE-PORTABLE token hash — the direct
+    cross-engine twin of :func:`simhash64` (VERDICT r11 #7: the
+    xxhash64-based headline rows can never carry a DuckDB value oracle
+    because DuckDB lacks xxhash64; md5 exists identically in both
+    engines, so this variant makes the ENTIRE simhash dataflow —
+    tokenize, sign-vote aggregation, bit reassembly — value-exact
+    against SQL).
+
+    token → first 15 hex chars of md5 parsed as a 60-bit integer
+    (fits signed 64 — no sign games); bit *j* of the SimHash is the
+    sign of Σ_tokens (±1 on bit *j*). Same explode → 60 conditional
+    grouped sums → shiftleft/bor plan shape as :func:`simhash64`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(60)
+        ]
+    )
+    bits = [
+        F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(60)
+    ]
+    sim = reduce(lambda x, y: x.bitwiseOR(y), bits)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_md5_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Banded near-dup pairs over :func:`simhash60_md5` — 4×15-bit
+    bands (pigeonhole: hamming ≤ 3 ⇒ one band identical), band-keyed
+    join, ``bit_count(xor) ≤ max_hamming`` verify. Same plan shape as
+    :func:`simhash_near_pairs`; every value DuckDB-recomputable."""
+    sim = simhash60_md5(spark, sf_dir)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_contract(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:

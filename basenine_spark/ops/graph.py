@@ -131,9 +131,12 @@ def pagerank_contract(
     asserted only to be positive)."""
     import numpy as np
 
-    edges_df = similarity.knn_graph(spark, sf_dir, k=k).select(
-        "src", "dst"
-    ).localCheckpoint(eager=True)
+    from .util import timed_phase
+
+    with timed_phase("build"):
+        edges_df = similarity.knn_graph(spark, sf_dir, k=k).select(
+            "src", "dst"
+        ).localCheckpoint(eager=True)
 
     n_vecs = similarity.load_embeddings(spark, sf_dir).count()
     if edges_df.limit(1).count() == 0:
@@ -145,43 +148,46 @@ def pagerank_contract(
             " n_rank_mismatch bigint",
         )
 
-    ranks_df = pagerank(edges_df, damping=damping, iters=iters)
+    with timed_phase("build"):
+        ranks_df = pagerank(edges_df, damping=damping, iters=iters)
+        got = {r["node"]: r["rank"] for r in ranks_df.collect()}
 
-    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
-    got = {r["node"]: r["rank"] for r in ranks_df.collect()}
+    with timed_phase("verify"):
+        edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
 
-    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
-    idx = {n: i for i, n in enumerate(nodes)}
-    n = len(nodes)
-    out_deg = np.zeros(n)
-    for s, _ in edges:
-        out_deg[idx[s]] += 1
-    rank = np.full(n, 1.0 / n)
-    mass_viol = 0
-    for _ in range(iters):
-        contrib = np.zeros(n)
-        for s, d in edges:
-            contrib[idx[d]] += rank[idx[s]] / out_deg[idx[s]]
-        dangling = rank[out_deg == 0].sum()
-        rank = (
-            (1.0 - damping) / n
-            + damping * dangling / n
-            + damping * contrib
-        )
-        if abs(rank.sum() - 1.0) > tol:
-            mass_viol += 1
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        out_deg = np.zeros(n)
+        for s, _ in edges:
+            out_deg[idx[s]] += 1
+        rank = np.full(n, 1.0 / n)
+        mass_viol = 0
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for s, d in edges:
+                contrib[idx[d]] += rank[idx[s]] / out_deg[idx[s]]
+            dangling = rank[out_deg == 0].sum()
+            rank = (
+                (1.0 - damping) / n
+                + damping * dangling / n
+                + damping * contrib
+            )
+            if abs(rank.sum() - 1.0) > tol:
+                mass_viol += 1
 
-    # compare the emitted (stable-rounded) rank against the RAW numpy
-    # rank: emitted is within 0.5 ulp of the distributed raw value and
-    # the two raw vectors agree within tol, so the bound below cannot
-    # false-positive at a rounding-grid boundary (comparing two
-    # independently-rounded values could differ by a full grid step)
-    scale = 1e6
-    mism = 0
-    for node, emitted in got.items():
-        if abs(emitted - rank[idx[node]]) > 0.5 / scale + tol:
-            mism += 1
-    mism += len(set(nodes) - set(got))  # node sets must agree too
+        # compare the emitted (stable-rounded) rank against the RAW
+        # numpy rank: emitted is within 0.5 ulp of the distributed raw
+        # value and the two raw vectors agree within tol, so the bound
+        # below cannot false-positive at a rounding-grid boundary
+        # (comparing two independently-rounded values could differ by a
+        # full grid step)
+        scale = 1e6
+        mism = 0
+        for node, emitted in got.items():
+            if abs(emitted - rank[idx[node]]) > 0.5 / scale + tol:
+                mism += 1
+        mism += len(set(nodes) - set(got))  # node sets must agree too
 
     return spark.createDataFrame(
         [(int(n_vecs), int(mass_viol), int(mism))],

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .sampling import _bucket
-from .util import stable_round
+from .util import stable_round, timed_phase
 
 
 def _featurize(docs: DataFrame):
@@ -113,22 +113,26 @@ def quality_scoring_contract(
         F.col("text").isNotNull()
     )
     n_docs = docs.count()
-    feats = _featurize(docs)
-    pos = feats.filter(F.col("source") == reference_source).withColumn(
-        "label", F.lit(1.0)
-    )
-    neg = (
-        feats.filter(F.col("source") != reference_source)
-        .filter(
-            _bucket("qmodel", F.col("doc_id"))
-            < F.lit("%08x" % int(0.5 * 0x100000000))
+    # build = the production path (featurize + distributed LR fit +
+    # model.transform scoring); verify = the independent numpy
+    # recomputation and the full-outer diff
+    with timed_phase("build"):
+        feats = _featurize(docs)
+        pos = feats.filter(F.col("source") == reference_source).withColumn(
+            "label", F.lit(1.0)
         )
-        .withColumn("label", F.lit(0.0))
-    )
-    lr = LogisticRegression(
-        maxIter=25, regParam=1e-4, standardization=False, tol=1e-7
-    )
-    model = lr.fit(pos.unionByName(neg).select("features", "label"))
+        neg = (
+            feats.filter(F.col("source") != reference_source)
+            .filter(
+                _bucket("qmodel", F.col("doc_id"))
+                < F.lit("%08x" % int(0.5 * 0x100000000))
+            )
+            .withColumn("label", F.lit(0.0))
+        )
+        lr = LogisticRegression(
+            maxIter=25, regParam=1e-4, standardization=False, tol=1e-7
+        )
+        model = lr.fit(pos.unionByName(neg).select("features", "label"))
 
     w = model.coefficients.toArray()  # dense (2^18,) float64, ~2 MiB
     b = float(model.intercept)
@@ -163,18 +167,19 @@ def quality_scoring_contract(
             F.element_at(v2a(F.col("probability")), 2), 4
         ).alias("quality_prob"),
     )
-    n_mism = (
-        emitted.join(manual, "doc_id", "full_outer")
-        .filter(
-            F.col("quality_prob").isNull()
-            | F.col("p_manual").isNull()
-            | (
-                F.abs(F.col("quality_prob") - F.col("p_manual"))
-                > F.lit(0.5e-4 + tol)
+    with timed_phase("verify"):
+        n_mism = (
+            emitted.join(manual, "doc_id", "full_outer")
+            .filter(
+                F.col("quality_prob").isNull()
+                | F.col("p_manual").isNull()
+                | (
+                    F.abs(F.col("quality_prob") - F.col("p_manual"))
+                    > F.lit(0.5e-4 + tol)
+                )
             )
+            .count()
         )
-        .count()
-    )
     return spark.createDataFrame(
         [(int(n_docs), int(n_mism))],
         "n_docs bigint, n_score_mismatch bigint",

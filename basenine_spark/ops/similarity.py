@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .util import stable_round
+from .util import stable_round, timed_phase
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,38 +1144,42 @@ def ann_recall_contract(
         "pq": ann_topk_pq,
         "ivfpq": ann_topk_ivfpq,
     }
-    approx = (
-        fns[method](spark, sf_dir, k=k, n_queries=n_queries)
-        # tiny (≤ k × n_queries rows) but consumed by three checks —
-        # pin once so the LSH/IVF/PQ build does not run per check
-        .localCheckpoint(eager=True)
-    )
-    exact = ann_topk(spark, sf_dir, k=k, n_queries=n_queries).localCheckpoint(
-        eager=True
-    )
-    n_exact = exact.count()
-    n_hits = (
-        exact.select("query_id", "neighbor_id")
-        .join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
+    # build = the production ANN path; verify = the exact twin + the
+    # three checks (bench budgets pin the phases separately)
+    with timed_phase("build"):
+        approx = (
+            fns[method](spark, sf_dir, k=k, n_queries=n_queries)
+            # tiny (≤ k × n_queries rows) but consumed by three checks —
+            # pin once so the LSH/IVF/PQ build does not run per check
+            .localCheckpoint(eager=True)
         )
-        .count()
-    )
-    recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
-    order_viol = _order_violation_count(approx, "query_id")
-    if method in ("lsh", "ivf"):  # exact cosine over candidates
-        sim_mm = _sim_mismatch_count(
-            spark, sf_dir, approx, "query_id", "neighbor_id"
+    with timed_phase("verify"):
+        exact = ann_topk(
+            spark, sf_dir, k=k, n_queries=n_queries
+        ).localCheckpoint(eager=True)
+        n_exact = exact.count()
+        n_hits = (
+            exact.select("query_id", "neighbor_id")
+            .join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .count()
         )
-    else:  # ADC scoring — approximate by design, no exactness claim
-        sim_mm = 0
-    nq = (
-        load_embeddings(spark, sf_dir)
-        .filter(F.col("vec_id") < n_queries)
-        .count()
-    )
+        recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
+        order_viol = _order_violation_count(approx, "query_id")
+        if method in ("lsh", "ivf"):  # exact cosine over candidates
+            sim_mm = _sim_mismatch_count(
+                spark, sf_dir, approx, "query_id", "neighbor_id"
+            )
+        else:  # ADC scoring — approximate by design, no exactness claim
+            sim_mm = 0
+        nq = (
+            load_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id") < n_queries)
+            .count()
+        )
     return spark.createDataFrame(
         [(int(nq), recall_viol, order_viol, sim_mm)],
         "n_queries bigint, recall_violations bigint,"
@@ -1197,18 +1201,22 @@ def knn_graph_contract(
     with EXACT cosine — only the candidate set is approximate).
     Ballast: ``n_nodes`` = valid embedding rows (oracle-recomputable).
     """
-    approx = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
-    exact = knn_graph_exact(spark, sf_dir, k=k).localCheckpoint(eager=True)
-    n_exact = exact.count()
-    n_hits = (
-        exact.select("src", "dst")
-        .join(approx.select("src", "dst"), ["src", "dst"], "left_semi")
-        .count()
-    )
-    recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
-    order_viol = _order_violation_count(approx, "src")
-    sim_mm = _sim_mismatch_count(spark, sf_dir, approx, "src", "dst")
-    n_nodes = load_embeddings(spark, sf_dir).count()
+    with timed_phase("build"):
+        approx = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
+    with timed_phase("verify"):
+        exact = knn_graph_exact(spark, sf_dir, k=k).localCheckpoint(
+            eager=True
+        )
+        n_exact = exact.count()
+        n_hits = (
+            exact.select("src", "dst")
+            .join(approx.select("src", "dst"), ["src", "dst"], "left_semi")
+            .count()
+        )
+        recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
+        order_viol = _order_violation_count(approx, "src")
+        sim_mm = _sim_mismatch_count(spark, sf_dir, approx, "src", "dst")
+        n_nodes = load_embeddings(spark, sf_dir).count()
     return spark.createDataFrame(
         [(int(n_nodes), recall_viol, order_viol, sim_mm)],
         "n_nodes bigint, recall_violations bigint,"
@@ -1243,9 +1251,10 @@ def semantic_dedup_contract(
     bound as the op itself (cluster size ≤ N/k expected; the op's
     ``max_cluster_size`` guard applies at scale). Ballast: ``n_vecs``.
     """
-    kept = semantic_dedup(
-        spark, sf_dir, k=k, iters=iters, threshold=threshold
-    ).localCheckpoint(eager=True)
+    with timed_phase("build"):
+        kept = semantic_dedup(
+            spark, sf_dir, k=k, iters=iters, threshold=threshold
+        ).localCheckpoint(eager=True)
     assigned = embed_clusters(spark, sf_dir, k=k, iters=iters).select(
         "vec_id", "cluster"
     )
@@ -1258,38 +1267,39 @@ def semantic_dedup_contract(
         .otherwise(norm_col(F.col("embedding")))
         .alias("nrm"),
     )
-    kept_e = kept.join(emb, "vec_id").localCheckpoint(eager=True)
-    a, b = kept_e.alias("a"), kept_e.alias("b")
-    pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    viol1 = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    with timed_phase("verify"):
+        kept_e = kept.join(emb, "vec_id").localCheckpoint(eager=True)
+        a, b = kept_e.alias("a"), kept_e.alias("b")
+        pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.nrm") * F.col("b.nrm")
         )
-        .filter(pair_sim > F.lit(threshold + tol))
-        .count()
-    )
-    dropped = (
-        assigned.join(kept.select("vec_id"), "vec_id", "left_anti")
-        .join(emb, "vec_id")
-        .alias("d")
-    )
-    k2 = kept_e.alias("k2")
-    wit_sim = dot(F.col("d.embedding"), F.col("k2.embedding")) / (
-        F.col("d.nrm") * F.col("k2.nrm")
-    )
-    covered = dropped.join(
-        k2,
-        (F.col("d.cluster") == F.col("k2.cluster"))
-        & (F.col("k2.vec_id") < F.col("d.vec_id"))
-        & (wit_sim >= F.lit(threshold - tol)),
-        "left_semi",
-    )
-    viol2 = dropped.count() - covered.count()
-    n_vecs = load_embeddings(spark, sf_dir).count()
+        viol1 = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(pair_sim > F.lit(threshold + tol))
+            .count()
+        )
+        dropped = (
+            assigned.join(kept.select("vec_id"), "vec_id", "left_anti")
+            .join(emb, "vec_id")
+            .alias("d")
+        )
+        k2 = kept_e.alias("k2")
+        wit_sim = dot(F.col("d.embedding"), F.col("k2.embedding")) / (
+            F.col("d.nrm") * F.col("k2.nrm")
+        )
+        covered = dropped.join(
+            k2,
+            (F.col("d.cluster") == F.col("k2.cluster"))
+            & (F.col("k2.vec_id") < F.col("d.vec_id"))
+            & (wit_sim >= F.lit(threshold - tol)),
+            "left_semi",
+        )
+        viol2 = dropped.count() - covered.count()
+        n_vecs = load_embeddings(spark, sf_dir).count()
     return spark.createDataFrame(
         [(int(n_vecs), int(viol1), int(viol2))],
         "n_vecs bigint, n_kept_pair_violations bigint,"
@@ -1447,26 +1457,33 @@ def kcenter_parity_contract(
     expression, so the full-outer diff is deterministically empty.
     Output shape follows ann_index_persisted: data-derived ballast
     (``n_vecs``) + row-count delta + value mismatches, both 0."""
-    lit_path = kcenter_coreset(spark, sf_dir, k=k, literal_dim_max=256)
-    bc_path = kcenter_coreset(spark, sf_dir, k=k, literal_dim_max=0)
-    a = lit_path.withColumn("a_p", F.lit(1)).alias("a")
-    b = bc_path.withColumn("b_p", F.lit(1)).alias("b")
-    diff = a.join(b, ["sel_rank", "vec_id"], "full_outer").select(
-        (
-            F.col("a.a_p").isNull()
-            | F.col("b.b_p").isNull()
-            | ~F.col("a.sel_dist").eqNullSafe(F.col("b.sel_dist"))
+    # build = the dim-adaptive production path (inline literals at this
+    # dim); verify = the second full selection via broadcast shipping
+    # plus the full-outer diff
+    with timed_phase("build"):
+        lit_path = kcenter_coreset(
+            spark, sf_dir, k=k, literal_dim_max=256
+        ).localCheckpoint(eager=True)
+    with timed_phase("verify"):
+        bc_path = kcenter_coreset(spark, sf_dir, k=k, literal_dim_max=0)
+        a = lit_path.withColumn("a_p", F.lit(1)).alias("a")
+        b = bc_path.withColumn("b_p", F.lit(1)).alias("b")
+        diff = a.join(b, ["sel_rank", "vec_id"], "full_outer").select(
+            (
+                F.col("a.a_p").isNull()
+                | F.col("b.b_p").isNull()
+                | ~F.col("a.sel_dist").eqNullSafe(F.col("b.sel_dist"))
+            )
+            .cast("bigint")
+            .alias("mm"),
+            F.coalesce(F.col("a.a_p"), F.lit(0)).cast("bigint").alias("in_a"),
+            F.coalesce(F.col("b.b_p"), F.lit(0)).cast("bigint").alias("in_b"),
         )
-        .cast("bigint")
-        .alias("mm"),
-        F.coalesce(F.col("a.a_p"), F.lit(0)).cast("bigint").alias("in_a"),
-        F.coalesce(F.col("b.b_p"), F.lit(0)).cast("bigint").alias("in_b"),
-    )
-    row = diff.agg(
-        F.coalesce(F.sum("in_a") - F.sum("in_b"), F.lit(0)).alias("rd"),
-        F.coalesce(F.sum("mm"), F.lit(0)).alias("mm"),
-    ).collect()[0]
-    n_vecs = load_embeddings(spark, sf_dir).count()
+        row = diff.agg(
+            F.coalesce(F.sum("in_a") - F.sum("in_b"), F.lit(0)).alias("rd"),
+            F.coalesce(F.sum("mm"), F.lit(0)).alias("mm"),
+        ).collect()[0]
+        n_vecs = load_embeddings(spark, sf_dir).count()
     return spark.createDataFrame(
         [(int(n_vecs), int(row["rd"]), int(row["mm"]))],
         "n_vecs bigint, row_delta bigint, n_mismatch bigint",
@@ -2154,59 +2171,61 @@ def triplets_contract(
     Ballast: ``n_vecs`` (SQL-derivable); the triplet count itself
     depends on the LSH bucketing and is pinned positive in pytest.
     """
-    edges = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
-    trip = contrastive_triplets(
-        spark, sf_dir, k=k, sim_floor=sim_floor, salt=salt, edges=edges
-    ).localCheckpoint(eager=True)
+    with timed_phase("build"):
+        edges = knn_graph(spark, sf_dir, k=k).localCheckpoint(eager=True)
+        trip = contrastive_triplets(
+            spark, sf_dir, k=k, sim_floor=sim_floor, salt=salt, edges=edges
+        ).localCheckpoint(eager=True)
     n_vecs = load_embeddings(spark, sf_dir).count()
 
-    formula = F.pmod(
-        F.xxhash64(F.col("anchor"), F.col("positive"), F.lit(salt)),
-        F.lit(n_vecs),
-    )
-    n_formula = trip.filter(F.col("negative") != formula).count()
-
-    n_excl = (
-        trip.filter(
-            (F.col("negative") == F.col("anchor"))
-            | (F.col("negative") == F.col("positive"))
-        ).count()
-        + trip.join(
-            edges.select(
-                F.col("src").alias("anchor"),
-                F.col("dst").alias("negative"),
-            ),
-            ["anchor", "negative"],
-            "left_semi",
-        ).count()
-    )
-
-    emb = load_embeddings(spark, sf_dir)
-    ea = emb.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("e_a"))
-    ep = emb.select(F.col("vec_id").alias("positive"), F.col("embedding").alias("e_p"))
-    en = emb.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("e_n"))
-    enriched = trip.join(ea, "anchor").join(ep, "positive").join(en, "negative")
-    good_edges = edges.filter(F.col("sim") >= sim_floor).select(
-        F.col("src").alias("anchor"),
-        F.col("dst").alias("positive"),
-        F.col("sim").alias("edge_sim"),
-    )
-    n_pos = (
-        enriched.join(good_edges, ["anchor", "positive"], "left")
-        .filter(
-            F.col("edge_sim").isNull()
-            | (F.col("edge_sim") != F.col("pos_sim"))
-            | (
-                stable_round(cosine(F.col("e_a"), F.col("e_p")), 4)
-                != F.col("pos_sim")
-            )
+    with timed_phase("verify"):
+        formula = F.pmod(
+            F.xxhash64(F.col("anchor"), F.col("positive"), F.lit(salt)),
+            F.lit(n_vecs),
         )
-        .count()
-    )
-    n_neg_sim = enriched.filter(
-        stable_round(cosine(F.col("e_a"), F.col("e_n")), 4)
-        != F.col("neg_sim")
-    ).count()
+        n_formula = trip.filter(F.col("negative") != formula).count()
+
+        n_excl = (
+            trip.filter(
+                (F.col("negative") == F.col("anchor"))
+                | (F.col("negative") == F.col("positive"))
+            ).count()
+            + trip.join(
+                edges.select(
+                    F.col("src").alias("anchor"),
+                    F.col("dst").alias("negative"),
+                ),
+                ["anchor", "negative"],
+                "left_semi",
+            ).count()
+        )
+
+        emb = load_embeddings(spark, sf_dir)
+        ea = emb.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("e_a"))
+        ep = emb.select(F.col("vec_id").alias("positive"), F.col("embedding").alias("e_p"))
+        en = emb.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("e_n"))
+        enriched = trip.join(ea, "anchor").join(ep, "positive").join(en, "negative")
+        good_edges = edges.filter(F.col("sim") >= sim_floor).select(
+            F.col("src").alias("anchor"),
+            F.col("dst").alias("positive"),
+            F.col("sim").alias("edge_sim"),
+        )
+        n_pos = (
+            enriched.join(good_edges, ["anchor", "positive"], "left")
+            .filter(
+                F.col("edge_sim").isNull()
+                | (F.col("edge_sim") != F.col("pos_sim"))
+                | (
+                    stable_round(cosine(F.col("e_a"), F.col("e_p")), 4)
+                    != F.col("pos_sim")
+                )
+            )
+            .count()
+        )
+        n_neg_sim = enriched.filter(
+            stable_round(cosine(F.col("e_a"), F.col("e_n")), 4)
+            != F.col("neg_sim")
+        ).count()
     return spark.createDataFrame(
         [(int(n_vecs), int(n_formula), int(n_excl), int(n_pos),
           int(n_neg_sim))],

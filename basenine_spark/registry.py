@@ -832,6 +832,48 @@ _register(
 _register("dedup_simhash", dedup.simhash64, None)
 _register("dedup_simhash_pairs", lambda s, d: dedup.simhash_near_pairs(s, d, max_hamming=6), None)
 
+# direct cross-engine SimHash twin (VERDICT r11 #7): the xxhash64
+# headline rows above can never carry a value oracle (DuckDB lacks
+# xxhash64); this variant derives the 60-bit token hash from md5 —
+# identical in both engines — so the WHOLE simhash dataflow
+# (tokenize → sign-vote sums → bit reassembly → 4×15 banding →
+# hamming verify) is value-hash-checked end-to-end, not just
+# contract-checked. The xxhash64 primitive itself stays pinned by
+# dedup_simhash_verified's HOF recomputation + pigeonhole recall.
+_SIMHASH_MD5_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(60)
+)
+_SIMHASH_MD5_BITS = " | ".join(
+    f"(CASE WHEN b{j} > 0 THEN (CAST(1 AS BIGINT) << {j})"
+    f" ELSE CAST(0 AS BIGINT) END)"
+    for j in range(60)
+)
+_register(
+    "dedup_simhash_md5_pairs",
+    lambda s, d: dedup.simhash_md5_near_pairs(s, d, max_hamming=3),
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    sums AS (SELECT doc_id, {_SIMHASH_MD5_SUMS} FROM tok GROUP BY doc_id),
+    sh AS (SELECT doc_id, ({_SIMHASH_MD5_BITS}) AS simhash FROM sums),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band*15)) & 32767 AS bh
+      FROM sh, (SELECT unnest([0,1,2,3]) AS band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+
 # -- similarity search ------------------------------------------------------
 
 _register(
@@ -2458,6 +2500,40 @@ _register(
     None,  # BPE vocabulary induction on the word-frequency table; the
     # type-factorization is differentially pinned against a naive
     # full-token-stream reference + hand goldens in tests/test_bpe.py
+)
+
+# direct value-hash row for the BPE trainer (VERDICT r11 #7): the full
+# 32-merge loop is iterative (each round's pair counts depend on the
+# previous rewrite) and not SQL-expressible, but the FIRST merge is a
+# pure aggregate — adjacent char-pair frequencies over the top-V word
+# table, argmax with the exact tie-break (freq desc, then (l, r)
+# lexicographic ascending = pf DESC, l ASC, r ASC) and the freq >= 2
+# admission gate. This pins the trainer's entry path (tokenize, top-V
+# cut incl. its tie-break, pair counting, argmax discipline) by value;
+# the loop's losslessness stays pinned by text_bpe_verified.
+_register(
+    "bpe_first_merge",
+    lambda s, d: bpe.bpe_train(s, d, num_merges=1),
+    """
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE word <> ''
+      GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20000
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS l,
+             substr(word, CAST(i AS INT) + 1, 1) AS r,
+             CAST(sum(freq) AS BIGINT) AS pf
+      FROM words, unnest(range(1, length(word))) AS t(i)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(0 AS BIGINT) AS "rank", l AS "left", r AS "right",
+           pf AS pair_freq
+    FROM pairs WHERE pf >= 2
+    ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+    """,
 )
 
 _register(
@@ -4929,7 +5005,7 @@ _PROMOTED = [
     # seeded signatures + exact-Jaccard verify make it deterministic,
     # and recall is total on this corpus (verified plain + docs-fuzz),
     # so it hashes the SAME recursive-CTE oracle as its two twins
-    "dedup_clusters_lsh",
+    # dedup_clusters_lsh demoted round 12 — see _DEMOTED notes
     # frequent-items sketch under the ann_index_persisted parity
     # pattern: counts exact under capacity, membership ties-closed
     "agg_heavy_hitters_verified",
@@ -4941,13 +5017,13 @@ _PROMOTED = [
     "privacy_k_anonymity",
     # + l-diversity on the same ladder (slot funded by demoting
     # events_expectations — green r6-r9; notes in _DEMOTED)
-    "privacy_l_diversity",
+    # privacy_l_diversity demoted round 12 — see _DEMOTED notes
     # leave-one-source-out ablation — one-rollup corpus composition
-    "pipeline_loso_ablation",
+    # pipeline_loso_ablation demoted round 12 — see _DEMOTED notes
     # GK-sketch rank contract + HLL error contract under the driver's
     # exact check (ann_index_persisted pattern, 3rd/4th applications)
     "agg_quantiles_verified",
-    "agg_hll_verified",
+    # agg_hll_verified demoted round 12 — see _DEMOTED notes
     # round-10 late: exact kNN graph baseline under the full oracle
     # (slot funded by demoting pipeline_pack_balanced — green r6-r9;
     # notes in _DEMOTED)
@@ -4968,8 +5044,8 @@ _PROMOTED = [
     # recall-vs-exact floor + ranking discipline + per-sim exactness
     "ann_topk_lsh_verified",
     "ann_topk_ivf_verified",
-    "ann_topk_pq_verified",
-    "ann_topk_ivfpq_verified",
+    # ann_topk_pq_verified demoted round 12 — see _DEMOTED notes
+    # ann_topk_ivfpq_verified demoted round 12 — see _DEMOTED notes
     "knn_graph_verified",
     # first-ever driver rows for the multimodal decode path: REAL
     # container decode diffed against the synth-parameter recomputation
@@ -4989,7 +5065,7 @@ _PROMOTED = [
     # in _DEMOTED).
     "dedup_simhash_verified",
     "embedding_near_dup_verified",
-    "embed_clusters_verified",
+    # embed_clusters_verified demoted round 12 — see _DEMOTED notes
     "sample_kcenter_verified",
     "text_bpe_verified",
     # + SemDeDup invariants and the pHash decode roundtrip — with
@@ -4997,10 +5073,10 @@ _PROMOTED = [
     # driver-checked. Slots funded by demoting text_lexical_diversity
     # and pipeline_datasheet (notes in _DEMOTED).
     "dedup_semantic_verified",
-    "multimodal_phash_verified",
+    # multimodal_phash_verified demoted round 12 — see _DEMOTED notes
     # + the spectral/audio-fingerprint decode roundtrip (slot funded
     # by demoting sample_dsir_select — green r7-r10; notes in _DEMOTED)
-    "multimodal_spectral_verified",
+    # multimodal_spectral_verified demoted round 12 — see _DEMOTED notes
     # round-11 batch-replay wave: eight MORE streaming twins under the
     # driver gate (exact-dedup, windowed counts, source-cap, RFM, gap
     # sessionization, quality monitor, and BOTH stream-stream joins) —
@@ -5012,11 +5088,11 @@ _PROMOTED = [
     # sample_source_cap_twophase, dedup_operating_curve — notes in
     # _DEMOTED).
     "streaming_dedup_replay",
-    "streaming_windows_replay",
+    # streaming_windows_replay demoted round 12 — see _DEMOTED notes
     "streaming_source_cap_replay",
-    "streaming_rfm_replay",
+    # streaming_rfm_replay demoted round 12 — see _DEMOTED notes
     "streaming_sessions_replay",
-    "streaming_quality_replay",
+    # streaming_quality_replay demoted round 12 — see _DEMOTED notes
     "streaming_asof_replay",
     "streaming_exposure_replay",
     # round-11 replay wave 2: five more twins — the stateless
@@ -5057,36 +5133,102 @@ _PROMOTED = [
     "text_fertility_verified",
     "text_quality_verified",
     "multimodal_asset_verified",
+    # round-12 rotation (VERDICT r11 #7/#10): twelve promotions.
+    # Two NEW direct value-hash rows retire twin-covered headline
+    # families by value: the md5-token-hash SimHash twin (the whole
+    # sign-vote/banding/hamming dataflow under an exact DuckDB oracle)
+    # and the BPE first-merge row (the trainer's tokenize/top-V/pair
+    # count/argmax entry path, exactly SQL-expressible at one merge).
+    "dedup_simhash_md5_pairs",
+    "bpe_first_merge",
+    # Direct hash rows promoted BACK for twin-covered families: the
+    # exact quadratic kNN baseline, the MinHash-LSH pair list (exact-
+    # Jaccard oracle), the persisted-ANN lifecycle diff, and the
+    # release-to-release embedding drift rollup.
+    "knn_graph_exact",
+    "dedup_minhash_lsh",
+    "ann_index_persisted",
+    "embedding_drift_releases",
+    # Long-demoted core rows rotated back in (each 8-9 rounds green
+    # historically, out of window since r11; re-verifying them keeps
+    # the demotion ledger honest): exact dedup, PPJoin n-gram Jaccard,
+    # brute-force ANN, the curation funnel, the grid interval-overlap
+    # join, and the Markov transition matrix.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_topk",
+    "pipeline_curate",
+    "join_interval_overlap",
+    "events_markov_transitions",
 ]
 
 _DEMOTED = [
+    # round-12 demotions (fund the twelve r12 promotions; every family
+    # keeps in-window verifiers, and the round-close out-of-window
+    # spot-check re-runs each of these):
+    "dedup_clusters_lsh",  # green r10-r11; hashes the IDENTICAL
+    # recursive-CTE clusters oracle as in-window
+    # dedup_clusters_distributed (the 100-TB forced-distributed path),
+    # and the banding machinery returns in-window via dedup_minhash_lsh
+    "privacy_l_diversity",  # green r10-r11; same release-ladder rollup
+    # plan as in-window privacy_k_anonymity with one extra distinct
+    # aggregate; the l-diversity decision math stays pinned in pytest
+    "pipeline_loso_ablation",  # green r10-r11; one (source,lang)
+    # rollup — the leave-one-source-out arithmetic is pytest-pinned and
+    # the pipeline family regains in-window pipeline_curate
+    "agg_hll_verified",  # green r10-r11; the sketch family keeps
+    # agg_quantiles_verified + agg_heavy_hitters_verified in-window;
+    # the HLL error contract stays pinned in pytest
+    "ann_topk_pq_verified",  # green r11; ADC scoring contract — the
+    # ANN family keeps lsh/ivf contracts in-window and regains the
+    # exact twin (knn_graph_exact), brute force (ann_topk) and the
+    # persisted lifecycle (ann_index_persisted) as direct hash rows
+    "ann_topk_ivfpq_verified",  # green r11; same rationale as pq
+    "multimodal_phash_verified",  # green r11; the image family keeps
+    # multimodal_image_verified (full decode roundtrip) and
+    # multimodal_hamming_verified (fingerprint near-dup vs brute
+    # force) in-window; pHash DCT exactness stays pinned in pytest
+    "multimodal_spectral_verified",  # green r11; audio keeps
+    # multimodal_wav_verified (decode roundtrip) in-window; the FFT
+    # peak contract stays pinned in pytest
+    "streaming_windows_replay",  # green r11; the simplest replay
+    # (watermarked tumbling counts) — the streaming surface keeps 12
+    # replay rows in-window incl. both stream-stream joins
+    "streaming_rfm_replay",  # green r11; the RFM rollup is a plain
+    # agg over the drained log, and its batch twin's SQL is the oracle
+    # either way; 12 replay rows stay in-window
+    "streaming_quality_replay",  # green r11; same rationale — the
+    # quality monitor projection is batching-invariant by construction
+    "embed_clusters_verified",  # green r11; the k-means argmin audit —
+    # the embedding family keeps near_dup/kcenter/triplets/semantic
+    # verified rows in-window plus the returning drift/persisted rows
     # round-11 final-wave demotions:
-    "embedding_drift_releases",  # green r9-r10; the release-to-release
+    # embedding_drift_releases promoted back round 12 — see _PROMOTED  # green r9-r10; the release-to-release
     # drift rollup shares its profile maths with the pytest-pinned PSI
     # family; two committed rounds + goldens hold it
-    "ann_index_persisted",  # green r9-r10; the serve path is
+    # ann_index_persisted promoted back round 12 — see _PROMOTED  # green r9-r10; the serve path is
     # re-verified every round by the five in-window ANN contract rows
     # and the persistence lifecycle stays pinned in pytest — also the
     # single most expensive bench row (write-inclusive lifecycle)
-    "dedup_minhash_lsh",  # green r10; hashes the IDENTICAL
+    # dedup_minhash_lsh promoted back round 12 — see _PROMOTED  # green r10; hashes the IDENTICAL
     # exact-Jaccard oracle its nine-round-green PPJoin twin verified,
     # and the banding machinery stays in-window via dedup_clusters_lsh
-    "knn_graph_exact",  # green r10; knn_graph_verified (in-window)
+    # knn_graph_exact promoted back round 12 — see _PROMOTED  # green r10; knn_graph_verified (in-window)
     # re-RUNS the exact twin in full every round as its ground truth —
     # the quadratic baseline is executed and compared, not retired
     # round-11 contract-wave demotions (the first three are the
     # longest-green rows in the registry; every family keeps multiple
     # in-window verifiers):
-    "dedup_exact",  # green r2-r10 (nine rounds) — the original head
+    # dedup_exact promoted back round 12 — see _PROMOTED  # green r2-r10 (nine rounds) — the original head
     # row; the hash-group dedup core is re-verified in-window by
     # streaming_dedup_replay (DISTINCT-key oracle over the same md5
     # identity) and the wider dedup family keeps minhash_lsh /
     # clusters_lsh / clusters_distributed / simhash_verified
-    "dedup_ngram_jaccard",  # green r2-r10 (nine rounds); in-window
+    # dedup_ngram_jaccard promoted back round 12 — see _PROMOTED  # green r2-r10 (nine rounds); in-window
     # dedup_minhash_lsh hashes the IDENTICAL exact-Jaccard oracle, and
     # streaming_blocklist_replay re-verifies the shingle/Jaccard core
     # against the string-trigram recomputation
-    "ann_topk",  # green r2-r10 (eight+ rounds); in-window
+    # ann_topk promoted back round 12 — see _PROMOTED  # green r2-r10 (eight+ rounds); in-window
     # knn_graph_exact is the richer exact-cosine ranking row and the
     # five ANN contract rows re-verify the cosine/top-k machinery
     # every round
@@ -5111,7 +5253,7 @@ _DEMOTED = [
     # are trivial — the CONTENT of this row is the zero-exchange plan,
     # which stays pinned by the plan-fingerprint gate
     # (tools/plan_fingerprints.py) and its pytest test
-    "events_markov_transitions",  # green r8-r10; lag/transition-count
+    # events_markov_transitions promoted back round 12 — see _PROMOTED  # green r8-r10; lag/transition-count
     # window machinery shared with the sessionize family, whose
     # streaming replay row is now in-window
     # round-11 replay-wave demotions funding the eight streaming
@@ -5175,7 +5317,7 @@ _DEMOTED = [
     "dedup_containment_survivors",  # green r7-r10; the containment
     # pair machinery is PPJoin-family (in-window dedup_ngram_jaccard /
     # minhash_lsh / cluster_best verify the same gram+join core)
-    "join_interval_overlap",  # green r6-r10 (five rounds); the
+    # join_interval_overlap promoted back round 12 — see _PROMOTED  # green r6-r10 (five rounds); the
     # grid-bucketed interval decomposition is pinned by those rounds;
     # join family keeps join_bucketed_colocated in-window
     # round-11 late demotions funding the five late verified-twin
@@ -5500,7 +5642,7 @@ _DEMOTED = [
     # dedup_minhash_lsh promotion
     # round-10 demotions funding the dedup_clusters_lsh and
     # agg_heavy_hitters_verified promotions:
-    "pipeline_curate",  # green r2-r9 (eight straight rounds); its
+    # pipeline_curate promoted back round 12 — see _PROMOTED  # green r2-r9 (eight straight rounds); its
     # quality-gate + dedup-survivor CTE chain is re-verified EVERY
     # round inside in-window pipeline_release (whose oracle embeds the
     # identical _CURATE_CTES prefix) and pipeline_release_delta /

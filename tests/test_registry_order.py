@@ -262,16 +262,16 @@ def test_extension_surface_inside_window():
         # r9 #7) — the LSH banding path under the exact recursive-CTE
         # oracle, and the frequent-items sketch under the
         # ann_index_persisted parity pattern
-        "dedup_clusters_lsh",
+        # dedup_clusters_lsh: demoted round 12
         "agg_heavy_hitters_verified",
         # round 10 NEW capabilities: k-anonymity release ladder,
         # leave-one-source-out ablation, and the GK/HLL contract
         # twins (ann_index_persisted pattern)
         "privacy_k_anonymity",
-        "privacy_l_diversity",
-        "pipeline_loso_ablation",
+        # privacy_l_diversity: demoted round 12
+        # pipeline_loso_ablation: demoted round 12
         "agg_quantiles_verified",
-        "agg_hll_verified",
+        # agg_hll_verified: demoted round 12
         # round 10 late: the exact kNN baseline under the full oracle
         # knn_graph_exact: demoted round 11 (final wave)
         # round 10 late: MinHash-LSH pairs under the shared exact oracle
@@ -280,8 +280,8 @@ def test_extension_surface_inside_window():
         # the gate (VERDICT r10 #1-#3)
         "ann_topk_lsh_verified",
         "ann_topk_ivf_verified",
-        "ann_topk_pq_verified",
-        "ann_topk_ivfpq_verified",
+        # ann_topk_pq_verified: demoted round 12
+        # ann_topk_ivfpq_verified: demoted round 12
         "knn_graph_verified",
         "multimodal_wav_verified",
         "multimodal_image_verified",
@@ -290,20 +290,20 @@ def test_extension_surface_inside_window():
         # round 11 late: five more never-driver families
         "dedup_simhash_verified",
         "embedding_near_dup_verified",
-        "embed_clusters_verified",
+        # embed_clusters_verified: demoted round 12
         "sample_kcenter_verified",
         "text_bpe_verified",
         "dedup_semantic_verified",
-        "multimodal_phash_verified",
-        "multimodal_spectral_verified",
+        # multimodal_phash_verified: demoted round 12
+        # multimodal_spectral_verified: demoted round 12
         # round-11 replay wave: eight more streaming twins replayed
         # under full-value oracles
         "streaming_dedup_replay",
-        "streaming_windows_replay",
+        # streaming_windows_replay: demoted round 12
         "streaming_source_cap_replay",
-        "streaming_rfm_replay",
+        # streaming_rfm_replay: demoted round 12
         "streaming_sessions_replay",
-        "streaming_quality_replay",
+        # streaming_quality_replay: demoted round 12
         "streaming_asof_replay",
         "streaming_exposure_replay",
         # replay wave 2: blocklist/funnel full-value oracles + the
@@ -323,6 +323,21 @@ def test_extension_surface_inside_window():
         "text_fertility_verified",
         "text_quality_verified",
         "multimodal_asset_verified",
+        # round-12 rotation: two NEW direct value-hash rows, four
+        # direct-hash returns for twin-covered families, six
+        # long-demoted core rows rotated back in
+        "dedup_simhash_md5_pairs",
+        "bpe_first_merge",
+        "knn_graph_exact",
+        "dedup_minhash_lsh",
+        "ann_index_persisted",
+        "embedding_drift_releases",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "ann_topk",
+        "pipeline_curate",
+        "join_interval_overlap",
+        "events_markov_transitions",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
