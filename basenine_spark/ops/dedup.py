@@ -520,6 +520,41 @@ def simhash_md5_near_pairs(
     )
 
 
+def minhash_md5_signatures(
+    spark: SparkSession, sf_dir: str, num_perm: int = 8
+) -> DataFrame:
+    """MinHash signatures with an ENGINE-PORTABLE hash family — the
+    direct cross-engine twin of the xxhash64 MinHash machinery (same
+    rationale as :func:`simhash60_md5`): permutation *i*'s hash of a
+    token is the first 15 hex chars of ``md5(token || ':' || i)`` as a
+    60-bit integer, and the signature component is the per-doc MIN.
+    Every value is exactly recomputable in DuckDB SQL, so the whole
+    signature construction (tokenize → hash family → grouped min) is
+    value-hash-checked, not just contract-checked.
+
+    One explode + one partially-aggregated shuffle keyed on doc_id —
+    the identical plan shape as the production ``minhash_signatures``.
+    Output: (doc_id, p0..p{num_perm-1})."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("t"), F.lit(f":{i}"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"p{i}")
+            for i in range(num_perm)
+        ]
+    )
+
+
 def simhash_contract(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:

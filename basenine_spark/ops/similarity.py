@@ -1187,6 +1187,79 @@ def ann_recall_contract(
     )
 
 
+def ann_ivf_operating_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    probes: tuple = (1, 2, 4, 8),
+    recall_floor: float = 0.5,
+) -> DataFrame:
+    """The IVF recall-vs-probe operating curve as a driver-verified
+    contract row — the similarity-family sibling of
+    ``dedup_operating_curve`` (an approximate index is only usable at
+    scale if you KNOW where on the recall/cost curve a probe budget
+    puts you).
+
+    Measures recall@k against the exact :func:`ann_topk` twin at each
+    ``nprobe`` and pins two facts:
+
+    * MONOTONICITY (``n_monotonicity_violations`` = 0): hits against
+      the exact top-k can never DECREASE as nprobe grows. This is a
+      theorem, not a heuristic: probing more cells only grows the
+      candidate set, and a true top-k member x in the approx result
+      stays in it — every candidate outranking x by exact cosine is
+      itself a true top-k member (fewer than k of them exist
+      globally), so x cannot be displaced from the top-k of any
+      candidate SUPERSET. A violation means the scoring or the
+      candidate generation is broken.
+    * RECALL FLOOR at the largest probe budget
+      (``recall_violations`` = 0 iff recall@k >= ``recall_floor``).
+
+    Ballast: ``n_queries`` (SQL-derivable). The per-probe recall
+    VALUES are corpus-dependent diagnostics and live in pytest; the
+    curve costs len(probes) IVF builds by construction (the builds
+    share the deterministic k-means recipe), declared LIFECYCLE_ONCE
+    in the bench.
+    """
+    with timed_phase("verify"):
+        exact = ann_topk(
+            spark, sf_dir, k=k, n_queries=n_queries
+        ).localCheckpoint(eager=True)
+        n_exact = exact.count()
+    hits = []
+    with timed_phase("build"):
+        for nprobe in probes:
+            approx = ann_topk_ivf(
+                spark, sf_dir, k=k, n_queries=n_queries, nprobe=nprobe
+            )
+            hits.append(
+                exact.select("query_id", "neighbor_id")
+                .join(
+                    approx.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                    "left_semi",
+                )
+                .count()
+            )
+    mono_viol = sum(
+        1 for a, b in zip(hits, hits[1:]) if b < a
+    )
+    recall_viol = int(
+        n_exact > 0 and hits[-1] / n_exact < recall_floor
+    )
+    nq = (
+        load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < n_queries)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(nq), int(mono_viol), int(recall_viol))],
+        "n_queries bigint, n_monotonicity_violations bigint,"
+        " recall_violations bigint",
+    )
+
+
 def knn_graph_contract(
     spark: SparkSession,
     sf_dir: str,

@@ -708,3 +708,49 @@ _register(
     """,
 )
 
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions: direct cross-engine hash-family twins + the IVF
+# recall/probe operating curve
+# ---------------------------------------------------------------------------
+
+# MinHash with an md5-derived hash family: permutation i's token hash
+# is the first 15 hex chars of md5(token || ':' || i) — identical in
+# both engines — so the full signature construction (tokenize → hash
+# family → per-doc grouped MIN) is value-hash-checked end-to-end. The
+# xxhash64 production family's OUTPUT is already value-checked via the
+# exact-Jaccard pair oracle (dedup_minhash_lsh); this row closes the
+# signature-level gap the same way dedup_simhash_md5_pairs does for
+# SimHash.
+_MINHASH_MD5_COLS = ",\n      ".join(
+    f"MIN(CAST(('0x' || substr(md5(t || ':{i}'),1,15)) AS BIGINT)) AS p{i}"
+    for i in range(8)
+)
+_register(
+    "dedup_minhash_md5_sigs",
+    lambda s, d: dedup.minhash_md5_signatures(s, d, num_perm=8),
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+      {_MINHASH_MD5_COLS}
+    FROM tok GROUP BY doc_id
+    """,
+)
+
+# IVF recall-vs-probe operating curve (the similarity-family sibling
+# of dedup_operating_curve): monotone-hits theorem + recall floor at
+# the largest probe budget, ballast n_queries. Per-probe recall values
+# are corpus diagnostics and live in pytest.
+_register(
+    "ann_ivf_curve_verified",
+    lambda s, d: similarity.ann_ivf_operating_curve(s, d),
+    f"""
+    SELECT {_ANN_NQ_SQL} AS n_queries,
+           CAST(0 AS BIGINT) AS n_monotonicity_violations,
+           CAST(0 AS BIGINT) AS recall_violations
+    """,
+)

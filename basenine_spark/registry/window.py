@@ -261,7 +261,7 @@ _PROMOTED = [
     # pipeline_loso_ablation demoted round 12 — see _DEMOTED notes
     # GK-sketch rank contract + HLL error contract under the driver's
     # exact check (ann_index_persisted pattern, 3rd/4th applications)
-    "agg_quantiles_verified",
+    # agg_quantiles_verified demoted round 12 (late) — see _DEMOTED notes
     # agg_hll_verified demoted round 12 — see _DEMOTED notes
     # round-10 late: exact kNN graph baseline under the full oracle
     # (slot funded by demoting pipeline_pack_balanced — green r6-r9;
@@ -294,7 +294,7 @@ _PROMOTED = [
     # replay through the real Structured Streaming queries, compared
     # on the batching-invariant projection
     "streaming_kanon_replay",
-    "streaming_sentences_replay",
+    # streaming_sentences_replay demoted round 12 (late) — see _DEMOTED notes
     # round-11 late promotions: five more never-driver families under
     # the gate (SimHash, SRP near-dup, k-means assignment, the
     # k-center dim-adaptive parity, BPE losslessness). Slots funded by
@@ -399,9 +399,22 @@ _PROMOTED = [
     "pipeline_curate",
     "join_interval_overlap",
     "events_markov_transitions",
+    # round-12 late additions (test_registry_order discipline: a new
+    # oracle-backed entry must enter the window the round it appears):
+    # the md5 MinHash signature twin and the IVF operating curve
+    "dedup_minhash_md5_sigs",
+    "ann_ivf_curve_verified",
 ]
 
 _DEMOTED = [
+    # round-12 late demotions (fund the two late additions):
+    "agg_quantiles_verified",  # green r10-r11; the sketch family keeps
+    # agg_heavy_hitters_verified in-window and the GK error contract
+    # stays pinned in pytest
+    "streaming_sentences_replay",  # green r11; the same watermarked
+    # dropDuplicatesWithinWatermark machinery stays in-window via
+    # streaming_dedup_replay, and the batch scrub twins hold the
+    # sentence-key semantics (text_scrub_sentences family)
     # round-12 demotions (fund the twelve r12 promotions; every family
     # keeps in-window verifiers, and the round-close out-of-window
     # spot-check re-runs each of these):

@@ -76,7 +76,7 @@ def kanon_replay(
             )
             .orderBy("j")
         )
-        db.insert_json_df(ev)
+        _ingest(db, ev)
         sq = k_anonymity_stream(
             db, k=k, query_name=qname, checkpoint=f"{tmp}/ckpt"
         )
@@ -122,6 +122,19 @@ def _events_json(
     return ev.orderBy("ts_ms", "event_id").select(
         F.to_json(F.struct(*struct_cols)).alias("j")
     )
+
+
+
+def _ingest(db, df) -> int:
+    """insert_json_df wrapped in the "ingest" bench phase: every
+    replay's log-load is harness cost, not the streaming operator
+    under verification — the phase split lets bench_budgets pin the
+    two separately (the stream side is total minus ingest unless a
+    replay marks an explicit "stream"/"verify" phase)."""
+    from ..ops.util import timed_phase
+
+    with timed_phase("ingest"):
+        return db.insert_json_df(df)
 
 
 def _drain_stateful(
@@ -194,7 +207,7 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("j")
         )
-        db.insert_json_df(docs)
+        _ingest(db, docs)
         sq = dedup_stream(
             db,
             json_key="$.text",
@@ -233,7 +246,7 @@ def windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": "event_id", "event_type": "event_type",
              "ts_ms": "ts_ms"},
         )
-        db.insert_json_df(ev)
+        _ingest(db, ev)
         sq = windowed_counts_stream(
             db,
             window="1 hour",
@@ -286,7 +299,7 @@ def source_cap_replay(
             )
             .orderBy("j")
         )
-        db.insert_json_df(docs)
+        _ingest(db, docs)
         sq = source_cap_admit_stream(
             db, cap=cap, query_name=qname, checkpoint=f"{tmp}/ckpt"
         )
@@ -327,7 +340,7 @@ def rfm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             {"user_id": "user_id", "ts_ms": "ts_ms", "value": "value"},
         )
-        db.insert_json_df(ev)
+        _ingest(db, ev)
         sq = rfm_stream(db, query_name=qname, checkpoint=f"{tmp}/ckpt")
         try:
             sq.processAllAvailable()
@@ -378,7 +391,7 @@ def sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": "user_id", "ts_ms": "ts_ms"},
             require=("user_id",),
         )
-        n_ingested = db.insert_json_df(ev)
+        n_ingested = _ingest(db, ev)
         sq = session_stream(
             db,
             gap_minutes=30,
@@ -420,7 +433,7 @@ def quality_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": "event_id", "event_type": "event_type",
              "ts_ms": "ts_ms", "value": "value"},
         )
-        db.insert_json_df(ev)
+        _ingest(db, ev)
         sq = quality_monitor_stream(
             db,
             rules={
@@ -473,7 +486,7 @@ def asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user": "user_id", "event_type": "event_type",
              "ts_ms": "ts_ms"},
         )
-        db.insert_json_df(ev)
+        _ingest(db, ev)
         sq = attribution_join_stream(
             db,
             horizon_minutes=30,
@@ -543,7 +556,7 @@ def semdedup_replay_contract(
                 F.col("embedding").cast("array<double>").alias("e"),
             )
         )
-        db.insert_json_df(
+        _ingest(db, 
             emb.orderBy("vec_id").select(
                 F.to_json(
                     F.struct(
@@ -651,7 +664,7 @@ def dsir_replay_contract(
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
-        db.insert_json_df(
+        _ingest(db, 
             docs.select(
                 F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
                     "j"
@@ -748,7 +761,7 @@ def anomaly_replay_contract(
         ev = load_table(spark, sf_dir, "events").filter(
             F.col("event_id").isNotNull()
         )
-        db.insert_json_df(
+        _ingest(db, 
             ev.orderBy("event_id").select(
                 F.to_json(
                     F.struct(
@@ -850,7 +863,7 @@ def blocklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
-        db.insert_json_df(
+        _ingest(db, 
             docs.select(
                 F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
                     "j"
@@ -906,7 +919,7 @@ def funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              "ts_ms": "ts_ms"},
             require=("user_id",),
         )
-        n_ingested = db.insert_json_df(ev)
+        n_ingested = _ingest(db, ev)
         sq = funnel_stream(
             db,
             steps=("view", "click", "purchase"),
@@ -956,8 +969,7 @@ def exposure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # phase split (bench budgets): "ingest" is the harness loading
         # the corpus into a durable log; "stream" is the production
         # stream-stream join run to exhaustion
-        with timed_phase("ingest"):
-            db.insert_json_df(ev)
+        _ingest(db, ev)
         with timed_phase("stream"):
             sq = incident_exposure_stream(
                 db,
@@ -1006,7 +1018,7 @@ def sentence_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("j")
         )
-        db.insert_json_df(docs)
+        _ingest(db, docs)
         sq = sentence_scrub_stream(
             db,
             horizon_seconds=86_400,  # covers any replay wall-clock

@@ -159,9 +159,11 @@ HEADLINE = [
     "multimodal_phash_verified",
     "multimodal_spectral_verified",
     # round-12 NEW direct value-hash rows (VERDICT r11 #7): the
-    # md5-token-hash SimHash twin and the BPE first-merge row
+    # md5-token-hash SimHash twin, the BPE first-merge row, and the
+    # md5 MinHash signature twin
     "dedup_simhash_md5_pairs",
     "bpe_first_merge",
+    "dedup_minhash_md5_sigs",
 ]
 
 # Round-11 promotions measured ONCE instead of timed()'s 3 runs: each
@@ -209,6 +211,9 @@ LIFECYCLE_ONCE = [
     "text_fertility_verified",
     "text_quality_verified",
     "multimodal_asset_verified",
+    # round-12: the IVF recall/probe operating curve — four IVF builds
+    # + the exact twin by construction, single-run by the same policy
+    "ann_ivf_curve_verified",
 ]
 
 

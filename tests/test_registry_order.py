@@ -270,7 +270,7 @@ def test_extension_surface_inside_window():
         "privacy_k_anonymity",
         # privacy_l_diversity: demoted round 12
         # pipeline_loso_ablation: demoted round 12
-        "agg_quantiles_verified",
+        # agg_quantiles_verified: demoted round 12 (late)
         # agg_hll_verified: demoted round 12
         # round 10 late: the exact kNN baseline under the full oracle
         # knn_graph_exact: demoted round 11 (final wave)
@@ -286,7 +286,7 @@ def test_extension_surface_inside_window():
         "multimodal_wav_verified",
         "multimodal_image_verified",
         "streaming_kanon_replay",
-        "streaming_sentences_replay",
+        # streaming_sentences_replay: demoted round 12 (late)
         # round 11 late: five more never-driver families
         "dedup_simhash_verified",
         "embedding_near_dup_verified",
@@ -338,6 +338,9 @@ def test_extension_surface_inside_window():
         "pipeline_curate",
         "join_interval_overlap",
         "events_markov_transitions",
+        # round-12 late additions
+        "dedup_minhash_md5_sigs",
+        "ann_ivf_curve_verified",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -1,0 +1,64 @@
+"""Round-12 ops: the md5 hash-family twins and the IVF operating
+curve (per-probe recall diagnostics live here; the driver row pins
+the monotonicity theorem + the floor)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from basenine_spark.ops import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_md5_component_matches_hashlib(spark):
+    sigs = {r["doc_id"]: r for r in
+            dedup.minhash_md5_signatures(spark, SF, num_perm=2).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("text").isNotNull()).limit(5).collect()}
+    for doc_id, text in docs.items():
+        for i in range(2):
+            expect = min(
+                int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:15], 16)
+                for t in text.split(" ")
+            )
+            assert sigs[doc_id][f"p{i}"] == expect, (doc_id, i)
+
+
+def test_simhash_md5_pairs_subset_semantics(spark):
+    # every emitted pair respects the hamming bound, symmetric-free
+    pairs = dedup.simhash_md5_near_pairs(spark, SF, max_hamming=3).collect()
+    assert pairs, "expected near-dup pairs on the planted corpus"
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_ivf_operating_curve_monotone_and_floor(spark):
+    row = similarity.ann_ivf_operating_curve(
+        spark, SF, probes=(1, 2, 4)
+    ).collect()[0]
+    assert row["n_monotonicity_violations"] == 0
+    assert row["recall_violations"] == 0
+    assert row["n_queries"] > 0
+
+
+def test_ivf_recall_values_per_probe(spark):
+    # the curve's diagnostic values: recall@5 strictly usable at the
+    # top probe budget, and probing everything reaches high recall
+    exact = similarity.ann_topk(spark, SF).localCheckpoint(eager=True)
+    n = exact.count()
+    recalls = {}
+    for nprobe in (1, 8):
+        approx = similarity.ann_topk_ivf(spark, SF, nprobe=nprobe)
+        hits = (
+            exact.select("query_id", "neighbor_id")
+            .join(approx.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"], "left_semi").count()
+        )
+        recalls[nprobe] = hits / n
+    assert recalls[8] >= recalls[1]
+    # measured 0.84 at the dev corpus (0.2 at nprobe=1); the floor sits
+    # with margin under it, same discipline as the driver contract's
+    assert recalls[8] >= 0.6, recalls
