@@ -550,14 +550,18 @@ class BasenineDB:
                         shred = shred_write_schema(batch)
                         if not shred.fields:
                             shred = None
-        written = self._log.append_df(
-            df,
-            insertion_filter_text=send_filter_text,
-            shred_schema=shred,
-            prevalidated=prevalidated,
-        )
-        if prevalidated:
-            df.unpersist()
+        try:
+            written = self._log.append_df(
+                df,
+                insertion_filter_text=send_filter_text,
+                shred_schema=shred,
+                prevalidated=prevalidated,
+            )
+        finally:
+            # the fast path persisted the filtered batch above; an
+            # append failure must not leak it for the session lifetime
+            if prevalidated:
+                df.unpersist()
         self._insert_counter = self._log.total_written
         if shred is None and self._log.total_written > first_new_seq:
             self._shred_ok = False

@@ -242,20 +242,43 @@ def infer_json_lines_schema(spark, lines_df, sampling_ratio: float = 1.0):
     surfaces malformed lines as a ``_corrupt_record`` field in the
     result — callers that need all-or-none validation check for it
     (a document key literally named ``_corrupt_record`` false-positives
-    toward the safe path)."""
+    toward the safe path).
+
+    The reader is pinned STRICT so "malformed" means the same thing
+    here as in the row backend's ``json.loads`` (the wire path's
+    validator): Jackson's lax defaults would otherwise accept
+    single-quoted documents like ``{'a': 1}`` with no
+    ``_corrupt_record``, letting the bulk fast path ingest raw lines
+    the row path would reject batch-wide — and store a line that later
+    breaks every ``json.loads`` consumer. ``allowNonNumericNumbers``
+    stays at Spark's default (true) deliberately: ``json.loads`` also
+    accepts ``NaN``/``Infinity``/``-Infinity``, and the row path's
+    ``json.dumps`` re-emission produces those tokens."""
     from pyspark.sql import DataFrame as _PyDF
 
+    strict_opts = {
+        "allowSingleQuotes": "false",
+        "allowUnquotedFieldNames": "false",
+        "allowComments": "false",
+        "allowNumericLeadingZeros": "false",
+        "allowBackslashEscapingAnyCharacter": "false",
+        "allowUnquotedControlChars": "false",
+    }
     col0 = lines_df.columns[0]
     one_col = lines_df.select(col0)
     try:
         enc = spark._jvm.org.apache.spark.sql.Encoders.STRING()
         jds = getattr(one_col._jdf, "as")(enc)
         reader = spark._jsparkSession.read()
+        for k, v in strict_opts.items():
+            reader = reader.option(k, v)
         if sampling_ratio < 1.0:
             reader = reader.option("samplingRatio", str(sampling_ratio))
         return _PyDF(reader.json(jds), spark).schema
     except Exception:
         reader = spark.read
+        for k, v in strict_opts.items():
+            reader = reader.option(k, v)
         if sampling_ratio < 1.0:
             reader = reader.option("samplingRatio", sampling_ratio)
         return reader.json(one_col.rdd.map(lambda r: r[0])).schema

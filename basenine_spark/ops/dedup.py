@@ -555,6 +555,72 @@ def minhash_md5_signatures(
     )
 
 
+def minhash_md5_band_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH band-join candidate pairs over the md5 MinHash family —
+    the BANDING-stage twin of :func:`minhash_md5_signatures` (VERDICT
+    r12 #5). The production :func:`minhash_lsh_pairs` keys its band
+    buckets on Spark-only ``F.hash``, so only its signatures (via the
+    md5 twin) and its final exact-Jaccard output were cross-engine
+    value-checked; here the band hash is ``md5`` of the
+    comma-joined band slice, so the candidate SET ITSELF is
+    recomputable in DuckDB SQL end-to-end: tokenize → md5 hash family
+    → grouped min → band slice → md5 band key → bucket self-join.
+
+    Identical plan shape to the production banding: one explode into
+    (band, band_hash) keys, one shuffle keyed on them, never a
+    cartesian — the 100-TB contract is the production path's; this
+    row exists to value-pin its algebra.
+
+    Output: (doc_a, doc_b) distinct candidate pairs, doc_a < doc_b.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_md5_signatures(spark, sf_dir, num_perm=num_perm)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"p{j}").cast("string")
+                                    for j in range(
+                                        i * rows, (i + 1) * rows
+                                    )
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def simhash_contract(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:

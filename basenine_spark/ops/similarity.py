@@ -1222,6 +1222,10 @@ def ann_ivf_operating_curve(
     share the deterministic k-means recipe), declared LIFECYCLE_ONCE
     in the bench.
     """
+    # the floor is checked at hits[-1] and monotonicity over adjacent
+    # pairs — both assume ascending probe budgets, so normalize rather
+    # than trust caller ordering
+    probes = tuple(sorted(probes))
     with timed_phase("verify"):
         exact = ann_topk(
             spark, sf_dir, k=k, n_queries=n_queries

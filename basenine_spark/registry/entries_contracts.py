@@ -741,6 +741,42 @@ _register(
     """,
 )
 
+# Round-13 (VERDICT r12 #5): the BANDING stage under the same md5
+# twin discipline — band key = md5 of the comma-joined band slice of
+# the md5-family signature, so the LSH candidate SET itself (not just
+# the signatures feeding it) is value-hash-checked against a DuckDB
+# recomputation of the identical algebra. 8 perms / 4 bands of 2.
+_MINHASH_MD5_SIG_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), sig AS (
+      SELECT doc_id,
+        {cols}
+      FROM tok GROUP BY doc_id
+    )""".format(cols=_MINHASH_MD5_COLS)
+_register(
+    "dedup_minhash_md5_bands",
+    lambda s, d: dedup.minhash_md5_band_pairs(s, d, num_perm=8, bands=4),
+    _MINHASH_MD5_SIG_SQL
+    + """
+    , banded AS (
+    """
+    + "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"md5(CAST(p{2 * i} AS VARCHAR) || ',' || "
+        f"CAST(p{2 * i + 1} AS VARCHAR)) AS bh FROM sig"
+        for i in range(4)
+    )
+    + """
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+
 # IVF recall-vs-probe operating curve (the similarity-family sibling
 # of dedup_operating_curve): monotone-hits theorem + recall floor at
 # the largest probe budget, ballast n_queries. Per-probe recall values

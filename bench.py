@@ -10,6 +10,7 @@ no driver-side collect bottleneck, mirrors a production write).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -412,9 +413,12 @@ def main() -> int:
             lats.sort()
             if lats:
                 def _pct(p: float) -> float:
-                    return round(
-                        lats[min(len(lats) - 1, int(p * len(lats)))], 3
-                    )
+                    # standard nearest-rank: ceil(p*n)-1, not the
+                    # upper-biased int(p*n) (which made 15-sample p90
+                    # read ~p93 — systematically pessimistic vs the
+                    # budgets pinned on it)
+                    idx = max(0, math.ceil(p * len(lats)) - 1)
+                    return round(lats[idx], 3)
 
                 timings[f"tail_latency_p50_{cadence}"] = _pct(0.5)
                 timings[f"tail_latency_p90_{cadence}"] = _pct(0.9)
@@ -787,6 +791,7 @@ def main() -> int:
     # (sf0.01 smoke runs are not regression evidence), and only to
     # queries that have one (new promotions get budgets next round).
     budget_breaches: list[str] = []
+    budget_unmatched: list[str] = []
     budget_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_budgets.json"
     )
@@ -803,7 +808,12 @@ def main() -> int:
                     got = lifecycle_phases.get(base, {}).get(phase)
                 else:
                     got = timings.get(name)
-                if got is not None and got > ceil:
+                if got is None:
+                    # a pinned ceiling that matched nothing this run
+                    # (typo, or an entry moved out of the bench set) —
+                    # surface it instead of silently un-enforcing
+                    budget_unmatched.append(name)
+                elif got > ceil:
                     budget_breaches.append(
                         f"{name}: {got}s > budget {ceil}s"
                     )
@@ -817,6 +827,7 @@ def main() -> int:
         "queries_stats": stats,
         "sf": sf,
         "budget_breaches": budget_breaches,
+        "budget_unmatched": budget_unmatched,
         "scale_probe": {
             "events_factor": 10,
             "documents_factor": 2,
@@ -857,6 +868,15 @@ def main() -> int:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps(result))
+    if budget_unmatched:
+        # not rc-fatal (an entry legitimately rotated out between the
+        # pin and this run would otherwise false-positive) but loud:
+        # an unmatched key means a ceiling is no longer being enforced
+        print(
+            "BUDGET KEY UNMATCHED (ceiling not enforced): "
+            + "; ".join(budget_unmatched),
+            file=sys.stderr,
+        )
     if budget_breaches:
         print(
             "BUDGET BREACH: " + "; ".join(budget_breaches), file=sys.stderr

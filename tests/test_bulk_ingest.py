@@ -222,3 +222,52 @@ def test_bulk_pure_filter_missing_key_collapses(spark, tmp_path):
     b = sorted(r["value"] for r in bulk._log.scan().collect())
     assert w == b
     assert len(b) == 2  # n=1 (9>5) and n=4 ("11">5)
+
+
+def test_bulk_fast_path_rejects_lax_json_like_json_loads(spark, tmp_path):
+    """ADVICE r12: Spark's Jackson defaults accept single-quoted
+    documents ({'a': 1}) that the row backend's json.loads rejects.
+    The inference reader is pinned strict, so a lax line must surface
+    as _corrupt_record -> whole batch routed to the row backend ->
+    all-or-none raise, acceptance identical to the wire path."""
+    import glob
+
+    from basenine_spark.engine.db import BasenineDB
+
+    good = _lines_df(spark, n=6)
+    lax = good.unionAll(
+        spark.createDataFrame([("{'lang': 'en', 'n': 1}",)], "j string")
+    )
+    db = BasenineDB(spark, path=str(tmp_path / "lax"))
+    db.set_insertion_filter('lang == "en"')
+    with pytest.raises(Exception):
+        db.insert_json_df(lax)
+    assert db._log.total_written == 0
+    assert glob.glob(f"{db._log.path}/**/*.parquet", recursive=True) == []
+    # ...and the same batch through the unfiltered bulk path is also
+    # rejected whole (schema inference is strict there too)
+    db2 = BasenineDB(spark, path=str(tmp_path / "lax2"))
+    with pytest.raises(Exception):
+        db2.insert_json_df(lax)
+    assert db2._log.total_written == 0
+
+
+def test_bulk_fast_path_accepts_nonfinite_numbers_like_json_loads(
+    spark, tmp_path
+):
+    """json.loads accepts NaN/Infinity; the strict pin deliberately
+    keeps allowNonNumericNumbers=true so both paths agree in the
+    accepting direction as well."""
+    import json as _json
+
+    from basenine_spark.engine.db import BasenineDB
+
+    lines = ['{"lang": "en", "x": Infinity}', '{"lang": "en", "x": 2}']
+    for ln in lines:
+        _json.loads(ln)  # sanity: the row backend's validator accepts
+    bulk = BasenineDB(spark, path=str(tmp_path / "inf"))
+    bulk.set_insertion_filter('lang == "en"')
+    written = bulk.insert_json_df(
+        spark.createDataFrame([(l,) for l in lines], "j string")
+    )
+    assert written == 2

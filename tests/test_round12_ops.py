@@ -62,3 +62,31 @@ def test_ivf_recall_values_per_probe(spark):
     # measured 0.84 at the dev corpus (0.2 at nprobe=1); the floor sits
     # with margin under it, same discipline as the driver contract's
     assert recalls[8] >= 0.6, recalls
+
+
+def test_minhash_md5_band_pairs_match_local_recompute(spark):
+    """Round-13 banding twin: the candidate set must EQUAL a local
+    recomputation of the same algebra from the signature table —
+    docs sharing any 2-perm band slice pair up, nothing else does
+    (the driver row re-derives this in DuckDB; this is the in-CI
+    twin at sf0.001)."""
+    sigs = dedup.minhash_md5_signatures(spark, SF, num_perm=8).collect()
+    buckets: dict = {}
+    for r in sigs:
+        for band in range(4):
+            key = (band, r[f"p{2 * band}"], r[f"p{2 * band + 1}"])
+            buckets.setdefault(key, []).append(r["doc_id"])
+    expect = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expect.add((ids[i], ids[j]))
+    assert expect, "planted near-dup corpus should band-collide"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_md5_band_pairs(spark, SF).collect()
+    }
+    assert got == expect
+    for a, b in got:
+        assert a < b

@@ -589,10 +589,13 @@ def test_fetch_left_off_latest_pages_backward(served100):
 
 
 def test_connection_churn_does_not_leak(served100):
-    """client_test.go:179-186 TCPConnectionLeak, scaled down: hundreds
-    of short-lived validate connections leave no bookkeeping, threads,
+    """client_test.go:179-186 TCPConnectionLeak in the DEFAULT gate
+    (VERDICT r12 #7) at a tenth of the reference's N: 1,000
+    short-lived validate connections leave no bookkeeping, threads,
     or OS file descriptors behind (fd parity is the signal the
-    reference's 10k-connection loop is really after)."""
+    reference's 10k-connection loop is really after; the full-N run
+    stays opt-in below, minus the reference's 1 ms/connection
+    client-side pacing)."""
     import os
     import time
 
@@ -607,13 +610,13 @@ def test_connection_churn_does_not_leak(served100):
 
     churn(20)  # warm-up: let lazy fds (epoll, resolver) come into being
     fd_before = len(os.listdir("/proc/self/fd"))
-    churn(300)
+    churn(1_000)
     time.sleep(0.3)  # let the last handlers finish
     assert len([t for t in server._threads if t.is_alive()]) == 0
     assert len(server._conns) <= 1
     fd_after = len(os.listdir("/proc/self/fd"))
     assert fd_after - fd_before <= 4, (
-        f"fd leak: {fd_before} -> {fd_after} across 300 connections"
+        f"fd leak: {fd_before} -> {fd_after} across 1,000 connections"
     )
 
 
