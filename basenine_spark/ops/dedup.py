@@ -783,6 +783,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 12,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Min-label connected components over an undirected
     (doc_a, doc_b) edge list; see :func:`duplicate_clusters` for the
@@ -797,13 +798,27 @@ def connected_components(
       of size, which swamps a sparse graph; union-find is O(E α(E))
       in-process.  The collect is bounded by construction — it only
       happens below the counted threshold.
-    * **large graph**: the distributed min-label propagation rounds
-      (one keyed shuffle per round, per-round ``localCheckpoint``
-      lineage truncation) — no driver materialization anywhere.
+    * **large graph**: distributed min-label propagation with POINTER
+      JUMPING (round 13): each round is (a) adopt the min label among
+      self + neighbors (one keyed join), then (b) shortcut
+      ``label ← label[label]`` (one self-join on the skinny labels
+      table — labels are always node ids, so the lookup is total).
+      Propagation alone moves a label one hop per round, making a
+      long-chain component take O(diameter) shuffles; the jump step
+      roughly doubles the reach each round, so rounds-to-converge is
+      O(log diameter) — the difference between 2^20 and ~20 shuffles
+      on a megarow chain (measured: bench.py's ``scale_probe_cc_chain``
+      pins the curve on worst-case path graphs). Per-round
+      ``localCheckpoint`` truncates lineage; no driver materialization
+      anywhere.
 
     Both paths emit identical (doc_id, cluster_id = component-min)
     rows; their agreement is pinned in pytest by forcing the
-    distributed path on the same graph.
+    distributed path on the same graph (chain topology included).
+
+    ``stats``: optional dict; the distributed path records
+    ``{"rounds": n}`` (the number of prop+jump rounds executed) for
+    the growth-curve probes, the driver path ``{"rounds": 0}``.
     """
     edges = edges.select("doc_a", "doc_b").cache()
     n_edges = edges.count()
@@ -832,6 +847,8 @@ def connected_components(
                 parent[rb] = ra
         rows = sorted((n, find(n)) for n in nodes)
         edges.unpersist()
+        if stats is not None:
+            stats["rounds"] = 0
         return spark.createDataFrame(
             rows, "doc_id long, cluster_id long"
         ).orderBy("doc_id")
@@ -842,7 +859,9 @@ def connected_components(
     labels = adj.groupBy("doc_a").agg(
         F.least(F.min("doc_b"), F.first("doc_a")).alias("label")
     ).select(F.col("doc_a").alias("doc_id"), "label")
+    rounds_run = 0
     for _round in range(max_iter):
+        rounds_run += 1
         # neighbor labels via one keyed join, then min with own label
         neighbor = (
             adj.join(
@@ -856,11 +875,13 @@ def connected_components(
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
         # carry the old label through the same join so the fixpoint
-        # check needs no second labels-vs-new-labels join per round;
-        # localCheckpoint TRUNCATES the lineage each round — without it
-        # the logical plan nests one join level per iteration and a
-        # deep component (long chain) OOMs the driver during planning
-        # long before any executor limit is hit
+        # check needs no second labels-vs-new-labels join per round.
+        # localCheckpoint HERE (a) truncates lineage — two nested join
+        # levels per iteration would otherwise OOM the driver during
+        # planning on a deep component long before any executor limit —
+        # and (b) materializes stepped ONCE before the jump self-join
+        # below consumes it on both sides (an uncheckpointed self-join
+        # would recompute the adjacency join twice per round)
         stepped = (
             labels.join(
                 neighbor.select(F.col("doc_a").alias("doc_id"), "nbr_min"),
@@ -877,14 +898,44 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("old") != F.col("label")).limit(1).count()
-        labels = stepped.select("doc_id", "label")
+        # pointer jump: label ← label[label]. Labels are node ids and
+        # only ever DECREASE, so label[label] ≤ label (least() is a
+        # safety net, not arithmetic); combined with the hop above the
+        # label's reach ~doubles per round — O(log diameter) rounds on
+        # chains vs O(diameter) for propagation alone. The fixpoint
+        # argument is unchanged: at a no-change round, labels are
+        # edge-constant, hence component-constant, hence the
+        # component min (the min node can never adopt a smaller id).
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"),
+            F.col("label").alias("p_label"),
+        )
+        # the jump join reads the checkpointed stepped on both sides —
+        # one cheap skinny shuffle, materialized eagerly so next
+        # round's three consumers (neighbor join, label join, fixpoint
+        # count) don't re-run it
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+            .select(
+                "doc_id",
+                "old",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("p_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("old") != F.col("label")).limit(1).count()
+        labels = jumped.select("doc_id", "label")
         if changed == 0:
             break
     # labels is checkpoint-backed; the adjacency caches are dead weight
     # once the loop converges
     adj.unpersist()
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds_run
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )

@@ -281,15 +281,15 @@ _PROMOTED = [
     # join_interval_overlap — notes in _DEMOTED).
     # approximate-ANN contract rows (ann_index_persisted pattern):
     # recall-vs-exact floor + ranking discipline + per-sim exactness
-    "ann_topk_lsh_verified",
-    "ann_topk_ivf_verified",
+    # ann_topk_lsh_verified demoted round 13 — see _DEMOTED notes
+    # ann_topk_ivf_verified demoted round 13 — see _DEMOTED notes
     # ann_topk_pq_verified demoted round 12 — see _DEMOTED notes
     # ann_topk_ivfpq_verified demoted round 12 — see _DEMOTED notes
     "knn_graph_verified",
     # first-ever driver rows for the multimodal decode path: REAL
     # container decode diffed against the synth-parameter recomputation
-    "multimodal_wav_verified",
-    "multimodal_image_verified",
+    # multimodal_wav_verified demoted round 13 — see _DEMOTED notes
+    # multimodal_image_verified demoted round 13 — see _DEMOTED notes
     # first-ever driver rows for the streaming twins: full-corpus
     # replay through the real Structured Streaming queries, compared
     # on the batching-invariant projection
@@ -302,8 +302,8 @@ _PROMOTED = [
     # sample_exact_stratified, dedup_cluster_best and
     # pipeline_source_overlap (all green 4-5 committed rounds; notes
     # in _DEMOTED).
-    "dedup_simhash_verified",
-    "embedding_near_dup_verified",
+    # dedup_simhash_verified demoted round 13 — see _DEMOTED notes
+    # embedding_near_dup_verified demoted round 13 — see _DEMOTED notes
     # embed_clusters_verified demoted round 12 — see _DEMOTED notes
     "sample_kcenter_verified",
     "text_bpe_verified",
@@ -326,9 +326,9 @@ _PROMOTED = [
     # dedup_cluster_density, text_dup_sentences,
     # sample_source_cap_twophase, dedup_operating_curve — notes in
     # _DEMOTED).
-    "streaming_dedup_replay",
+    # streaming_dedup_replay demoted round 13 — see _DEMOTED notes
     # streaming_windows_replay demoted round 12 — see _DEMOTED notes
-    "streaming_source_cap_replay",
+    # streaming_source_cap_replay demoted round 13 — see _DEMOTED notes
     # streaming_rfm_replay demoted round 12 — see _DEMOTED notes
     "streaming_sessions_replay",
     # streaming_quality_replay demoted round 12 — see _DEMOTED notes
@@ -344,10 +344,10 @@ _PROMOTED = [
     # search_hybrid_rrf, sample_leakage_safe_splits,
     # text_scrub_sentences, join_bucketed_colocated and
     # events_markov_transitions (notes in _DEMOTED).
-    "streaming_blocklist_replay",
+    # streaming_blocklist_replay demoted round 13 — see _DEMOTED notes
     "streaming_funnel_replay",
-    "streaming_semdedup_replay",
-    "streaming_dsir_replay",
+    # streaming_semdedup_replay demoted round 13 — see _DEMOTED notes
+    # streaming_dsir_replay demoted round 13 — see _DEMOTED notes
     "streaming_anomaly_replay",
     # round-11 contract wave: the last four never-driver-checked
     # extension families under the gate — PageRank vs an independent
@@ -404,9 +404,68 @@ _PROMOTED = [
     # the md5 MinHash signature twin and the IVF operating curve
     "dedup_minhash_md5_sigs",
     "ann_ivf_curve_verified",
+    # round-13 rotation (VERDICT r12 #8): eleven promotions. The new
+    # banding-stage md5 twin (the LSH candidate SET under a full
+    # DuckDB recomputation), the validate mode re-promoted now that
+    # the parser AST golden table backs it directly
+    # (tests/test_bfl_parser_goldens.py), and the longest-demoted
+    # engine/BFL core rows — the reference's own retrieval modes and
+    # scalar helpers, last driver-checked r02-r05.
+    "dedup_minhash_md5_bands",
+    "validate_golden_errors",
+    "single_lookup",
+    "query_left_off",
+    "macro_expansion_query",
+    "fetch_forward",
+    "bfl_time_window",
+    "bfl_and_or",
+    "bfl_json_num_cmp",
+    "bfl_xml_path",
+    "recursive_descent",
 ]
 
 _DEMOTED = [
+    # round-13 demotions (fund the eleven r13 promotions; every family
+    # keeps in-window verifiers, and the round-close out-of-window
+    # spot-check re-runs each of these):
+    "ann_topk_lsh_verified",  # green r11-r12; the ANN family keeps
+    # ann_ivf_curve_verified (recall/probe curve + monotonicity
+    # theorem), the brute-force ann_topk direct-hash row, and the
+    # persisted-index lifecycle in-window; the SRP recall floor stays
+    # pinned in pytest
+    "ann_topk_ivf_verified",  # green r11-r12; STRICTLY subsumed by
+    # in-window ann_ivf_curve_verified, which checks the same recall
+    # floor at four probe budgets plus monotonicity
+    "multimodal_wav_verified",  # green r11-r12; the audio family
+    # keeps the full decode pytest surface (WAV synth roundtrip,
+    # spectral, fingerprint) and in-window multimodal_asset_verified
+    # routes the modality split
+    "multimodal_image_verified",  # green r11-r12; same rationale —
+    # multimodal_hamming_verified + multimodal_asset_verified stay
+    # in-window over the same decode machinery
+    "dedup_simhash_verified",  # green r11-r12; its md5 hash-family
+    # twin dedup_simhash_md5_pairs (FULL value check of the
+    # sign-vote/band/hamming dataflow) stays in-window
+    "embedding_near_dup_verified",  # green r11-r12; the SRP bucket +
+    # cosine-verify machinery is shared with in-window
+    # knn_graph_verified and the semantic family keeps
+    # dedup_semantic_verified
+    "streaming_dedup_replay",  # green r11-r12; the watermarked
+    # dropDuplicatesWithinWatermark lifecycle stays covered by the
+    # in-window kanon replay (same ingest->drain harness) and the
+    # exact-dedup oracle family
+    "streaming_source_cap_replay",  # green r11-r12; the stateful
+    # per-key admission counter is the same applyInPandasWithState
+    # shape as in-window streaming_sessions_replay
+    "streaming_blocklist_replay",  # green r11-r12; stateless gate —
+    # the Jaccard blocklist math is pinned by the PPJoin oracles and
+    # pytest; no keyed state to drift
+    "streaming_semdedup_replay",  # green r11-r12; SemDeDup invariants
+    # stay in-window via dedup_semantic_verified, and the funnel/asof/
+    # exposure replays keep the stream-stream machinery checked
+    "streaming_dsir_replay",  # green r11-r12; the DSIR weight math is
+    # oracle-checked batch-side (sample_dsir_select family) and the
+    # replay harness stays exercised by six in-window replays
     # round-12 late demotions (fund the two late additions):
     "agg_quantiles_verified",  # green r10-r11; the sketch family keeps
     # agg_heavy_hitters_verified in-window and the GK error contract
@@ -515,7 +574,7 @@ _DEMOTED = [
     # green extension entry; the curate->mixture->manifest composition
     # stays pinned by those rounds + the budget gate, and the pipeline
     # family keeps pipeline_loso_ablation in-window
-    "validate_golden_errors",  # green r7-r10; every golden error
+    # validate_golden_errors re-promoted round 13 (parser AST goldens)
     # string is separately pinned by the ported server_test.go wire
     # goldens in pytest, and the engine family keeps its four
     # mid-registry rows (fetch_backward, redact_row_backend,
@@ -611,16 +670,16 @@ _DEMOTED = [
     # additionally pinned by the 362-row golden corpus, the wire-
     # protocol golden tables over real sockets, and compiler-vs-pyeval
     # differential fuzzing. Families keep in-window survivors:
-    "bfl_and_or",  # boolean structure: corpus + in-window BFL M-mode entries
+    # bfl_and_or re-promoted round 13
     "bfl_regex_match",  # P-ops pinned by corpus; query_limit_extract in-window
-    "bfl_json_num_cmp",  # json() family: corpus + redact_row_backend in-window
+    # bfl_json_num_cmp re-promoted round 13
     "bfl_wildcard_existential",  # array semantics pinned by corpus + fuzz
     "bfl_json_base64_probe",  # F9 probe pinned by corpus
-    "bfl_xml_path",  # F10 pinned by corpus
-    "single_lookup",  # M2 point lookup: wire goldens re-verify framing
-    "query_left_off",  # leftOff paging: fetch_backward in-window + wire table
-    "recursive_descent",  # descent pinned by corpus + redact entries
-    "macro_expansion_query",  # R1 pinned by wire /macro goldens + pytest
+    # bfl_xml_path re-promoted round 13
+    # single_lookup re-promoted round 13
+    # query_left_off re-promoted round 13
+    # recursive_descent re-promoted round 13
+    # macro_expansion_query re-promoted round 13
     "sessionize_gap",  # 30-min sessionization engine re-verified INSIDE
     # the in-window events_session_funnel (same lag/cumsum construction)
     "text_winnow_fingerprints",  # winnow scheme re-verified inside
@@ -779,10 +838,10 @@ _DEMOTED = [
     "bfl_eq_string",  # equality pinned by corpus + bfl_and_or/bfl_regex_match
     "join_supplier_rollup",  # join+agg covered by join_top_revenue/pivot/cube
     "window_top_orders",  # windows covered by window_range_count/sessionize
-    "fetch_forward",  # twin of in-window fetch_backward
+    # fetch_forward re-promoted round 13
     "distinct_event_types",  # distinct covered by dedup_exact + agg entries
     "semi_join_customers",  # twin of in-window anti_join_customers
-    "bfl_time_window",  # folding covered by bfl_time_arith_fold
+    # bfl_time_window re-promoted round 13
     "text_token_stats",  # token surface covered by text_quality/regex_tokens
     "bfl_json_key_eq",  # json() covered by num_cmp/base64/recursive entries
     "bfl_neq_string",

@@ -278,18 +278,18 @@ def test_extension_surface_inside_window():
         # dedup_minhash_lsh: demoted round 11 (final wave)
         # round 11: the three never-driver-checked families under
         # the gate (VERDICT r10 #1-#3)
-        "ann_topk_lsh_verified",
-        "ann_topk_ivf_verified",
+        # ann_topk_lsh_verified: demoted round 13
+        # ann_topk_ivf_verified: demoted round 13
         # ann_topk_pq_verified: demoted round 12
         # ann_topk_ivfpq_verified: demoted round 12
         "knn_graph_verified",
-        "multimodal_wav_verified",
-        "multimodal_image_verified",
+        # multimodal_wav_verified: demoted round 13
+        # multimodal_image_verified: demoted round 13
         "streaming_kanon_replay",
         # streaming_sentences_replay: demoted round 12 (late)
         # round 11 late: five more never-driver families
-        "dedup_simhash_verified",
-        "embedding_near_dup_verified",
+        # dedup_simhash_verified: demoted round 13
+        # embedding_near_dup_verified: demoted round 13
         # embed_clusters_verified: demoted round 12
         "sample_kcenter_verified",
         "text_bpe_verified",
@@ -298,9 +298,9 @@ def test_extension_surface_inside_window():
         # multimodal_spectral_verified: demoted round 12
         # round-11 replay wave: eight more streaming twins replayed
         # under full-value oracles
-        "streaming_dedup_replay",
+        # streaming_dedup_replay: demoted round 13
         # streaming_windows_replay: demoted round 12
-        "streaming_source_cap_replay",
+        # streaming_source_cap_replay: demoted round 13
         # streaming_rfm_replay: demoted round 12
         "streaming_sessions_replay",
         # streaming_quality_replay: demoted round 12
@@ -308,10 +308,10 @@ def test_extension_surface_inside_window():
         "streaming_exposure_replay",
         # replay wave 2: blocklist/funnel full-value oracles + the
         # semdedup/dsir/anomaly contract rows
-        "streaming_blocklist_replay",
+        # streaming_blocklist_replay: demoted round 13
         "streaming_funnel_replay",
-        "streaming_semdedup_replay",
-        "streaming_dsir_replay",
+        # streaming_semdedup_replay: demoted round 13
+        # streaming_dsir_replay: demoted round 13
         "streaming_anomaly_replay",
         # contract wave: the last never-driver-checked families
         "knn_pagerank_verified",
@@ -341,6 +341,20 @@ def test_extension_surface_inside_window():
         # round-12 late additions
         "dedup_minhash_md5_sigs",
         "ann_ivf_curve_verified",
+        # round-13 rotation: the new banding-stage md5 twin, the
+        # parser-golden-backed validate re-promotion, and the
+        # longest-demoted engine/BFL core rows (last checked r02-r05)
+        "dedup_minhash_md5_bands",
+        "validate_golden_errors",
+        "single_lookup",
+        "query_left_off",
+        "macro_expansion_query",
+        "fetch_forward",
+        "bfl_time_window",
+        "bfl_and_or",
+        "bfl_json_num_cmp",
+        "bfl_xml_path",
+        "recursive_descent",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

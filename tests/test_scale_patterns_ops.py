@@ -493,6 +493,31 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist and fast
 
 
+def test_connected_components_pointer_jump_log_rounds(spark):
+    """Round 13: pointer jumping makes the distributed path converge
+    in O(log diameter) rounds — a 512-node chain (diameter 511, the
+    worst case for pure propagation, which would need 511 rounds and
+    here would exhaust max_iter) must collapse to one component
+    within ~log2(512)+slack rounds."""
+    from basenine_spark.ops.dedup import connected_components
+
+    n = 512
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, max_iter=14, driver_max_edges=0, stats=stats
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # prop+jump reach grows ~2.4x/round (1 hop + doubling); 9 rounds
+    # of pure doubling cover 512 — allow slack but pin the order
+    assert 1 <= stats["rounds"] <= 12, stats
+
+
 def test_exact_dedup_excludes_null_text(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
