@@ -98,6 +98,52 @@ def zorder_write(
     return dest
 
 
+def morton_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 10,
+    x_col: str = "user_id",
+    y_col: str = "value",
+    table: str = "events",
+) -> DataFrame:
+    """The Z-order layout's KEY CONSTRUCTION as a direct value row
+    (round 13, md5-twin discipline applied to bit math): per event,
+    the Morton interleave of the equal-width bucket indexes of
+    (x_col, y_col) over their global min/max. Every step — the
+    min/max bounds, the ``floor((v - lo) / span * 2^bits)`` bucketize
+    (IEEE double arithmetic, identical association both engines), the
+    20-term shift/mask interleave — is exactly recomputable in DuckDB
+    SQL, so the layout family's core algebra is value-hash-checked,
+    not just pruning-contract-checked (``zorder_contract`` keeps the
+    bit-inversion + pruning-soundness gates).
+
+    Bounds ride IN-dataflow (1-row aggregate broadcast-cross-joined),
+    no driver collect — the same pattern the layout writer should use
+    at 100 TB anyway. Output: (event_id, zkey).
+    """
+    df = load_table(spark, sf_dir, table).filter(
+        F.col("event_id").isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    bounds = df.agg(
+        F.min(x).alias("x_lo"),
+        F.max(x).alias("x_hi"),
+        F.min(y).alias("y_lo"),
+        F.max(y).alias("y_hi"),
+    )
+    return df.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        morton_key(
+            _bucketize(x, F.col("x_lo"), F.col("x_hi"), bits),
+            _bucketize(y, F.col("y_lo"), F.col("y_hi"), bits),
+            bits,
+        ).alias("zkey"),
+    )
+
+
 def _footer_minmax(md, col_idx: int):
     """(lo, hi) across a file's row groups from the parquet footer, or
     None when ANY row group lacks min/max statistics (a stats-less

@@ -777,6 +777,52 @@ _register(
     """,
 )
 
+# Round-13: the Z-order layout's key construction as a direct value
+# row — bounds, equal-width bucketize (identical IEEE double
+# association both engines), and the 20-term Morton shift/mask
+# interleave, all recomputed in DuckDB SQL. zorder_contract keeps the
+# bit-inversion + pruning-soundness gates; this pins the bit algebra
+# by value.
+_MORTON_TERMS = " + ".join(
+    f"((xb >> {i}) & 1) * {1 << (2 * i)} + "
+    f"((yb >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(10)
+)
+
+
+def _bucketize_sql(v: str, lo: str, hi: str) -> str:
+    return (
+        f"CAST(least(greatest(CASE WHEN {hi} - {lo} <= 0 THEN 0 "
+        f"ELSE floor(({v} - {lo}) / ({hi} - {lo}) * 1024) END, 0), "
+        f"1023) AS BIGINT)"
+    )
+
+
+_register(
+    "layout_morton_keys",
+    lambda s, d: layout.morton_keys(s, d, bits=10),
+    f"""
+    WITH src AS (
+      SELECT event_id,
+             CAST(user_id AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ), b AS (
+      SELECT min(x) AS x_lo, max(x) AS x_hi,
+             min(y) AS y_lo, max(y) AS y_hi
+      FROM src
+    ), k AS (
+      SELECT event_id,
+             {_bucketize_sql('x', 'x_lo', 'x_hi')} AS xb,
+             {_bucketize_sql('y', 'y_lo', 'y_hi')} AS yb
+      FROM src, b
+    )
+    SELECT event_id, CAST({_MORTON_TERMS} AS BIGINT) AS zkey FROM k
+    """,
+)
+
 # IVF recall-vs-probe operating curve (the similarity-family sibling
 # of dedup_operating_curve): monotone-hits theorem + recall floor at
 # the largest probe budget, ballast n_queries. Per-probe recall values

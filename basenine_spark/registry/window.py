@@ -384,7 +384,7 @@ _PROMOTED = [
     # exact quadratic kNN baseline, the MinHash-LSH pair list (exact-
     # Jaccard oracle), the persisted-ANN lifecycle diff, and the
     # release-to-release embedding drift rollup.
-    "knn_graph_exact",
+    # knn_graph_exact demoted round 13 (late) — see _DEMOTED notes
     "dedup_minhash_lsh",
     "ann_index_persisted",
     "embedding_drift_releases",
@@ -422,9 +422,18 @@ _PROMOTED = [
     "bfl_json_num_cmp",
     "bfl_xml_path",
     "recursive_descent",
+    # round-13 late addition: the Z-order key construction as a direct
+    # value row (bounds + bucketize + 20-term Morton interleave, all
+    # DuckDB-recomputed). Slot funded by demoting knn_graph_exact.
+    "layout_morton_keys",
 ]
 
 _DEMOTED = [
+    # round-13 late demotion (funds layout_morton_keys):
+    "knn_graph_exact",  # green r10+r12; the exact quadratic edge list
+    # is RE-EXECUTED every round inside in-window knn_graph_verified's
+    # verify phase (the recall diff recomputes it), so the window
+    # keeps checking the same construction against a stricter contract
     # round-13 demotions (fund the eleven r13 promotions; every family
     # keeps in-window verifiers, and the round-close out-of-window
     # spot-check re-runs each of these):

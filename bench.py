@@ -165,6 +165,11 @@ HEADLINE = [
     "dedup_simhash_md5_pairs",
     "bpe_first_merge",
     "dedup_minhash_md5_sigs",
+    # round-13 NEW direct value-hash rows: the md5 banding-stage twin
+    # (LSH candidate set recomputable end-to-end) and the Z-order key
+    # construction (bounds + bucketize + Morton interleave by value)
+    "dedup_minhash_md5_bands",
+    "layout_morton_keys",
 ]
 
 # Round-11 promotions measured ONCE instead of timed()'s 3 runs: each

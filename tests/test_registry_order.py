@@ -328,7 +328,8 @@ def test_extension_surface_inside_window():
         # long-demoted core rows rotated back in
         "dedup_simhash_md5_pairs",
         "bpe_first_merge",
-        "knn_graph_exact",
+        # knn_graph_exact: demoted round 13 late (re-executed every
+        # round inside knn_graph_verified's verify phase)
         "dedup_minhash_lsh",
         "ann_index_persisted",
         "embedding_drift_releases",
@@ -355,6 +356,8 @@ def test_extension_surface_inside_window():
         "bfl_json_num_cmp",
         "bfl_xml_path",
         "recursive_descent",
+        # round-13 late: the Z-order key construction direct value row
+        "layout_morton_keys",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -110,3 +110,40 @@ def test_statsless_footer_treated_as_overlapping(tmp_path):
     md = pq.read_metadata(str(d / "part-0.parquet"))
     assert layout._footer_minmax(md, 0) is None
     assert layout._file_overlaps_box(md, 0, 1, (2, 4), (10.0, 25.0))
+
+
+def test_morton_keys_entry_matches_local_recompute(spark):
+    """Round-13 direct value row: (event_id, zkey) must equal a
+    pure-Python recompute of the same bounds/bucketize/interleave
+    (the driver re-derives this in DuckDB; this is the in-CI twin)."""
+    import math
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    xs = [float(r["user_id"]) for r in ev]
+    ys = [float(r["value"]) for r in ev]
+    x_lo, x_hi, y_lo, y_hi = min(xs), max(xs), min(ys), max(ys)
+
+    def bucket(v, lo, hi):
+        span = hi - lo
+        if span <= 0:
+            return 0
+        return min(max(int(math.floor((v - lo) / span * 1024)), 0), 1023)
+
+    expect = {}
+    for r, x, y in zip(ev, xs, ys):
+        xb, yb = bucket(x, x_lo, x_hi), bucket(y, y_lo, y_hi)
+        expect[r["event_id"]] = _py_morton(xb, yb, 10)
+    got = {
+        r["event_id"]: r["zkey"]
+        for r in layout.morton_keys(spark, SF).collect()
+    }
+    assert got == expect
