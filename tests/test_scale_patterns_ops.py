@@ -493,6 +493,38 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist and fast
 
 
+def test_connected_components_random_graphs_paths_agree(spark):
+    """Round 13 (pointer jump landed): seeded-random graphs — mixed
+    chains, stars, cliques, isolated pairs — must produce identical
+    components on the driver union-find and the forced-distributed
+    prop+jump path."""
+    import random
+
+    from basenine_spark.ops.dedup import connected_components
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 120
+        edges_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+        ]
+        edges_list = [(a, b) for a, b in edges_list if a != b]
+        edges = spark.createDataFrame(
+            edges_list, "doc_a long, doc_b long"
+        )
+        fast = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(edges, max_iter=20).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                edges, max_iter=20, driver_max_edges=0
+            ).collect()
+        }
+        assert fast == dist and fast, f"seed {seed}"
+
+
 def test_connected_components_pointer_jump_log_rounds(spark):
     """Round 13: pointer jumping makes the distributed path converge
     in O(log diameter) rounds — a 512-node chain (diameter 511, the

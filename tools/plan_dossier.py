@@ -583,6 +583,19 @@ COMMENTARY: dict[str, str] = {
         "shape as the other roundtrip verifiers; pins the decode "
         "feeding the spectrogram and audio fingerprint."
     ),
+    "dedup_minhash_md5_bands": (
+        "LSH banding with an engine-portable band key (md5 of the "
+        "band slice): one explode into (band, hash) keys and one "
+        "bucket-keyed self-join — the identical never-cartesian plan "
+        "shape as the production banding, value-checkable end-to-end."
+    ),
+    "layout_morton_keys": (
+        "Z-order key construction: min/max bounds as a 1-row "
+        "broadcast aggregate (no driver collect), then map-only "
+        "bucketize + 20-term Morton interleave in one "
+        "WholeStageCodegen span — linear at any scale, zero shuffles "
+        "beyond the scalar bounds exchange."
+    ),
 }
 
 
