@@ -591,6 +591,40 @@ def heavy_hitters_verified(
     )
 
 
+def heavy_hitters_full_capacity(
+    spark: SparkSession, sf_dir: str, k: int = 4096
+) -> DataFrame:
+    """The frequent-items sketch in its EXACT REGIME (round 13, the
+    md5-twin discipline applied to a sketch): with capacity ``k``
+    above the per-group distinct-key cardinality, space-saving tracks
+    every key, so ``approx_top_k``'s output is the exact (group, key)
+    multiset — a total-order SQL oracle exists and the whole sketch
+    dataflow (per-partition sketch build, partial-agg tree MERGE,
+    serialization, final extract) is value-hash-checked, not just
+    contract-checked (``heavy_hitters_verified`` keeps the
+    under-capacity guarantees: counts exact, membership inside the
+    ties-closed top-k).
+
+    The plan is the production shape — one sketch per (partition ×
+    group) through the shuffle, never the raw pairs — run where its
+    answer is provably the GROUP BY. k=4096 covers the ≤1,500
+    distinct users/type at sf0.1 with 2.7× headroom.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(F.expr(f"approx_top_k(user_id, {k})").alias("top"))
+        .select("event_type", F.explode("top").alias("e"))
+        .select(
+            "event_type",
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )
+
+
 def profile_table(
     spark: SparkSession, sf_dir: str, table: str = "orders", exact: bool = True
 ) -> DataFrame:

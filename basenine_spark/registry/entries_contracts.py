@@ -798,6 +798,22 @@ def _bucketize_sql(v: str, lo: str, hi: str) -> str:
     )
 
 
+# Round-13: the frequent-items sketch in its exact regime — capacity
+# 4096 above the per-group key cardinality makes approx_top_k's output
+# the exact (group, key) multiset, so the sketch build/merge/extract
+# dataflow hash-matches a plain GROUP BY (heavy_hitters_verified keeps
+# the under-capacity contracts).
+_register(
+    "agg_heavy_hitters_exact_regime",
+    lambda s, d: relational.heavy_hitters_full_capacity(s, d, k=4096),
+    """
+    SELECT event_type, user_id, count(*) AS cnt
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type, user_id
+    """,
+)
+
 _register(
     "layout_morton_keys",
     lambda s, d: layout.morton_keys(s, d, bits=10),

@@ -345,7 +345,7 @@ _PROMOTED = [
     # text_scrub_sentences, join_bucketed_colocated and
     # events_markov_transitions (notes in _DEMOTED).
     # streaming_blocklist_replay demoted round 13 — see _DEMOTED notes
-    "streaming_funnel_replay",
+    # streaming_funnel_replay demoted round 13 (late) — see _DEMOTED notes
     # streaming_semdedup_replay demoted round 13 — see _DEMOTED notes
     # streaming_dsir_replay demoted round 13 — see _DEMOTED notes
     "streaming_anomaly_replay",
@@ -426,9 +426,19 @@ _PROMOTED = [
     # value row (bounds + bucketize + 20-term Morton interleave, all
     # DuckDB-recomputed). Slot funded by demoting knn_graph_exact.
     "layout_morton_keys",
+    # round-13 late addition: the frequent-items sketch in its exact
+    # regime (capacity above per-group cardinality -> total-order SQL
+    # oracle for the whole sketch dataflow). Slot funded by demoting
+    # streaming_funnel_replay.
+    "agg_heavy_hitters_exact_regime",
 ]
 
 _DEMOTED = [
+    # round-13 late demotion (funds agg_heavy_hitters_exact_regime):
+    "streaming_funnel_replay",  # green r11-r12; tolerance-zero funnel
+    # math is oracle-pinned batch-side (events_funnel family) and five
+    # replays (kanon/sessions/asof/exposure/anomaly) keep the
+    # ingest->drain harness in-window
     # round-13 late demotion (funds layout_morton_keys):
     "knn_graph_exact",  # green r10+r12; the exact quadratic edge list
     # is RE-EXECUTED every round inside in-window knn_graph_verified's

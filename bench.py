@@ -165,9 +165,11 @@ HEADLINE = [
     "dedup_simhash_md5_pairs",
     "bpe_first_merge",
     "dedup_minhash_md5_sigs",
-    # round-13 NEW direct value-hash row: the Z-order key construction
-    # (bounds + bucketize + Morton interleave by value; map-only)
+    # round-13 NEW direct value-hash rows: the Z-order key construction
+    # (bounds + bucketize + Morton interleave by value; map-only) and
+    # the frequent-items sketch in its exact regime
     "layout_morton_keys",
+    "agg_heavy_hitters_exact_regime",
 ]
 
 # Round-11 promotions measured ONCE instead of timed()'s 3 runs: each

@@ -309,7 +309,7 @@ def test_extension_surface_inside_window():
         # replay wave 2: blocklist/funnel full-value oracles + the
         # semdedup/dsir/anomaly contract rows
         # streaming_blocklist_replay: demoted round 13
-        "streaming_funnel_replay",
+        # streaming_funnel_replay: demoted round 13 (late)
         # streaming_semdedup_replay: demoted round 13
         # streaming_dsir_replay: demoted round 13
         "streaming_anomaly_replay",
@@ -357,7 +357,9 @@ def test_extension_surface_inside_window():
         "bfl_xml_path",
         "recursive_descent",
         # round-13 late: the Z-order key construction direct value row
+        # and the sketch-in-exact-regime row
         "layout_morton_keys",
+        "agg_heavy_hitters_exact_regime",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
