@@ -625,6 +625,39 @@ def heavy_hitters_full_capacity(
     )
 
 
+def quantile_sketch_exact_regime(
+    spark: SparkSession,
+    sf_dir: str,
+    qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """The GK quantile sketch in its EXACT REGIME (round 13, the
+    sibling of :func:`heavy_hitters_full_capacity`): with the
+    ``accuracy`` knob at INT_MAX the epsilon bound is below 1/(2N)
+    for any test corpus, so ``percentile_approx`` returns the exact
+    discrete quantile element — DuckDB's ``quantile_disc`` is a
+    total-order oracle for the whole sketch dataflow (per-partition
+    build, partial-agg MERGE through the shuffle, final query).
+    ``quantiles_verified`` keeps the under-accuracy rank-error
+    contract; this pins the algebra by value.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    arr = ",".join(str(q) for q in qs)
+    agg = events.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(value, array({arr}), 2147483647)").alias(
+            "p"
+        )
+    )
+    return agg.select(
+        "event_type",
+        *[
+            F.col("p")[i].alias(f"q{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
+    )
+
+
 def profile_table(
     spark: SparkSession, sf_dir: str, table: str = "orders", exact: bool = True
 ) -> DataFrame:

@@ -814,6 +814,23 @@ _register(
     """,
 )
 
+# Round-13: the GK quantile sketch in its exact regime — accuracy at
+# INT_MAX puts epsilon below 1/(2N), so percentile_approx returns the
+# exact discrete quantile element and DuckDB's quantile_disc is a
+# total-order oracle for the sketch build/merge/query dataflow
+# (quantiles_verified keeps the under-accuracy rank-error contract).
+_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+_register(
+    "agg_quantile_exact_regime",
+    lambda s, d: relational.quantile_sketch_exact_regime(s, d, qs=_QS),
+    "SELECT event_type, "
+    + ", ".join(
+        f"quantile_disc(value, {q}) AS q{int(q * 100)}" for q in _QS
+    )
+    + " FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL"
+    " GROUP BY event_type",
+)
+
 _register(
     "layout_morton_keys",
     lambda s, d: layout.morton_keys(s, d, bits=10),

@@ -387,7 +387,7 @@ _PROMOTED = [
     # knn_graph_exact demoted round 13 (late) — see _DEMOTED notes
     "dedup_minhash_lsh",
     "ann_index_persisted",
-    "embedding_drift_releases",
+    # embedding_drift_releases demoted round 13 (late) — see _DEMOTED notes
     # Long-demoted core rows rotated back in (each 8-9 rounds green
     # historically, out of window since r11; re-verifying them keeps
     # the demotion ledger honest): exact dedup, PPJoin n-gram Jaccard,
@@ -431,9 +431,19 @@ _PROMOTED = [
     # oracle for the whole sketch dataflow). Slot funded by demoting
     # streaming_funnel_replay.
     "agg_heavy_hitters_exact_regime",
+    # round-13 late addition: the GK quantile sketch in its exact
+    # regime (accuracy INT_MAX -> exact discrete quantiles, DuckDB
+    # quantile_disc oracle). Slot funded by demoting
+    # embedding_drift_releases.
+    "agg_quantile_exact_regime",
 ]
 
 _DEMOTED = [
+    # round-13 late demotion (funds agg_quantile_exact_regime):
+    "embedding_drift_releases",  # green r09/r10/r12 (3 committed
+    # rounds); a per-dimension mean/std release-over-release rollup
+    # whose aggregate algebra is shared with the in-window contract
+    # rows and pytest-pinned
     # round-13 late demotion (funds agg_heavy_hitters_exact_regime):
     "streaming_funnel_replay",  # green r11-r12; tolerance-zero funnel
     # math is oracle-pinned batch-side (events_funnel family) and five

@@ -170,6 +170,7 @@ HEADLINE = [
     # the frequent-items sketch in its exact regime
     "layout_morton_keys",
     "agg_heavy_hitters_exact_regime",
+    "agg_quantile_exact_regime",
 ]
 
 # Round-11 promotions measured ONCE instead of timed()'s 3 runs: each

@@ -332,7 +332,7 @@ def test_extension_surface_inside_window():
         # round inside knn_graph_verified's verify phase)
         "dedup_minhash_lsh",
         "ann_index_persisted",
-        "embedding_drift_releases",
+        # embedding_drift_releases: demoted round 13 (late)
         "dedup_exact",
         "dedup_ngram_jaccard",
         "ann_topk",
@@ -360,6 +360,7 @@ def test_extension_surface_inside_window():
         # and the sketch-in-exact-regime row
         "layout_morton_keys",
         "agg_heavy_hitters_exact_regime",
+        "agg_quantile_exact_regime",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
