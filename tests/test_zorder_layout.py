@@ -147,3 +147,42 @@ def test_morton_keys_entry_matches_local_recompute(spark):
         for r in layout.morton_keys(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_morton_keys_float_parity_fuzz(spark):
+    """The bucketize arithmetic ((v-lo)/span*1024, floored) must match
+    a pure-Python IEEE-double recompute bit-for-bit across magnitudes
+    and signs — the precondition for the DuckDB oracle's hash match
+    (python floats ARE C doubles; association order is pinned)."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    pools = [
+        [rng.uniform(-1e9, 1e9) for _ in range(200)],
+        [rng.uniform(-1e-6, 1e-6) for _ in range(200)],
+        [rng.choice([0.0, -0.0, 1.5, 1.5, 2.5]) for _ in range(200)],
+    ]
+    for vals in pools:
+        lo, hi = min(vals), max(vals)
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, v double"
+        )
+        from pyspark.sql import functions as F
+
+        got = {
+            r["i"]: r["b"]
+            for r in df.select(
+                "i",
+                layout._bucketize(
+                    F.col("v"), F.lit(lo), F.lit(hi), 10
+                ).alias("b"),
+            ).collect()
+        }
+        span = hi - lo
+        for i, v in enumerate(vals):
+            if span <= 0:
+                exp = 0
+            else:
+                exp = min(max(int(math.floor((v - lo) / span * 1024)), 0), 1023)
+            assert got[i] == exp, (i, v, got[i], exp)
