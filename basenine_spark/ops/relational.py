@@ -504,6 +504,30 @@ def approx_heavy_hitters(
     )
 
 
+def _top_k_counts(events: DataFrame, k: int, max_tracked: int | None = None) -> DataFrame:
+    """Shared sketch-extraction pipeline for the heavy-hitters rows:
+    per event_type ``approx_top_k`` → explode → (event_type, user_id,
+    cnt). ``max_tracked`` is space-saving's CAPACITY (Spark default
+    10,000) — the exactness knob; ``k`` only truncates the returned
+    list. One definition so the verified and exact-regime twins can't
+    drift from each other."""
+    expr = (
+        f"approx_top_k(user_id, {k})"
+        if max_tracked is None
+        else f"approx_top_k(user_id, {k}, {max_tracked})"
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(F.expr(expr).alias("top"))
+        .select("event_type", F.explode("top").alias("e"))
+        .select(
+            "event_type",
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )
+
+
 def heavy_hitters_verified(
     spark: SparkSession, sf_dir: str, k: int = 5
 ) -> DataFrame:
@@ -526,15 +550,8 @@ def heavy_hitters_verified(
     events = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
     )
-    sketch = (
-        events.groupBy("event_type")
-        .agg(F.expr(f"approx_top_k(user_id, {k})").alias("top"))
-        .select("event_type", F.explode("top").alias("entry"))
-        .select(
-            "event_type",
-            F.col("entry.item").alias("user_id"),
-            F.col("entry.count").cast("bigint").alias("approx_cnt"),
-        )
+    sketch = _top_k_counts(events, k).withColumnRenamed(
+        "cnt", "approx_cnt"
     )
     exact = events.groupBy("event_type", "user_id").agg(
         F.count("*").alias("cnt")
@@ -595,34 +612,30 @@ def heavy_hitters_full_capacity(
     spark: SparkSession, sf_dir: str, k: int = 4096
 ) -> DataFrame:
     """The frequent-items sketch in its EXACT REGIME (round 13, the
-    md5-twin discipline applied to a sketch): with capacity ``k``
-    above the per-group distinct-key cardinality, space-saving tracks
-    every key, so ``approx_top_k``'s output is the exact (group, key)
-    multiset — a total-order SQL oracle exists and the whole sketch
-    dataflow (per-partition sketch build, partial-agg tree MERGE,
-    serialization, final extract) is value-hash-checked, not just
-    contract-checked (``heavy_hitters_verified`` keeps the
-    under-capacity guarantees: counts exact, membership inside the
-    ties-closed top-k).
+    md5-twin discipline applied to a sketch). Two knobs, two bounds —
+    stated precisely because they differ: ``approx_top_k``'s THIRD
+    parameter ``maxItemsTracked`` (passed explicitly as
+    ``max(k, 10_000)``) is space-saving's CAPACITY — counts are exact
+    for every key iff the per-group cardinality stays under IT; ``k``
+    only truncates the RETURNED list — the output is the complete
+    (group, key) multiset iff cardinality also stays under ``k``.
+    Below ``min(k, maxItemsTracked)`` both hold, the output IS the
+    exact GROUP BY, and a total-order SQL oracle exists for the whole
+    sketch dataflow (per-partition build, partial-agg tree MERGE,
+    serialization, final extract). ``heavy_hitters_verified`` keeps
+    the under-capacity guarantees (counts exact, membership inside the
+    ties-closed top-k) when cardinality exceeds ``k``.
 
     The plan is the production shape — one sketch per (partition ×
     group) through the shuffle, never the raw pairs — run where its
-    answer is provably the GROUP BY. k=4096 covers the ≤1,500
-    distinct users/type at sf0.1 with 2.7× headroom.
+    answer is provably the GROUP BY. min(k, maxItemsTracked)=4096
+    covers the ≤1,500 distinct users/type at sf0.1 with 2.7× headroom
+    (pinned by ``test_entry_capacity_exceeds_corpus_cardinality``).
     """
     events = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
     )
-    return (
-        events.groupBy("event_type")
-        .agg(F.expr(f"approx_top_k(user_id, {k})").alias("top"))
-        .select("event_type", F.explode("top").alias("e"))
-        .select(
-            "event_type",
-            F.col("e.item").alias("user_id"),
-            F.col("e.count").cast("bigint").alias("cnt"),
-        )
-    )
+    return _top_k_counts(events, k, max_tracked=max(k, 10_000))
 
 
 def quantile_sketch_exact_regime(

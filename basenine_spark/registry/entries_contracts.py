@@ -798,8 +798,10 @@ def _bucketize_sql(v: str, lo: str, hi: str) -> str:
     )
 
 
-# Round-13: the frequent-items sketch in its exact regime — capacity
-# 4096 above the per-group key cardinality makes approx_top_k's output
+# Round-13: the frequent-items sketch in its exact regime — with
+# per-group cardinality under min(k, maxItemsTracked) = 4096 (k bounds
+# the returned set; maxItemsTracked, passed explicitly, is
+# space-saving's count-exactness capacity) approx_top_k's output is
 # the exact (group, key) multiset, so the sketch build/merge/extract
 # dataflow hash-matches a plain GROUP BY (heavy_hitters_verified keeps
 # the under-capacity contracts).

@@ -340,9 +340,14 @@ def main() -> int:
     # plan; the A/B adjudication showed both trees' cold first samples
     # 1.7-1.9× their warm minima). Policy: one run normally; ONLY if
     # that sample breaches its pinned ceiling (entry or phase key),
-    # re-run up to 2 more times and keep the minimum — the gate then
+    # re-run up to 2 more times and keep the PER-KEY minima (min
+    # total, and min per phase key across attempts — a phase ceiling
+    # asks "can the operator achieve this phase under the ceiling",
+    # which any attempt can answer; tying phases to the min-TOTAL
+    # attempt would let one cold phase inside the fastest run flip rc
+    # despite under-ceiling samples in the retries). The gate then
     # measures the operator, not the scheduler, at zero added cost on
-    # the green path. Breaches of the min-of-up-to-3 remain rc-fatal.
+    # the green path. Breaches of the minima remain rc-fatal.
     for name in LIFECYCLE_ONCE:
         best: float | None = None
         best_phases: dict[str, float] = {}
@@ -355,8 +360,10 @@ def main() -> int:
             ).save()
             dt = round(time.perf_counter() - t0, 3)
             phases = {k: round(v, 3) for k, v in PHASE_TIMINGS.items()}
-            if best is None or dt < best:
-                best, best_phases = dt, phases
+            best = dt if best is None else min(best, dt)
+            for k, v in phases.items():
+                if k not in best_phases or v < best_phases[k]:
+                    best_phases[k] = v
             if not _lifecycle_breaches(name, best, best_phases):
                 break
         timings[name] = best
@@ -468,10 +475,12 @@ def main() -> int:
             lats.sort()
             if lats:
                 def _pct(p: float) -> float:
-                    # standard nearest-rank: ceil(p*n)-1, not the
-                    # upper-biased int(p*n) (which made 15-sample p90
-                    # read ~p93 — systematically pessimistic vs the
-                    # budgets pinned on it)
+                    # standard nearest-rank ceil(p*n)-1 (the former
+                    # int(p*n) differs only when p*n lands on an
+                    # integer — e.g. p50 over n=10 after probe
+                    # timeouts picked rank 6 of 10 instead of 5; at
+                    # the full n=15 the two agree, so this is a
+                    # standardization, not a re-pin)
                     idx = max(0, math.ceil(p * len(lats)) - 1)
                     return round(lats[idx], 3)
 

@@ -85,9 +85,11 @@ def test_heavy_hitters_full_capacity_is_exact_groupby(spark):
 
 
 def test_entry_capacity_exceeds_corpus_cardinality(spark):
-    """The registered entry's k=4096 must stay above the per-type
-    distinct-user cardinality at every test SF (1,500 at sf0.1) —
-    the exactness precondition, asserted at the largest corpus."""
+    """The registered entry's min(k, maxItemsTracked)=4096 must stay
+    above the per-type distinct-user cardinality at every test SF
+    (1,500 at sf0.1) — k bounds the returned SET, maxItemsTracked
+    bounds count exactness; the entry passes both explicitly and the
+    smaller is 4096. Asserted at the largest corpus."""
     from basenine_spark.sources.tables import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.1", "events").filter(
