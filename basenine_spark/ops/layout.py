@@ -67,7 +67,11 @@ def zorder_write(
     tight, and any engine's stats-based pruning (including this one's)
     skips non-overlapping files for 2-D box predicates."""
     df = load_table(spark, sf_dir, table).filter(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        # NaN poisons min/max bounds for every row (ADVICE r13)
+        & ~F.isnan(F.col(x_col).cast("double"))
+        & ~F.isnan(F.col(y_col).cast("double"))
     )
     bounds = df.agg(
         F.min(x_col).alias("x_lo"),
@@ -120,14 +124,22 @@ def morton_keys(
     Bounds ride IN-dataflow (1-row aggregate broadcast-cross-joined),
     no driver collect — the same pattern the layout writer should use
     at 100 TB anyway. Output: (event_id, zkey).
+
+    NaN values are excluded alongside NULLs (ADVICE r13): a NaN would
+    poison the min/max bounds for every row, and Spark and DuckDB give
+    no cross-engine guarantee on NaN ordering/propagation through
+    floor/least/greatest — the oracle twin carries the matching
+    ``isnan()`` exclusion.
     """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
     df = load_table(spark, sf_dir, table).filter(
         F.col("event_id").isNotNull()
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
+        & ~F.isnan(x)
+        & ~F.isnan(y)
     )
-    x = F.col(x_col).cast("double")
-    y = F.col(y_col).cast("double")
     bounds = df.agg(
         F.min(x).alias("x_lo"),
         F.max(x).alias("x_hi"),

@@ -631,6 +631,13 @@ def heavy_hitters_full_capacity(
     answer is provably the GROUP BY. min(k, maxItemsTracked)=4096
     covers the ≤1,500 distinct users/type at sf0.1 with 2.7× headroom
     (pinned by ``test_entry_capacity_exceeds_corpus_cardinality``).
+    The exactness boundary itself is empirically pinned at capacity,
+    not merely under it: ``test_heavy_hitters_exactness_boundary_at_
+    capacity`` shows the exact multiset survives a multi-partition
+    merge at cardinality == maxItemsTracked == 4096 (zero headroom) —
+    the hash-map-load-factor early purge ADVICE r13 warned about does
+    not occur in Spark's implementation — while one key past capacity
+    truncates the returned set to exactly ``capacity``.
     """
     events = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("event_type").isNotNull()

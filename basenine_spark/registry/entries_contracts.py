@@ -844,6 +844,8 @@ _register(
       FROM events
       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
         AND value IS NOT NULL
+        AND NOT isnan(CAST(user_id AS DOUBLE))
+        AND NOT isnan(CAST(value AS DOUBLE))
     ), b AS (
       SELECT min(x) AS x_lo, max(x) AS x_hi,
              min(y) AS y_lo, max(y) AS y_hi

@@ -348,9 +348,17 @@ def main() -> int:
     # despite under-ceiling samples in the retries). The gate then
     # measures the operator, not the scheduler, at zero added cost on
     # the green path. Breaches of the minima remain rc-fatal.
+    # Auditability (ADVICE r13): when retries DID run, the recorded
+    # phase split can be a composite of attempts (min per key) — so the
+    # artifact also records which attempt each minimum came from and
+    # whether any single attempt passed all its ceilings at once.
+    lifecycle_retries: dict[str, dict] = {}
     for name in LIFECYCLE_ONCE:
         best: float | None = None
         best_phases: dict[str, float] = {}
+        min_from: dict[str, int] = {}
+        any_attempt_all_green = False
+        n_attempts = 0
         for _attempt in range(3):
             spark.catalog.clearCache()
             reset_phase_timings()
@@ -359,16 +367,28 @@ def main() -> int:
                 "overwrite"
             ).save()
             dt = round(time.perf_counter() - t0, 3)
+            n_attempts = _attempt + 1
             phases = {k: round(v, 3) for k, v in PHASE_TIMINGS.items()}
-            best = dt if best is None else min(best, dt)
+            if not _lifecycle_breaches(name, dt, phases):
+                any_attempt_all_green = True
+            if best is None or dt < best:
+                best = dt
+                min_from["total"] = _attempt
             for k, v in phases.items():
                 if k not in best_phases or v < best_phases[k]:
                     best_phases[k] = v
+                    min_from[k] = _attempt
             if not _lifecycle_breaches(name, best, best_phases):
                 break
         timings[name] = best
         if best_phases:
             lifecycle_phases[name] = best_phases
+        if n_attempts > 1:
+            lifecycle_retries[name] = {
+                "attempts": n_attempts,
+                "min_from_attempt": min_from,
+                "single_attempt_all_green": any_attempt_all_green,
+            }
     reset_phase_timings()
 
     # BASELINE envelope analogs (client_test.go:52-60, 89-147): 15k
@@ -945,6 +965,10 @@ def main() -> int:
             "base": {n: timings[n] for n in FULL10 if n in timings},
         },
         "lifecycle_phases": lifecycle_phases,
+        # present only when a breach-triggered retry ran (ADVICE r13):
+        # which attempt each recorded minimum came from, and whether
+        # any single attempt was simultaneously under every ceiling
+        "lifecycle_retries": lifecycle_retries,
     }
     # self-contained artifact: the driver's BENCH_r{N}.json keeps only a
     # stdout tail, which has truncated the leading timings in past

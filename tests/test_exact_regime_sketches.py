@@ -84,6 +84,31 @@ def test_heavy_hitters_full_capacity_is_exact_groupby(spark):
     assert got == exact and got
 
 
+def test_heavy_hitters_exactness_boundary_at_capacity(spark):
+    """ADVICE r13: pin WHERE exactness actually ends. The concern was
+    that space-saving's purge might start below nominal capacity
+    (hash-map load factor), tightening the documented
+    cardinality < maxItemsTracked boundary. Empirically it does not:
+    at cardinality == capacity == 4096 — zero headroom — the sketch
+    still returns the exact multiset through a multi-partition
+    partial-agg merge. Above capacity the returned SET truncates to
+    exactly ``capacity`` items (counts of survivors may then carry
+    space-saving overestimates in general; membership is what this
+    case pins). Distinct deterministic counts (1 + key % 7) make any
+    count drift or purge visible per key."""
+    for d, expect_exact in ((4095, True), (4096, True), (4500, False)):
+        rows = [(key,) for key in range(d) for _ in range(1 + key % 7)]
+        df = spark.createDataFrame(rows, "key long").repartition(8)
+        sk = df.agg(
+            F.expr("approx_top_k(key, 4096, 4096)").alias("top")
+        ).collect()[0]["top"]
+        got = {r["item"]: r["count"] for r in sk}
+        if expect_exact:
+            assert got == {key: 1 + key % 7 for key in range(d)}, d
+        else:
+            assert len(got) == 4096, (d, len(got))
+
+
 def test_entry_capacity_exceeds_corpus_cardinality(spark):
     """The registered entry's min(k, maxItemsTracked)=4096 must stay
     above the per-type distinct-user cardinality at every test SF

@@ -149,6 +149,43 @@ def test_morton_keys_entry_matches_local_recompute(spark):
     assert got == expect
 
 
+def test_morton_keys_excludes_nan(spark, tmp_path):
+    """ADVICE r13: a NaN value must be excluded like a NULL — it would
+    otherwise poison the min/max bounds for every row AND break the
+    cross-engine hash (Spark/DuckDB NaN ordering through floor/least/
+    greatest is not guaranteed to agree).  Keys over the clean rows
+    must be unaffected by the NaN row's presence."""
+    import math
+
+    rows = [
+        (1, 10, 2.0, 0),
+        (2, 20, 4.0, 0),
+        (3, 30, float("nan"), 0),  # must be dropped, not poison bounds
+        (4, 40, 8.0, 0),
+        (5, None, 6.0, 0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts_ms long"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r["zkey"]
+        for r in layout.morton_keys(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    # bounds derived from the NaN-free survivors only
+    xs, ys = [10.0, 20.0, 40.0], [2.0, 4.0, 8.0]
+    x_lo, x_hi, y_lo, y_hi = min(xs), max(xs), min(ys), max(ys)
+
+    def bucket(v, lo, hi):
+        span = hi - lo
+        return min(max(int(math.floor((v - lo) / span * 1024)), 0), 1023)
+
+    for eid, x, y in [(1, 10.0, 2.0), (2, 20.0, 4.0), (4, 40.0, 8.0)]:
+        assert got[eid] == _py_morton(
+            bucket(x, x_lo, x_hi), bucket(y, y_lo, y_hi), 10
+        )
+
+
 def test_morton_keys_float_parity_fuzz(spark):
     """The bucketize arithmetic ((v-lo)/span*1024, floored) must match
     a pure-Python IEEE-double recompute bit-for-bit across magnitudes
