@@ -63,6 +63,7 @@ from ..bfl.macros import add_macro as _add_macro
 from .log import DocumentLog
 from .schema import (
     common_leaves_unchanged,
+    widen_to_merged,
     finalize_type,
     infer_batch_schema,
     infer_json_lines_schema,
@@ -332,7 +333,14 @@ class BasenineDB:
                     if old_ws is None or common_leaves_unchanged(
                         old_ws, new_ws
                     ):
-                        shred = shred_write_schema(batch)
+                        # write with the MERGED leaf types: a batch
+                        # re-narrowing a previously-widened leaf (int
+                        # after double) must not bind a narrower
+                        # parquet type than the union read schema
+                        # (engine/schema.py:widen_to_merged)
+                        shred = shred_write_schema(
+                            widen_to_merged(batch, merged_candidate)
+                        )
                         if not shred.fields:
                             shred = None
             ids = self._log.append(
@@ -547,7 +555,11 @@ class BasenineDB:
                     if old_ws is None or common_leaves_unchanged(
                         old_ws, new_ws
                     ):
-                        shred = shred_write_schema(batch)
+                        # merged leaf types, same rationale as
+                        # insert_json (widen_to_merged docstring)
+                        shred = shred_write_schema(
+                            widen_to_merged(batch, merged_candidate)
+                        )
                         if not shred.fields:
                             shred = None
         try:

@@ -202,6 +202,49 @@ def common_leaves_unchanged(old: T.DataType, new: T.DataType) -> bool:
     return old == new
 
 
+def widen_to_merged(batch: T.DataType, merged: T.DataType) -> T.DataType:
+    """The batch's field STRUCTURE carrying the merged schema's leaf
+    TYPES — the write schema that keeps a batch's shredded files
+    readable under the union read schema.
+
+    Found round 14 by the persistence driver row: a batch whose leaf is
+    NARROWER than the accumulated type (e.g. an integer ``value`` after
+    earlier doubles) merges without changing the union schema, so the
+    ``common_leaves_unchanged`` guard correctly allows shredding — but
+    writing the batch with its OWN schema binds the parquet column to
+    INT64, which Spark's vectorized reader cannot serve under the
+    union read schema's DOUBLE. Widening each common leaf to the merged
+    type fixes the write side (``from_json`` parses 999 as 999.0);
+    fields absent from the merged schema (impossible by construction,
+    but harmless) and NullType placeholders keep the batch's own type.
+    """
+    if isinstance(batch, T.StructType) and isinstance(merged, T.StructType):
+        mf = {f.name: f.dataType for f in merged.fields}
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    widen_to_merged(f.dataType, mf[f.name])
+                    if f.name in mf
+                    else f.dataType,
+                    True,
+                )
+                for f in batch.fields
+            ]
+        )
+    if isinstance(batch, T.ArrayType) and isinstance(merged, T.ArrayType):
+        return T.ArrayType(
+            widen_to_merged(batch.elementType, merged.elementType), True
+        )
+    if isinstance(batch, T.NullType) or isinstance(
+        merged, (T.StructType, T.ArrayType, T.NullType)
+    ):
+        # all-null placeholder stays droppable; a shape conflict with
+        # the merged side is the guard's business, not ours
+        return batch
+    return merged
+
+
 def shred_write_schema(dt: T.StructType) -> T.StructType:
     """Schema for writing a batch's shredded ``doc`` column: like
     :func:`finalize_type` but NullType placeholders are DROPPED instead

@@ -29,11 +29,25 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iters: int = 10,
+    round_eps: float = 0.0,
 ) -> DataFrame:
     """PageRank over a directed edge list (src, dst). Returns
     (node, rank) for every node appearing as src or dst; ranks sum to
     1 (rounded to 6 decimals in the output so accumulation order can't
-    leak into comparisons)."""
+    leak into comparisons).
+
+    ``round_eps``: a pre-rounding nudge for exact-regime cross-engine
+    comparison. A FIXED-iteration run over a uniform-out-degree graph
+    yields ranks on an exact decimal lattice (rationals with
+    denominator 100·deg·n per iteration) whose points can land
+    PRECISELY on 6-decimal half-way rounding boundaries — there the
+    floor(x·1e6+0.5) idiom amplifies cross-engine aggregation-order
+    ulps (~1e-13) into a ±1e-6 flip (observed at sf0.1: 8/2000 nodes).
+    Adding 1e-9 moves every true lattice value 1e-9 clear of the
+    boundary (lattice spacing ≥ ~1e-7 for any realistic n, noise
+    ≤ ~1e-13), making the rounded output engine-stable; the oracle
+    applies the identical nudge. 0.0 (default) keeps production
+    output unchanged."""
     edges = edges.select("src", "dst")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     has_out = out_deg.select(F.col("src").alias("node"), F.lit(True).alias("out_ok"))
@@ -84,7 +98,10 @@ def pagerank(
         )
     nodes.unpersist()
     wedges.unpersist()
-    return ranks.select("node", stable_round(F.col("rank"), 6).alias("rank"))
+    out_rank = (
+        F.col("rank") + F.lit(round_eps) if round_eps else F.col("rank")
+    )
+    return ranks.select("node", stable_round(out_rank, 6).alias("rank"))
 
 
 def knn_pagerank(
@@ -102,6 +119,37 @@ def knn_pagerank(
         spark, sf_dir, k=k, tables=tables, bits=bits
     ).select("src", "dst")
     return pagerank(edges, iters=iters)
+
+
+def knn_pagerank_exact_regime(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    iters: int = 2,
+) -> DataFrame:
+    """PageRank in its EXACT REGIME (round 14, VERDICT r13 #5b): over
+    the deterministic brute-force kNN edge list
+    (:func:`..similarity.knn_graph_exact`, already under a full SQL
+    oracle), a FIXED-2-iteration run is a closed-form SQL aggregate —
+    two unrolled contribution self-joins — so the whole distributed
+    rank dataflow (degree weighting, the dangling-mass side branch,
+    the damping update, the keyed shuffles and lineage truncation)
+    gets a complete DuckDB value oracle, not just the independent
+    numpy power-iteration contract (``pagerank_contract`` keeps that
+    for the production iteration count). Runs the REAL
+    :func:`pagerank` body unchanged; the oracle mirrors its float
+    ARITHMETIC ORDER exactly (``rank * (1/deg)``, ``(1-d)/n +
+    d*dm/n + d*contrib`` left-associated) so the only cross-engine
+    divergence is aggregation-order ulps under the 6-decimal
+    stable rounding.
+    """
+    edges = similarity.knn_graph_exact(spark, sf_dir, k=k).select(
+        "src", "dst"
+    )
+    # round_eps: see pagerank() — fixed-iteration ranks form an exact
+    # decimal lattice that lands ON half-way rounding points; the nudge
+    # (mirrored in the oracle) keeps the 6-decimal output engine-stable
+    return pagerank(edges, iters=iters, round_eps=1e-9)
 
 
 def pagerank_contract(

@@ -746,6 +746,36 @@ def embed_clusters(
     )
 
 
+def embed_clusters_exact_regime(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """k-means in its EXACT REGIME (round 14, VERDICT r13 #5a — the
+    exact-regime program applied to clustering): with the quantizer
+    trained on the fixed bounded lowest-id sample, deterministic
+    first-``k`` init and a fixed iteration count, every Lloyd step is a
+    closed-form argmin + per-dimension mean — so DuckDB can recompute
+    the FULL training loop and the corpus-wide assignment, giving the
+    k-means family a complete value oracle beyond the argmin-audit
+    contract (``embed_clusters_contract`` keeps the invariant form for
+    arbitrary configs).
+
+    Runs the REAL production :func:`embed_clusters` — numpy sample-fit
+    training, broadcast centroid matrix, one Arrow-batched assignment
+    pass — restricted to (vec_id, cluster): the ``dist`` column carries
+    numpy's banker's rounding (``np.round``), which has no cheap
+    cross-engine twin; its exactness is pinned in pytest instead.
+    Ties in the argmin (possible only via duplicate centroids, which
+    both engines see bit-identically) break to the lowest cluster
+    index in both (numpy first-wins == ORDER BY cluster ASC).
+    """
+    return embed_clusters(spark, sf_dir, k=k, iters=iters).select(
+        "vec_id", "cluster"
+    )
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,

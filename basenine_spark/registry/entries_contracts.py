@@ -873,3 +873,143 @@ _register(
            CAST(0 AS BIGINT) AS recall_violations
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 exact-regime direct rows (VERDICT r13 #5): k-means and
+# PageRank run in configurations where the full computation is a
+# closed-form SQL expression, so DuckDB recomputes the VALUES — the
+# training loop and corpus assignment for k-means, two unrolled rank
+# updates for PageRank — not just invariants.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_exact_regime_oracle(
+    k: int = 8, iters: int = 4, dim: int = 64, sample: int = 2048
+) -> str:
+    """DuckDB twin of ``embed_clusters(k, iters)``: deterministic
+    first-``k`` init over the lowest-id sample, ``iters`` unrolled
+    Lloyd steps (argmin by elementwise squared distance — the same
+    ``(x-c)²`` form numpy evaluates, ties to the lowest cluster index
+    matching ``np.argmin`` first-wins; per-dimension ``avg`` means;
+    empty clusters keep the previous centroid via LEFT JOIN+coalesce),
+    then the corpus-wide assignment. Cross-engine float divergence is
+    limited to summation order (numpy pairwise vs sequential), ~1e-15
+    relative — far below the argmin gaps on real data."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (v.emb[i] - c.cent[i]) * (v.emb[i] - c.cent[i])))"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) > 0)",
+        f"samp AS (SELECT vec_id, emb FROM emb ORDER BY vec_id LIMIT {sample})",
+        "cent0 AS (SELECT CAST(rn - 1 AS INT) AS cluster, emb AS cent FROM "
+        "(SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn FROM samp) "
+        f"WHERE rn <= {k})",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cluster FROM ("
+            "SELECT v.vec_id, c.cluster, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster ASC) AS rnk "
+            f"FROM samp v CROSS JOIN cent{p} c) WHERE rnk = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT a.cluster, d.d, avg(v.emb[d.d]) AS val "
+            f"FROM a{i} a JOIN samp v USING (vec_id) "
+            f"CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) d "
+            "GROUP BY a.cluster, d.d)"
+        )
+        ctes.append(
+            f"nc{i} AS (SELECT cluster, list(val ORDER BY d) AS cent "
+            f"FROM m{i} GROUP BY cluster)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT p.cluster, coalesce(n.cent, p.cent) AS cent "
+            f"FROM cent{p} p LEFT JOIN nc{i} n USING (cluster))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, cluster FROM ("
+        "SELECT v.vec_id, c.cluster, row_number() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster ASC) AS rnk "
+        f"FROM emb v CROSS JOIN cent{iters} c) WHERE rnk = 1"
+    )
+
+
+_register(
+    "embed_clusters_exact_regime",
+    lambda s, d: similarity.embed_clusters_exact_regime(s, d),
+    _kmeans_exact_regime_oracle(),
+)
+
+
+def _pagerank_exact_regime_oracle(
+    k: int = 5, iters: int = 2, damping: str = "0.85"
+) -> str:
+    """DuckDB twin of ``knn_pagerank_exact_regime``: the brute-force
+    kNN edge list (same expression as the knn_graph_exact oracle),
+    then ``iters`` unrolled PageRank updates mirroring
+    ``graph.pagerank``'s float arithmetic ORDER exactly —
+    ``rank * (1.0/deg)`` contributions, the dangling-mass aggregate
+    (structurally present; provably 0.0 on a kNN graph where every
+    node has out-edges), and the left-associated
+    ``(1-d)/n + d*dm/n + d*contrib`` update — so the only divergence
+    is aggregation-order ulps under the 6-decimal stable rounding."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) > 0)",
+        "s AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+        "round(list_dot_product(a.emb, b.emb) "
+        "/ (sqrt(list_dot_product(a.emb, a.emb)) "
+        "* sqrt(list_dot_product(b.emb, b.emb))), 4) AS sim "
+        "FROM e a JOIN e b ON a.vec_id <> b.vec_id)",
+        "rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src "
+        "ORDER BY sim DESC, dst ASC) AS rnk FROM s WHERE sim IS NOT NULL)",
+        f"edges AS (SELECT src, dst FROM rk WHERE rnk <= {k})",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT node, (node IN (SELECT src FROM edges)) AS out_ok "
+        "FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, out_ok, 1.0 / (SELECT n FROM nn) AS rank "
+        "FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            "sum(r.rank * (1.0 / d.deg)) AS contrib "
+            "FROM edges e JOIN deg d ON d.src = e.src "
+            f"JOIN r{p} r ON r.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm "
+            f"FROM r{p} WHERE NOT out_ok)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, n.out_ok, "
+            f"(1.0 - {damping}) / (SELECT n FROM nn) "
+            f"+ {damping} * (SELECT dm FROM dm{i}) / (SELECT n FROM nn) "
+            f"+ {damping} * coalesce(c.contrib, 0.0) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        # + 1e-9 mirrors the Spark side's round_eps: fixed-iteration
+        # ranks are exact decimal-lattice values that land ON half-way
+        # rounding points (graph.pagerank docstring)
+        + f"\nSELECT node, round(rank + 1e-9, 6) AS rank FROM r{iters}"
+    )
+
+
+_register(
+    "knn_pagerank_exact_regime",
+    lambda s, d: graph.knn_pagerank_exact_regime(s, d),
+    _pagerank_exact_regime_oracle(),
+)

@@ -457,6 +457,162 @@ _register(
     "SELECT event_id FROM events WHERE event_id < 500 AND event_type = 'click'",
 )
 
+
+def _retention_rotation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7/M7 under the driver gate — the stateful surface's FIRST
+    driver row (VERDICT r13 #1): durable log + /limit retention,
+    inserted past two rotations, surviving records + truncatedTimestamp
+    queried back.
+
+    Reference semantics: write partition rotates when it exceeds
+    limit/2 (``native.go:1049-1063``, effective bound = value/2 per
+    ``native.go:1207-1211``), at most two live partitions with the
+    oldest deleted (``native.go:1088-1105``), and truncatedTimestamp =
+    max event-time of dropped data + 1 (``native.go:986-1044``).
+
+    Determinism: rotation depends on parquet byte sizes, which no SQL
+    oracle can recompute — so the construction pins it at the BATCH
+    level instead. Each of the 4 inserted batches carries ~38 KB of
+    unique md5-hex payload (high-entropy, ~115 KB as parquet across
+    the batch's files) against half = 12 KB, so EVERY append rotates
+    the write partition with ~10× margin and partition boundaries ==
+    batch boundaries by construction: survivors are exactly batches
+    2-3, dropped exactly 0-1, truncatedTimestamp = 1000 × (last
+    event_id of batch 1) + 1 (doc timestamp = 1000 × event_id). The
+    in-function asserts fail LOUDLY if the size assumption ever breaks
+    instead of surfacing as a bare hash mismatch.
+    """
+    import hashlib
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ..engine.db import BasenineDB
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.filter(F.col("event_id").isNotNull())
+        .orderBy("event_id")
+        .limit(600)
+        .collect()
+    )
+    B = 150
+
+    def _pad(eid: int) -> str:
+        return "".join(
+            hashlib.md5(f"bn-rot-{eid}-{j}".encode()).hexdigest()
+            for j in range(8)
+        )
+
+    tmp = tempfile.mkdtemp(prefix="bn_retention_")
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        db.set_retention_bytes(24_000)  # half = 12 KB << ~115 KB/batch
+        for i in range(4):
+            batch = rows[i * B : (i + 1) * B]
+            db.insert_json(
+                [
+                    _json.dumps(
+                        {
+                            "event_id": int(r["event_id"]),
+                            "timestamp": int(r["event_id"]) * 1000,
+                            "pad": _pad(int(r["event_id"])),
+                        }
+                    )
+                    for r in batch
+                ]
+            )
+            parts = db._log._live_parts()
+            assert len(parts) == min(i + 1, 2) and db._log._part == i + 1, (
+                "retention construction invariant broke (batch parquet "
+                f"size vs limit/2): batch={i} parts={parts}"
+            )
+        trunc = db.metadata().truncated_timestamp
+        data = [
+            (r["event_id"], trunc)
+            for r in db.query("").select("event_id").collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(data, "event_id long, truncated_ts long")
+
+
+_register(
+    "retention_rotation_roundtrip",
+    _retention_rotation_roundtrip,
+    # batches are row_number()-sliced in id order: survivors = rows
+    # 300-599, truncatedTimestamp = 1000 * (last id of rows 150-299) + 1
+    """
+    WITH sel AS (
+      SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rn
+      FROM events WHERE event_id IS NOT NULL
+      QUALIFY rn < 600
+    )
+    SELECT event_id,
+           (SELECT max(event_id) * 1000 + 1 FROM sel
+            WHERE rn BETWEEN 150 AND 299) AS truncated_ts
+    FROM sel WHERE rn >= 300
+    """,
+)
+
+
+def _persistence_restart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 under the driver gate — restart survival end-to-end
+    (``native.go:155-258`` gob dump/restore analog): write through one
+    BasenineDB, then open a FRESH instance on the same path — counters
+    and offsets restored from parquet FOOTER statistics only, macros /
+    typed schema / filters from the durable ``_state.json`` — resume
+    ingest (the id counter must CONTINUE, not restart), and macro-query
+    the union through the restored typed view.
+
+    The post-restart batch also regression-pins the round-14
+    ``widen_to_merged`` shred fix: its integer ``value`` re-narrows a
+    previously-double leaf and must still be written readable under
+    the union read schema.
+    """
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ..engine.db import BasenineDB, index_to_id
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.filter(F.col("event_id") < 400).orderBy("event_id").collect()
+    )
+    lines = [
+        _json.dumps({"event_id": int(r["event_id"]), "value": r["value"]})
+        for r in rows
+    ]
+    tmp = tempfile.mkdtemp(prefix="bn_persist_")
+    try:
+        db1 = BasenineDB(spark, path=f"{tmp}/store")
+        db1.add_macro("hot", "value > 50")  # persisted (native.go:185)
+        db1.insert_json(lines)
+        del db1
+
+        db2 = BasenineDB(spark, path=f"{tmp}/store")  # fresh: restore
+        new_ids = db2.insert_json(
+            [_json.dumps({"event_id": -1, "value": 999})]
+        )
+        assert new_ids == [index_to_id(len(lines))], (
+            "id counter restarted instead of resuming: "
+            f"{new_ids} vs {index_to_id(len(lines))}"
+        )
+        out = db2.query("hot")  # macro restored from _state.json
+        data = [(r["event_id"],) for r in out.select("event_id").collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(data, "event_id long")
+
+
+_register(
+    "persistence_restart_roundtrip",
+    _persistence_restart_roundtrip,
+    "SELECT event_id FROM events WHERE event_id < 400 "
+    "AND coalesce(value, 0) > 50 UNION ALL SELECT -1",
+)
+
 _register(
     "agg_count_distinct",
     lambda s, d: load_table(s, d, "events")

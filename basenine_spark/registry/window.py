@@ -205,6 +205,7 @@ _PROMOTED = [
     # recursive-CTE oracle as dedup_clusters — identical output, 100-TB
     # physical plan). Slot funded by demoting events_funnel_steps.
     "dedup_clusters_distributed",
+    # agg_heavy_hitters_verified demoted round 14 — see _DEMOTED notes
     # round-8 NEW capability: C4-style sentence-level dedup (Raffel et
     # al. 2020 / Lee et al. 2022) — per-doc duplicate-sentence ratio +
     # keep-first scrub, exact oracles from birth. Slots funded by
@@ -247,7 +248,6 @@ _PROMOTED = [
     # dedup_clusters_lsh demoted round 12 — see _DEMOTED notes
     # frequent-items sketch under the ann_index_persisted parity
     # pattern: counts exact under capacity, membership ties-closed
-    "agg_heavy_hitters_verified",
     # round-10 NEW capabilities + verified twins. Slots funded by
     # demoting events_skew_profile, pipeline_curriculum_order,
     # dedup_scrub_spans and text_phrase_search (all green r6-r9; notes
@@ -293,7 +293,7 @@ _PROMOTED = [
     # first-ever driver rows for the streaming twins: full-corpus
     # replay through the real Structured Streaming queries, compared
     # on the batching-invariant projection
-    "streaming_kanon_replay",
+    # streaming_kanon_replay demoted round 14 — see _DEMOTED notes
     # streaming_sentences_replay demoted round 12 (late) — see _DEMOTED notes
     # round-11 late promotions: five more never-driver families under
     # the gate (SimHash, SRP near-dup, k-means assignment, the
@@ -306,12 +306,12 @@ _PROMOTED = [
     # embedding_near_dup_verified demoted round 13 — see _DEMOTED notes
     # embed_clusters_verified demoted round 12 — see _DEMOTED notes
     "sample_kcenter_verified",
-    "text_bpe_verified",
+    # text_bpe_verified demoted round 14 — see _DEMOTED notes
     # + SemDeDup invariants and the pHash decode roundtrip — with
     # these every operator the r10 verdict named in next-round #1 is
     # driver-checked. Slots funded by demoting text_lexical_diversity
     # and pipeline_datasheet (notes in _DEMOTED).
-    "dedup_semantic_verified",
+    # dedup_semantic_verified demoted round 14 — see _DEMOTED notes
     # multimodal_phash_verified demoted round 12 — see _DEMOTED notes
     # + the spectral/audio-fingerprint decode roundtrip (slot funded
     # by demoting sample_dsir_select — green r7-r10; notes in _DEMOTED)
@@ -332,7 +332,7 @@ _PROMOTED = [
     # streaming_rfm_replay demoted round 12 — see _DEMOTED notes
     "streaming_sessions_replay",
     # streaming_quality_replay demoted round 12 — see _DEMOTED notes
-    "streaming_asof_replay",
+    # streaming_asof_replay demoted round 14 — see _DEMOTED notes
     "streaming_exposure_replay",
     # round-11 replay wave 2: five more twins — the stateless
     # blocklist gate and the tolerance-zero funnel under FULL-value
@@ -357,9 +357,9 @@ _PROMOTED = [
     # funded by demoting the three 8-9-round-green head rows (their
     # families are saturated with in-window survivors) and
     # profile_drift_events (notes in _DEMOTED).
-    "knn_pagerank_verified",
-    "layout_zorder_verified",
-    "embedding_triplets_verified",
+    # knn_pagerank_verified demoted round 14 — see _DEMOTED notes
+    # layout_zorder_verified demoted round 14 — see _DEMOTED notes
+    # embedding_triplets_verified demoted round 14 — see _DEMOTED notes
     "multimodal_hamming_verified",
     # round-11 final wave: the LAST four families with no driver row
     # of any kind — NFKC dedup invariants, the char-baseline fertility
@@ -368,10 +368,10 @@ _PROMOTED = [
     # every registry family is driver-checked. Slots funded by
     # demoting embedding_drift_releases, ann_index_persisted,
     # dedup_minhash_lsh and knn_graph_exact (notes in _DEMOTED).
-    "text_normalized_verified",
+    # text_normalized_verified demoted round 14 — see _DEMOTED notes
     "text_fertility_verified",
-    "text_quality_verified",
-    "multimodal_asset_verified",
+    # text_quality_verified demoted round 14 — see _DEMOTED notes
+    # multimodal_asset_verified demoted round 14 — see _DEMOTED notes
     # round-12 rotation (VERDICT r11 #7/#10): twelve promotions.
     # Two NEW direct value-hash rows retire twin-covered headline
     # families by value: the md5-token-hash SimHash twin (the whole
@@ -385,24 +385,24 @@ _PROMOTED = [
     # Jaccard oracle), the persisted-ANN lifecycle diff, and the
     # release-to-release embedding drift rollup.
     # knn_graph_exact demoted round 13 (late) — see _DEMOTED notes
-    "dedup_minhash_lsh",
-    "ann_index_persisted",
+    # dedup_minhash_lsh demoted round 14 — see _DEMOTED notes
+    # ann_index_persisted demoted round 14 — see _DEMOTED notes
     # embedding_drift_releases demoted round 13 (late) — see _DEMOTED notes
     # Long-demoted core rows rotated back in (each 8-9 rounds green
     # historically, out of window since r11; re-verifying them keeps
     # the demotion ledger honest): exact dedup, PPJoin n-gram Jaccard,
     # brute-force ANN, the curation funnel, the grid interval-overlap
     # join, and the Markov transition matrix.
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_topk",
-    "pipeline_curate",
-    "join_interval_overlap",
-    "events_markov_transitions",
+    # dedup_exact demoted round 14 — see _DEMOTED notes
+    # dedup_ngram_jaccard demoted round 14 — see _DEMOTED notes
+    # ann_topk demoted round 14 — see _DEMOTED notes
+    # pipeline_curate demoted round 14 — see _DEMOTED notes
+    # join_interval_overlap demoted round 14 — see _DEMOTED notes
+    # events_markov_transitions demoted round 14 — see _DEMOTED notes
     # round-12 late additions (test_registry_order discipline: a new
     # oracle-backed entry must enter the window the round it appears):
     # the md5 MinHash signature twin and the IVF operating curve
-    "dedup_minhash_md5_sigs",
+    # dedup_minhash_md5_sigs demoted round 14 — see _DEMOTED notes
     "ann_ivf_curve_verified",
     # round-13 rotation (VERDICT r12 #8): eleven promotions. The new
     # banding-stage md5 twin (the LSH candidate SET under a full
@@ -436,9 +436,114 @@ _PROMOTED = [
     # quantile_disc oracle). Slot funded by demoting
     # embedding_drift_releases.
     "agg_quantile_exact_regime",
+    # round-14 rotation (VERDICT r13 #1/#2/#5): twenty promotions.
+    # FIRST driver rows for the stateful engine surface — retention
+    # rotation / truncatedTimestamp / persistence-restart, the one §2
+    # family with zero driver visibility through 13 rounds
+    # (native.go:951-1108, 986-1044, 155-258, 1207-1211 semantics):
+    "retention_rotation_roundtrip",
+    "persistence_restart_roundtrip",
+    # two more exact-regime direct rows: k-means with the full
+    # training loop + corpus assignment DuckDB-recomputed by value,
+    # and fixed-2-iteration PageRank over the exact kNN edge list as
+    # a closed-form SQL aggregate:
+    "embed_clusters_exact_regime",
+    "knn_pagerank_exact_regime",
+    # the r02-vintage recall (VERDICT r13 #2): the reference's own
+    # BFL predicate/helper core, last driver-checked ELEVEN rounds
+    # ago (r02) — recalled so the demotion ledger stays honest:
+    "bfl_eq_string",
+    "bfl_neq_string",
+    "bfl_cmp_gt",
+    "bfl_cmp_le",
+    "bfl_not",
+    "bfl_bare_path_truthy",
+    "bfl_startswith",
+    "bfl_endswith",
+    "bfl_contains",
+    "bfl_json_key_eq",
+    "bfl_collapse_missing",
+    "bfl_index_select",
+    # plus the r03-r05 stragglers from the same verdict list:
+    "redact_typed_fast",
+    "bfl_time_arith_fold",
+    "bfl_json_base64_probe",
+    "bfl_wildcard_existential",
 ]
 
 _DEMOTED = [
+    # round-14 demotions (fund the twenty r14 promotions: the four new
+    # stateful/exact-regime rows and the sixteen r02-r05 BFL-core
+    # recalls; every family keeps in-window survivors, and the
+    # round-close out-of-window spot-check re-runs each of these):
+    "agg_heavy_hitters_verified",  # green r10-r13 (4 rounds); its
+    # exact-regime twin (full value oracle over the same sketch
+    # build/merge/extract dataflow) stays in-window, and the
+    # under-capacity contracts stay pinned in pytest incl. the new
+    # exactness-boundary test
+    "knn_pagerank_verified",  # green r11-r13; superseded in-window by
+    # knn_pagerank_exact_regime — the SAME production pagerank body
+    # under a full DuckDB value oracle instead of the numpy contract
+    # (which stays re-runnable in pytest)
+    "layout_zorder_verified",  # green r11-r13; the layout family keeps
+    # layout_morton_keys (key algebra by value) in-window; the
+    # bit-inversion + pruning-soundness gates stay in pytest
+    "embedding_triplets_verified",  # green r11-r13; the contrastive
+    # re-derivation is pinned by 3 rounds + pytest; the embedding
+    # family keeps sample_kcenter_verified and gains the exact-regime
+    # k-means row in-window
+    "multimodal_asset_verified",  # green r11-r13; modality routing is
+    # a trivial projection — the richer multimodal_hamming_verified
+    # (real container decode + banded Hamming vs brute force) stays
+    # in-window over the same decode machinery
+    "text_normalized_verified",  # green r11-r13; NFKC dedup invariants
+    # stay pytest-pinned; the text family keeps text_fertility_verified
+    # (full SQL oracle) in-window
+    "text_quality_verified",  # green r11-r13; the classifier scoring
+    # path is pytest-pinned (model-diff goldens); text family survivor
+    # as above
+    "text_bpe_verified",  # green r11-r13; bpe_first_merge — the
+    # trainer's tokenize/top-V/pair-count/argmax entry path as a
+    # direct value row — stays in-window; losslessness stays in pytest
+    "dedup_semantic_verified",  # green r11-r13; its k-means core gets
+    # a STRICTLY richer in-window verifier this round
+    # (embed_clusters_exact_regime recomputes the full training loop
+    # by value); the greedy keep-first invariants stay pytest-pinned
+    "streaming_kanon_replay",  # green r11-r13; three replays stay
+    # in-window (sessions = applyInPandasWithState, exposure =
+    # stream-stream grid join, anomaly = bit-identical Welford) —
+    # the ingest→drain harness keeps full coverage
+    "streaming_asof_replay",  # green r11-r13; streaming_exposure_replay
+    # keeps the richer stream-stream join shape in-window
+    "dedup_exact",  # recalled r12 after 9 straight greens, green
+    # r12-r13 (11 committed rounds total — the longest ledger in the
+    # registry); the hash-group core is re-verified by the in-window
+    # dedup family every round
+    "dedup_ngram_jaccard",  # same recall cohort (11 rounds total);
+    # dedup_minhash_md5_bands hashes the full candidate-set
+    # recomputation over the same shingle machinery in-window
+    "ann_topk",  # same recall cohort (10+ rounds); the ANN family
+    # keeps ann_ivf_curve_verified in-window and gains the exact-regime
+    # PageRank row over the exact-cosine machinery
+    "pipeline_curate",  # same recall cohort (10 rounds total); the
+    # curate CTE chain is embedded in the pipeline family's pytest
+    # oracles and was re-verified r12-r13
+    "join_interval_overlap",  # same recall cohort (7 rounds total);
+    # the grid-bucketed interval decomposition is pinned by those
+    # rounds + the streaming exposure replay's grid join in-window
+    "events_markov_transitions",  # same recall cohort (5 rounds
+    # total); lag/transition machinery shared with the in-window
+    # sessions replay
+    "dedup_minhash_lsh",  # re-promoted r12, green r12-r13; the
+    # md5-bands twin (the banding candidate SET under a full DuckDB
+    # recomputation) stays in-window — strictly richer than the
+    # pair-list row it funded
+    "ann_index_persisted",  # re-promoted r12, green r12-r13; the
+    # persisted-serve parity stays pytest-pinned and it is one of the
+    # most expensive bench rows (write-inclusive lifecycle)
+    "dedup_minhash_md5_sigs",  # green r12-r13; subsumed in-window by
+    # dedup_minhash_md5_bands, which recomputes the signature matrix
+    # as the prefix of its banding recomputation
     # round-13 late demotion (funds agg_quantile_exact_regime):
     "embedding_drift_releases",  # green r09/r10/r12 (3 committed
     # rounds); a per-dimension mean/std release-over-release rollup
@@ -702,8 +807,8 @@ _DEMOTED = [
     # bfl_and_or re-promoted round 13
     "bfl_regex_match",  # P-ops pinned by corpus; query_limit_extract in-window
     # bfl_json_num_cmp re-promoted round 13
-    "bfl_wildcard_existential",  # array semantics pinned by corpus + fuzz
-    "bfl_json_base64_probe",  # F9 probe pinned by corpus
+    # bfl_wildcard_existential re-promoted round 14
+    # bfl_json_base64_probe re-promoted round 14
     # bfl_xml_path re-promoted round 13
     # single_lookup re-promoted round 13
     # query_left_off re-promoted round 13
@@ -864,7 +969,7 @@ _DEMOTED = [
     # every name below already has a green hash-checked row in
     # CORRECTNESS_r02.json, so demotion loses no hard signal
     "agg_hourly_window",  # hourly counts re-verified inside ts_gap_fill_hourly
-    "bfl_eq_string",  # equality pinned by corpus + bfl_and_or/bfl_regex_match
+    # bfl_eq_string re-promoted round 14
     "join_supplier_rollup",  # join+agg covered by join_top_revenue/pivot/cube
     "window_top_orders",  # windows covered by window_range_count/sessionize
     # fetch_forward re-promoted round 13
@@ -872,16 +977,10 @@ _DEMOTED = [
     "semi_join_customers",  # twin of in-window anti_join_customers
     # bfl_time_window re-promoted round 13
     "text_token_stats",  # token surface covered by text_quality/regex_tokens
-    "bfl_json_key_eq",  # json() covered by num_cmp/base64/recursive entries
-    "bfl_neq_string",
-    "bfl_cmp_gt",
-    "bfl_cmp_le",
-    "bfl_startswith",
-    "bfl_endswith",
-    "bfl_contains",
-    "bfl_not",
-    "bfl_bare_path_truthy",
-    "bfl_index_select",
+    # bfl_json_key_eq re-promoted round 14
+    # bfl_neq_string / bfl_cmp_gt / bfl_cmp_le / bfl_startswith /
+    # bfl_endswith / bfl_contains / bfl_not / bfl_bare_path_truthy /
+    # bfl_index_select re-promoted round 14 (the r02-vintage recall)
     "text_fingerprint",
     "agg_revenue_q6",
     "agg_daily_events",
@@ -891,14 +990,12 @@ _DEMOTED = [
     # round-4 demotions (each green in CORRECTNESS_r02/r03; the family
     # stays represented in-window by the named survivor)
     "agg_rollup_orders",  # grouping-sets engine covered by agg_cube_orders
-    "bfl_collapse_missing",  # collapse pinned by corpus + wildcard/recursive entries
+    # bfl_collapse_missing re-promoted round 14
     "agg_value_median",  # exact-percentile agg; the agg family keeps
     # pricing_summary/cube/pivot in-window and the sketch twin pins error
     "join_top_revenue",  # broadcast join+agg family held in-window by
     # agg_pricing_summary/cube/pivot/length-bands/salted-join
-    "redact_typed_fast",  # optimization twin: hash-matches the SAME oracle
-    # as in-window redact_row_backend; no-Python plan shape stays asserted
-    # in tests/test_redact_fast.py
+    # redact_typed_fast re-promoted round 14
     "pipeline_funnel",  # monitoring view over the same funnel whose
     # composed result pipeline_release now verifies end-to-end in-window
     # dedup_clusters_lsh PROMOTED round 10 (exact-recall on this
@@ -914,8 +1011,7 @@ _DEMOTED = [
     # epoch_order/release_balanced; packing rule pinned in pytest
     "anti_join_customers",  # left-anti semantics held in-window by
     # dedup_incremental; relational family by cube/profile/length-bands
-    "bfl_time_arith_fold",  # F6-F7 folding pinned by the golden corpus
-    # + differential fuzz; BFL family keeps 8 in-window entries
+    # bfl_time_arith_fold re-promoted round 14
     "agg_pricing_summary",  # partial-agg family held by cube/profile;
     # still benched every round as a headline query
     "multimodal_features",  # values pinned against a Python reference in pytest

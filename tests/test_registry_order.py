@@ -263,7 +263,8 @@ def test_extension_surface_inside_window():
         # oracle, and the frequent-items sketch under the
         # ann_index_persisted parity pattern
         # dedup_clusters_lsh: demoted round 12
-        "agg_heavy_hitters_verified",
+        # agg_heavy_hitters_verified: demoted round 14 (exact-regime
+        # twin stays in-window)
         # round 10 NEW capabilities: k-anonymity release ladder,
         # leave-one-source-out ablation, and the GK/HLL contract
         # twins (ann_index_persisted pattern)
@@ -285,15 +286,16 @@ def test_extension_surface_inside_window():
         "knn_graph_verified",
         # multimodal_wav_verified: demoted round 13
         # multimodal_image_verified: demoted round 13
-        "streaming_kanon_replay",
+        # streaming_kanon_replay: demoted round 14 (three replays stay)
         # streaming_sentences_replay: demoted round 12 (late)
         # round 11 late: five more never-driver families
         # dedup_simhash_verified: demoted round 13
         # embedding_near_dup_verified: demoted round 13
         # embed_clusters_verified: demoted round 12
         "sample_kcenter_verified",
-        "text_bpe_verified",
-        "dedup_semantic_verified",
+        # text_bpe_verified: demoted round 14 (bpe_first_merge stays)
+        # dedup_semantic_verified: demoted round 14 (the k-means core
+        # gains the richer embed_clusters_exact_regime value oracle)
         # multimodal_phash_verified: demoted round 12
         # multimodal_spectral_verified: demoted round 12
         # round-11 replay wave: eight more streaming twins replayed
@@ -304,7 +306,8 @@ def test_extension_surface_inside_window():
         # streaming_rfm_replay: demoted round 12
         "streaming_sessions_replay",
         # streaming_quality_replay: demoted round 12
-        "streaming_asof_replay",
+        # streaming_asof_replay: demoted round 14 (exposure keeps the
+        # richer stream-stream join in-window)
         "streaming_exposure_replay",
         # replay wave 2: blocklist/funnel full-value oracles + the
         # semdedup/dsir/anomaly contract rows
@@ -314,15 +317,16 @@ def test_extension_surface_inside_window():
         # streaming_dsir_replay: demoted round 13
         "streaming_anomaly_replay",
         # contract wave: the last never-driver-checked families
-        "knn_pagerank_verified",
-        "layout_zorder_verified",
-        "embedding_triplets_verified",
+        # knn_pagerank_verified: demoted round 14 (superseded by the
+        # exact-regime full value oracle)
+        # layout_zorder_verified: demoted round 14 (morton_keys stays)
+        # embedding_triplets_verified: demoted round 14
         "multimodal_hamming_verified",
         # final wave: the last families with no driver row of any kind
-        "text_normalized_verified",
+        # text_normalized_verified: demoted round 14
         "text_fertility_verified",
-        "text_quality_verified",
-        "multimodal_asset_verified",
+        # text_quality_verified: demoted round 14
+        # multimodal_asset_verified: demoted round 14 (hamming stays)
         # round-12 rotation: two NEW direct value-hash rows, four
         # direct-hash returns for twin-covered families, six
         # long-demoted core rows rotated back in
@@ -330,17 +334,14 @@ def test_extension_surface_inside_window():
         "bpe_first_merge",
         # knn_graph_exact: demoted round 13 late (re-executed every
         # round inside knn_graph_verified's verify phase)
-        "dedup_minhash_lsh",
-        "ann_index_persisted",
+        # dedup_minhash_lsh: demoted round 14 (md5_bands stays)
+        # ann_index_persisted: demoted round 14
         # embedding_drift_releases: demoted round 13 (late)
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "ann_topk",
-        "pipeline_curate",
-        "join_interval_overlap",
-        "events_markov_transitions",
+        # r12 recall cohort re-demoted round 14 after two more greens:
+        # dedup_exact / dedup_ngram_jaccard / ann_topk / pipeline_curate
+        # / join_interval_overlap / events_markov_transitions
         # round-12 late additions
-        "dedup_minhash_md5_sigs",
+        # dedup_minhash_md5_sigs: demoted round 14 (subsumed by bands)
         "ann_ivf_curve_verified",
         # round-13 rotation: the new banding-stage md5 twin, the
         # parser-golden-backed validate re-promotion, and the
@@ -361,6 +362,29 @@ def test_extension_surface_inside_window():
         "layout_morton_keys",
         "agg_heavy_hitters_exact_regime",
         "agg_quantile_exact_regime",
+        # round-14 rotation: FIRST driver rows for the stateful engine
+        # surface (VERDICT r13 #1), two exact-regime rows (#5), and
+        # the sixteen r02-r05 BFL-core recalls (#2)
+        "retention_rotation_roundtrip",
+        "persistence_restart_roundtrip",
+        "embed_clusters_exact_regime",
+        "knn_pagerank_exact_regime",
+        "bfl_eq_string",
+        "bfl_neq_string",
+        "bfl_cmp_gt",
+        "bfl_cmp_le",
+        "bfl_not",
+        "bfl_bare_path_truthy",
+        "bfl_startswith",
+        "bfl_endswith",
+        "bfl_contains",
+        "bfl_json_key_eq",
+        "bfl_collapse_missing",
+        "bfl_index_select",
+        "redact_typed_fast",
+        "bfl_time_arith_fold",
+        "bfl_json_base64_probe",
+        "bfl_wildcard_existential",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"

@@ -74,6 +74,35 @@ def test_type_widening_falls_back_to_from_json(spark, tmp_path):
     assert "from_json" in plan or "JsonToStructs" in plan  # fallback path
 
 
+def test_type_narrowing_batch_keeps_shredding(spark, tmp_path):
+    """Round-14 regression (found by the persistence driver row): a
+    batch whose leaf is NARROWER than the accumulated type (int after
+    double) does NOT change the union schema, so shredding legitimately
+    stays on — but the batch must be WRITTEN with the merged (double)
+    leaf type, or its INT64 parquet column is unreadable under the
+    union read schema (vectorized reader can't upcast INT64→double)."""
+    db = BasenineDB(spark, path=str(tmp_path / "s"))
+    db.insert_json(['{"a": 1.5}'])
+    assert db._shred_ok
+    db.insert_json(['{"a": 2}'])  # double then int: still additive
+    assert db._shred_ok  # union schema unchanged — shredding stays on
+    df = db.query("a > 0")
+    assert sorted(r["a"] for r in df.collect()) == [1.5, 2.0]
+    plan = _plan(df)
+    assert "from_json" not in plan and "JsonToStructs" not in plan, plan
+
+
+def test_type_narrowing_bulk_batch_keeps_shredding(spark, tmp_path):
+    """Bulk-path twin of the narrowing regression (insert_json_df has
+    its own shred-schema derivation)."""
+    db = BasenineDB(spark, path=str(tmp_path / "s"))
+    db.insert_json_df(spark.createDataFrame([('{"a": 1.5}',)], "j string"))
+    assert db._shred_ok
+    db.insert_json_df(spark.createDataFrame([('{"a": 2}',)], "j string"))
+    assert db._shred_ok
+    assert sorted(r["a"] for r in db.query("a > 0").collect()) == [1.5, 2.0]
+
+
 def test_dynamic_insertion_filter_disables_shredding(spark, tmp_path):
     db = BasenineDB(spark, path=str(tmp_path / "s"))
     db.set_insertion_filter('kind == "keep"')  # can drop records
