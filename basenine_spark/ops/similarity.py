@@ -140,6 +140,35 @@ LSH_TABLES = 8
 LSH_BITS = 12
 LSH_SEED = 42
 
+# Expected vectors per (table, bucket) that the auto-calibrated SRP
+# configurations target (see _occupancy_bits). 64 reproduces the
+# long-pinned bits=5 at the sf0.1 corpus (2000 vectors), so dev-scale
+# fingerprints and recall floors are unchanged by the auto default.
+LSH_TARGET_OCCUPANCY = 64
+
+
+def _occupancy_bits(n: int, floor_bits: int = 5) -> int:
+    """Occupancy-constant SRP hyperplane count (round 14, VERDICT r13
+    #3 — the emb10 probe's calibration rule promoted to the PRODUCTION
+    default): ``bits = max(floor, ceil(log2(n / target_occupancy)))``.
+
+    With FIXED bits, per-bucket occupancy grows ∝ N and the bucketed
+    candidate join's output grows ∝ N²·tables/2^bits — the quadratic
+    blowup a 100× caller would silently hit. Holding expected occupancy
+    constant makes candidates scale ~linearly (N × occupancy × tables)
+    at the cost of one cheap corpus count at call time. The measured
+    probe (emb10: 24×8 → 24×11 manual calibration, 1.9× wall at 10×)
+    proved the discipline; callers now get it by default and can still
+    pass ``bits`` explicitly for regime-specific tuning (e.g. bits≈12
+    for ≥0.9-cosine near-dup hunting regardless of N)."""
+    import math
+
+    if n <= 0:
+        return floor_bits
+    return max(
+        floor_bits, math.ceil(math.log2(max(n / LSH_TARGET_OCCUPANCY, 1.0)))
+    )
+
 
 def _srp_buckets(dim: int, tables: int = LSH_TABLES, bits: int = LSH_BITS):
     """pandas_udf: embedding → one bucket id per LSH table.
@@ -172,7 +201,7 @@ def ann_topk_lsh(
     k: int = 5,
     n_queries: int = 10,
     tables: int = 24,
-    bits: int = 5,
+    bits: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: SRP-LSH candidate generation then exact cosine
@@ -183,17 +212,23 @@ def ann_topk_lsh(
     is ~tables × corpus × queries / 2^bits instead of corpus × queries.
 
     Calibration is regime-dependent: P(two vectors share a bucket per
-    table) = (1 − θ/π)^bits. The defaults (24 tables × 5 bits) target
-    *moderate*-similarity neighbors (cosine 0.2-0.5, as in the test
-    corpus) at >90% recall — which buys only a modest pruning factor;
-    for true near-duplicate regimes (cosine ≥ 0.9) use bits ≈ 12, where
-    pruning is ~2^12/tables per table. That coupling of pruning power to
-    the similarity gap is inherent to LSH — the IVF variant
-    (:func:`ann_topk_ivf`) prunes geometrically instead and degrades
-    more gracefully for mid-similarity search. Approximate ⇒ rows-only
-    correctness check.
+    table) = (1 − θ/π)^bits. ``bits=None`` (the production default)
+    auto-calibrates to occupancy-constant hyperplanes from one corpus
+    count — ``max(5, ceil(log2(n/64)))``, reproducing the long-pinned
+    24×5 at dev scale and growing with N so candidates stay ~linear
+    (:func:`_occupancy_bits`; round 14, VERDICT r13 #3). The 5-bit
+    floor targets *moderate*-similarity neighbors (cosine 0.2-0.5, as
+    in the test corpus) at >90% recall — which buys only a modest
+    pruning factor; for true near-duplicate regimes (cosine ≥ 0.9)
+    pass bits ≈ 12 explicitly, where pruning is ~2^12/tables per
+    table. That coupling of pruning power to the similarity gap is
+    inherent to LSH — the IVF variant (:func:`ann_topk_ivf`) prunes
+    geometrically instead and degrades more gracefully for
+    mid-similarity search. Approximate ⇒ rows-only correctness check.
     """
     emb = load_embeddings(spark, sf_dir)
+    if bits is None:
+        bits = _occupancy_bits(emb.count())
     bucketer = _srp_buckets(dim, tables, bits)
     # SKINNY bucket join (round 11, same rewrite as knn_graph): the
     # exploded corpus side and the candidate-dedup shuffle carry only
@@ -896,7 +931,7 @@ def knn_graph(
     sf_dir: str,
     k: int = 5,
     tables: int = 24,
-    bits: int = 5,
+    bits: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over the embedding corpus —
@@ -923,16 +958,22 @@ def knn_graph(
     One node-keyed window whose per-task sort is bounded by the node's
     candidate count (~tables × corpus / 2^bits); scores are rounded
     before ranking so the rank order (ties by neighbor id) is
-    engine-stable. Approximate recall ⇒ rows-only correctness; the
-    recall floor vs brute force is pinned in pytest, the
-    recall/discipline/sim-exactness contract by the driver-verified
-    ``knn_graph_verified`` row.
+    engine-stable. ``bits=None`` (the production default)
+    auto-calibrates occupancy-constant hyperplanes from one corpus
+    count (:func:`_occupancy_bits` — bits=5 at dev scale, growing with
+    N so the candidate join stays ~linear instead of the fixed-bits
+    N²/2^bits blowup; round 14, VERDICT r13 #3). Approximate recall ⇒
+    rows-only correctness; the recall floor vs brute force is pinned
+    in pytest, the recall/discipline/sim-exactness contract by the
+    driver-verified ``knn_graph_verified`` row.
 
     Output: (src, dst, sim, rank, mutual), rank in [1, k].
     """
     from pyspark.sql import Window
 
     emb = load_embeddings(spark, sf_dir)
+    if bits is None:
+        bits = _occupancy_bits(emb.count())
     bucketer = _srp_buckets(dim, tables, bits)
     with_b = emb.select(
         "vec_id",

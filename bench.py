@@ -698,21 +698,16 @@ def main() -> int:
     # The ANN/kNN/coreset/SemDeDup growth curves were unmeasured through
     # round 10 — for a 100-TB similarity story this was the missing
     # evidence. Plain 10× replica with shifted ids (fixed query set,
-    # exactly the docs10/plain construction). Two ops are probed at
-    # their own documented scale calibration rather than the sf0.1
-    # registry config, because holding the config fixed at 10× measures
-    # the wrong thing:
-    #  * knn_graph: SRP bits grow with corpus to hold per-bucket
-    #    occupancy ~constant (the op's docstring rule) — candidates
-    #    then scale ~linearly (N × occupancy × tables). Probed at
-    #    24×8 (1×) vs 24×11 (10×): occupancy 39 vs 49. A fixed-bits
-    #    probe would measure the quadratic bucket blowup the
-    #    calibration rule exists to avoid.
-    #  * dedup_semantic: SemDeDup's contract is k ∝ N (cluster size
-    #    bounded ⇒ per-cluster quadratic bounded) — probed at k=8 (1×)
-    #    vs k=80 (10×).
-    # ann_topk_lsh (fixed 10-query set, linear candidates) and
-    # sample_kcenter_coreset (O(kN) map-only) run at registry configs.
+    # exactly the docs10/plain construction). dedup_semantic is probed
+    # at its documented scale calibration rather than the sf0.1
+    # registry config (SemDeDup's contract is k ∝ N: cluster size
+    # bounded ⇒ per-cluster quadratic bounded — k=8 at 1× vs k=80 at
+    # 10×); knn_graph and ann_topk_lsh run the PRODUCTION DEFAULT path
+    # since round 14 — occupancy-constant bits auto-derived from a
+    # corpus count (similarity._occupancy_bits: 2k → bits 5, 20k →
+    # bits 9), so the probe measures exactly what a default caller
+    # gets at 10× with no manual calibration entry (VERDICT r13 #3).
+    # sample_kcenter_coreset (O(kN) map-only) runs at registry config.
     from basenine_spark.ops import similarity as _sim
 
     EMB10 = {
@@ -725,8 +720,8 @@ def main() -> int:
             SPARK_QUERIES["sample_kcenter_coreset"],
         ),
         "knn_graph": (
-            lambda s, d: _sim.knn_graph(s, d, tables=24, bits=8),
-            lambda s, d: _sim.knn_graph(s, d, tables=24, bits=11),
+            lambda s, d: _sim.knn_graph(s, d),
+            lambda s, d: _sim.knn_graph(s, d),
         ),
         "dedup_semantic": (
             lambda s, d: _sim.semantic_dedup(s, d, k=8, threshold=0.35),
@@ -952,7 +947,9 @@ def main() -> int:
             "embeddings_factor": 10,
             "build_sec": build_emb_sec,
             "calibration": {
-                "knn_graph": "24x8 -> 24x11 (occupancy-constant bits)",
+                "knn_graph": "production default (auto occupancy-"
+                "constant bits: 5 @2k -> 9 @20k, no manual entry)",
+                "ann_topk_lsh": "production default (same auto rule)",
                 "dedup_semantic": "k=8 -> k=80 (SemDeDup k ∝ N)",
             },
             "queries": probe_emb,

