@@ -560,6 +560,7 @@ def minhash_md5_band_pairs(
     sf_dir: str,
     num_perm: int = 8,
     bands: int = 4,
+    max_docs: int = 0,
 ) -> DataFrame:
     """LSH band-join candidate pairs over the md5 MinHash family —
     the BANDING-stage twin of :func:`minhash_md5_signatures` (VERDICT
@@ -577,10 +578,19 @@ def minhash_md5_band_pairs(
     row exists to value-pin its algebra.
 
     Output: (doc_a, doc_b) distinct candidate pairs, doc_a < doc_b.
+
+    ``max_docs`` (round 14, VERDICT r13 #6): a deterministic
+    doc_id-prefix slice for the BENCH dev variant — the md5 hash
+    family costs 8 string md5s per token, so the full-corpus run is
+    ~12 s of verification-only bench wall; the driver CORRECTNESS
+    gate still runs the full row at sf0.01 every round. 0 = full
+    corpus (the registered row).
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_md5_signatures(spark, sf_dir, num_perm=num_perm)
+    if max_docs > 0:
+        sig = sig.filter(F.col("doc_id") < max_docs)
     banded = sig.select(
         "doc_id",
         F.explode(

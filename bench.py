@@ -171,6 +171,9 @@ HEADLINE = [
     "layout_morton_keys",
     "agg_heavy_hitters_exact_regime",
     "agg_quantile_exact_regime",
+    # round-14 exact-regime row: the full k-means training loop +
+    # corpus assignment (sample-fit numpy + one Arrow pass — cheap)
+    "embed_clusters_exact_regime",
 ]
 
 # Round-11 promotions measured ONCE instead of timed()'s 3 runs: each
@@ -184,12 +187,14 @@ HEADLINE = [
 # insert_15k, the streaming machinery in stream_14k_tail).
 LIFECYCLE_ONCE = [
     "knn_graph_verified",
-    # round-13: the md5 banding-stage twin recomputes 8 md5 string
-    # hashes per token plus the banded self-join — a ~12 s
-    # verification-only row (the production banding is xxhash-keyed
-    # and benched via dedup_minhash_lsh); single-run like the other
-    # expensive verification harnesses
-    "dedup_minhash_md5_bands",
+    # round-14 (VERDICT r13 #6): the md5 banding-stage twin recomputes
+    # 8 md5 string hashes per token plus the banded self-join — ~12 s
+    # of verification-only bench wall at full corpus. Benched on a
+    # deterministic 1k-doc prefix slice instead (BENCH_VARIANTS below;
+    # same plan shape, ~1/5 the hash volume): the production banding
+    # is xxhash-keyed and benched via dedup_minhash_lsh, and the
+    # DRIVER still value-checks the FULL md5 row at sf0.01 every round
+    "dedup_minhash_md5_bands_dev1k",
     "streaming_kanon_replay",
     "streaming_sentences_replay",
     # runs the full k-center selection TWICE (literal + broadcast
@@ -227,7 +232,29 @@ LIFECYCLE_ONCE = [
     # round-12: the IVF recall/probe operating curve — four IVF builds
     # + the exact twin by construction, single-run by the same policy
     "ann_ivf_curve_verified",
+    # round-14: the stateful-surface driver rows (each builds a durable
+    # temp log: 4 rotated batches / write+restart+resume) and the
+    # PageRank exact-regime row (runs the quadratic exact kNN twin by
+    # construction) — single-run by the same lifecycle policy
+    "retention_rotation_roundtrip",
+    "persistence_restart_roundtrip",
+    "knn_pagerank_exact_regime",
 ]
+
+# Bench-only variants of registered entries (reduced dev slices, probe
+# configs): looked up before SPARK_QUERIES in the lifecycle loop. The
+# REGISTERED full-corpus rows remain the driver-correctness surface.
+
+
+def _md5_bands_dev1k(spark, sf_dir):
+    from basenine_spark.ops import dedup
+
+    return dedup.minhash_md5_band_pairs(
+        spark, sf_dir, num_perm=8, bands=4, max_docs=1000
+    )
+
+
+BENCH_VARIANTS = {"dedup_minhash_md5_bands_dev1k": _md5_bands_dev1k}
 
 
 def main() -> int:
@@ -362,8 +389,9 @@ def main() -> int:
         for _attempt in range(3):
             spark.catalog.clearCache()
             reset_phase_timings()
+            fn = BENCH_VARIANTS.get(name) or SPARK_QUERIES[name]
             t0 = time.perf_counter()
-            SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            fn(spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = round(time.perf_counter() - t0, 3)
@@ -747,6 +775,44 @@ def main() -> int:
                 "x10": timed(fn10, scaled_emb)[0],
             }
 
+    # -- probe tiering (round 14, VERDICT r13 #6) --------------------------
+    # The deep scale probes re-measure slope evidence that only changes
+    # when the touched code changes: cc_chain (~44 s of synthetic path
+    # graphs) and full10 (~60 s of 10x corpus build + 10 queries) run
+    # on ODD driver rounds (r13 ran them; r15 is next) instead of every
+    # round, halving their steady-state bench cost with zero coverage
+    # loss across any two consecutive rounds. Cadence policy in
+    # docs/TUNING.md. Overrides: SPARK_GRAFT_PROBES=full forces them,
+    # =light skips them regardless of round. A skip is EXPLICIT in the
+    # artifact (a "skipped" marker naming the policy) — never a silent
+    # cap. Round parity comes from the committed BENCH_r{N}.json files
+    # (this run belongs to round max(N)+1).
+    import glob as _glob
+    import re as _re
+
+    _round_ns = [
+        int(m.group(1))
+        for p in _glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"
+            )
+        )
+        for m in [_re.search(r"BENCH_r(\d+)\.json$", p)]
+        if m
+    ]
+    _this_round = (max(_round_ns) + 1) if _round_ns else 1
+    _probes_mode = os.environ.get("SPARK_GRAFT_PROBES", "auto")
+    deep_probes = _probes_mode == "full" or (
+        _probes_mode == "auto" and _this_round % 2 == 1
+    )
+    _tier_skip = {
+        "skipped": (
+            f"tiered cadence: deep probes run on odd rounds, this is "
+            f"round {_this_round} (docs/TUNING.md; SPARK_GRAFT_PROBES="
+            "full to force)"
+        )
+    }
+
     # -- full-corpus 10× probe (VERDICT r11 #3) ---------------------------
     # events10/docs10/emb10 replicate ONE table at a time, so cross-table
     # effects (joins, curate→release compositions, the bucketed SMJ) had
@@ -776,88 +842,93 @@ def main() -> int:
         "pipeline_release",
     ]
     probe_full: dict[str, float] = {}
-    with tempfile.TemporaryDirectory() as scaled_f:
-        t0 = time.perf_counter()
-        REPS = 10
-        rep_col = spark.range(REPS).select(F.col("id").alias("rep"))
-
-        ev = load_table(spark, SF_DIR, "events")
-        n_ev = ev.count()
-        (
-            ev.crossJoin(rep_col)
-            .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
-            .drop("rep")
-            .repartition(int(CPUS))
-            .write.parquet(f"{scaled_f}/events.parquet")
-        )
-
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        n_docs = docs.count()
-        rep_docs = docs.crossJoin(rep_col).withColumn(
-            "doc_id", F.col("doc_id") + F.col("rep") * n_docs
-        )
-        mut_text_f = F.array_join(
-            F.transform(
-                F.split(F.col("text"), " "),
-                lambda t: F.concat(t, F.lit("~"), F.col("rep").cast("string")),
-            ),
-            " ",
-        )
-        (
-            rep_docs.withColumn("text", mut_text_f)
-            .drop("rep")
-            .repartition(int(CPUS))
-            .write.parquet(f"{scaled_f}/documents.parquet")
-        )
-
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        n_emb = emb.count()
-        (
-            emb.crossJoin(rep_col)
-            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb)
-            .drop("rep")
-            .repartition(int(CPUS))
-            .write.parquet(f"{scaled_f}/embeddings.parquet")
-        )
-
-        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
-        ok_base = orders.agg(F.max("o_orderkey")).first()[0] + 1
-        ck_base = customer.agg(F.max("c_custkey")).first()[0] + 1
-        (
-            orders.crossJoin(rep_col)
-            .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * ok_base)
-            .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * ck_base)
-            .drop("rep")
-            .repartition(int(CPUS))
-            .write.parquet(f"{scaled_f}/orders.parquet")
-        )
-        (
-            lineitem.crossJoin(rep_col)
-            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * ok_base)
-            .drop("rep")
-            .repartition(int(CPUS))
-            .write.parquet(f"{scaled_f}/lineitem.parquet")
-        )
-        (
-            customer.crossJoin(rep_col)
-            .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * ck_base)
-            .drop("rep")
-            .repartition(int(CPUS))
-            .write.parquet(f"{scaled_f}/customer.parquet")
-        )
-        for t in ("region", "nation", "supplier", "part"):
-            os.symlink(f"{SF_DIR}/{t}.parquet", f"{scaled_f}/{t}.parquet")
-        build_full_sec = round(time.perf_counter() - t0, 3)
-
-        for name in FULL10:
-            spark.catalog.clearCache()
+    build_full_sec: float | None = None
+    if deep_probes:
+        with tempfile.TemporaryDirectory() as scaled_f:
             t0 = time.perf_counter()
-            SPARK_QUERIES[name](spark, scaled_f).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            probe_full[name] = round(time.perf_counter() - t0, 3)
+            REPS = 10
+            rep_col = spark.range(REPS).select(F.col("id").alias("rep"))
+
+            ev = load_table(spark, SF_DIR, "events")
+            n_ev = ev.count()
+            (
+                ev.crossJoin(rep_col)
+                .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
+                .drop("rep")
+                .repartition(int(CPUS))
+                .write.parquet(f"{scaled_f}/events.parquet")
+            )
+
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            n_docs = docs.count()
+            rep_docs = docs.crossJoin(rep_col).withColumn(
+                "doc_id", F.col("doc_id") + F.col("rep") * n_docs
+            )
+            mut_text_f = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("~"), F.col("rep").cast("string")),
+                ),
+                " ",
+            )
+            (
+                rep_docs.withColumn("text", mut_text_f)
+                .drop("rep")
+                .repartition(int(CPUS))
+                .write.parquet(f"{scaled_f}/documents.parquet")
+            )
+
+            emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            n_emb = emb.count()
+            (
+                emb.crossJoin(rep_col)
+                .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb)
+                .drop("rep")
+                .repartition(int(CPUS))
+                .write.parquet(f"{scaled_f}/embeddings.parquet")
+            )
+
+            orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            ok_base = orders.agg(F.max("o_orderkey")).first()[0] + 1
+            ck_base = customer.agg(F.max("c_custkey")).first()[0] + 1
+            (
+                orders.crossJoin(rep_col)
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * ok_base)
+                .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * ck_base)
+                .drop("rep")
+                .repartition(int(CPUS))
+                .write.parquet(f"{scaled_f}/orders.parquet")
+            )
+            (
+                lineitem.crossJoin(rep_col)
+                .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * ok_base)
+                .drop("rep")
+                .repartition(int(CPUS))
+                .write.parquet(f"{scaled_f}/lineitem.parquet")
+            )
+            (
+                customer.crossJoin(rep_col)
+                .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * ck_base)
+                .drop("rep")
+                .repartition(int(CPUS))
+                .write.parquet(f"{scaled_f}/customer.parquet")
+            )
+            for t in ("region", "nation", "supplier", "part"):
+                os.symlink(f"{SF_DIR}/{t}.parquet", f"{scaled_f}/{t}.parquet")
+            build_full_sec = round(time.perf_counter() - t0, 3)
+
+            for name in FULL10:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                SPARK_QUERIES[name](spark, scaled_f).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                probe_full[name] = round(time.perf_counter() - t0, 3)
+
+    else:
+        probe_full = dict(_tier_skip)
 
     # -- connected-components growth curve (VERDICT r12 #6) ---------------
     # The distributed min-label loop is the repo's most scale-critical
@@ -870,26 +941,30 @@ def main() -> int:
     from basenine_spark.ops.dedup import connected_components
 
     probe_cc: dict[str, dict[str, float]] = {}
-    for n_nodes in (8_192, 65_536, 524_288):
-        chain = (
-            spark.range(n_nodes - 1)
-            .select(
-                F.col("id").alias("doc_a"),
-                (F.col("id") + 1).alias("doc_b"),
+    if deep_probes:
+        for n_nodes in (8_192, 65_536, 524_288):
+            chain = (
+                spark.range(n_nodes - 1)
+                .select(
+                    F.col("id").alias("doc_a"),
+                    (F.col("id") + 1).alias("doc_b"),
+                )
+                .repartition(int(CPUS))
             )
-            .repartition(int(CPUS))
-        )
-        cc_stats: dict = {}
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        connected_components(
-            chain, max_iter=30, driver_max_edges=0, stats=cc_stats
-        ).write.format("noop").mode("overwrite").save()
-        probe_cc[f"chain_{n_nodes}"] = {
-            "nodes": n_nodes,
-            "rounds": cc_stats.get("rounds", -1),
-            "sec": round(time.perf_counter() - t0, 3),
-        }
+            cc_stats: dict = {}
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            connected_components(
+                chain, max_iter=30, driver_max_edges=0, stats=cc_stats
+            ).write.format("noop").mode("overwrite").save()
+            probe_cc[f"chain_{n_nodes}"] = {
+                "nodes": n_nodes,
+                "rounds": cc_stats.get("rounds", -1),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+
+    else:
+        probe_cc = dict(_tier_skip)
 
     # -- per-query budgets (VERDICT r10 #8) -------------------------------
     # bench_budgets.json pins each query's committed r10 minimum × 2 as
@@ -955,12 +1030,16 @@ def main() -> int:
             "queries": probe_emb,
         },
         "scale_probe_cc_chain": probe_cc,
-        "scale_probe_full10": {
-            "factor": 10,
-            "build_sec": build_full_sec,
-            "queries": probe_full,
-            "base": {n: timings[n] for n in FULL10 if n in timings},
-        },
+        "scale_probe_full10": (
+            {
+                "factor": 10,
+                "build_sec": build_full_sec,
+                "queries": probe_full,
+                "base": {n: timings[n] for n in FULL10 if n in timings},
+            }
+            if deep_probes
+            else probe_full
+        ),
         "lifecycle_phases": lifecycle_phases,
         # present only when a breach-triggered retry ran (ADVICE r13):
         # which attempt each recorded minimum came from, and whether
