@@ -613,6 +613,114 @@ _register(
     "AND coalesce(value, 0) > 50 UNION ALL SELECT -1",
 )
 
+
+def _flush_reset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/M8 under the driver gate — the LAST stateful-surface family
+    without a driver row (VERDICT r13 #1 completes with this):
+
+    * ``/flush`` drops all records and restarts the id counter but
+      KEEPS macros / insertion filter / retention limit
+      (``native.go:888-904``);
+    * ``/reset`` = flush + clears macros, filter and limit
+      (``native.go:908-928``).
+
+    Construction — three distinguishable phases over disjoint
+    event_id ranges so every semantic lands in the value hash:
+
+    1. insertion filter ``value > 50`` + macro ``big = value > 80``
+       set, batch A (ids 0-199) inserted, then ``flush()``;
+    2. batch B (ids 200-399) inserted THROUGH the surviving filter —
+       ``query("")`` returns only B's ``value > 50`` subset (pins: A
+       gone, filter survived flush), ``query("big")`` returns B's
+       ``value > 80`` subset (pins: macro survived flush), and the
+       first post-flush id is asserted == ``index_to_id(0)`` (counter
+       restarted, not resumed — the persistence row pins the opposite
+       behavior for restart);
+    3. ``reset()``, batch C (ids 400-499) inserted — ``query("")``
+       returns ALL of C (pins: filter cleared; a leaked filter would
+       drop C's ``value <= 50`` rows and hash-mismatch), and
+       ``query("big")`` contributes zero rows (macro cleared: ``big``
+       now compiles as bare-path truthiness on a missing field and
+       collapses, P15) — a macro leak would surface as extra
+       ``reset_macro_leak`` rows.
+    """
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ..engine.db import BasenineDB, index_to_id
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.filter(F.col("event_id") < 500).orderBy("event_id").collect()
+    )
+
+    def _lines(lo: int, hi: int) -> list[str]:
+        return [
+            _json.dumps(
+                {"event_id": int(r["event_id"]), "value": r["value"]}
+            )
+            for r in rows
+            if lo <= int(r["event_id"]) < hi
+        ]
+
+    tmp = tempfile.mkdtemp(prefix="bn_flushreset_")
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        db.set_insertion_filter("value > 50")
+        db.add_macro("big", "value > 80")
+        db.insert_json(_lines(0, 200))
+        db.flush()
+
+        ids_b = db.insert_json(_lines(200, 400))
+        assert ids_b and ids_b[0] == index_to_id(0), (
+            "flush must restart the id counter at 0 (native.go:888-904): "
+            f"first post-flush id = {ids_b[:1]}"
+        )
+        data = [
+            ("after_flush", r["event_id"])
+            for r in db.query("").select("event_id").collect()
+        ] + [
+            ("flush_macro", r["event_id"])
+            for r in db.query("big").select("event_id").collect()
+        ]
+
+        db.reset()
+        assert db.macros == {} and db.insertion_filter == "", (
+            "reset must clear macros and the insertion filter "
+            "(native.go:908-928)"
+        )
+        db.insert_json(_lines(400, 500))
+        data += [
+            ("after_reset", r["event_id"])
+            for r in db.query("").select("event_id").collect()
+        ] + [
+            ("reset_macro_leak", r["event_id"])
+            for r in db.query("big").select("event_id").collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(data, "phase string, event_id long")
+
+
+_register(
+    "flush_reset_roundtrip",
+    _flush_reset_roundtrip,
+    # phase ranges are disjoint by construction; 'reset_macro_leak'
+    # contributes zero rows on both engines unless /reset leaks the
+    # macro
+    """
+    SELECT 'after_flush' AS phase, event_id FROM events
+      WHERE event_id BETWEEN 200 AND 399 AND coalesce(value, 0) > 50
+    UNION ALL
+    SELECT 'flush_macro' AS phase, event_id FROM events
+      WHERE event_id BETWEEN 200 AND 399 AND coalesce(value, 0) > 80
+    UNION ALL
+    SELECT 'after_reset' AS phase, event_id FROM events
+      WHERE event_id BETWEEN 400 AND 499
+    """,
+)
+
 _register(
     "agg_count_distinct",
     lambda s, d: load_table(s, d, "events")

@@ -348,7 +348,8 @@ _PROMOTED = [
     # streaming_funnel_replay demoted round 13 (late) — see _DEMOTED notes
     # streaming_semdedup_replay demoted round 13 — see _DEMOTED notes
     # streaming_dsir_replay demoted round 13 — see _DEMOTED notes
-    "streaming_anomaly_replay",
+    # streaming_anomaly_replay demoted round 14 (late) — see _DEMOTED
+    # notes (funds flush_reset_roundtrip)
     # round-11 contract wave: the last four never-driver-checked
     # extension families under the gate — PageRank vs an independent
     # numpy power iteration, Z-order bit-inversion + pruning
@@ -469,9 +470,22 @@ _PROMOTED = [
     "bfl_time_arith_fold",
     "bfl_json_base64_probe",
     "bfl_wildcard_existential",
+    # round-14 late addition (test_registry_order discipline: a new
+    # oracle-backed entry enters the window the round it appears):
+    # /flush + /reset under the driver gate — the LAST stateful-surface
+    # family without a driver row (native.go:888-928 semantics: flush
+    # keeps macros/filter/limit and restarts the id counter, reset
+    # clears them). Slot funded by demoting streaming_anomaly_replay.
+    "flush_reset_roundtrip",
 ]
 
 _DEMOTED = [
+    # round-14 late demotion (funds flush_reset_roundtrip):
+    "streaming_anomaly_replay",  # green r11-r13; the bit-identical
+    # Welford merge contract stays pinned in pytest, and the streaming
+    # family keeps sessions (applyInPandasWithState) + exposure
+    # (stream-stream grid join) replays in-window — the ingest→drain
+    # harness keeps full coverage
     # round-14 demotions (fund the twenty r14 promotions: the four new
     # stateful/exact-regime rows and the sixteen r02-r05 BFL-core
     # recalls; every family keeps in-window survivors, and the

@@ -239,6 +239,9 @@ LIFECYCLE_ONCE = [
     "retention_rotation_roundtrip",
     "persistence_restart_roundtrip",
     "knn_pagerank_exact_regime",
+    # round-14 late: /flush + /reset driver row (three ingest phases
+    # against a durable temp log) — same lifecycle policy
+    "flush_reset_roundtrip",
 ]
 
 # Bench-only variants of registered entries (reduced dev slices, probe

@@ -315,7 +315,8 @@ def test_extension_surface_inside_window():
         # streaming_funnel_replay: demoted round 13 (late)
         # streaming_semdedup_replay: demoted round 13
         # streaming_dsir_replay: demoted round 13
-        "streaming_anomaly_replay",
+        # streaming_anomaly_replay: demoted round 14 late (funds
+        # flush_reset_roundtrip; sessions + exposure stay in-window)
         # contract wave: the last never-driver-checked families
         # knn_pagerank_verified: demoted round 14 (superseded by the
         # exact-regime full value oracle)
@@ -385,6 +386,9 @@ def test_extension_surface_inside_window():
         "bfl_time_arith_fold",
         "bfl_json_base64_probe",
         "bfl_wildcard_existential",
+        # round-14 late: /flush + /reset under the driver gate — the
+        # last stateful-surface family without a driver row
+        "flush_reset_roundtrip",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
