@@ -77,6 +77,28 @@ def test_deterministic(spark, graph):
     assert sorted(map(tuple, again)) == sorted(map(tuple, graph))
 
 
+def test_gemm_scorer_equals_hof_scorer(spark):
+    """The round-14 BLAS scorer must reproduce the round-10 HOF
+    pair-join plan EXACTLY — every (src, dst, rank, mutual) edge and
+    every stable-rounded sim bit-for-bit. The HOF plan sums dots in
+    the same sequential order as the DuckDB oracle, so this
+    differential IS the guard that BLAS pairwise summation (≤3.4e-16
+    divergence) stays inside the ≥2.7e-12 margin to the nearest
+    4-decimal rounding boundary on this corpus."""
+    gemm = sorted(
+        map(tuple, similarity.knn_graph_exact(spark, SF, k=K).collect())
+    )
+    hof = sorted(
+        map(
+            tuple,
+            similarity.knn_graph_exact(
+                spark, SF, k=K, scorer="hof"
+            ).collect(),
+        )
+    )
+    assert gemm == hof
+
+
 def test_exact_twin_matches_numpy_ground_truth(spark, exact_topk):
     """knn_graph_exact (round 10, full driver oracle) must equal the
     numpy brute-force ground truth EXACTLY — same neighbors, same
