@@ -170,6 +170,97 @@ def _occupancy_bits(n: int, floor_bits: int = 5) -> int:
     )
 
 
+def srp_md5_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SRP-LSH candidate generation with an md5-derived hyperplane
+    family — the ANN sibling of ``dedup.minhash_md5_band_pairs``
+    (round 14): plane weight ``w[t,b,d]`` = first 8 hex chars of
+    ``md5("srp:{t}:{b}:{d}")`` as an integer, mod 2001, minus 1000 —
+    identical in both engines — so the ENTIRE candidate dataflow
+    (per-vector sign bits → per-table bucket ids → keyed co-bucket
+    self-join → distinct pair set) is value-hash-checked against a
+    DuckDB recomputation of the same algebra. The production
+    Gaussian-``RandomState`` family (:func:`_srp_buckets`) keeps its
+    recall/discipline verification via ``knn_graph_verified`` and the
+    pytest floors; this row closes the same gap for SRP that
+    ``dedup_minhash_md5_bands`` closed for MinHash banding: the
+    bucket-join candidate SET itself, recomputed by value.
+
+    Sign-boundary safety, measured not narrated: integer weights make
+    each product ``e_d * w`` an exact double on both engines, so the
+    only divergence is summation order (BLAS batch matmul here,
+    sequential SUM in DuckDB) — ≤ 1e-12 absolute, against a measured
+    min nonzero ``|dot|`` of 1.6e-3 across sf0.001/0.01/0.1 (~9
+    orders of headroom); an all-zero vector dots to an exact 0.0 on
+    both engines (bit false either way). Same keyed-join scale shape
+    as the production path: candidates ~ tables x N²/2^bits, never
+    all-pairs.
+
+    Output: (vec_a, vec_b) distinct candidate pairs, vec_a < vec_b.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            [
+                int(
+                    hashlib.md5(
+                        f"srp:{t}:{b}:{d}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % 2001
+                - 1000
+                for d in range(dim)
+            ]
+            for t in range(tables)
+            for b in range(bits)
+        ],
+        dtype=np.float64,
+    )
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes.T) > 0
+        ids = (signs.reshape(len(mat), tables, bits) * weights).sum(
+            axis=2
+        )
+        return pd.Series(list(ids))
+
+    with_b = (
+        load_embeddings(spark, sf_dir)
+        .select(
+            "vec_id", F.posexplode(buckets("embedding")).alias("tbl", "bucket")
+        )
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _srp_buckets(dim: int, tables: int = LSH_TABLES, bits: int = LSH_BITS):
     """pandas_udf: embedding → one bucket id per LSH table.
 

@@ -1013,3 +1013,44 @@ _register(
     lambda s, d: graph.knn_pagerank_exact_regime(s, d),
     _pagerank_exact_regime_oracle(),
 )
+
+
+# Round-14: SRP-LSH candidate generation under the md5-twin
+# discipline — the ANN sibling of dedup_minhash_md5_bands. Plane
+# weight w[t,b,d] = (first 8 hex of md5("srp:{t}:{b}:{d}") as int)
+# % 2001 - 1000, identical in both engines; integer weights make
+# every product an exact double, so the only cross-engine divergence
+# is summation order (<= 1e-12) against a measured min nonzero |dot|
+# of 1.6e-3 corpus-wide — the sign bits, bucket ids, and the keyed
+# co-bucket candidate SET are all value-hash-checked end-to-end.
+_register(
+    "ann_srp_md5_candidates",
+    lambda s, d: similarity.srp_md5_candidate_pairs(
+        s, d, tables=8, bits=4, dim=64
+    ),
+    """
+    WITH planes AS (
+      SELECT t.range AS t, b.range AS b, d.range AS d,
+             CAST(('0x' || substr(md5('srp:' || CAST(t.range AS VARCHAR)
+               || ':' || CAST(b.range AS VARCHAR)
+               || ':' || CAST(d.range AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2001 - 1000 AS w
+      FROM range(8) t, range(4) b, range(64) d
+    ), dots AS (
+      SELECT e.vec_id, p.t, p.b,
+             sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS dot
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0) e
+      CROSS JOIN planes p
+      GROUP BY e.vec_id, p.t, p.b
+    ), buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, t
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+    FROM buckets a JOIN buckets b2
+      ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    """,
+)

@@ -379,7 +379,8 @@ _PROMOTED = [
     # sign-vote/banding/hamming dataflow under an exact DuckDB oracle)
     # and the BPE first-merge row (the trainer's tokenize/top-V/pair
     # count/argmax entry path, exactly SQL-expressible at one merge).
-    "dedup_simhash_md5_pairs",
+    # dedup_simhash_md5_pairs demoted round 14 (late) — see _DEMOTED
+    # notes (funds ann_srp_md5_candidates)
     "bpe_first_merge",
     # Direct hash rows promoted BACK for twin-covered families: the
     # exact quadratic kNN baseline, the MinHash-LSH pair list (exact-
@@ -477,9 +478,23 @@ _PROMOTED = [
     # keeps macros/filter/limit and restarts the id counter, reset
     # clears them). Slot funded by demoting streaming_anomaly_replay.
     "flush_reset_roundtrip",
+    # round-14 late addition: SRP-LSH candidate generation under the
+    # md5-twin discipline — the ANN sibling of dedup_minhash_md5_bands
+    # (sign bits → bucket ids → keyed co-bucket candidate SET, all
+    # DuckDB-recomputed by value; integer plane weights give exact
+    # products, measured 1.6e-3 sign margin vs <=1e-12 sum-order
+    # divergence). Slot funded by demoting dedup_simhash_md5_pairs.
+    "ann_srp_md5_candidates",
 ]
 
 _DEMOTED = [
+    # round-14 late demotion (funds ann_srp_md5_candidates):
+    "dedup_simhash_md5_pairs",  # green r12-r13; the md5-hash-family
+    # twin discipline it introduced stays in-window via
+    # dedup_minhash_md5_bands (MinHash) and now ann_srp_md5_candidates
+    # (SRP), the banded-Hamming machinery stays in-window via
+    # multimodal_hamming_verified, and the production SimHash path
+    # keeps its pytest goldens + 2 committed driver rounds
     # round-14 late demotion (funds flush_reset_roundtrip):
     "streaming_anomaly_replay",  # green r11-r13; the bit-identical
     # Welford merge contract stays pinned in pytest, and the streaming

@@ -171,6 +171,9 @@ HEADLINE = [
     "layout_morton_keys",
     "agg_heavy_hitters_exact_regime",
     "agg_quantile_exact_regime",
+    # round-14: SRP md5-twin candidate generation (one Arrow matmul
+    # pass + the keyed co-bucket join — cheap, headline-timed)
+    "ann_srp_md5_candidates",
     # round-14 exact-regime row: the full k-means training loop +
     # corpus assignment (sample-fit numpy + one Arrow pass — cheap)
     "embed_clusters_exact_regime",

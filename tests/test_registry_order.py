@@ -331,7 +331,9 @@ def test_extension_surface_inside_window():
         # round-12 rotation: two NEW direct value-hash rows, four
         # direct-hash returns for twin-covered families, six
         # long-demoted core rows rotated back in
-        "dedup_simhash_md5_pairs",
+        # dedup_simhash_md5_pairs: demoted round 14 late (funds
+        # ann_srp_md5_candidates; the md5-twin discipline stays
+        # in-window via minhash_md5_bands + srp_md5_candidates)
         "bpe_first_merge",
         # knn_graph_exact: demoted round 13 late (re-executed every
         # round inside knn_graph_verified's verify phase)
@@ -389,6 +391,9 @@ def test_extension_surface_inside_window():
         # round-14 late: /flush + /reset under the driver gate — the
         # last stateful-surface family without a driver row
         "flush_reset_roundtrip",
+        # round-14 late: SRP-LSH candidate generation under the
+        # md5-twin discipline (ANN sibling of minhash_md5_bands)
+        "ann_srp_md5_candidates",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
