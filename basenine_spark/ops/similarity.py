@@ -998,22 +998,26 @@ def semantic_dedup(
 
 def _mark_mutual(topk: DataFrame) -> DataFrame:
     """Flag edges whose reverse also survived per-node ranking — ONE
-    left join against the reversed edge set producing a boolean marker
-    (the r10 shape was a semi-join UNION an anti-join against the same
-    set: two shuffles where one does it — VERDICT r10 What's-wrong #2).
-    Input/output contract: (src, dst, sim, rank) → (src, dst, sim,
-    rank, mutual)."""
-    reverse = topk.select(
-        F.col("dst").alias("src"),
-        F.col("src").alias("dst"),
-        F.lit(True).alias("rev"),
+    count-over-window on the canonical (min, max) pair key (round 14;
+    the r10 shape was a semi-join UNION an anti-join, and the r11-r13
+    shape a left join against the reversed edge set — both SELF-JOINS,
+    so Spark re-evaluated the entire upstream candidate/scoring/
+    ranking subtree a second time for the reverse side; the window
+    keeps a single linear lineage and costs one skinny N×k-row
+    shuffle instead). (src, dst) is unique after per-node ranking, so
+    a canonical pair appears exactly twice iff both directions
+    survived. Input/output contract: (src, dst, sim, rank) → (src,
+    dst, sim, rank, mutual)."""
+    pair_w = Window.partitionBy(
+        F.least(F.col("src"), F.col("dst")),
+        F.greatest(F.col("src"), F.col("dst")),
     )
-    return topk.join(reverse, ["src", "dst"], "left").select(
+    return topk.select(
         "src",
         "dst",
         "sim",
         "rank",
-        F.coalesce(F.col("rev"), F.lit(False)).alias("mutual"),
+        (F.count(F.lit(1)).over(pair_w) == 2).alias("mutual"),
     )
 
 
@@ -1115,13 +1119,26 @@ def knn_graph(
             ).alias("sim"),
         )
     )
+    # mirror each scored pair into both directions with ONE explode
+    # instead of a self-union (round 14: the union re-evaluated the
+    # whole candidate-scoring subtree once per branch — explode keeps
+    # a single linear lineage and scores each pair exactly once)
     directed = pairs.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "sim"
-    ).union(
-        pairs.select(
-            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src"),
+                    F.col("vec_b").alias("dst"),
+                    F.col("sim"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src"),
+                    F.col("vec_a").alias("dst"),
+                    F.col("sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.sim")
     w = Window.partitionBy("src").orderBy(
         F.col("sim").desc(), F.col("dst").asc()
     )
