@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .util import stable_round, timed_phase
+from .util import bucket_pairs, stable_round, timed_phase
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,17 +244,13 @@ def srp_md5_candidate_pairs(
             "vec_id", F.posexplode(buckets("embedding")).alias("tbl", "bucket")
         )
     )
-    a, b = with_b.alias("a"), with_b.alias("b")
+    # groupBy-bucket pair expansion (ops.util.bucket_pairs): the
+    # bucketing UDF lineage runs once, not once per self-join side
     return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        bucket_pairs(with_b, ["tbl", "bucket"], "vec_id")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("a").alias("vec_a"),
+            F.col("b").alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
         .orderBy("vec_a", "vec_b")
@@ -484,17 +480,14 @@ def embedding_near_dup(
     with_b = emb.select(
         "vec_id", F.posexplode(bucketer("embedding")).alias("tbl", "bucket")
     )
-    a, b = with_b.alias("a"), with_b.alias("b")
+    # groupBy-bucket pair expansion (ops.util.bucket_pairs, round 14):
+    # the SRP bucketing UDF lineage runs once, not once per self-join
+    # side, and the co-bucket shuffle drops to one aggregation
     cand_ids = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        bucket_pairs(with_b, ["tbl", "bucket"], "vec_id")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("a").alias("vec_a"),
+            F.col("b").alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
@@ -1074,17 +1067,14 @@ def knn_graph(
         "vec_id",
         F.posexplode(bucketer("embedding")).alias("tbl", "bucket"),
     )
-    a, b = with_b.alias("a"), with_b.alias("b")
+    # groupBy-bucket pair expansion (ops.util.bucket_pairs, round 14):
+    # the SRP bucketing UDF lineage runs once, not once per self-join
+    # side, and the co-bucket shuffle drops to one aggregation
     cand_ids = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        bucket_pairs(with_b, ["tbl", "bucket"], "vec_id")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("a").alias("vec_a"),
+            F.col("b").alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
