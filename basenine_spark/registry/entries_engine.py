@@ -703,6 +703,87 @@ def _flush_reset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(data, "phase string, event_id long")
 
 
+def _log_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction maintenance under the driver gate (round 14): the
+    one durable-log operation with no driver row left. Micro-batch
+    ingest (10 batches of 50 docs — the tail/source commit pattern)
+    leaves ~10 file sets in the write partition; ``compact()`` must
+    coalesce them (asserted: ≥1 partition rewritten, file count
+    strictly drops) while changing NOTHING observable: the same BFL
+    query returns the same rows through the swapped directory, and a
+    post-compaction insert CONTINUES the id sequence (footer
+    statistics and counters preserved across the atomic swap —
+    asserted == ``index_to_id(500)``). Compaction is a parquet-log
+    need the reference's single growing file never has
+    (``native.go:951-964``); the equivalence contract is what makes
+    it safe to run against a live 100-TB log.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.db import BasenineDB, index_to_id
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.filter(F.col("event_id") < 500).orderBy("event_id").collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="bn_compact_")
+    try:
+        db = BasenineDB(spark, path=f"{tmp}/store")
+        for i in range(10):
+            db.insert_json(
+                [
+                    _json.dumps(
+                        {
+                            "event_id": int(r["event_id"]),
+                            "event_type": r["event_type"],
+                        }
+                    )
+                    for r in rows[i * 50 : (i + 1) * 50]
+                ]
+            )
+        pdir = f"{tmp}/store/part=0"
+
+        def _n_files() -> int:
+            return sum(
+                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+
+        before = _n_files()
+        rewritten = db.compact()
+        after = _n_files()
+        assert rewritten >= 1 and after < before, (
+            "compaction must rewrite the micro-batched partition: "
+            f"rewritten={rewritten} files {before}->{after}"
+        )
+        ids = db.insert_json(
+            [_json.dumps({"event_id": -1, "event_type": "click"})]
+        )
+        assert ids == [index_to_id(500)], (
+            "id sequence must CONTINUE across the compaction swap: "
+            f"{ids} vs {index_to_id(500)}"
+        )
+        data = [
+            (r["event_id"],)
+            for r in db.query('event_type == "click"')
+            .select("event_id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(data, "event_id long")
+
+
+_register(
+    "log_compact_roundtrip",
+    _log_compact_roundtrip,
+    "SELECT event_id FROM events WHERE event_id < 500 "
+    "AND event_type = 'click' UNION ALL SELECT -1",
+)
+
+
 _register(
     "flush_reset_roundtrip",
     _flush_reset_roundtrip,

@@ -381,7 +381,8 @@ _PROMOTED = [
     # count/argmax entry path, exactly SQL-expressible at one merge).
     # dedup_simhash_md5_pairs demoted round 14 (late) — see _DEMOTED
     # notes (funds ann_srp_md5_candidates)
-    "bpe_first_merge",
+    # bpe_first_merge demoted round 14 (late) — see _DEMOTED notes
+    # (funds log_compact_roundtrip)
     # Direct hash rows promoted BACK for twin-covered families: the
     # exact quadratic kNN baseline, the MinHash-LSH pair list (exact-
     # Jaccard oracle), the persisted-ANN lifecycle diff, and the
@@ -485,9 +486,22 @@ _PROMOTED = [
     # products, measured 1.6e-3 sign margin vs <=1e-12 sum-order
     # divergence). Slot funded by demoting dedup_simhash_md5_pairs.
     "ann_srp_md5_candidates",
+    # round-14 late addition: compaction maintenance under the driver
+    # gate — micro-batch ingest debris coalesced with an asserted
+    # file-count drop while the BFL query result and the id sequence
+    # stay IDENTICAL across the atomic swap (the equivalence contract
+    # that makes compaction safe on a live log). Slot funded by
+    # demoting bpe_first_merge.
+    "log_compact_roundtrip",
 ]
 
 _DEMOTED = [
+    # round-14 late demotion (funds log_compact_roundtrip):
+    "bpe_first_merge",  # green r12-r13; the trainer's tokenize/top-V/
+    # pair-count/argmax entry path stays pinned by those rounds + the
+    # pytest losslessness/monotonicity gates, and the text family
+    # keeps text_fertility_verified in-window (full SQL oracle over
+    # the BPE encode at its char-level fixed point)
     # round-14 late demotion (funds ann_srp_md5_candidates):
     "dedup_simhash_md5_pairs",  # green r12-r13; the md5-hash-family
     # twin discipline it introduced stays in-window via

@@ -245,6 +245,9 @@ LIFECYCLE_ONCE = [
     # round-14 late: /flush + /reset driver row (three ingest phases
     # against a durable temp log) — same lifecycle policy
     "flush_reset_roundtrip",
+    # round-14 late: compaction roundtrip (10 micro-batch inserts +
+    # the compaction rewrite + a post-compact insert) — same policy
+    "log_compact_roundtrip",
 ]
 
 # Bench-only variants of registered entries (reduced dev slices, probe

@@ -334,7 +334,9 @@ def test_extension_surface_inside_window():
         # dedup_simhash_md5_pairs: demoted round 14 late (funds
         # ann_srp_md5_candidates; the md5-twin discipline stays
         # in-window via minhash_md5_bands + srp_md5_candidates)
-        "bpe_first_merge",
+        # bpe_first_merge: demoted round 14 late (funds
+        # log_compact_roundtrip; losslessness stays pytest-pinned and
+        # text_fertility_verified keeps the encode path in-window)
         # knn_graph_exact: demoted round 13 late (re-executed every
         # round inside knn_graph_verified's verify phase)
         # dedup_minhash_lsh: demoted round 14 (md5_bands stays)
@@ -394,6 +396,9 @@ def test_extension_surface_inside_window():
         # round-14 late: SRP-LSH candidate generation under the
         # md5-twin discipline (ANN sibling of minhash_md5_bands)
         "ann_srp_md5_candidates",
+        # round-14 late: compaction maintenance — query equivalence +
+        # id continuity across the atomic directory swap
+        "log_compact_roundtrip",
     }
     missing = required - set(names)
     assert not missing, f"extension entries outside the window: {missing}"
