@@ -408,19 +408,20 @@ def simhash_near_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # payload bucket_pairs (round 14): the banded self-join planned as
+    # BroadcastHashJoin, so the simhash vote lineage ran once per side
+    # (no exchange reuse); the grouped expansion runs it once and the
+    # fingerprint rides along as pair payload
+    p = bucket_pairs(banded, ["band", "bh"], "doc_id", payload=["simhash"])
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+        p.select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -495,19 +496,19 @@ def simhash_md5_near_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # payload bucket_pairs (round 14): same rationale as
+    # simhash_near_pairs — one evaluation of the 60 md5 votes per
+    # token, fingerprint carried as pair payload
+    p = bucket_pairs(banded, ["band", "bh"], "doc_id", payload=["simhash"])
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+        p.select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -812,26 +812,24 @@ def hamming_near_dup(
             )
         ).alias("band_idx", "band_val"),
     )
-    if bucket_cap is not None:
-        from pyspark.sql import Window
+    # payload bucket_pairs (round 14): the banded self-join planned as
+    # BroadcastHashJoin, so the upstream DECODE/fingerprint UDF ran
+    # once per join side (no exchange reuse); the grouped expansion
+    # decodes once, the cap becomes a size filter, and the
+    # fingerprints ride along as pair payload
+    from .util import bucket_pairs
 
-        w_df = Window.partitionBy("band_idx", "band_val")
-        bands = (
-            bands.withColumn("_df", F.count(F.lit(1)).over(w_df))
-            .filter(F.col("_df") <= bucket_cap)
-            .drop("_df")
-        )
-    a, b = bands.alias("a"), bands.alias("b")
+    p = bucket_pairs(
+        bands,
+        ["band_idx", "band_val"],
+        "doc_id",
+        cap=bucket_cap,
+        payload=["h"],
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+        p.select(
+            F.col("a._id").alias("doc_id_a"),
+            F.col("b._id").alias("doc_id_b"),
             F.col("a.h").alias("h_a"),
             F.col("b.h").alias("h_b"),
         )

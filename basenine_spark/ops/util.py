@@ -184,7 +184,7 @@ class timed_phase:
         return False
 
 
-def bucket_pairs(banded, keys, id_col, cap=None):
+def bucket_pairs(banded, keys, id_col, cap=None, payload=()):
     """Candidate pairs from co-bucketed rows — ONE groupBy + in-bucket
     pair expansion instead of a keyed self-join (round 14).
 
@@ -197,14 +197,24 @@ def bucket_pairs(banded, keys, id_col, cap=None):
     join it replaces, and a capped bucket bounds the grouped list the
     same way it bounded the join's per-key output.
 
-    ``banded``: rows of (*keys, id_col); returns (a, b) with a < b
-    (ids sorted within the bucket), NOT globally distinct — callers
-    dedup across buckets/bands themselves, as before.
+    ``banded``: rows of (*keys, id_col); returns (a, b) with a < b,
+    NOT globally distinct — callers dedup across buckets/bands
+    themselves, as before. With ``payload`` columns each side is a
+    struct ``(_id, *payload)`` (ordered by ``a._id < b._id``) so
+    per-pair verification columns ride along without a re-join
+    against the expensive upstream.
     """
     from pyspark.sql import DataFrame  # noqa: F401  (doc only)
 
+    item = (
+        F.struct(
+            F.col(id_col).alias("_id"), *[F.col(c) for c in payload]
+        )
+        if payload
+        else F.col(id_col)
+    )
     grouped = banded.groupBy(*keys).agg(
-        F.collect_list(id_col).alias("_ids")
+        F.collect_list(item).alias("_ids")
     )
     if cap is not None:
         grouped = grouped.filter(F.size("_ids") <= cap)
@@ -214,8 +224,10 @@ def bucket_pairs(banded, keys, id_col, cap=None):
     # measured ~2x SLOWER than the join it replaced on big buckets
     # (md5 2-row bands at sf0.1) — the double explode stays inside
     # whole-stage codegen and the b² intermediate is filtered in place
-    return (
+    out = (
         grouped.select(F.explode("_ids").alias("a"), F.col("_ids"))
         .select("a", F.explode("_ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
     )
+    if payload:
+        return out.filter(F.col("a._id") < F.col("b._id"))
+    return out.filter(F.col("a") < F.col("b"))
