@@ -761,9 +761,12 @@ def _log_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = db.insert_json(
             [_json.dumps({"event_id": -1, "event_type": "click"})]
         )
-        assert ids == [index_to_id(500)], (
+        # len(rows), not a literal 500: the nulls-fuzz twin corpus has
+        # fewer event_id < 500 rows (NULLed ids), and the id-continuity
+        # contract is about the count actually INSERTED
+        assert ids == [index_to_id(len(rows))], (
             "id sequence must CONTINUE across the compaction swap: "
-            f"{ids} vs {index_to_id(500)}"
+            f"{ids} vs {index_to_id(len(rows))}"
         )
         data = [
             (r["event_id"],)
