@@ -154,17 +154,31 @@ class DocumentLog:
         insertion_filter_text: str = "",
         shred_schema: Optional[T.StructType] = None,
     ) -> list[str]:
-        """Distributed ingest of one batch: validate → insertion filter
+        """Ingest of one wire batch: validate → insertion filter
         (+redact) → contiguous id assignment → Parquet append.
 
-        All per-record work (JSON parse, BFL eval, redact rewrite) runs
-        in executors over Arrow batches; the driver only advances the
-        sequence counter, mirroring the reference's single mutex-guarded
-        counter (``native.go:302``). Invalid JSON anywhere in the batch
-        fails the whole batch before any id is assigned (all-or-none; a
-        bad line must not orphan ids — see ADVICE r1)."""
+        A wire batch is DRIVER-RESIDENT by construction (the server
+        holds what it read off the socket), and validation already
+        parses every line on the driver — so batches up to
+        ``BN_DRIVER_STAMP_MAX`` lines (default 65536) are filtered and
+        stamped in that same driver pass and written with ONE Spark job
+        (optimization guide §1.2/§4: the per-record work is microseconds
+        of json round-trip; the old 3-job pickled-RDD pipeline was pure
+        scheduling overhead at wire batch sizes). Larger batches keep
+        the distributed path: per-record work in executors, the driver
+        advancing only the sequence counter (``native.go:302``).
+        Invalid JSON anywhere in the batch fails the whole batch before
+        any id is assigned (all-or-none; a bad line must not orphan ids
+        — see ADVICE r1). Both paths produce byte-identical rows: same
+        json round-trip normalization, same id injection, same doc_ts
+        extraction."""
         if not lines:
             return []
+        max_driver = int(os.environ.get("BN_DRIVER_STAMP_MAX", "65536"))
+        if len(lines) <= max_driver:
+            return self._append_driver(
+                lines, insertion_filter_text, shred_schema
+            )
         for line in lines:  # cheap driver-side validation, all-or-none
             json.loads(line)
 
@@ -233,6 +247,83 @@ class DocumentLog:
         self._maybe_rotate()
         return ids
 
+    def _append_driver(
+        self,
+        lines: list[str],
+        insertion_filter_text: str = "",
+        shred_schema: Optional[T.StructType] = None,
+    ) -> list[str]:
+        """Driver-pass stamp + one-job write for wire-sized batches.
+
+        Semantics identical to the distributed path: ``json.loads`` of
+        every line first (all-or-none ValueError before any id), the
+        same BFL ``eval_query`` per line for the insertion filter
+        (+redact), the same loads → inject ``id`` → compact-dumps
+        normalization of the stored ``value``, the same ``timestamp``
+        → ``doc_ts`` extraction. The batch lands as ONE parquet file
+        (vs one per task slice) — fewer files per micro-batch is the
+        guide-§6 layout the ``compact()`` maintenance op otherwise has
+        to repair."""
+        objs = [json.loads(line) for line in lines]  # all-or-none
+        if insertion_filter_text:
+            from ..bfl import parse as _parse
+            from ..bfl.pyeval import eval_query as _eval
+
+            parsed = _parse(insertion_filter_text)
+            survivors = []
+            for line in lines:
+                truth, doc = _eval(parsed, line)
+                if truth:
+                    survivors.append(json.loads(doc))
+            objs = survivors
+
+        base = self._count
+        written = len(objs)
+        seqs: list[int] = []
+        rids: list[str] = []
+        values: list[str] = []
+        doc_tss: list[Optional[int]] = []
+        for i, obj in enumerate(objs):
+            seq = base + i
+            rid = "%024d" % seq
+            obj["id"] = rid
+            ts = obj.get("timestamp")
+            doc_tss.append(
+                int(ts)
+                if isinstance(ts, (int, float)) and not isinstance(ts, bool)
+                else None
+            )
+            seqs.append(seq)
+            rids.append(rid)
+            values.append(json.dumps(obj, separators=(",", ":")))
+
+        if written:
+            import pyarrow as pa
+
+            part = self._part
+            tbl = pa.table(
+                {
+                    "seq": pa.array(seqs, pa.int64()),
+                    "id": pa.array(rids, pa.string()),
+                    "value": pa.array(values, pa.string()),
+                    "doc_ts": pa.array(doc_tss, pa.int64()),
+                    "part": pa.array([part] * written, pa.int64()),
+                }
+            )
+            out = self.spark.createDataFrame(tbl).coalesce(1)
+            if shred_schema is not None and shred_schema.fields:
+                out = out.withColumn(
+                    "doc", F.from_json(F.col("value"), shred_schema)
+                )
+            out.write.mode("append").partitionBy("part").parquet(self.path)
+
+        ids = ["%024d" % (base + i) for i in range(written)]
+        self._count = base + written
+        if written and self.retention_bytes > 0:
+            self._refresh_part_ts(self._part)
+        self._maybe_rotate()
+        return ids
+
     def append_df(
         self,
         df,
@@ -261,80 +352,169 @@ class DocumentLog:
         predicate (the pure-filter fast path in
         ``BasenineDB._bulk_filter_column``) — the per-line Python
         validation parse is skipped; only the id-stamping stage runs
-        in Python."""
-        rdd = df.rdd.map(lambda r: r[0])
+        in Python.
+
+        Dataflow (optimization guide §4: Arrow batches, never pickled
+        rows): the lines DataFrame gains its physical partition id as
+        a column, the validation/filter stage is an Arrow
+        ``mapInPandas`` pass, one tiny JVM aggregation turns
+        per-partition survivor counts into contiguous id offsets, and
+        a second Arrow pass stamps ``(seq, id, value, doc_ts)`` and
+        feeds the parquet append directly — two jobs total, no
+        ``df.rdd`` pickling anywhere. Ids still follow the
+        DataFrame's partition order (offsets are the prefix sums the
+        old ``zipWithIndex`` computed)."""
+        col0 = df.columns[0]
+        work = df.select(F.col(col0).alias("value")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
 
         if insertion_filter_text:
             flt_text = insertion_filter_text
 
-            def apply_filter(part_it: Iterator[str]) -> Iterator[str]:
+            def apply_filter(batches):
+                import pandas as pd
+
                 from ..bfl import parse as _parse
                 from ..bfl.pyeval import eval_query as _eval
 
                 parsed = _parse(flt_text)
-                for line in part_it:
-                    # eval parses every line — malformed JSON raises
-                    # here, failing the batch before any id exists
-                    truth, doc = _eval(parsed, line)
-                    if truth:
-                        yield doc
+                for b in batches:
+                    vals: list[str] = []
+                    pids: list[int] = []
+                    for line, pid in zip(b["value"], b["_pid"]):
+                        # eval parses every line — malformed JSON
+                        # raises here, in the count job, failing the
+                        # batch before any id exists or file lands
+                        truth, doc = _eval(parsed, line)
+                        if truth:
+                            vals.append(doc)
+                            pids.append(pid)
+                    yield pd.DataFrame({"value": vals, "_pid": pids})
 
-            rdd = rdd.mapPartitions(apply_filter)
+            work = work.mapInPandas(apply_filter, "value string, _pid int")
         elif not prevalidated:
 
-            def validate(part_it: Iterator[str]) -> Iterator[str]:
+            def validate(batches):
                 import json as _json
 
-                for line in part_it:
-                    _json.loads(line)  # all-or-none, executor-side
-                    yield line
+                for b in batches:
+                    for line in b["value"]:
+                        _json.loads(line)  # all-or-none, executor-side
+                    yield b
 
-            rdd = rdd.mapPartitions(validate)
+            work = work.mapInPandas(validate, "value string, _pid int")
 
         base = self._count
-        # MEMORY_AND_DISK, not the RDD-default MEMORY_ONLY: a backfill
-        # batch larger than cluster memory must SPILL between the
-        # count/validation job and the zipWithIndex+write job — an
-        # evicted MEMORY_ONLY partition would silently recompute from
-        # the source (correct but a second full read of a huge input)
+        # MEMORY_AND_DISK, not MEMORY_ONLY: a backfill batch larger
+        # than cluster memory must SPILL between the count/validation
+        # job and the stamp+write job — an evicted MEMORY_ONLY
+        # partition would silently recompute from the source (correct
+        # but a second full read of a huge input)
         from pyspark import StorageLevel
 
-        rdd = rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        written = rdd.count()
-        with_idx = rdd.zipWithIndex()
+        work = work.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            counts = {
+                int(r["_pid"]): int(r["n"])
+                for r in work.groupBy("_pid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            offsets: dict[int, int] = {}
+            acc = base
+            for p in sorted(counts):
+                offsets[p] = acc
+                acc += counts[p]
+            written = acc - base
 
-        def stamp(pairs: Iterator[tuple]) -> Iterator[tuple]:
-            import json as _json
-
-            for doc, idx in pairs:
-                seq = base + idx
-                obj = _json.loads(doc)
-                rid = "%024d" % seq
-                obj["id"] = rid
-                ts = obj.get("timestamp")
-                doc_ts = (
-                    int(ts)
-                    if isinstance(ts, (int, float))
-                    and not isinstance(ts, bool)
-                    else None
+            if written:
+                bc = self.spark.sparkContext.broadcast(offsets)
+                part = self._part
+                # file sizing (guide §6): the cached batch keeps its
+                # full shuffle-partition fan-out (AQE does not coalesce
+                # cached plans), which would leave one tiny parquet
+                # file per partition and tax every later scan of the
+                # log — pack ⌈written/target⌉ write tasks. Coalesce
+                # BEFORE the Python stage: the Arrow conversion pays a
+                # fixed cost per PARENT partition when many cached
+                # blocks drain through one task's runner (measured
+                # ~170 ms each), while a pre-coalesced stage streams
+                # once. Coalesce concatenates parent partitions in
+                # index order, so ids still follow the input order —
+                # and the stamp guards that assumption loudly.
+                n_files = max(
+                    1,
+                    -(-written // int(
+                        os.environ.get("BN_INGEST_ROWS_PER_FILE", "32768")
+                    )),
                 )
-                yield (
-                    seq,
-                    rid,
-                    _json.dumps(obj, separators=(",", ":")),
-                    doc_ts,
-                )
 
-        part = self._part
-        rows = with_idx.mapPartitions(stamp).map(lambda r: r + (part,))
-        out = self.spark.createDataFrame(rows, LOG_SCHEMA)
-        if shred_schema is not None and shred_schema.fields:
-            out = out.withColumn(
-                "doc", F.from_json(F.col("value"), shred_schema)
-            )
-        if written:
-            out.write.mode("append").partitionBy("part").parquet(self.path)
-        rdd.unpersist()
+                def stamp(batches):
+                    import json as _json
+
+                    import pandas as pd
+
+                    cur_pid = None
+                    seq = 0
+                    seen: set[int] = set()
+                    for b in batches:
+                        if len(b) == 0:
+                            continue
+                        out_seq: list[int] = []
+                        out_id: list[str] = []
+                        out_val: list[str] = []
+                        out_ts: list[Optional[int]] = []
+                        for line, pid in zip(b["value"], b["_pid"]):
+                            pid = int(pid)
+                            if pid != cur_pid:
+                                if pid in seen:
+                                    raise RuntimeError(
+                                        "coalesced stamp saw partition "
+                                        f"{pid} twice — parent order "
+                                        "not contiguous; id assignment "
+                                        "would be wrong"
+                                    )
+                                seen.add(pid)
+                                cur_pid = pid
+                                seq = bc.value[pid]
+                            obj = _json.loads(line)
+                            rid = "%024d" % seq
+                            obj["id"] = rid
+                            ts = obj.get("timestamp")
+                            out_ts.append(
+                                int(ts)
+                                if isinstance(ts, (int, float))
+                                and not isinstance(ts, bool)
+                                else None
+                            )
+                            out_seq.append(seq)
+                            out_id.append(rid)
+                            out_val.append(
+                                _json.dumps(obj, separators=(",", ":"))
+                            )
+                            seq += 1
+                        yield pd.DataFrame(
+                            {
+                                "seq": out_seq,
+                                "id": out_id,
+                                "value": out_val,
+                                "doc_ts": out_ts,
+                            }
+                        )
+
+                out = work.coalesce(n_files).mapInPandas(
+                    stamp, "seq long, id string, value string, doc_ts long"
+                ).withColumn("part", F.lit(part).cast("long"))
+                if shred_schema is not None and shred_schema.fields:
+                    out = out.withColumn(
+                        "doc", F.from_json(F.col("value"), shred_schema)
+                    )
+                out.write.mode("append").partitionBy("part").parquet(
+                    self.path
+                )
+        finally:
+            work.unpersist()
 
         self._count = base + written
         if written and self.retention_bytes > 0:

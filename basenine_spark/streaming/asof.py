@@ -50,17 +50,25 @@ def attribution_join_stream(
     from ..engine.log import LOG_SCHEMA
 
     def side(event_type: str, alias: str):
+        # single from_json parse per row (was 4 get_json_object, each
+        # a full re-parse — guide §4); string fields keep the literal
+        # coercion, so values match the old pipeline byte-for-byte
         stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
         return (
             stream.select(
-                F.get_json_object("value", f"$.{user_field}").alias(
-                    f"{alias}_user"
-                ),
-                F.get_json_object("value", "$.event_type").alias("et"),
+                F.from_json(
+                    "value",
+                    f"`{user_field}` string, event_type string, "
+                    "ts_ms string, id string",
+                ).alias("d")
+            )
+            .select(
+                F.col(f"d.`{user_field}`").alias(f"{alias}_user"),
+                F.col("d.event_type").alias("et"),
                 F.timestamp_millis(
-                    F.get_json_object("value", "$.ts_ms").cast("long")
+                    F.col("d.ts_ms").cast("long")
                 ).alias(f"{alias}_time"),
-                F.get_json_object("value", "$.id").alias(f"{alias}_id"),
+                F.col("d.id").alias(f"{alias}_id"),
             )
             .filter(F.col("et") == event_type)
             .drop("et")

@@ -54,14 +54,23 @@ def incident_exposure_stream(
     grid_ms = grid_minutes * 60_000
 
     def raw(alias: str):
+        # ONE from_json per row instead of four get_json_object calls —
+        # each get_json_object re-parses the whole document (guide §4:
+        # don't repeat per-row work). String-typed fields coerce JSON
+        # scalars to the same literal text get_json_object produced, so
+        # every downstream value (including the later casts) is
+        # byte-identical.
         stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
         return stream.select(
-            F.get_json_object("value", "$.event_type").alias("et"),
-            F.get_json_object("value", "$.user").alias(f"{alias}_user"),
-            F.get_json_object("value", "$.ts_ms").cast("long").alias(
-                f"{alias}_ms"
-            ),
-            F.get_json_object("value", "$.id").alias(f"{alias}_id"),
+            F.from_json(
+                "value",
+                "event_type string, user string, ts_ms string, id string",
+            ).alias("d")
+        ).select(
+            F.col("d.event_type").alias("et"),
+            F.col("d.user").alias(f"{alias}_user"),
+            F.col("d.ts_ms").cast("long").alias(f"{alias}_ms"),
+            F.col("d.id").alias(f"{alias}_id"),
         )
 
     errors = (

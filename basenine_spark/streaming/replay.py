@@ -34,9 +34,11 @@ shape relied on.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +47,41 @@ from pyspark.sql.window import Window
 
 from ..engine.db import BasenineDB
 from ..sources.tables import load_table
+
+
+@contextmanager
+def _stream_partitions(spark: SparkSession, n_rows: int):
+    """Scale-adaptive state partitioning for a replayed stream (guide
+    §2.2: fewer, larger partitions — here fewer STATE STORE instances).
+
+    Stateful micro-batch cost is dominated by per-instance state-store
+    commits (delta file + fsync per store per batch), which scale with
+    the shuffle-partition count, not the data: the measured exposure
+    replay spent ~56 s of cumulative commit time across 128 instances
+    for ~120k state rows. Size the stream's shuffle partitions to the
+    replayed volume (``BN_STREAM_ROWS_PER_PARTITION`` rows per
+    partition, default 16384), never ABOVE the session default — a
+    cluster-sized session keeps its parallelism; only the
+    small-relative-to-default replays shed empty state instances. The
+    conf is restored after the stream is planned; the partition count
+    is pinned into the query's checkpoint by Spark, and every replay
+    projection is partition-count invariant (sets / per-key folds /
+    final aggregates)."""
+    target = max(1, int(os.environ.get("BN_STREAM_ROWS_PER_PARTITION",
+                                       "16384")))
+    floor = max(1, int(os.environ.get("BN_STREAM_MIN_PARTITIONS", "8")))
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    # volume-derived, but floored: a stream whose per-row work is
+    # CPU-bound Python (applyInPandasWithState folds) still needs
+    # compute parallelism even when its state would fit one store —
+    # measured: semdedup at 1 partition serialized its per-cluster
+    # cosine folds and LOST more than the commit overhead saved
+    n = min(int(cur), max(floor, -(-int(n_rows) // target)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
 
 
 def kanon_replay(
@@ -76,14 +113,15 @@ def kanon_replay(
             )
             .orderBy("j")
         )
-        _ingest(db, ev)
-        sq = k_anonymity_stream(
-            db, k=k, query_name=qname, checkpoint=f"{tmp}/ckpt"
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, ev)
+        with _stream_partitions(spark, n_in):
+            sq = k_anonymity_stream(
+                db, k=k, query_name=qname, checkpoint=f"{tmp}/ckpt"
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         # memory-sink table: in-memory after stop, safe past tmp cleanup
         return spark.sql(
             f"""
@@ -207,18 +245,19 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("j")
         )
-        _ingest(db, docs)
-        sq = dedup_stream(
-            db,
-            json_key="$.text",
-            horizon_seconds=86_400 * 365,
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, docs)
+        with _stream_partitions(spark, n_in):
+            sq = dedup_stream(
+                db,
+                json_key="$.text",
+                horizon_seconds=86_400 * 365,
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         return spark.sql(
             f"SELECT content_hash AS content_key FROM {qname} "
             "ORDER BY content_key"
@@ -246,18 +285,19 @@ def windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": "event_id", "event_type": "event_type",
              "ts_ms": "ts_ms"},
         )
-        _ingest(db, ev)
-        sq = windowed_counts_stream(
-            db,
-            window="1 hour",
-            watermark="10 minutes",
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, ev)
+        with _stream_partitions(spark, n_in):
+            sq = windowed_counts_stream(
+                db,
+                window="1 hour",
+                watermark="10 minutes",
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT window_start_ms,
@@ -299,14 +339,15 @@ def source_cap_replay(
             )
             .orderBy("j")
         )
-        _ingest(db, docs)
-        sq = source_cap_admit_stream(
-            db, cap=cap, query_name=qname, checkpoint=f"{tmp}/ckpt"
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, docs)
+        with _stream_partitions(spark, n_in):
+            sq = source_cap_admit_stream(
+                db, cap=cap, query_name=qname, checkpoint=f"{tmp}/ckpt"
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT source,
@@ -340,12 +381,13 @@ def rfm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             {"user_id": "user_id", "ts_ms": "ts_ms", "value": "value"},
         )
-        _ingest(db, ev)
-        sq = rfm_stream(db, query_name=qname, checkpoint=f"{tmp}/ckpt")
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, ev)
+        with _stream_partitions(spark, n_in):
+            sq = rfm_stream(db, query_name=qname, checkpoint=f"{tmp}/ckpt")
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         final = (
             spark.table(qname)
             .withColumn(
@@ -392,17 +434,18 @@ def sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             require=("user_id",),
         )
         n_ingested = _ingest(db, ev)
-        sq = session_stream(
-            db,
-            gap_minutes=30,
-            idle_timeout_seconds=86_400,
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            _drain_stateful(sq, expected_rows=n_ingested)
-        finally:
-            sq.stop()
+        with _stream_partitions(spark, n_ingested):
+            sq = session_stream(
+                db,
+                gap_minutes=30,
+                idle_timeout_seconds=86_400,
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                _drain_stateful(sq, expected_rows=n_ingested)
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT user_id, session_start_ms, session_end_ms, n_events
@@ -433,24 +476,25 @@ def quality_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": "event_id", "event_type": "event_type",
              "ts_ms": "ts_ms", "value": "value"},
         )
-        _ingest(db, ev)
-        sq = quality_monitor_stream(
-            db,
-            rules={
-                "v_value": F.col("value") >= 0,
-                "v_type": F.col("event_type").isin(
-                    "click", "view", "purchase", "signup", "error"
-                ),
-            },
-            window="1 hour",
-            watermark="10 minutes",
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, ev)
+        with _stream_partitions(spark, n_in):
+            sq = quality_monitor_stream(
+                db,
+                rules={
+                    "v_value": F.col("value") >= 0,
+                    "v_type": F.col("event_type").isin(
+                        "click", "view", "purchase", "signup", "error"
+                    ),
+                },
+                window="1 hour",
+                watermark="10 minutes",
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT window_start_ms,
@@ -486,19 +530,20 @@ def asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user": "user_id", "event_type": "event_type",
              "ts_ms": "ts_ms"},
         )
-        _ingest(db, ev)
-        sq = attribution_join_stream(
-            db,
-            horizon_minutes=30,
-            watermark="10 minutes",
-            user_field="user",
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, ev)
+        with _stream_partitions(spark, n_in):
+            sq = attribution_join_stream(
+                db,
+                horizon_minutes=30,
+                watermark="10 minutes",
+                user_field="user",
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT CAST(purchase_user AS BIGINT) AS purchase_user,
@@ -556,7 +601,7 @@ def semdedup_replay_contract(
                 F.col("embedding").cast("array<double>").alias("e"),
             )
         )
-        _ingest(db, 
+        n_in = _ingest(db,
             emb.orderBy("vec_id").select(
                 F.to_json(
                     F.struct(
@@ -568,18 +613,19 @@ def semdedup_replay_contract(
         cents = _kmeans_centroids(
             load_embeddings(spark, sf_dir), "embedding", k, iters
         )
-        sq = semantic_admit_stream(
-            db,
-            cents,
-            threshold=threshold,
-            max_kept=1_000_000,
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        with _stream_partitions(spark, n_in):
+            sq = semantic_admit_stream(
+                db,
+                cents,
+                threshold=threshold,
+                max_kept=1_000_000,
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         admitted = spark.sql(
             f"SELECT vec_id, cluster FROM {qname}"
         ).localCheckpoint(eager=True)
@@ -664,7 +710,7 @@ def dsir_replay_contract(
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
-        _ingest(db, 
+        n_in = _ingest(db,
             docs.select(
                 F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
                     "j"
@@ -674,13 +720,14 @@ def dsir_replay_contract(
         model = train_dsir_model(
             docs, F.col("lang") == "fr", n_buckets=4096
         )
-        sq = dsir_admit_stream(
-            db, model, threshold=threshold, query_name=qname
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        with _stream_partitions(spark, n_in):
+            sq = dsir_admit_stream(
+                db, model, threshold=threshold, query_name=qname
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         stream_rows = spark.sql(
             f"SELECT doc_id, dsir_weight, n_tokens FROM {qname}"
         ).localCheckpoint(eager=True)
@@ -761,7 +808,7 @@ def anomaly_replay_contract(
         ev = load_table(spark, sf_dir, "events").filter(
             F.col("event_id").isNotNull()
         )
-        _ingest(db, 
+        n_in = _ingest(db,
             ev.orderBy("event_id").select(
                 F.to_json(
                     F.struct(
@@ -772,17 +819,18 @@ def anomaly_replay_contract(
                 ).alias("j")
             )
         )
-        sq = anomaly_stream(
-            db,
-            z_threshold=z_threshold,
-            min_n=min_n,
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        with _stream_partitions(spark, n_in):
+            sq = anomaly_stream(
+                db,
+                z_threshold=z_threshold,
+                min_n=min_n,
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         stream_rows = spark.sql(
             f"SELECT event_id, event_type, zscore FROM {qname}"
         ).localCheckpoint(eager=True)
@@ -863,7 +911,7 @@ def blocklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
-        _ingest(db, 
+        n_in = _ingest(db,
             docs.select(
                 F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias(
                     "j"
@@ -875,18 +923,19 @@ def blocklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             F.lit(None).cast("array<float>").alias("embedding"),
         )
-        sq = blocklist_gate_stream(
-            db,
-            block,
-            tau_cos=0.9,
-            tau_jac=0.5,
-            n=3,
-            query_name=qname,
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        with _stream_partitions(spark, n_in):
+            sq = blocklist_gate_stream(
+                db,
+                block,
+                tau_cos=0.9,
+                tau_jac=0.5,
+                n=3,
+                query_name=qname,
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT doc_id, block_id, jaccard
@@ -920,21 +969,22 @@ def funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             require=("user_id",),
         )
         n_ingested = _ingest(db, ev)
-        sq = funnel_stream(
-            db,
-            steps=("view", "click", "purchase"),
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-            order_tolerance_ms=0,
-        )
-        try:
-            # the ProcessingTimeTimeout MODE alone keeps the engine in
-            # the no-data cleanup-commit loop even though tolerance=0
-            # never registers a per-key timeout — drain by input-row
-            # accounting, as in sessions_replay
-            _drain_stateful(sq, expected_rows=n_ingested)
-        finally:
-            sq.stop()
+        with _stream_partitions(spark, n_ingested):
+            sq = funnel_stream(
+                db,
+                steps=("view", "click", "purchase"),
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+                order_tolerance_ms=0,
+            )
+            try:
+                # the ProcessingTimeTimeout MODE alone keeps the engine
+                # in the no-data cleanup-commit loop even though
+                # tolerance=0 never registers a per-key timeout — drain
+                # by input-row accounting, as in sessions_replay
+                _drain_stateful(sq, expected_rows=n_ingested)
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT user_id, step_idx, ts_ms
@@ -969,8 +1019,8 @@ def exposure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # phase split (bench budgets): "ingest" is the harness loading
         # the corpus into a durable log; "stream" is the production
         # stream-stream join run to exhaustion
-        _ingest(db, ev)
-        with timed_phase("stream"):
+        n_in = _ingest(db, ev)
+        with timed_phase("stream"), _stream_partitions(spark, n_in):
             sq = incident_exposure_stream(
                 db,
                 pad_minutes=5,
@@ -1018,17 +1068,18 @@ def sentence_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("j")
         )
-        _ingest(db, docs)
-        sq = sentence_scrub_stream(
-            db,
-            horizon_seconds=86_400,  # covers any replay wall-clock
-            query_name=qname,
-            checkpoint=f"{tmp}/ckpt",
-        )
-        try:
-            sq.processAllAvailable()
-        finally:
-            sq.stop()
+        n_in = _ingest(db, docs)
+        with _stream_partitions(spark, n_in):
+            sq = sentence_scrub_stream(
+                db,
+                horizon_seconds=86_400,  # covers any replay wall-clock
+                query_name=qname,
+                checkpoint=f"{tmp}/ckpt",
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
         return spark.sql(
             f"""
             SELECT md5(lower(sentence)) AS sent_key

@@ -59,12 +59,16 @@ def sentence_scrub_stream(
     from ..engine.log import LOG_SCHEMA
 
     stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+    # single from_json parse (was 2 get_json_object re-parses per row)
     docs = stream.select(
-        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
-        F.get_json_object("value", "$.text").alias("text"),
+        F.from_json("value", "doc_id string, text string").alias("d"),
         F.coalesce(
             F.timestamp_millis(F.col("doc_ts")), F.current_timestamp()
         ).alias("ingest_ts"),
+    ).select(
+        F.col("d.doc_id").cast("long").alias("doc_id"),
+        F.col("d.text").alias("text"),
+        "ingest_ts",
     ).filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     sents = docs.select(
         "doc_id",

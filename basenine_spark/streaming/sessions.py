@@ -124,10 +124,18 @@ def session_stream(
     from ..engine.log import LOG_SCHEMA
 
     stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
-    events = stream.select(
-        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
-        F.get_json_object("value", "$.ts_ms").cast("long").alias("ts_ms"),
-    ).filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
+    # single from_json parse (was 2 get_json_object re-parses per row);
+    # string fields + the same casts keep values byte-identical
+    events = (
+        stream.select(
+            F.from_json("value", "user_id string, ts_ms string").alias("d")
+        )
+        .select(
+            F.col("d.user_id").cast("long").alias("user_id"),
+            F.col("d.ts_ms").cast("long").alias("ts_ms"),
+        )
+        .filter(F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull())
+    )
     sessions = events.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_minutes * 60_000, idle_timeout_seconds * 1000),
         SESSION_SCHEMA,
