@@ -384,13 +384,21 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    sim: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
     (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), join on a
     band, verify with ``bit_count(xor) ≤ max_hamming``. Bucketed — the
-    join key is the 16-bit band, never all-pairs."""
-    sim = simhash64(spark, sf_dir)
+    join key is the 16-bit band, never all-pairs.
+
+    ``sim`` accepts a precomputed (doc_id, simhash) table (e.g. the
+    contract row's checkpointed copy) so the vote aggregation is not
+    evaluated a second time; default recomputes it."""
+    if sim is None:
+        sim = simhash64(spark, sf_dir)
     banded = sim.select(
         "doc_id",
         "simhash",
@@ -705,7 +713,12 @@ def simhash_contract(
         .agg(F.coalesce(F.sum("mm"), F.lit(0)).alias("mm"))
         .collect()[0]["mm"]
     )
-    pairs = simhash_near_pairs(spark, sf_dir, max_hamming=max_hamming)
+    # reuse the checkpointed hash table — simhash64 is deterministic,
+    # so the pairs are identical and the vote aggregation (the row's
+    # most expensive subtree) runs once instead of twice
+    pairs = simhash_near_pairs(
+        spark, sf_dir, max_hamming=max_hamming, sim=sims
+    )
     a, b = sims.alias("a"), F.broadcast(sims).alias("b")
     brute3 = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1466,22 +1479,34 @@ def dedup_operating_curve(
     """
     if min(grid) < t_min:
         raise ValueError("grid points must be >= t_min")
-    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=t_min).cache()
-    rows = []
-    for t in grid:
-        at_t = pairs.filter(F.col("jaccard") >= t)
-        agg = at_t.agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=t_min)
+    # ONE aggregation job for the whole grid (was one collect per grid
+    # point over a cached pair list — |grid| scheduled jobs for an
+    # O(grid) aggregate; guide §1.2). collect_list skips the NULLs the
+    # unmatched WHEN produces, so each threshold's doc set is exactly
+    # the old filtered collect's.
+    aggs = []
+    for i, t in enumerate(grid):
+        hit = F.col("jaccard") >= t
+        aggs.append(
+            F.count(F.when(hit, F.lit(1))).alias(f"np_{i}")
+        )
+        aggs.append(
             F.size(
                 F.array_distinct(
                     F.flatten(
-                        F.collect_list(F.array("doc_a", "doc_b"))
+                        F.collect_list(
+                            F.when(hit, F.array("doc_a", "doc_b"))
+                        )
                     )
                 )
-            ).alias("n_docs"),
-        ).collect()[0]
-        rows.append((float(t), int(agg["n_pairs"]), int(agg["n_docs"])))
-    pairs.unpersist()
+            ).alias(f"nd_{i}")
+        )
+    agg = pairs.agg(*aggs).collect()[0]
+    rows = [
+        (float(t), int(agg[f"np_{i}"]), int(agg[f"nd_{i}"]))
+        for i, t in enumerate(grid)
+    ]
     return spark.createDataFrame(
         rows, "threshold double, n_pairs bigint, n_docs_in_pairs bigint"
     )
@@ -1527,9 +1552,15 @@ def cluster_density_stats(
     # cluster-stage consumers — the PPJoin stage is the dominant cost
     if edges is None:
         edges = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    # materialize the pair list ONCE: it feeds both the component
+    # labeling (which re-caches the tiny materialized rows, not the
+    # PPJoin lineage) and the degree/orientation stages — previously
+    # each consumer evaluated the full PPJoin again (guide §1.2: don't
+    # compute things twice)
+    edges = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
     e = edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).cache()
+    )
     comp = connected_components(edges)
     deg = (
         e.select(F.col("u").alias("node"))

@@ -2433,8 +2433,21 @@ def kcenter_coreset(
                 .drop("dmin")
                 .withColumnRenamed("_dmin_new", "dmin")
             )
+        # ship the vector via an Arrow table: same 1-row broadcast
+        # relation, but the driver→JVM conversion skips the py4j
+        # row path (measured ~0.1 s/round at k=16 — guide §6 Arrow
+        # for driver transfers); values are the same float64s
+        import pyarrow as pa
+
         cdf = spark.createDataFrame(
-            [([float(x) for x in center_vec],)], "c_emb array<double>"
+            pa.table(
+                {
+                    "c_emb": pa.array(
+                        [[float(x) for x in center_vec]],
+                        pa.list_(pa.float64()),
+                    )
+                }
+            )
         )
         d = stable_round(
             F.lit(1.0) - cosine(F.col("embedding"), F.col("c_emb")), 6
