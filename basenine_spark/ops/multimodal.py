@@ -675,6 +675,10 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     route each payload to its modality's REAL decoder (WAV / BMP), and
     union the feature rows — the full decode → feature pipeline with
     actual container formats, no stubs."""
+    # three decoder branches re-synthesize, but the synth is cheap and
+    # fully parallel after the repartition — a checkpoint here measured
+    # SLOWER (materialize + 3 scans of binary payloads beats 3 synths
+    # only for the heavyweight contract rows, not this entry)
     media = synth_media_table(spark, sf_dir)
     wav = wav_features(media.filter(F.col("media_type") == "audio/wav"))
     out = wav.select(
@@ -1021,7 +1025,12 @@ def asset_near_dup(
     within-threshold pair set.
     """
     if media is None:
-        media = synth_media_table(spark, sf_dir)
+        # three modality branches consume this table and the synth is
+        # an opaque Python stage the filters cannot prune — pin it so
+        # the payload encode runs once, not once per branch
+        media = synth_media_table(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
     # text: exact payload-hash dups as canonical-vs-duplicate pairs —
     # each group member joins ONLY the group's min doc_id, so a g-sized
     # exact-dup group (common in crawl text) emits g-1 rows, not the
@@ -1413,7 +1422,12 @@ def media_near_dup_contract(
     (banded pair absent from brute force — a false positive or a
     mis-computed distance). Ballast: payload counts by the synth
     routing (doc_id % 3)."""
-    media = synth_media_table(spark, sf_dir)
+    # synthesize the payloads ONCE: the media table is an opaque
+    # Python stage, so the modality filters cannot prune it — without
+    # the pin each modality's checkpoint re-synthesized (and
+    # PNG-encoded) all payloads (guide §4.2: an opaque function
+    # defeats pushdown; materialize instead of recompute)
+    media = synth_media_table(spark, sf_dir).localCheckpoint(eager=True)
     imgs = media.filter(F.col("media_type").startswith("image/"))
     ih = (
         image_phash(imgs)
@@ -1444,9 +1458,25 @@ def media_near_dup_contract(
             .filter(F.col("hamming") <= max_hamming)
         )
         cols = ["doc_id_a", "doc_id_b", "hamming"]
-        missed = brute.join(banded, cols, "left_anti").count()
-        wrong = banded.join(brute, cols, "left_anti").count()
-        return missed, wrong
+        # one full-outer diff job instead of two anti-join counts —
+        # each anti-join re-evaluated both pair plans (guide §1.2)
+        br = brute.withColumn("br_p", F.lit(1)).alias("br")
+        bd = banded.withColumn("bd_p", F.lit(1)).alias("bd")
+        row = (
+            br.join(bd, cols, "full_outer")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("bd.bd_p").isNull().cast("bigint")),
+                    F.lit(0),
+                ).alias("missed"),
+                F.coalesce(
+                    F.sum(F.col("br.br_p").isNull().cast("bigint")),
+                    F.lit(0),
+                ).alias("wrong"),
+            )
+            .collect()[0]
+        )
+        return int(row["missed"]), int(row["wrong"])
 
     img_missed, img_wrong = diff_counts(ih, "phash")
     aud_missed, aud_wrong = diff_counts(ah, "afp")
