@@ -369,6 +369,24 @@ IVF_NPROBE = 3
 IVF_ITERS = 5
 
 
+def _kmeans_from_sample(X, k: int, iters: int):
+    """Lloyd iterations over an already-collected sample matrix —
+    the driver-side core of :func:`_kmeans_centroids`, split out so
+    callers that also need the raw sample rows (PQ residual training)
+    can collect the lowest-id sample ONCE and feed both consumers
+    (guide §1.2: the two collects were identical sort+limit jobs over
+    the same corpus)."""
+    centroids = X[: min(k, len(X))].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = X[a == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
 def _kmeans_centroids(df, vec_col: str, k: int, iters: int):
     """Deterministic Lloyd's k-means coarse quantizer, fit on a bounded
     lowest-id sample (the standard IVF practice — Jégou et al. train
@@ -389,15 +407,7 @@ def _kmeans_centroids(df, vec_col: str, k: int, iters: int):
         .collect()
     )
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    centroids = X[: min(k, len(X))].copy()
-    for _ in range(iters):
-        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
-        for j in range(len(centroids)):
-            members = X[a == j]
-            if len(members):
-                centroids[j] = members.mean(axis=0)
-    return centroids
+    return _kmeans_from_sample(X, k, iters)
 
 
 def ann_topk_ivf(
@@ -419,14 +429,36 @@ def ann_topk_ivf(
     ~``nprobe / cells`` of the corpus per query instead of all of it.
     Approximate recall ⇒ rows-only correctness check.
     """
+    cands = _ivf_candidates(spark, sf_dir, n_queries, cells, nprobe, iters)
+    return _rank_topk(
+        _scored(cands.select("query_id", "neighbor_id", "q_emb", "c_emb")), k
+    )
+
+
+def _ivf_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    cells: int,
+    nprobe: int,
+    iters: int,
+) -> DataFrame:
+    """IVF candidate generation with the probe rank attached:
+    (query_id, neighbor_id, q_emb, c_emb, probe_pos) where
+    ``probe_pos`` is the position of the probed cell in the query's
+    centroid-distance argsort. Because argsort prefixes nest, the
+    candidate set at any SMALLER probe budget ``p <= nprobe`` is
+    exactly ``probe_pos < p`` — which lets the operating-curve
+    contract derive every probe budget from ONE corpus assignment
+    pass instead of rebuilding the index per budget (guide §1.2:
+    the four builds were identical except the slice width)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     emb = load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= n_queries)
-    centroids = _kmeans_centroids(corpus, "embedding", cells, iters)
-    C = centroids
+    C = _kmeans_centroids(corpus, "embedding", cells, iters)
 
     @pandas_udf("int")
     def cell_of(embs: pd.Series) -> pd.Series:
@@ -449,12 +481,13 @@ def ann_topk_ivf(
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+        F.posexplode(probe_cells(F.col("embedding"))).alias(
+            "probe_pos", "cell"
+        ),
     )
-    cands = queries.join(corpus_cells, "cell").select(
-        "query_id", "neighbor_id", "q_emb", "c_emb"
+    return queries.join(corpus_cells, "cell").select(
+        "query_id", "neighbor_id", "q_emb", "c_emb", "probe_pos"
     )
-    return _rank_topk(_scored(cands), k)
 
 
 def embedding_near_dup(
@@ -695,6 +728,7 @@ def ann_topk_ivfpq(
     codes: int = 64,
     iters: int = IVF_ITERS,
     sample_rows: int = 2048,
+    trained=None,
 ) -> DataFrame:
     """IVF-PQ: the composed production ANN index — a k-means coarse
     quantizer routes each vector to a cell; within the cell the
@@ -723,16 +757,15 @@ def ann_topk_ivfpq(
 
     emb = load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= n_queries)
-    C = _kmeans_centroids(corpus, "embedding", cells, iters)  # (cells, dim)
-
-    # residual-PQ codebooks from a bounded normalized sample
-    sample_rows_ = corpus.orderBy("vec_id").limit(sample_rows).collect()
-    S = np.array([list(r["embedding"]) for r in sample_rows_], dtype=np.float64)
-    S /= np.linalg.norm(S, axis=1, keepdims=True) + 1e-12
-    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
-    cell_of_s = ((S[:, None, :] - Cn[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    B = _pq_train(S - Cn[cell_of_s], m, codes, iters)  # (m, codes, d)
-    dim = S.shape[1]
+    if trained is None:
+        Cn, B = _ivfpq_train(corpus, cells, m, codes, iters, sample_rows)
+    else:
+        # pretrained (Cn, B) from the SAME deterministic recipe —
+        # the persisted-index parity row trains once and feeds both
+        # the build and the in-session twin (identical by
+        # construction; the encode/serve paths stay independent)
+        Cn, B = trained
+    dim = Cn.shape[1]
     d = dim // m
 
     @pandas_udf("struct<cell:int, code:array<int>>")
@@ -1495,21 +1528,49 @@ def ann_ivf_operating_curve(
             spark, sf_dir, k=k, n_queries=n_queries
         ).localCheckpoint(eager=True)
         n_exact = exact.count()
-    hits = []
     with timed_phase("build"):
-        for nprobe in probes:
-            approx = ann_topk_ivf(
-                spark, sf_dir, k=k, n_queries=n_queries, nprobe=nprobe
+        # ONE candidate pass at the largest budget with the probe rank
+        # attached (argsort prefixes nest, so nprobe=p is exactly
+        # probe_pos < p); previously each budget re-ran the identical
+        # k-means collect + corpus assignment + probe join — 4× the
+        # dominant subtree for slice-width-only differences (guide
+        # §1.2 step 1). The per-budget ranking is unchanged:
+        # _rank_topk over the same rounded cosine scores.
+        scored = (
+            _ivf_candidates(
+                spark, sf_dir, n_queries, IVF_CELLS, probes[-1], IVF_ITERS
             )
-            hits.append(
-                exact.select("query_id", "neighbor_id")
-                .join(
-                    approx.select("query_id", "neighbor_id"),
-                    ["query_id", "neighbor_id"],
-                    "left_semi",
-                )
-                .count()
+            .select(
+                "query_id",
+                "neighbor_id",
+                "probe_pos",
+                stable_round(
+                    cosine(F.col("q_emb"), F.col("c_emb")), 4
+                ).alias("sim"),
             )
+            .localCheckpoint(eager=True)
+        )
+        per_probe = [
+            _rank_topk(
+                scored.filter(F.col("probe_pos") < nprobe), k
+            ).withColumn("nprobe", F.lit(nprobe))
+            for nprobe in probes
+        ]
+        union_all = per_probe[0]
+        for branch in per_probe[1:]:
+            union_all = union_all.unionByName(branch)
+        hit_rows = (
+            union_all.join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .collect()
+        )
+        hit_map = {int(r["nprobe"]): int(r["hits"]) for r in hit_rows}
+        hits = [hit_map.get(nprobe, 0) for nprobe in probes]
     mono_viol = sum(
         1 for a, b in zip(hits, hits[1:]) if b < a
     )
@@ -1626,20 +1687,49 @@ def semantic_dedup_contract(
         dropped = (
             assigned.join(kept.select("vec_id"), "vec_id", "left_anti")
             .join(emb, "vec_id")
+            # materialized: bounded (non-kept corpus slice), consumed
+            # by the witness join below; also cuts the ArrowEvalPython
+            # cluster-assignment lineage out of the join inputs (the
+            # PythonUDF expression cannot appear in join codegen)
+            .localCheckpoint(eager=False)
             .alias("d")
         )
         k2 = kept_e.alias("k2")
-        wit_sim = dot(F.col("d.embedding"), F.col("k2.embedding")) / (
-            F.col("d.nrm") * F.col("k2.nrm")
+        # uncovered = dropped rows with NO earlier kept witness: one
+        # left join + any-match aggregation instead of dropped.count()
+        # minus a left_semi count — the anti-join/attach subtree behind
+        # ``dropped`` evaluates once, not twice (guide §1.2 step 1).
+        # The cosine test lives in a projection, not the join
+        # condition: Spark cannot codegen higher-order functions
+        # inside an outer-join predicate.
+        viol2 = (
+            dropped.join(
+                k2.select(
+                    F.col("k2.cluster").alias("w_cluster"),
+                    F.col("k2.vec_id").alias("w_vec_id"),
+                    F.col("k2.embedding").alias("w_embedding"),
+                    F.col("k2.nrm").alias("w_nrm"),
+                ),
+                (F.col("d.cluster") == F.col("w_cluster"))
+                & (F.col("w_vec_id") < F.col("d.vec_id")),
+                "left",
+            )
+            .select(
+                F.col("d.vec_id").alias("vec_id"),
+                (
+                    F.col("w_vec_id").isNotNull()
+                    & (
+                        dot(F.col("d.embedding"), F.col("w_embedding"))
+                        / (F.col("d.nrm") * F.col("w_nrm"))
+                        >= F.lit(threshold - tol)
+                    )
+                ).alias("is_witness"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max(F.col("is_witness")).alias("has_witness"))
+            .filter(~F.col("has_witness"))
+            .count()
         )
-        covered = dropped.join(
-            k2,
-            (F.col("d.cluster") == F.col("k2.cluster"))
-            & (F.col("k2.vec_id") < F.col("d.vec_id"))
-            & (wit_sim >= F.lit(threshold - tol)),
-            "left_semi",
-        )
-        viol2 = dropped.count() - covered.count()
         n_vecs = load_embeddings(spark, sf_dir).count()
     return spark.createDataFrame(
         [(int(n_vecs), int(viol1), int(viol2))],
@@ -1983,12 +2073,25 @@ def _ivfpq_train(corpus, cells: int, m: int, codes: int, iters: int,
                  sample_rows: int):
     """(Cn, B): normalized coarse centroids (cells × dim) and residual
     PQ codebooks (m × codes × dim/m) — the exact training recipe of
-    :func:`ann_topk_ivfpq` (bounded sample, deterministic)."""
+    :func:`ann_topk_ivfpq` (bounded sample, deterministic).
+
+    ONE lowest-id sample collect feeds both trainers (guide §1.2): the
+    k-means sample (first ``max(2048, 32·cells)`` vectors by vec_id)
+    and the PQ sample (first ``sample_rows``) are prefixes of the same
+    ordered corpus, so the previous two identical sort+limit jobs
+    collapse to a single collect sliced driver-side."""
     import numpy as np
 
-    C = _kmeans_centroids(corpus, "embedding", cells, iters)
-    sample = corpus.orderBy("vec_id").limit(sample_rows).collect()
-    S = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    kmeans_n = max(2048, 32 * cells)
+    sample = (
+        corpus.orderBy("vec_id")
+        .limit(max(kmeans_n, sample_rows))
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    C = _kmeans_from_sample(X[:kmeans_n], cells, iters)
+    S = X[:sample_rows].copy()
     S /= np.linalg.norm(S, axis=1, keepdims=True) + 1e-12
     Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
     cell_of_s = ((S[:, None, :] - Cn[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
@@ -2029,7 +2132,7 @@ def build_ivfpq_index(
     codes: int = 64,
     iters: int = IVF_ITERS,
     sample_rows: int = 2048,
-) -> None:
+):
     """Build and PERSIST an IVF-PQ index: ``{path}/coded`` holds the
     inverted lists (neighbor_id, cell, code — ~m bytes per vector
     instead of the raw embedding), ``{path}/meta`` the centroids,
@@ -2040,7 +2143,9 @@ def build_ivfpq_index(
 
     ``exclude_below`` mirrors the registry's query/corpus split so the
     persisted form can be parity-checked against the in-session
-    :func:`ann_topk_ivfpq`.
+    :func:`ann_topk_ivfpq`.  Returns the trained ``(Cn, B)`` so a
+    parity caller can hand the identical deterministic model to the
+    in-session twin instead of re-running the training collects.
     """
     emb = load_embeddings(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= exclude_below)
@@ -2055,19 +2160,41 @@ def build_ivfpq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/coded")
     )
-    rows = [("param", -1, -1, [float(m), float(codes), float(cells)])]
-    rows += [
-        ("centroid", int(i), -1, [float(x) for x in Cn[i]])
-        for i in range(Cn.shape[0])
+    # meta rows travel driver→JVM as ONE Arrow batch instead of ~2k
+    # py4j-pickled tuples (guide §6, Arrow for driver transfers);
+    # values are the identical float64s
+    import pyarrow as pa
+
+    kinds = ["param"] + ["centroid"] * Cn.shape[0] + [
+        "codebook"
+    ] * (len(B) * B[0].shape[0])
+    i_col = [-1] + list(range(Cn.shape[0])) + [
+        s for s in range(len(B)) for _ in range(B[s].shape[0])
     ]
-    rows += [
-        ("codebook", int(s), int(j), [float(x) for x in B[s][j]])
-        for s in range(len(B))
-        for j in range(B[s].shape[0])
+    j_col = [-1] + [-1] * Cn.shape[0] + [
+        j for s in range(len(B)) for j in range(B[s].shape[0])
     ]
-    spark.createDataFrame(
-        rows, "kind string, i int, j int, vec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    vecs = (
+        [[float(m), float(codes), float(cells)]]
+        + [[float(x) for x in Cn[i]] for i in range(Cn.shape[0])]
+        + [
+            [float(x) for x in B[s][j]]
+            for s in range(len(B))
+            for j in range(B[s].shape[0])
+        ]
+    )
+    meta_tbl = pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "i": pa.array(i_col, pa.int32()),
+            "j": pa.array(j_col, pa.int32()),
+            "vec": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    spark.createDataFrame(meta_tbl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    return Cn, B
 
 
 def query_ivfpq_index(
@@ -2537,49 +2664,79 @@ def triplets_contract(
             F.xxhash64(F.col("anchor"), F.col("positive"), F.lit(salt)),
             F.lit(n_vecs),
         )
-        n_formula = trip.filter(F.col("negative") != formula).count()
-
-        n_excl = (
-            trip.filter(
-                (F.col("negative") == F.col("anchor"))
-                | (F.col("negative") == F.col("positive"))
-            ).count()
-            + trip.join(
-                edges.select(
-                    F.col("src").alias("anchor"),
-                    F.col("dst").alias("negative"),
-                ),
-                ["anchor", "negative"],
-                "left_semi",
-            ).count()
-        )
-
+        # ONE conditional-aggregate job over a single joined frame
+        # instead of four separate count() jobs re-scanning the
+        # checkpointed triplets and the embeddings parquet (guide
+        # §1.2). Embedding/edge attaches are LEFT joins with presence
+        # markers so every triplet stays in the frame; the per-check
+        # predicates replicate the original filter(...).count()
+        # semantics exactly (when(cond, 1).otherwise(0) counts only
+        # TRUE, like filter; the enriched-only checks additionally
+        # require all three embedding attaches to have matched, which
+        # is what the previous inner joins enforced).
         emb = load_embeddings(spark, sf_dir)
         ea = emb.select(F.col("vec_id").alias("anchor"), F.col("embedding").alias("e_a"))
         ep = emb.select(F.col("vec_id").alias("positive"), F.col("embedding").alias("e_p"))
         en = emb.select(F.col("vec_id").alias("negative"), F.col("embedding").alias("e_n"))
-        enriched = trip.join(ea, "anchor").join(ep, "positive").join(en, "negative")
         good_edges = edges.filter(F.col("sim") >= sim_floor).select(
             F.col("src").alias("anchor"),
             F.col("dst").alias("positive"),
             F.col("sim").alias("edge_sim"),
         )
-        n_pos = (
-            enriched.join(good_edges, ["anchor", "positive"], "left")
-            .filter(
-                F.col("edge_sim").isNull()
-                | (F.col("edge_sim") != F.col("pos_sim"))
-                | (
-                    stable_round(cosine(F.col("e_a"), F.col("e_p")), 4)
-                    != F.col("pos_sim")
-                )
-            )
-            .count()
+        # (src, dst) is unique in the kNN edge list, so both edge
+        # attaches add at most one row per triplet; vec_id is unique
+        # in the embeddings table
+        excl_edges = edges.select(
+            F.col("src").alias("anchor"),
+            F.col("dst").alias("negative"),
+            F.lit(1).alias("is_knn_edge"),
         )
-        n_neg_sim = enriched.filter(
-            stable_round(cosine(F.col("e_a"), F.col("e_n")), 4)
-            != F.col("neg_sim")
-        ).count()
+        base = (
+            trip.join(ea, "anchor", "left")
+            .join(ep, "positive", "left")
+            .join(en, "negative", "left")
+            .join(good_edges, ["anchor", "positive"], "left")
+            .join(excl_edges, ["anchor", "negative"], "left")
+        )
+        enriched_ok = (
+            F.col("e_a").isNotNull()
+            & F.col("e_p").isNotNull()
+            & F.col("e_n").isNotNull()
+        )
+
+        def _n(cond):
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+        counts = base.agg(
+            _n(F.col("negative") != formula).alias("n_formula"),
+            _n(
+                (F.col("negative") == F.col("anchor"))
+                | (F.col("negative") == F.col("positive"))
+            ).alias("n_excl_self"),
+            _n(F.col("is_knn_edge").isNotNull()).alias("n_excl_edge"),
+            _n(
+                enriched_ok
+                & (
+                    F.col("edge_sim").isNull()
+                    | (F.col("edge_sim") != F.col("pos_sim"))
+                    | (
+                        stable_round(cosine(F.col("e_a"), F.col("e_p")), 4)
+                        != F.col("pos_sim")
+                    )
+                )
+            ).alias("n_pos"),
+            _n(
+                enriched_ok
+                & (
+                    stable_round(cosine(F.col("e_a"), F.col("e_n")), 4)
+                    != F.col("neg_sim")
+                )
+            ).alias("n_neg_sim"),
+        ).collect()[0]
+        n_formula = int(counts["n_formula"])
+        n_excl = int(counts["n_excl_self"]) + int(counts["n_excl_edge"])
+        n_pos = int(counts["n_pos"])
+        n_neg_sim = int(counts["n_neg_sim"])
     return spark.createDataFrame(
         [(int(n_vecs), int(n_formula), int(n_excl), int(n_pos),
           int(n_neg_sim))],

@@ -2195,12 +2195,17 @@ def _ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="bn_ivfpq_")
     try:
-        similarity.build_ivfpq_index(spark, sf_dir, f"{tmp}/idx")
+        trained = similarity.build_ivfpq_index(spark, sf_dir, f"{tmp}/idx")
         q = similarity.load_embeddings(spark, sf_dir).filter(
             F.col("vec_id") < 10
         )
         served = similarity.query_ivfpq_index(spark, f"{tmp}/idx", q)
-        direct = similarity.ann_topk_ivfpq(spark, sf_dir)
+        # the twin reuses the build's deterministic (Cn, B) — training
+        # twice produced bit-identical models from the same ordered
+        # sample, so the parity under test (encode → persist → load →
+        # ADC-serve vs in-session encode → ADC) is unchanged while the
+        # two training collects + Lloyd loops run once (guide §1.2)
+        direct = similarity.ann_topk_ivfpq(spark, sf_dir, trained=trained)
         # presence is a join-side marker, NOT sim.isNotNull(): a
         # one-sided row whose sim is legitimately NULL (zero-norm
         # query vectors — the emb-fuzz corpus plants them) would

@@ -661,20 +661,49 @@ def semdedup_replay_contract(
         dropped = (
             assigned.join(admitted.select("vec_id"), "vec_id", "left_anti")
             .join(embn, "vec_id")
+            # materialized: bounded (non-admitted corpus slice); also
+            # cuts the ArrowEvalPython cluster-assignment lineage out
+            # of the witness join's inputs (the PythonUDF expression
+            # cannot appear in join codegen)
+            .localCheckpoint(eager=False)
             .alias("d")
         )
         k2 = kept_e.alias("k2")
-        wit_sim = dot(F.col("d.embedding"), F.col("k2.embedding")) / (
-            F.col("d.nrm") * F.col("k2.nrm")
+        # uncovered = dropped rows with NO earlier admitted witness:
+        # one left join + any-match aggregation instead of
+        # dropped.count() minus a left_semi count — the anti-join/
+        # attach subtree behind ``dropped`` evaluates once, not twice
+        # (guide §1.2 step 1). The cosine test lives in a projection,
+        # not the join condition: Spark cannot codegen higher-order
+        # functions inside an outer-join predicate.
+        viol2 = (
+            dropped.join(
+                k2.select(
+                    F.col("k2.cluster").alias("w_cluster"),
+                    F.col("k2.vec_id").alias("w_vec_id"),
+                    F.col("k2.embedding").alias("w_embedding"),
+                    F.col("k2.nrm").alias("w_nrm"),
+                ),
+                (F.col("d.cluster") == F.col("w_cluster"))
+                & (F.col("w_vec_id") < F.col("d.vec_id")),
+                "left",
+            )
+            .select(
+                F.col("d.vec_id").alias("vec_id"),
+                (
+                    F.col("w_vec_id").isNotNull()
+                    & (
+                        dot(F.col("d.embedding"), F.col("w_embedding"))
+                        / (F.col("d.nrm") * F.col("w_nrm"))
+                        >= F.lit(threshold - tol)
+                    )
+                ).alias("is_witness"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max(F.col("is_witness")).alias("has_witness"))
+            .filter(~F.col("has_witness"))
+            .count()
         )
-        covered = dropped.join(
-            k2,
-            (F.col("d.cluster") == F.col("k2.cluster"))
-            & (F.col("k2.vec_id") < F.col("d.vec_id"))
-            & (wit_sim >= F.lit(threshold - tol)),
-            "left_semi",
-        )
-        viol2 = dropped.count() - covered.count()
         n_vecs = (
             load_embeddings(spark, sf_dir)
             .filter(F.col("vec_id").isNotNull())
