@@ -102,10 +102,22 @@ def blocklist_gate_stream(
     )
 
     stream = db.spark.readStream.schema(LOG_SCHEMA).parquet(db._log.path)
+    # The gate has NO shuffle of its own (stateless broadcast NL join),
+    # so without this exchange each micro-batch inherits the log's FILE
+    # partitioning — the row-count-targeted ingest writes one file per
+    # micro-batch, putting the entire |batch| x |B| intersect scan on
+    # ONE core (measured: 6.4 s single-task batch at sf0.1, ~0.9 s
+    # after). One skinny shuffle of the raw rows per batch is noise
+    # next to the per-row gate work (|B| set intersects each), at any
+    # scale; the partition count follows the session/replay-scoped
+    # ``spark.sql.shuffle.partitions`` (guide §2.2 — scale-adaptive,
+    # never a hard-coded local constant).
     docs = _with_grams(
-        stream.select(F.from_json(F.col("value"), fields).alias("d")).select(
-            "d.*"
-        ),
+        stream.repartition(
+            int(db.spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        .select(F.from_json(F.col("value"), fields).alias("d"))
+        .select("d.*"),
         "text",
         n,
     )
