@@ -431,8 +431,13 @@ def simhash_near_pairs(
             .cast("int")
             .alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct shuffle (round 14, guide §2.2 —
+        # same reorder as multimodal.hamming_near_dup): hamming is a
+        # function of the pair, so the two commute and the exchange
+        # carries only threshold-crossing pairs, not every banded
+        # candidate (quadratic in a hot band's cohort)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -518,8 +523,13 @@ def simhash_md5_near_pairs(
             .cast("int")
             .alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct shuffle (round 14, guide §2.2 —
+        # same reorder as multimodal.hamming_near_dup): hamming is a
+        # function of the pair, so the two commute and the exchange
+        # carries only threshold-crossing pairs, not every banded
+        # candidate (quadratic in a hot band's cohort)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -830,24 +830,26 @@ def hamming_near_dup(
         cap=bucket_cap,
         payload=["h"],
     )
-    cands = (
+    # verify BEFORE the pair-dedup shuffle (round 14, guide §2.2 —
+    # shuffle fewer bytes): bit_count(xor) is a cheap map-side filter,
+    # and hamming is a function of the pair, so filter and
+    # dropDuplicates commute — the dedup exchange then carries only
+    # the pairs that crossed the threshold (hundreds) instead of every
+    # banded candidate (~Σ bucket² rows; a hot all-zero band makes
+    # that quadratic in the cohort). A pair sharing several bands
+    # recomputes one XOR per copy — noise next to the shuffle saved.
+    return (
         p.select(
             F.col("a._id").alias("doc_id_a"),
             F.col("b._id").alias("doc_id_b"),
-            F.col("a.h").alias("h_a"),
-            F.col("b.h").alias("h_b"),
-        )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
-    return (
-        cands.select(
-            "doc_id_a",
-            "doc_id_b",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            F.bit_count(
+                F.col("a.h").bitwiseXOR(F.col("b.h"))
+            )
             .cast("bigint")
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
 

@@ -176,7 +176,7 @@ def _ingest(db, df) -> int:
 
 
 def _drain_stateful(
-    sq, expected_rows: int, poll_s: float = 0.25, timeout_s: float = 600.0
+    sq, expected_rows: int, poll_s: float = 0.05, timeout_s: float = 600.0
 ) -> None:
     """Wait until a continuously-triggered STATEFUL query has consumed
     every ingested row, then return (caller stops the query).
@@ -193,7 +193,7 @@ def _drain_stateful(
     arrive.
 
     ``recentProgress`` is a bounded ring buffer (default 100 entries)
-    — with a 0.25 s poll against sub-second micro-batches it cannot
+    — with a 0.05 s poll against sub-second micro-batches it cannot
     overflow between polls in practice, but a stalled query would
     otherwise spin forever, so ``timeout_s`` bounds the wait: on
     expiry we raise with the last progress snapshot instead of
