@@ -1626,6 +1626,96 @@ def knn_graph_contract(
     )
 
 
+def _semdedup_check_counts(
+    kept_e: DataFrame,
+    dropped: DataFrame,
+    threshold: float,
+    tol: float,
+) -> tuple[int, int]:
+    """The two SemDeDup contract checks as ONE per-cluster GEMM cogroup
+    (round 14, guide §2.3/§4): the former shape was two separate jobs —
+    a kept×kept self-join plus a dropped×kept left join, both keyed on
+    the k-valued ``cluster`` column (k=8 ⇒ eight hot groups, most of
+    the quadratic HOF dot-product work serialized into one task) — this
+    shape ships each bounded cluster block once through Arrow and runs
+    the pairwise cosine block as a numpy matmul. Inputs: (vec_id,
+    cluster, embedding, nrm) frames; per-cluster memory is bounded by
+    the same max-cluster-size contract as the op itself.
+
+    Substrate note: BLAS pairwise summation differs from the JVM
+    sequential fold by ~1e-14 on these corpora — the same
+    accumulation-order noise class the contracts' ``tol`` (1e-6) was
+    introduced to absorb (their docstrings say so); the comparison
+    boundaries stay threshold±tol. tests/test_semdedup_checker.py pins
+    GEMM-vs-join count equality on the dev corpus.
+
+    Returns (n_kept_pair_violations, n_dropped_uncovered):
+
+    * pair violations: same-cluster kept pairs (a.vec_id < b.vec_id)
+      with cosine > threshold + tol;
+    * uncovered: dropped rows with NO earlier (smaller vec_id) kept
+      witness at cosine >= threshold - tol in their cluster — rows in
+      clusters with no (earlier) kept vectors at all count as
+      uncovered, exactly like the left join's unmatched branch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr_hi = float(threshold + tol)
+    thr_lo = float(threshold - tol)
+
+    def per_cluster(key, kept_pdf, drop_pdf):
+        n_pair = 0
+        n_unc = 0
+        if len(kept_pdf):
+            kept_pdf = kept_pdf.sort_values("vec_id")
+            kmat = np.stack(
+                [
+                    np.asarray(list(e), dtype=np.float64)
+                    for e in kept_pdf["embedding"]
+                ]
+            )
+            kn = kept_pdf["nrm"].to_numpy(dtype=np.float64)
+            sims = (kmat @ kmat.T) / np.outer(kn, kn)
+            iu = np.triu_indices(len(kmat), k=1)
+            n_pair = int((sims[iu] > thr_hi).sum())
+        if len(drop_pdf):
+            if len(kept_pdf):
+                dmat = np.stack(
+                    [
+                        np.asarray(list(e), dtype=np.float64)
+                        for e in drop_pdf["embedding"]
+                    ]
+                )
+                dn = drop_pdf["nrm"].to_numpy(dtype=np.float64)
+                dsims = (dmat @ kmat.T) / np.outer(dn, kn)
+                earlier = (
+                    kept_pdf["vec_id"].to_numpy()[None, :]
+                    < drop_pdf["vec_id"].to_numpy()[:, None]
+                )
+                witness = ((dsims >= thr_lo) & earlier).any(axis=1)
+                n_unc = int((~witness).sum())
+            else:
+                n_unc = int(len(drop_pdf))
+        return pd.DataFrame(
+            [(n_pair, n_unc)], columns=["n_pair", "n_unc"]
+        )
+
+    cols = ["cluster", "vec_id", "embedding", "nrm"]
+    row = (
+        kept_e.select(*cols)
+        .groupBy("cluster")
+        .cogroup(dropped.select(*cols).groupBy("cluster"))
+        .applyInPandas(per_cluster, "n_pair long, n_unc long")
+        .agg(
+            F.coalesce(F.sum("n_pair"), F.lit(0)).alias("p"),
+            F.coalesce(F.sum("n_unc"), F.lit(0)).alias("u"),
+        )
+        .collect()[0]
+    )
+    return int(row["p"]), int(row["u"])
+
+
 def semantic_dedup_contract(
     spark: SparkSession,
     sf_dir: str,
@@ -1642,8 +1732,9 @@ def semantic_dedup_contract(
     * MUTUAL DISSIMILARITY: any two kept vectors in the same cluster
       have cosine < threshold (greedy keep admits a vector only when
       its max sim to the already-kept set is below the threshold):
-      ``n_kept_pair_violations`` = 0 (sims recomputed unrounded via
-      JVM folds; ``tol`` absorbs accumulation-order ulps).
+      ``n_kept_pair_violations`` = 0 (sims recomputed unrounded as
+      per-cluster GEMM blocks; ``tol`` absorbs accumulation-order
+      ulps — see :func:`_semdedup_check_counts`).
     * DROPPED COVERAGE: every non-surviving vector has an EARLIER
       (smaller vec_id) kept vector in its cluster with cosine ≥
       threshold — the witness that justified dropping it:
@@ -1670,65 +1761,20 @@ def semantic_dedup_contract(
         .alias("nrm"),
     )
     with timed_phase("verify"):
+        # the checkpoint both materializes the (bounded) kept slice and
+        # severs its lineage from ``emb`` — the cogroup below would
+        # otherwise see the same attribute ids on both sides and fail
+        # ambiguous-column analysis
         kept_e = kept.join(emb, "vec_id").localCheckpoint(eager=True)
-        a, b = kept_e.alias("a"), kept_e.alias("b")
-        pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-            F.col("a.nrm") * F.col("b.nrm")
-        )
-        viol1 = (
-            a.join(
-                b,
-                (F.col("a.cluster") == F.col("b.cluster"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .filter(pair_sim > F.lit(threshold + tol))
-            .count()
-        )
-        dropped = (
-            assigned.join(kept.select("vec_id"), "vec_id", "left_anti")
-            .join(emb, "vec_id")
-            # materialized: bounded (non-kept corpus slice), consumed
-            # by the witness join below; also cuts the ArrowEvalPython
-            # cluster-assignment lineage out of the join inputs (the
-            # PythonUDF expression cannot appear in join codegen)
-            .localCheckpoint(eager=False)
-            .alias("d")
-        )
-        k2 = kept_e.alias("k2")
-        # uncovered = dropped rows with NO earlier kept witness: one
-        # left join + any-match aggregation instead of dropped.count()
-        # minus a left_semi count — the anti-join/attach subtree behind
-        # ``dropped`` evaluates once, not twice (guide §1.2 step 1).
-        # The cosine test lives in a projection, not the join
-        # condition: Spark cannot codegen higher-order functions
-        # inside an outer-join predicate.
-        viol2 = (
-            dropped.join(
-                k2.select(
-                    F.col("k2.cluster").alias("w_cluster"),
-                    F.col("k2.vec_id").alias("w_vec_id"),
-                    F.col("k2.embedding").alias("w_embedding"),
-                    F.col("k2.nrm").alias("w_nrm"),
-                ),
-                (F.col("d.cluster") == F.col("w_cluster"))
-                & (F.col("w_vec_id") < F.col("d.vec_id")),
-                "left",
-            )
-            .select(
-                F.col("d.vec_id").alias("vec_id"),
-                (
-                    F.col("w_vec_id").isNotNull()
-                    & (
-                        dot(F.col("d.embedding"), F.col("w_embedding"))
-                        / (F.col("d.nrm") * F.col("w_nrm"))
-                        >= F.lit(threshold - tol)
-                    )
-                ).alias("is_witness"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max(F.col("is_witness")).alias("has_witness"))
-            .filter(~F.col("has_witness"))
-            .count()
+        dropped = assigned.join(
+            kept.select("vec_id"), "vec_id", "left_anti"
+        ).join(emb, "vec_id")
+        # both checks in ONE per-cluster GEMM cogroup — the former
+        # kept×kept self-join + dropped×kept left join serialized
+        # their quadratic HOF work into k hot tasks (see
+        # _semdedup_check_counts; round 14, guide §2.3/§4)
+        viol1, viol2 = _semdedup_check_counts(
+            kept_e, dropped, threshold, tol
         )
         n_vecs = load_embeddings(spark, sf_dir).count()
     return spark.createDataFrame(

@@ -582,7 +582,6 @@ def semdedup_replay_contract(
     the float-widened doubles the checker recomputes with."""
     from ..ops.similarity import (
         _kmeans_centroids,
-        dot,
         embed_clusters,
         load_embeddings,
         norm_col,
@@ -644,65 +643,21 @@ def semdedup_replay_contract(
             .otherwise(norm_col(F.col("embedding")))
             .alias("nrm"),
         )
+        # checkpoint: materializes the bounded admitted slice AND
+        # severs its lineage from ``embn`` so the cogroup below does
+        # not see the same attribute ids on both sides
         kept_e = admitted.join(embn, "vec_id").localCheckpoint(eager=True)
-        a, b = kept_e.alias("a"), kept_e.alias("b")
-        pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-            F.col("a.nrm") * F.col("b.nrm")
-        )
-        viol1 = (
-            a.join(
-                b,
-                (F.col("a.cluster") == F.col("b.cluster"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .filter(pair_sim > F.lit(threshold + tol))
-            .count()
-        )
-        dropped = (
-            assigned.join(admitted.select("vec_id"), "vec_id", "left_anti")
-            .join(embn, "vec_id")
-            # materialized: bounded (non-admitted corpus slice); also
-            # cuts the ArrowEvalPython cluster-assignment lineage out
-            # of the witness join's inputs (the PythonUDF expression
-            # cannot appear in join codegen)
-            .localCheckpoint(eager=False)
-            .alias("d")
-        )
-        k2 = kept_e.alias("k2")
-        # uncovered = dropped rows with NO earlier admitted witness:
-        # one left join + any-match aggregation instead of
-        # dropped.count() minus a left_semi count — the anti-join/
-        # attach subtree behind ``dropped`` evaluates once, not twice
-        # (guide §1.2 step 1). The cosine test lives in a projection,
-        # not the join condition: Spark cannot codegen higher-order
-        # functions inside an outer-join predicate.
-        viol2 = (
-            dropped.join(
-                k2.select(
-                    F.col("k2.cluster").alias("w_cluster"),
-                    F.col("k2.vec_id").alias("w_vec_id"),
-                    F.col("k2.embedding").alias("w_embedding"),
-                    F.col("k2.nrm").alias("w_nrm"),
-                ),
-                (F.col("d.cluster") == F.col("w_cluster"))
-                & (F.col("w_vec_id") < F.col("d.vec_id")),
-                "left",
-            )
-            .select(
-                F.col("d.vec_id").alias("vec_id"),
-                (
-                    F.col("w_vec_id").isNotNull()
-                    & (
-                        dot(F.col("d.embedding"), F.col("w_embedding"))
-                        / (F.col("d.nrm") * F.col("w_nrm"))
-                        >= F.lit(threshold - tol)
-                    )
-                ).alias("is_witness"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max(F.col("is_witness")).alias("has_witness"))
-            .filter(~F.col("has_witness"))
-            .count()
+        dropped = assigned.join(
+            admitted.select("vec_id"), "vec_id", "left_anti"
+        ).join(embn, "vec_id")
+        # both checks in ONE per-cluster GEMM cogroup — the former
+        # kept×kept self-join + dropped×kept left join serialized
+        # their quadratic HOF work into k hot tasks (round 14; see
+        # similarity._semdedup_check_counts, guide §2.3/§4)
+        from ..ops.similarity import _semdedup_check_counts
+
+        viol1, viol2 = _semdedup_check_counts(
+            kept_e, dropped, threshold, tol
         )
         n_vecs = (
             load_embeddings(spark, sf_dir)
