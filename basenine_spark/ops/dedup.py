@@ -361,7 +361,14 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → 64 conditional sums (one shuffle keyed on doc_id, partial
     aggregation map-side) → bit reassembly with shiftleft/bor.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the explode (round 14, guide §2.2): the dev
+    # corpus is one parquet file, so the 64-lane vote aggregation's
+    # partial-agg phase otherwise runs as a single task (measured
+    # 2.0 s -> ~0.4 s at sf0.1); the per-doc sums are order-independent
+    # integers, so values are partitioning-invariant
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).select("doc_id", F.xxhash64("t").alias("h"))
@@ -455,7 +462,10 @@ def simhash60_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign of Σ_tokens (±1 on bit *j*). Same explode → 60 conditional
     grouped sums → shiftleft/bor plan shape as :func:`simhash64`.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition: same single-file parallelism fix as simhash64
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).select(
@@ -682,7 +692,9 @@ def simhash_contract(
     )
     # alternate path: same definition (xxhash64 token votes, '' tokens
     # included — split() keeps them, mirroring the explode path), fold
-    # instead of explode+groupBy
+    # instead of explode+groupBy. Repartitioned: the per-doc 64-lane
+    # HOF fold otherwise runs on the corpus file's single task
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     hs = docs.select(
         "doc_id",
         F.expr(

@@ -278,13 +278,16 @@ def zorder_contract(spark: SparkSession, sf_dir: str, bits: int = 10) -> DataFra
     df = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
     )
-    n_rows = df.count()
+    # one aggregate job for ballast + bounds (round 14, guide §1.2 —
+    # the row count and the bucket bounds scanned the table twice)
     bounds = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.min("user_id").alias("x_lo"),
         F.max("user_id").alias("x_hi"),
         F.min("value").alias("y_lo"),
         F.max("value").alias("y_hi"),
     ).collect()[0]
+    n_rows = int(bounds["n_rows"])
     xb = _bucketize(
         F.col("user_id").cast("double"),
         F.lit(float(bounds["x_lo"])),
