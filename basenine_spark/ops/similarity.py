@@ -1346,10 +1346,13 @@ def _knn_graph_exact_gemm(
 # plus data-derived ballast so the row is not a constant.
 
 
-def _order_violation_count(approx: DataFrame, part_col: str) -> int:
-    """Rows violating the ranking contract inside an approximate
-    result: ranks dense from 1 per partition key, sims non-increasing
-    with rank, ties broken by ascending neighbor id."""
+def _order_violation_agg(approx: DataFrame, part_col: str) -> DataFrame:
+    """1-row aggregate of rows violating the ranking contract inside
+    an approximate result: ranks dense from 1 per partition key, sims
+    non-increasing with rank, ties broken by ascending neighbor id.
+    Returned as a DataFrame (column ``order_viol``) so contract rows
+    can crossJoin it with their other scalar checks into ONE job
+    (round 14, guide §1.2 — each check was its own collect)."""
     nb = "neighbor_id" if "neighbor_id" in approx.columns else "dst"
     w = Window.partitionBy(part_col).orderBy(F.col("rank").asc())
     prev_rank = F.lag("rank").over(w)
@@ -1368,24 +1371,27 @@ def _order_violation_count(approx: DataFrame, part_col: str) -> int:
     )
     # window exprs must be projected before the aggregate (Spark
     # rejects a window inside agg())
-    row = (
-        approx.select(viol.cast("bigint").alias("viol"))
-        .agg(F.coalesce(F.sum("viol"), F.lit(0)).alias("v"))
-        .collect()[0]
+    return approx.select(viol.cast("bigint").alias("viol")).agg(
+        F.coalesce(F.sum("viol"), F.lit(0)).alias("order_viol")
     )
-    return int(row["v"])
 
 
-def _sim_mismatch_count(
+def _order_violation_count(approx: DataFrame, part_col: str) -> int:
+    row = _order_violation_agg(approx, part_col).collect()[0]
+    return int(row["order_viol"])
+
+
+def _sim_mismatch_agg(
     spark: SparkSession,
     sf_dir: str,
     edges: DataFrame,
     a_col: str,
     b_col: str,
-) -> int:
-    """Approximate-path sims must equal a stable_round-ed exact cosine
-    recomputed from the raw vectors — null-safe compared (a NULL sim
-    should never have survived ranking, so any NULL mismatches)."""
+) -> DataFrame:
+    """1-row aggregate (column ``sim_mm``): approximate-path sims must
+    equal a stable_round-ed exact cosine recomputed from the raw
+    vectors — null-safe compared (a NULL sim should never have
+    survived ranking, so any NULL mismatches)."""
     emb = load_embeddings(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias(a_col), F.col("embedding").alias("_ea")
@@ -1393,7 +1399,7 @@ def _sim_mismatch_count(
     b = emb.select(
         F.col("vec_id").alias(b_col), F.col("embedding").alias("_eb")
     )
-    joined = (
+    return (
         edges.select(a_col, b_col, "sim")
         .join(a, a_col)
         .join(b, b_col)
@@ -1406,11 +1412,19 @@ def _sim_mismatch_count(
             .cast("bigint")
             .alias("mm")
         )
+        .agg(F.coalesce(F.sum("mm"), F.lit(0)).alias("sim_mm"))
     )
-    row = joined.agg(
-        F.coalesce(F.sum("mm"), F.lit(0)).alias("mm")
-    ).collect()[0]
-    return int(row["mm"])
+
+
+def _sim_mismatch_count(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> int:
+    row = _sim_mismatch_agg(spark, sf_dir, edges, a_col, b_col).collect()[0]
+    return int(row["sim_mm"])
 
 
 def ann_recall_contract(
@@ -1454,29 +1468,50 @@ def ann_recall_contract(
         exact = ann_topk(
             spark, sf_dir, k=k, n_queries=n_queries
         ).localCheckpoint(eager=True)
-        n_exact = exact.count()
-        n_hits = (
+        # ALL scalar checks fused into one job (round 14, guide §1.2
+        # — n_exact, the semi-join hit count, the ranking-discipline
+        # window, the sim recompute, and the ballast count were five
+        # separate collects over checkpointed ≤ k×n_queries-row
+        # frames): exact-vs-approx hit accounting is one left join
+        # with a presence marker ((query_id, neighbor_id) is unique
+        # in a ranked top-k, so the join adds at most one match), and
+        # the independent 1-row aggregates crossJoin onto it.
+        hit_agg = (
             exact.select("query_id", "neighbor_id")
             .join(
-                approx.select("query_id", "neighbor_id"),
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("ap_p")
+                ),
                 ["query_id", "neighbor_id"],
-                "left_semi",
+                "left",
             )
-            .count()
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.coalesce(F.sum("ap_p"), F.lit(0)).alias("n_hits"),
+            )
         )
-        recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
-        order_viol = _order_violation_count(approx, "query_id")
+        checks = hit_agg.crossJoin(
+            _order_violation_agg(approx, "query_id")
+        )
         if method in ("lsh", "ivf"):  # exact cosine over candidates
-            sim_mm = _sim_mismatch_count(
-                spark, sf_dir, approx, "query_id", "neighbor_id"
+            checks = checks.crossJoin(
+                _sim_mismatch_agg(
+                    spark, sf_dir, approx, "query_id", "neighbor_id"
+                )
             )
         else:  # ADC scoring — approximate by design, no exactness claim
-            sim_mm = 0
-        nq = (
+            checks = checks.withColumn("sim_mm", F.lit(0).cast("bigint"))
+        checks = checks.crossJoin(
             load_embeddings(spark, sf_dir)
             .filter(F.col("vec_id") < n_queries)
-            .count()
+            .agg(F.count(F.lit(1)).alias("nq"))
         )
+        row = checks.collect()[0]
+        n_exact, n_hits = int(row["n_exact"]), int(row["n_hits"])
+        recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
+        order_viol = int(row["order_viol"])
+        sim_mm = int(row["sim_mm"])
+        nq = int(row["nq"])
     return spark.createDataFrame(
         [(int(nq), recall_viol, order_viol, sim_mm)],
         "n_queries bigint, recall_violations bigint,"
@@ -1609,16 +1644,37 @@ def knn_graph_contract(
         exact = knn_graph_exact(spark, sf_dir, k=k).localCheckpoint(
             eager=True
         )
-        n_exact = exact.count()
-        n_hits = (
+        # scalar checks fused into one job (round 14, guide §1.2 —
+        # same shape as ann_recall_contract): hit accounting via a
+        # presence-marker left join ((src, dst) unique in a ranked
+        # top-k), the window/sim/ballast aggregates crossJoined on.
+        row = (
             exact.select("src", "dst")
-            .join(approx.select("src", "dst"), ["src", "dst"], "left_semi")
-            .count()
+            .join(
+                approx.select("src", "dst", F.lit(1).alias("ap_p")),
+                ["src", "dst"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.coalesce(F.sum("ap_p"), F.lit(0)).alias("n_hits"),
+            )
+            .crossJoin(_order_violation_agg(approx, "src"))
+            .crossJoin(
+                _sim_mismatch_agg(spark, sf_dir, approx, "src", "dst")
+            )
+            .crossJoin(
+                load_embeddings(spark, sf_dir).agg(
+                    F.count(F.lit(1)).alias("n_nodes")
+                )
+            )
+            .collect()[0]
         )
+        n_exact, n_hits = int(row["n_exact"]), int(row["n_hits"])
         recall_viol = int(n_exact > 0 and n_hits / n_exact < recall_floor)
-        order_viol = _order_violation_count(approx, "src")
-        sim_mm = _sim_mismatch_count(spark, sf_dir, approx, "src", "dst")
-        n_nodes = load_embeddings(spark, sf_dir).count()
+        order_viol = int(row["order_viol"])
+        sim_mm = int(row["sim_mm"])
+        n_nodes = int(row["n_nodes"])
     return spark.createDataFrame(
         [(int(n_nodes), recall_viol, order_viol, sim_mm)],
         "n_nodes bigint, recall_violations bigint,"
