@@ -56,6 +56,12 @@ ENTRIES = [
     "ann_ivf_curve_verified",
     "ann_index_persisted",
     "embedding_triplets_verified",
+    # f81e3f4 — fused contract verify checks (one job per contract)
+    "ann_topk_lsh_verified",
+    "ann_topk_ivf_verified",
+    "ann_topk_pq_verified",
+    "ann_topk_ivfpq_verified",
+    "knn_graph_verified",
     # this session
     "streaming_blocklist_replay",
     "dedup_semantic_verified",
