@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .util import bucket_pairs, stable_round
+from .util import bucket_pairs, release_checkpoint, stable_round
 
 # -- exact ------------------------------------------------------------------
 
@@ -759,6 +759,7 @@ def simhash_contract(
         .count()
     )
     n_docs = docs.count()
+    release_checkpoint(sims)
     return spark.createDataFrame(
         [(int(n_docs), int(mm), int(missed))],
         "n_docs bigint, n_hash_mismatch bigint, n_pigeonhole_missed bigint",
@@ -909,6 +910,11 @@ def connected_components(
         F.least(F.min("doc_b"), F.first("doc_a")).alias("label")
     ).select(F.col("doc_a").alias("doc_id"), "label")
     rounds_run = 0
+    # superseded-round checkpoint release (round 14, guide §5): each
+    # round's `jumped` materialization consumes `stepped` and the
+    # previous round's `jumped`; unpersist them once dead instead of
+    # leaking two state tables per round into storage memory.
+    prev_jumped = None
     for _round in range(max_iter):
         rounds_run += 1
         # neighbor labels via one keyed join, then min with own label
@@ -975,6 +981,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        release_checkpoint(stepped)
+        if prev_jumped is not None:
+            release_checkpoint(prev_jumped)
+        prev_jumped = jumped
         changed = jumped.filter(F.col("old") != F.col("label")).limit(1).count()
         labels = jumped.select("doc_id", "label")
         if changed == 0:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import similarity
-from .util import stable_round
+from .util import release_checkpoint, stable_round
 
 
 def pagerank(
@@ -48,7 +48,12 @@ def pagerank(
     ≤ ~1e-13), making the rounded output engine-stable; the oracle
     applies the identical nudge. 0.0 (default) keeps production
     output unchanged."""
-    edges = edges.select("src", "dst")
+    # materialize the skinny (src, dst) list ONCE (round 14, guide
+    # §1.2): the setup consumes `edges` four times (out_deg, both
+    # union branches of `nodes`, the `wedges` join) — an expensive
+    # caller lineage (e.g. the brute-force GEMM kNN feeding
+    # knn_pagerank_exact_regime) otherwise re-evaluates per consumer
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     has_out = out_deg.select(F.col("src").alias("node"), F.lit(True).alias("out_ok"))
     # nodes tagged ONCE with whether they have out-edges — the dangling
@@ -68,6 +73,12 @@ def pagerank(
     ).cache()
     wedges.count()  # materialize once; reused every iteration
     ranks = nodes.select("node", "out_ok", F.lit(1.0 / n_nodes).alias("rank"))
+    # superseded-iteration checkpoint release (round 14, guide §5):
+    # the eager checkpoint below fully materializes iteration i's rank
+    # table, after which iteration i-1's blocks are dead — unpersist
+    # them instead of leaking one rank table per iteration into
+    # storage memory for the rest of the session.
+    prev_ckpt = None
     for _ in range(iters):
         contribs = (
             wedges.join(
@@ -96,8 +107,15 @@ def pagerank(
             )
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
+        if prev_ckpt is not None:
+            release_checkpoint(prev_ckpt)
+        prev_ckpt = ranks
     nodes.unpersist()
     wedges.unpersist()
+    if iters > 0:
+        # the returned frame reads only the final iteration's
+        # checkpoint; with iters == 0 it still reads nodes <- edges
+        release_checkpoint(edges)
     out_rank = (
         F.col("rank") + F.lit(round_eps) if round_eps else F.col("rank")
     )

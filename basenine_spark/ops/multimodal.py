@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .util import release_checkpoint
 
 FRAME_BYTES = 100  # stub "frame" size for the video-style chunker
 
@@ -1484,6 +1485,9 @@ def media_near_dup_contract(
     aud_missed, aud_wrong = diff_counts(ah, "afp")
     n_images = ih.count()
     n_audio = ah.count()
+    release_checkpoint(ih)
+    release_checkpoint(ah)
+    release_checkpoint(media)
     return spark.createDataFrame(
         [(int(n_images), int(n_audio), int(img_missed), int(img_wrong),
           int(aud_missed), int(aud_wrong))],
@@ -1549,6 +1553,7 @@ def asset_routing_contract(
         & ((F.col("distance") < 0) | (F.col("distance") > max_hamming))
     ).count()
     n_docs = load_table(spark, sf_dir, "documents").count()
+    release_checkpoint(pairs)
     return spark.createDataFrame(
         [(int(n_docs), int(n_routing), int(n_text_star), int(n_bounds))],
         "n_docs bigint, n_routing_violations bigint,"

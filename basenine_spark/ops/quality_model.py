@@ -107,8 +107,6 @@ def quality_scoring_contract(
     recomputation must land within half a grid step (+``tol`` for
     accumulation-order ulps): ``n_score_mismatch`` = 0. Ballast:
     ``n_docs`` (non-NULL text)."""
-    from pyspark.ml.classification import LogisticRegression
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -116,8 +114,24 @@ def quality_scoring_contract(
     # build = the production path (featurize + distributed LR fit +
     # model.transform scoring); verify = the independent numpy
     # recomputation and the full-outer diff
+    # persist the featurization ONCE (round 14, guide §1.2): `feats`
+    # feeds the LR fit, `model.transform`, and the manual numpy
+    # scorer — three consumers, each of which re-ran split+HashingTF
+    # over the corpus. Same lineage, evaluated once; unpersisted in
+    # the finally below.
+    feats = _featurize(docs).persist()
+    try:
+        return _scoring_contract_body(
+            spark, feats, n_docs, reference_source, tol
+        )
+    finally:
+        feats.unpersist()
+
+
+def _scoring_contract_body(spark, feats, n_docs, reference_source, tol):
+    from pyspark.ml.classification import LogisticRegression
+
     with timed_phase("build"):
-        feats = _featurize(docs)
         pos = feats.filter(F.col("source") == reference_source).withColumn(
             "label", F.lit(1.0)
         )

@@ -26,7 +26,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .util import bucket_pairs, stable_round, timed_phase
+from .util import (
+    bucket_pairs,
+    release_checkpoint,
+    stable_round,
+    timed_phase,
+)
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,6 +1517,9 @@ def ann_recall_contract(
         order_viol = int(row["order_viol"])
         sim_mm = int(row["sim_mm"])
         nq = int(row["nq"])
+        # checks are done — drop the pinned blocks (round 14, guide §5)
+        release_checkpoint(approx)
+        release_checkpoint(exact)
     return spark.createDataFrame(
         [(int(nq), recall_viol, order_viol, sim_mm)],
         "n_queries bigint, recall_violations bigint,"
@@ -1606,6 +1614,8 @@ def ann_ivf_operating_curve(
         )
         hit_map = {int(r["nprobe"]): int(r["hits"]) for r in hit_rows}
         hits = [hit_map.get(nprobe, 0) for nprobe in probes]
+        release_checkpoint(exact)
+        release_checkpoint(scored)
     mono_viol = sum(
         1 for a, b in zip(hits, hits[1:]) if b < a
     )
@@ -1675,6 +1685,8 @@ def knn_graph_contract(
         order_viol = int(row["order_viol"])
         sim_mm = int(row["sim_mm"])
         n_nodes = int(row["n_nodes"])
+        release_checkpoint(approx)
+        release_checkpoint(exact)
     return spark.createDataFrame(
         [(int(n_nodes), recall_viol, order_viol, sim_mm)],
         "n_nodes bigint, recall_violations bigint,"
@@ -1833,6 +1845,8 @@ def semantic_dedup_contract(
             kept_e, dropped, threshold, tol
         )
         n_vecs = load_embeddings(spark, sf_dir).count()
+        release_checkpoint(kept_e)
+        release_checkpoint(kept)
     return spark.createDataFrame(
         [(int(n_vecs), int(viol1), int(viol2))],
         "n_vecs bigint, n_kept_pair_violations bigint,"
@@ -1885,6 +1899,7 @@ def embedding_near_dup_contract(
         .count()
     )
     n_vecs = load_embeddings(spark, sf_dir).count()
+    release_checkpoint(approx)
     return spark.createDataFrame(
         [(int(n_vecs), int(prec_viol), int(missed))],
         "n_vecs bigint, n_precision_violations bigint,"
@@ -2017,6 +2032,7 @@ def kcenter_parity_contract(
             F.coalesce(F.sum("mm"), F.lit(0)).alias("mm"),
         ).collect()[0]
         n_vecs = load_embeddings(spark, sf_dir).count()
+        release_checkpoint(lit_path)
     return spark.createDataFrame(
         [(int(n_vecs), int(row["rd"]), int(row["mm"]))],
         "n_vecs bigint, row_delta bigint, n_mismatch bigint",
@@ -2637,22 +2653,50 @@ def kcenter_coreset(
     was chosen (NULL for the seed); the sequence is non-increasing and
     sel_dist of rank k+1 would be the coverage radius of the first k.
     """
+    # row norms computed ONCE and carried in the state table (round
+    # 14, guide §1.2): cosine's sqrt(dot(e, e)) factor is
+    # round-invariant, so recomputing it per round was 1/3 of the
+    # per-row HOF work for k-1 rounds. Same expression, same floats —
+    # evaluated once instead of per round.
     emb = load_embeddings(spark, sf_dir).select(
-        "vec_id", "embedding"
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
+
+    def _py_norm(vec) -> float:
+        """sqrt of the sequential left-to-right fold — the exact IEEE
+        operation order of ``dot(c, c)`` (zip_with product, then
+        aggregate from 0.0), so the driver-computed literal is
+        bit-identical to the HOF result the rounds used to recompute."""
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
 
     def with_dmin(df, center_vec):
         """dmin update against ONE center. Small dim: inline array
-        literal (no per-round job, plan growth bounded by
-        k x literal_dim_max tokens). Large dim: broadcast 1-row
+        literal (no per-round job; round 14 swaps the per-element
+        ``F.array(lit, lit, …)`` tree — 64 Literal nodes recompiled
+        every round — for ONE constant array literal, guide §1.2
+        per-round plan-compile cost). Large dim: broadcast 1-row
         DataFrame (the ANN-path idiom) — the vector ships as DATA and
-        plan size is O(1) in dim, at ~0.3 s/round of broadcast+join
-        overhead that only pays for itself once the literal plan would
-        be multi-MB (VERDICT r8 item 8)."""
+        plan size is O(1) in dim (VERDICT r8 item 8). Both paths
+        divide by the precomputed ``nrm`` column times the
+        driver-computed center norm: identical float algebra to
+        ``cosine()`` with the round-invariant factors hoisted."""
+        nrm_c = _py_norm(center_vec)
         if len(center_vec) <= literal_dim_max:
-            c = F.array(*[F.lit(float(x)) for x in center_vec])
+            c = F.lit([float(x) for x in center_vec])
             d = stable_round(
-                F.lit(1.0) - cosine(F.col("embedding"), c), 6
+                F.lit(1.0)
+                - F.try_divide(
+                    dot(F.col("embedding"), c),
+                    F.col("nrm") * F.lit(nrm_c),
+                ),
+                6,
             )
             new_dmin = (
                 d if "dmin" not in df.columns else F.least(F.col("dmin"), d)
@@ -2679,7 +2723,12 @@ def kcenter_coreset(
             )
         )
         d = stable_round(
-            F.lit(1.0) - cosine(F.col("embedding"), F.col("c_emb")), 6
+            F.lit(1.0)
+            - F.try_divide(
+                dot(F.col("embedding"), F.col("c_emb")),
+                F.col("nrm") * F.lit(nrm_c),
+            ),
+            6,
         )
         new_dmin = (
             d if "dmin" not in df.columns else F.least(F.col("dmin"), d)
@@ -2702,6 +2751,13 @@ def kcenter_coreset(
         F.col("vec_id") != int(seed["vec_id"])
     )
     state = state.localCheckpoint(eager=False)
+    # superseded-round checkpoint release (round 14, guide §5): round
+    # r's collect materializes checkpoint r (lazily reading r-1's
+    # blocks), so after that collect the r-1 blocks are dead — without
+    # an explicit unpersist each of the k rounds leaks its state table
+    # into storage memory for the rest of the session (ContextCleaner
+    # only reaps on a driver full GC).
+    superseded = None
     for rank in range(2, k + 1):
         # NULL dmin = cosine undefined (zero-norm vector somewhere in the
         # chain); such rows can never be coherently chosen as a center —
@@ -2713,14 +2769,22 @@ def kcenter_coreset(
             .limit(1)
             .collect()
         )
+        if superseded is not None:
+            release_checkpoint(superseded)
+            superseded = None
         if not far:
             break
         row = far[0]
         selected.append((rank, int(row["vec_id"]), float(row["dmin"])))
-        state = with_dmin(
+        new_state = with_dmin(
             state.filter(F.col("vec_id") != int(row["vec_id"])),
             list(row["embedding"]),
         ).localCheckpoint(eager=False)
+        superseded = state
+        state = new_state
+    release_checkpoint(state)
+    if superseded is not None:
+        release_checkpoint(superseded)
     return spark.createDataFrame(
         selected, "sel_rank int, vec_id long, sel_dist double"
     )
@@ -2839,6 +2903,8 @@ def triplets_contract(
         n_excl = int(counts["n_excl_self"]) + int(counts["n_excl_edge"])
         n_pos = int(counts["n_pos"])
         n_neg_sim = int(counts["n_neg_sim"])
+        release_checkpoint(trip)
+        release_checkpoint(edges)
     return spark.createDataFrame(
         [(int(n_vecs), int(n_formula), int(n_excl), int(n_pos),
           int(n_neg_sim))],

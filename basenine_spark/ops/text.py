@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .util import stable_round
+from .util import release_checkpoint, stable_round
 
 # tiny built-in stopword list used by the quality heuristics (kept short
 # so the SQL oracle twin stays readable; swap for a real list in prod)
@@ -1163,6 +1163,7 @@ def normalized_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = hashed.agg(F.coalesce(F.sum("dup_cnt"), F.lit(0))).collect()[0][0]
     n_cover = abs(int(total) - int(n_docs))
+    release_checkpoint(normed)
     return spark.createDataFrame(
         [(int(n_docs), int(n_idem), int(n_group), int(n_cover))],
         "n_docs bigint, n_idempotence_violations bigint,"

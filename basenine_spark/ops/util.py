@@ -184,6 +184,30 @@ class timed_phase:
         return False
 
 
+def release_checkpoint(df) -> None:
+    """Drop the materialized blocks behind a ``localCheckpoint``-backed
+    DataFrame (round 14, guide §5 "unpersist when done").
+
+    ``localCheckpoint`` pins its partitions in block-manager storage
+    until the ContextCleaner notices the RDD is unreachable — which
+    needs a driver FULL GC that an 8-GiB heap may not run for the
+    whole life of a many-query session (``spark.cleaner.periodicGC``
+    defaults to 30 MINUTES). Iterative operators that checkpoint per
+    round (k-center, PageRank, label propagation) therefore leak every
+    superseded round's state into storage memory for the rest of the
+    session, squeezing the unified pool every later query shares.
+
+    Call ONLY on a checkpoint no consumer will read again: the blocks
+    ARE the data (lineage is truncated), so a released DataFrame is
+    dead. Best-effort — if the plan isn't the direct LogicalRDD of a
+    checkpoint (or the py4j surface moves), it silently does nothing.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def bucket_pairs(banded, keys, id_col, cap=None, payload=()):
     """Candidate pairs from co-bucketed rows — ONE groupBy + in-bucket
     pair expansion instead of a keyed self-join (round 14).

@@ -69,7 +69,19 @@ ENTRIES = [
     "dedup_simhash_verified",
     "dedup_simhash_md5_pairs",
     "layout_zorder_verified",
+    # second optimization session (continuation of round 14):
+    # pagerank edge-list materialization + superseded-checkpoint
+    # releases + quality-model featurization cache
+    "knn_pagerank_exact_regime",
+    "knn_pagerank_verified",
+    "text_quality_verified",
+    "dedup_clusters_distributed",
 ]
+
+# Optional CLI filter: capture only the named entries (used by the
+# second session so existing before/after pairs from the first pass
+# are not rewritten under a different box/tree state).
+ONLY = set(os.environ.get("CAPTURE_ONLY", "").split(",")) - {""}
 
 
 def main() -> int:
@@ -110,6 +122,8 @@ def main() -> int:
     from basenine_spark.registry import SPARK_QUERIES
 
     for name in ENTRIES:
+        if ONLY and name not in ONLY:
+            continue
         try:
             df = SPARK_QUERIES[name](spark, sf)
             write(name, formatted(df))
@@ -117,6 +131,8 @@ def main() -> int:
             write(name, f"FAILED to build: {exc!r}\n")
 
     # ---- operator-level captures -------------------------------------
+    if ONLY and not any(n.startswith("op_") for n in ONLY):
+        return 0
     from basenine_spark.ops import multimodal as M
 
     media = M.synth_media_table(spark, sf).localCheckpoint(eager=True)
