@@ -2701,10 +2701,11 @@ def kcenter_coreset(
             new_dmin = (
                 d if "dmin" not in df.columns else F.least(F.col("dmin"), d)
             )
-            return (
-                df.withColumn("_dmin_new", new_dmin)
-                .drop("dmin")
-                .withColumnRenamed("_dmin_new", "dmin")
+            # one projection per round, not withColumn+drop+rename
+            # (three) — the round plans are rebuilt and re-analyzed
+            # k-1 times, so per-round plan nodes are a real cost here
+            return df.select(
+                "vec_id", "embedding", "nrm", new_dmin.alias("dmin")
             )
         # ship the vector via an Arrow table: same 1-row broadcast
         # relation, but the driver→JVM conversion skips the py4j
@@ -2733,11 +2734,8 @@ def kcenter_coreset(
         new_dmin = (
             d if "dmin" not in df.columns else F.least(F.col("dmin"), d)
         )
-        return (
-            df.crossJoin(F.broadcast(cdf))
-            .withColumn("_dmin_new", new_dmin)
-            .drop("c_emb", "dmin")
-            .withColumnRenamed("_dmin_new", "dmin")
+        return df.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "embedding", "nrm", new_dmin.alias("dmin")
         )
 
     seed_rows = emb.orderBy(F.col("vec_id").asc()).limit(1).collect()
