@@ -1518,11 +1518,18 @@ def asset_routing_contract(
 
     Ballast: ``n_docs``.
     """
+    # synthesize the media table ONCE for both consumers (round 14,
+    # guide §1.2/§4.2): asset_near_dup pins its own copy when not
+    # given one, but the text-star check below ALSO needs the text
+    # payloads — without the shared pin the opaque Python synth stage
+    # (incl. PNG/WAV encodes) ran twice per contract evaluation
+    media = synth_media_table(spark, sf_dir).localCheckpoint(eager=True)
     pairs = asset_near_dup(
         spark,
         sf_dir,
         image_hamming=max_hamming,
         audio_hamming=max_hamming,
+        media=media,
     ).localCheckpoint(eager=True)
     mod_of = {"audio": 0, "image": 1, "text": 2}
     routing_pred = None
@@ -1533,7 +1540,6 @@ def asset_routing_contract(
         routing_pred = bad if routing_pred is None else (routing_pred | bad)
     n_routing = pairs.filter(routing_pred).count()
 
-    media = synth_media_table(spark, sf_dir)
     texts = media.filter(F.col("media_type") == "text/plain").select(
         "doc_id", F.md5(F.col("payload")).alias("h")
     )
@@ -1554,6 +1560,7 @@ def asset_routing_contract(
     ).count()
     n_docs = load_table(spark, sf_dir, "documents").count()
     release_checkpoint(pairs)
+    release_checkpoint(media)
     return spark.createDataFrame(
         [(int(n_docs), int(n_routing), int(n_text_star), int(n_bounds))],
         "n_docs bigint, n_routing_violations bigint,"
