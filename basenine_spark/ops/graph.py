@@ -30,6 +30,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     round_eps: float = 0.0,
+    plan_sink: dict | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (src, dst). Returns
     (node, rank) for every node appearing as src or dst; ranks sum to
@@ -58,19 +59,31 @@ def pagerank(
     has_out = out_deg.select(F.col("src").alias("node"), F.lit(True).alias("out_ok"))
     # nodes tagged ONCE with whether they have out-edges — the dangling
     # indicator rides along in the rank vector so the per-iteration
-    # dangling mass is a conditional aggregate, not a join
+    # dangling mass is a conditional aggregate, not a join.
+    # Co-partitioning (round 15, guide §2.4): `nodes` is pinned on
+    # hash(node) and `wedges` on hash(src) BEFORE the loop, so every
+    # iteration's two keyed operations reuse these exchanges instead
+    # of reshuffling the edge list per round: contribs' groupBy(dst)
+    # output is hash(node)-compatible with the cached `nodes`, and the
+    # checkpointed rank vector carries its hash(node) partitioning
+    # into the next round's contribs join (LogicalRDD preserves the
+    # physical outputPartitioning; the node→src alias is
+    # partitioning-transparent). Net per-iteration exchanges: only the
+    # inherent contribution shuffle.
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .join(has_out, "node", "left")
         .select("node", F.coalesce("out_ok", F.lit(False)).alias("out_ok"))
+        .repartition("node")
     ).cache()
     n_nodes = nodes.count()
-    # weighted edges: contribution fraction per out-edge
+    # weighted edges: contribution fraction per out-edge, pre-hashed on
+    # the per-iteration join key
     wedges = edges.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-    ).cache()
+    ).repartition("src").cache()
     wedges.count()  # materialize once; reused every iteration
     ranks = nodes.select("node", "out_ok", F.lit(1.0 / n_nodes).alias("rank"))
     # superseded-iteration checkpoint release (round 14, guide §5):
@@ -79,7 +92,7 @@ def pagerank(
     # them instead of leaking one rank table per iteration into
     # storage memory for the rest of the session.
     prev_ckpt = None
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             wedges.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -93,7 +106,7 @@ def pagerank(
         dangling = ranks.filter(~F.col("out_ok")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        ranks = (
+        update = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -105,8 +118,16 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
+        if plan_sink is not None and i == 1:
+            # steady-state iteration plan (plans/r15 evidence; i=0 reads
+            # the pre-loop rank projection instead of a checkpoint)
+            plan_sink["iteration"] = update._jdf.queryExecution(
+            ).explainString(
+                update.sparkSession._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+        ranks = update.localCheckpoint(eager=True)  # truncate lineage
         if prev_ckpt is not None:
             release_checkpoint(prev_ckpt)
         prev_ckpt = ranks

@@ -55,6 +55,100 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _seq_dot_arrow_batches(it):
+    """mapInArrow kernel: sequential-fold dot product of the ``e_a`` /
+    ``e_b`` array columns, emitted as ``dp`` alongside the passthrough
+    (vec_a, vec_b, n_a, n_b) columns.
+
+    BIT-IDENTICAL to :func:`dot`'s HOF fold by construction: the fast
+    path accumulates column-by-column (``acc += A[:, j] * B[:, j]``),
+    which is the same left-to-right IEEE-754 sequence as
+    ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` — each row's partial
+    sum after j terms is the identical double. float32 → float64 casts
+    are exact on both paths, NaN/Inf propagate identically. Degenerate
+    rows (NULL list, NULL element, ragged lengths) take a per-row
+    Python fold replicating zip_with's NULL algebra (any NULL product
+    poisons the sum → NULL), matching the HOF result exactly.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def _row_fold(x, y):
+        # zip_with pads the shorter side with NULL; a NULL product
+        # makes acc NULL and it stays NULL — i.e. any mismatch → None
+        if x is None or y is None:
+            return None
+        if len(x) != len(y):
+            return None
+        acc = 0.0
+        for xv, yv in zip(x, y):
+            if xv is None or yv is None:
+                return None
+            acc += float(xv) * float(yv)
+        return acc
+
+    for b in it:
+        n = b.num_rows
+        out_cols = [b.column("vec_a"), b.column("vec_b")]
+        if n == 0:
+            dp = pa.array([], type=pa.float64())
+        else:
+            ca, cb = b.column("e_a"), b.column("e_b")
+            lens_a = np.diff(np.asarray(ca.offsets))
+            lens_b = np.diff(np.asarray(cb.offsets))
+            rectangular = (
+                ca.null_count == 0
+                and cb.null_count == 0
+                and ca.values.null_count == 0
+                and cb.values.null_count == 0
+                and lens_a.min() == lens_a.max()
+                and lens_b.min() == lens_b.max()
+                and lens_a[0] == lens_b[0]
+            )
+            if rectangular:
+                d = int(lens_a[0])
+                A = ca.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                ).reshape(n, d)
+                B = cb.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                ).reshape(n, d)
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(d):
+                    acc += A[:, j] * B[:, j]
+                dp = pa.array(acc, type=pa.float64())
+            else:
+                # fuzz-corpus shapes only; exactness over speed
+                dp = pa.array(
+                    [
+                        _row_fold(x, y)
+                        for x, y in zip(ca.to_pylist(), cb.to_pylist())
+                    ],
+                    type=pa.float64(),
+                )
+        yield pa.record_batch(
+            out_cols + [dp, b.column("n_a"), b.column("n_b")],
+            names=["vec_a", "vec_b", "dp", "n_a", "n_b"],
+        )
+
+
+def pair_dot_arrow(joined: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, e_a, e_b, n_a, n_b) → (vec_a, vec_b, dp, n_a,
+    n_b): the per-pair dot product evaluated as one Arrow batch kernel
+    instead of an interpreted per-element HOF chain (guide §4.2 —
+    measured 2.2× on the sf0.1 knn_graph candidate set, value-equal on
+    every pair). Only the columns the kernel needs cross the Python
+    boundary; the division / rounding / NULL policy stays in the same
+    SQL expressions as before, so every consumer's algebra is
+    untouched."""
+    return joined.select(
+        "vec_a", "vec_b", "e_a", "e_b", "n_a", "n_b"
+    ).mapInArrow(
+        _seq_dot_arrow_batches,
+        "vec_a bigint, vec_b bigint, dp double, n_a double, n_b double",
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """NULL-safe cosine: ``try_divide`` yields NULL for a zero-norm
     (or NULL) vector instead of NaN/DIVIDE_BY_ZERO — under Spark 4's
@@ -1129,23 +1223,25 @@ def knn_graph(
         F.col("embedding").alias("e_b"),
         F.col("nrm").alias("n_b"),
     )
-    pairs = (
-        cand_ids.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            # stable_round, not F.round: the exact twin rounds with the
-            # FLOOR idiom, and the recall gate compares the two rankings
-            # — a rounding-boundary sim must not rank differently across
-            # the twins (VERDICT r10). nullif: zero-norm sims are NULL,
-            # dropped before ranking below (mirrors the exact twin).
-            stable_round(
-                dot(F.col("e_a"), F.col("e_b"))
-                / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
-                4,
-            ).alias("sim"),
-        )
+    # per-pair dot products in one Arrow kernel (round 15, guide §4.2):
+    # the candidate set is ~tables × occupancy per node — the dominant
+    # per-pair work — and the interpreted zip_with/aggregate HOF chain
+    # measured 2.2× slower than the batch column-fold, which is
+    # bit-identical by fold order (see pair_dot_arrow)
+    scored = pair_dot_arrow(cand_ids.join(ea, "vec_a").join(eb, "vec_b"))
+    pairs = scored.select(
+        "vec_a",
+        "vec_b",
+        # stable_round, not F.round: the exact twin rounds with the
+        # FLOOR idiom, and the recall gate compares the two rankings
+        # — a rounding-boundary sim must not rank differently across
+        # the twins (VERDICT r10). nullif: zero-norm sims are NULL,
+        # dropped before ranking below (mirrors the exact twin).
+        stable_round(
+            F.col("dp")
+            / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
+            4,
+        ).alias("sim"),
     )
     # mirror each scored pair into both directions with ONE explode
     # instead of a self-union (round 14: the union re-evaluated the
