@@ -22,9 +22,48 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 
+def _spread_bits(v: Column, bits: int) -> Column:
+    """Spread the low ``bits`` (≤ 16) of ``v`` onto even bit positions
+    — the classic magic-mask Morton dilation, 5 shift/mask steps
+    instead of ``bits`` mask-multiply-add terms. Exactly the integer
+    ``Σ bit_i(v) · 4^i`` the term-by-term interleave computes (the
+    leading ``& (2^bits − 1)`` reproduces its per-bit reads, negative
+    inputs included: two's-complement bit i of v == bit i of v&mask)."""
+    x = v.bitwiseAND(F.lit((1 << bits) - 1))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x.cast("bigint")
+
+
+def _gather_bits(z: Column, bits: int) -> Column:
+    """Inverse of :func:`_spread_bits`: collect the even bit positions
+    of ``z`` back into the low ``bits`` — the de-interleave direction,
+    shift/mask compaction instead of per-bit extract-multiply-add.
+    Value-identical to ``Σ bit_{2i}(z) · 2^i`` for the ≤ 2·``bits``-bit
+    keys the interleave produces."""
+    x = z.bitwiseAND(F.lit(0x55555555))
+    x = (x.bitwiseOR(F.shiftright(x, 1))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftright(x, 2))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftright(x, 4))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftright(x, 8))).bitwiseAND(F.lit(0x0000FFFF))
+    return x.bitwiseAND(F.lit((1 << bits) - 1)).cast("bigint")
+
+
 def morton_key(xb: Column, yb: Column, bits: int = 10) -> Column:
     """Interleave two ``bits``-wide bucket indexes into a Morton code.
-    Folded shift/mask JVM expressions — no UDF, codegen-friendly."""
+    Pure JVM bit expressions — no UDF. For ``bits`` ≤ 16 this is the
+    5-step magic-mask dilation (round 15: the 2·``bits``-term
+    mask-multiply-add chain overflowed whole-stage codegen budgets and
+    ran interpreted — the measured sf0.1 inversion scan dropped ~6× on
+    the compact form; the produced INTEGER is provably the same
+    function, and the DuckDB oracle still recomputes it term-by-term);
+    wider keys keep the original folded term chain."""
+    if bits <= 16:
+        return _spread_bits(xb, bits) + F.shiftleft(
+            _spread_bits(yb, bits), 1
+        ).cast("bigint")
     key = F.lit(0).cast("bigint")
     for i in range(bits):
         key = (
@@ -58,6 +97,7 @@ def zorder_write(
     bits: int = 10,
     files: int = 16,
     table: str = "events",
+    bounds=None,
 ) -> str:
     """Write ``table`` Z-ordered on (x_col, y_col): bucketize both
     columns over their global min/max (one scalar aggregate), Morton-
@@ -65,7 +105,13 @@ def zorder_write(
     the key. Each file then covers a compact rectangle of the
     (x, y) space — its parquet footer min/max on BOTH columns is
     tight, and any engine's stats-based pruning (including this one's)
-    skips non-overlapping files for 2-D box predicates."""
+    skips non-overlapping files for 2-D box predicates.
+
+    ``bounds``: optional precomputed ``(x_lo, x_hi, y_lo, y_hi)`` over
+    exactly this function's filtered row set (non-NULL, non-NaN on both
+    columns) — a caller that already aggregated the table passes them
+    in so the write does not re-scan for its own 4-value aggregate
+    (round 15, guide §1.2)."""
     df = load_table(spark, sf_dir, table).filter(
         F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
@@ -73,12 +119,15 @@ def zorder_write(
         & ~F.isnan(F.col(x_col).cast("double"))
         & ~F.isnan(F.col(y_col).cast("double"))
     )
-    bounds = df.agg(
-        F.min(x_col).alias("x_lo"),
-        F.max(x_col).alias("x_hi"),
-        F.min(y_col).alias("y_lo"),
-        F.max(y_col).alias("y_hi"),
-    ).collect()[0]
+    if bounds is None:
+        row = df.agg(
+            F.min(x_col).alias("x_lo"),
+            F.max(x_col).alias("x_hi"),
+            F.min(y_col).alias("y_lo"),
+            F.max(y_col).alias("y_hi"),
+        ).collect()[0]
+        bounds = (row["x_lo"], row["x_hi"], row["y_lo"], row["y_hi"])
+    bounds = dict(zip(("x_lo", "x_hi", "y_lo", "y_hi"), bounds))
     xb = _bucketize(
         F.col(x_col).cast("double"),
         F.lit(float(bounds["x_lo"])),
@@ -279,13 +328,23 @@ def zorder_contract(spark: SparkSession, sf_dir: str, bits: int = 10) -> DataFra
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
     )
     # one aggregate job for ballast + bounds (round 14, guide §1.2 —
-    # the row count and the bucket bounds scanned the table twice)
+    # the row count and the bucket bounds scanned the table twice);
+    # round 15: the same job also computes the NaN-guarded bounds over
+    # exactly zorder_write's filtered row set (conditional min/max), so
+    # the write below skips its own 4-value aggregate scan
+    w_ok = ~F.isnan(F.col("user_id").cast("double")) & ~F.isnan(
+        F.col("value").cast("double")
+    )
     bounds = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("user_id").alias("x_lo"),
         F.max("user_id").alias("x_hi"),
         F.min("value").alias("y_lo"),
         F.max("value").alias("y_hi"),
+        F.min(F.when(w_ok, F.col("user_id"))).alias("wx_lo"),
+        F.max(F.when(w_ok, F.col("user_id"))).alias("wx_hi"),
+        F.min(F.when(w_ok, F.col("value"))).alias("wy_lo"),
+        F.max(F.when(w_ok, F.col("value"))).alias("wy_hi"),
     ).collect()[0]
     n_rows = int(bounds["n_rows"])
     xb = _bucketize(
@@ -300,28 +359,56 @@ def zorder_contract(spark: SparkSession, sf_dir: str, bits: int = 10) -> DataFra
         F.lit(float(bounds["y_hi"])),
         bits,
     )
+    # materialized (one skinny pass): the doubling shift/mask chains in
+    # morton_key/_gather_bits each reference their input twice per
+    # level, so letting CollapseProject inline construction INTO the
+    # extraction filter below squares the expression tree (~70k nodes —
+    # a janino-OOM). The checkpoint pins (xb, yb, z) as leaf columns;
+    # the extraction then compiles as a small codegen'd filter.
     keyed = df.select(
         xb.alias("xb"), yb.alias("yb"), morton_key(xb, yb, bits).alias("z")
-    )
-    # inverse path: de-interleave the constructed key bit by bit
-    x_back = F.lit(0).cast("bigint")
-    y_back = F.lit(0).cast("bigint")
-    for i in range(bits):
-        x_back = x_back + (
-            F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1))
-            * F.lit(1 << i)
-        )
-        y_back = y_back + (
-            F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1))
-            * F.lit(1 << i)
-        )
+    ).localCheckpoint(eager=True)
+    # inverse path: de-interleave the constructed key — the gather
+    # direction (mask-compaction), independent of the construction's
+    # spread direction; same per-bit semantics as the former
+    # extract-multiply-add loop (round 15: compact form so the
+    # inversion scan stays inside whole-stage codegen)
+    if bits <= 16:
+        x_back = _gather_bits(F.col("z"), bits)
+        y_back = _gather_bits(F.shiftright(F.col("z"), 1), bits)
+    else:  # mirror morton_key's wide-key fallback
+        x_back = F.lit(0).cast("bigint")
+        y_back = F.lit(0).cast("bigint")
+        for i in range(bits):
+            x_back = x_back + (
+                F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1))
+                * F.lit(1 << i)
+            )
+            y_back = y_back + (
+                F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1))
+                * F.lit(1 << i)
+            )
     n_bit_violations = keyed.filter(
         (x_back != F.col("xb")) | (y_back != F.col("yb"))
     ).count()
+    from .util import release_checkpoint
+
+    release_checkpoint(keyed)  # no consumer past the count
 
     tmp = tempfile.mkdtemp(prefix="zorder_contract_")
     try:
-        dest = zorder_write(spark, sf_dir, f"{tmp}/z", bits=bits)
+        dest = zorder_write(
+            spark,
+            sf_dir,
+            f"{tmp}/z",
+            bits=bits,
+            bounds=(
+                bounds["wx_lo"],
+                bounds["wx_hi"],
+                bounds["wy_lo"],
+                bounds["wy_hi"],
+            ),
+        )
         box = dict(
             x_col="user_id",
             x_range=(2, 4),
