@@ -143,6 +143,11 @@ def ngram_jaccard_pairs(
     exploded = hsets.select(
         "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
     )
+    # df via groupBy + join-back, NOT a count().over(partitionBy(sh))
+    # window: dfreq is tiny after partial aggregation, AQE broadcasts
+    # it, and the exploded set is never shuffled at all — the window
+    # form would sort-shuffle all 2M exploded rows on sh (measured
+    # pipeline_release 2.9 → 4.1 s; tried and reverted, round 15).
     dfreq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # per-doc shingles sorted rarest-first; only the prefix is indexed
     ranked = exploded.join(dfreq, "sh").groupBy("doc_id").agg(
@@ -150,12 +155,25 @@ def ngram_jaccard_pairs(
         F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ordered"),
     )
     prefix_n = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    prefix = ranked.withColumn("prefix_n", prefix_n).select(
-        "doc_id",
-        "sz",
-        F.posexplode(
-            F.slice(F.transform("ordered", lambda s: s.sh), 1, F.col("prefix_n"))
-        ).alias("pos", "sh"),
+    prefix = (
+        ranked.withColumn("prefix_n", prefix_n)
+        .select(
+            "doc_id",
+            "sz",
+            F.posexplode(
+                F.slice("ordered", 1, F.col("prefix_n"))
+            ).alias("pos", "s"),
+        )
+        # df ≥ 2 prune (round 15, guide §2.3 — shuffle fewer bytes):
+        # a prefix shingle seen in exactly ONE document can never
+        # produce a candidate (the join needs the same sh under two
+        # doc_ids), so its rows are dead join input. Dropping them
+        # AFTER the prefix positions are assigned keeps the PPJoin
+        # exactness proof intact: a true pair's globally-smallest
+        # shared shingle has df ≥ 2 by definition and both its prefix
+        # rows (with their original positions) survive.
+        .filter(F.col("s.df") >= 2)
+        .select("doc_id", "sz", "pos", F.col("s.sh").alias("sh"))
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     alpha = F.ceil(
