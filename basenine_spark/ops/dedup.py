@@ -693,6 +693,82 @@ def minhash_md5_band_pairs(
     )
 
 
+def _simhash_votes_arrow(it):
+    """mapInArrow kernel for :func:`simhash_contract`'s independent
+    recompute: (doc_id, hs array<long>) → (doc_id, alt bigint), where
+    ``alt`` is the 64-bit sign-of-votes SimHash folded from the token
+    hashes with exact integer arithmetic (votes = 2·Σbit − T, sign
+    strictly positive — the same algebra as the definition; integer
+    math, so substrate order cannot matter).
+
+    NULL algebra mirrors the former higher-order fold exactly: a NULL
+    hash element voted −1 on every lane there (NULL condition falls to
+    the otherwise branch), which is precisely the vote of h = 0, so
+    NULL elements are zero-filled; a NULL array yields NULL."""
+    import numpy as np
+    import pyarrow as pa
+
+    shifts = np.arange(64, dtype=np.uint64)
+    pows = np.uint64(1) << shifts
+
+    def _one(arr):
+        if arr is None:
+            return None
+        h = np.asarray(
+            [0 if v is None else v for v in arr], dtype=np.int64
+        ).view(np.uint64)
+        t = len(h)
+        if t == 0:
+            return 0  # empty fold: acc stays 0, no bit set
+        sums = ((h[:, None] >> shifts) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        )
+        return int(
+            (pows[(2 * sums) > t]).sum(dtype=np.uint64).view(np.int64)
+        )
+
+    for b in it:
+        ids = b.column("doc_id")
+        hs_col = b.column("hs")
+        n = b.num_rows
+        if n == 0:
+            alt = pa.array([], type=pa.int64())
+        else:
+            lens = None
+            clean = hs_col.null_count == 0 and hs_col.values.null_count == 0
+            if clean:
+                import numpy as _np
+
+                lens = _np.diff(_np.asarray(hs_col.offsets))
+                clean = bool(lens.min() > 0)
+            if clean:
+                offs = np.asarray(hs_col.offsets)
+                V = (
+                    hs_col.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+                bits = ((V[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int64
+                )  # (n_tokens, 64)
+                starts = (offs[:-1] - offs[0]).astype(np.int64)
+                sums = np.add.reduceat(bits, starts, axis=0)  # (n, 64)
+                cnts = lens[:, None].astype(np.int64)
+                hashv = (
+                    ((2 * sums > cnts).astype(np.uint64) * pows)
+                    .sum(axis=1, dtype=np.uint64)
+                    .view(np.int64)
+                )
+                alt = pa.array(hashv, type=pa.int64())
+            else:
+                alt = pa.array(
+                    [_one(arr) for arr in hs_col.to_pylist()],
+                    type=pa.int64(),
+                )
+        yield pa.record_batch([ids, alt], names=["doc_id", "alt"])
+
+
 def simhash_contract(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:
@@ -721,9 +797,16 @@ def simhash_contract(
         F.col("text").isNotNull()
     )
     # alternate path: same definition (xxhash64 token votes, '' tokens
-    # included — split() keeps them, mirroring the explode path), fold
-    # instead of explode+groupBy. Repartitioned: the per-doc 64-lane
-    # HOF fold otherwise runs on the corpus file's single task
+    # included — split() keeps them, mirroring the explode path), but a
+    # SEPARATE substrate from the production explode → grouped-sums
+    # plan: per-doc token-hash arrays are folded into the 64 bit votes
+    # by a vectorized numpy kernel (round 15 — previously an
+    # interpreted 64-lane higher-order ``aggregate`` fold, ~2.4× the
+    # wall; votes are exact integer sums, so the two substrates agree
+    # bit-for-bit by definition, and the recompute stays fully
+    # independent of the production path: no explode, no groupBy, no
+    # JVM vote expression shared). Repartitioned: the per-doc fold
+    # otherwise runs on the corpus file's single task
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     hs = docs.select(
         "doc_id",
@@ -731,24 +814,7 @@ def simhash_contract(
             "transform(split(text, ' '), t -> xxhash64(t))"
         ).alias("hs"),
     )
-    bits = [
-        F.when(
-            F.aggregate(
-                F.col("hs"),
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    alt = hs.select(
-        "doc_id", reduce(lambda x, y: x.bitwiseOR(y), bits).alias("alt")
-    )
+    alt = hs.mapInArrow(_simhash_votes_arrow, "doc_id bigint, alt bigint")
     mm = (
         sims.withColumn("s_p", F.lit(1))
         .alias("s")
