@@ -55,6 +55,36 @@ def pagerank(
     # caller lineage (e.g. the brute-force GEMM kNN feeding
     # knn_pagerank_exact_regime) otherwise re-evaluates per consumer
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # scale-adaptive loop partitioning (round 15, guide §2.2 — fewer,
+    # larger partitions): every per-iteration shuffle carries at most
+    # the rank/contribution table (≤ nodes ≤ 2·edges rows of 3 small
+    # columns); sizing the loop's shuffle partitions to that volume
+    # (floor 8, NEVER above the session default — a cluster-sized
+    # session keeps its parallelism) removes the empty-task scheduling
+    # tax the session-wide count pays per round. Rank sums are keyed
+    # per node, so values are partitioning-invariant up to the
+    # accumulation-order ulps the stable rounding's eps-nudge already
+    # absorbs (see round_eps).
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    cur_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = min(int(cur_parts), max(8, -(-int(n_edges) // 65536)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _pagerank_body(
+            edges, damping, iters, round_eps, plan_sink
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur_parts)
+
+
+def _pagerank_body(
+    edges: DataFrame,
+    damping: float,
+    iters: int,
+    round_eps: float,
+    plan_sink: dict | None,
+) -> DataFrame:
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     has_out = out_deg.select(F.col("src").alias("node"), F.lit(True).alias("out_ok"))
     # nodes tagged ONCE with whether they have out-edges — the dangling
